@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Helpers enforcing the cross-engine determinism rules (SURVEY.md §2.0).
+  * The driver hash-compares every query's rows against DuckDB, so:
+  *  - R1: every query ends in a total ORDER BY (unique key set).
+  *  - R2: money math in DECIMAL(18,2) — float sums are partition-order
+  *    dependent in Spark and would flap the hash.
+  *  - R3: unavoidable doubles get round(x, 4) on both sides.
+  *  - R4: event time compared as epoch-µs BIGINT or DATE/string.
+  */
+object Determinism {
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Cast an input double to exact money before aggregating (R2). */
+  def money(c: Column): Column = c.cast(Money)
+  def money(name: String): Column = money(col(name))
+
+  /** Final cast of a decimal aggregate back to DECIMAL(18,2). MUST round
+    * explicitly before casting: Spark's decimal downscale cast rounds
+    * HALF_UP but DuckDB's TRUNCATES (verified: CAST(0.135 AS DEC(18,2)) →
+    * 0.13 there). ROUND(x,2) is half-away-from-zero in both engines, so
+    * the oracle side is always `CAST(ROUND(x, 2) AS DECIMAL(18,2))`. */
+  def asMoney(c: Column): Column = round(c, 2).cast(Money)
+
+  /** Deterministic average: exact decimal sum → one double → divide by
+    * exact count → round. Avoids both engines' (different) native
+    * decimal-avg semantics. */
+  def avg4(sumDec: Column, cnt: Column): Column =
+    round(sumDec.cast("double") / cnt, 4)
+
+  /** R3 rounding for unavoidable doubles. */
+  def r4(c: Column): Column = round(c, 4)
+}

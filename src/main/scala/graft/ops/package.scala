@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object ops {
+  /** One declared operator: the Spark query, and the DuckDB oracle SQL
+    * computing the identical result (same column NAMES — the driver sorts
+    * columns by name before hashing). Operators with no SQL oracle (true
+    * streaming, sinks, sketches) are NOT declared here; they live in
+    * ScalaTest suites (SURVEY §2.0 R7). */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sql: String)
+
+  /** A category of operators (one object per SURVEY §2 table). */
+  trait OpGroup {
+    def qs: Seq[Q]
+  }
+}
