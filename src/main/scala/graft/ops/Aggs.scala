@@ -37,6 +37,110 @@ object Aggs extends OpGroup {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    Q(
+      // multi-distinct → Catalyst RewriteDistinctAggregates (Expand)
+      "q_agg_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("cd_part"),
+             countDistinct(col("l_suppkey")).as("cd_supp"),
+             count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS cd_part,
+        |  COUNT(DISTINCT l_suppkey) AS cd_supp,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      "q_agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(asMoney(sum(money("l_quantity"))).as("sum_qty"),
+             count(lit(1)).as("cnt"),
+             grouping(col("l_returnflag")).cast("int").as("g_flag"),
+             grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+                 asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    Q(
+      "q_agg_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(asMoney(sum(money("l_quantity"))).as("sum_qty"),
+             count(lit(1)).as("cnt"),
+             grouping(col("l_returnflag")).cast("int").as("g_flag"),
+             grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+                 asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    Q(
+      // SQL-first surface: explicit GROUPING SETS via spark.sql
+      "q_agg_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+            |  COUNT(*) AS cnt
+            |FROM gs_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    Q(
+      // doubles are unavoidable for stddev/var → R3 round(x,4) both sides
+      "q_agg_stats",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("min_qty"),
+             max(col("l_quantity")).as("max_qty"),
+             count(lit(1)).as("cnt"),
+             r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+             r4(var_samp(col("l_quantity"))).as("var_qty"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  COUNT(*) AS cnt,
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      "q_agg_having",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             asMoney(sum(money("o_totalprice"))).as("sum_total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin)
   )
 }

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY §2.3 — join surface.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/part/supplier/customer) are broadcast-able;
+  *    `q_join_broadcast` pins that explicitly, elsewhere AQE decides.
+  *  - fact⋈fact (orders⋈lineitem) shuffles on the join key; at cluster
+  *    scale this is where bucketing both tables on orderkey would remove
+  *    the shuffle entirely — see plans/ notes. Hints (MERGE/SHUFFLE_HASH)
+  *    are exercised so the strategies stay reachable.
+  *  - the interval self-join pre-partitions by user_id; the range
+  *    predicate stays within a partition.
+  */
+object Joins extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "q_join_inner",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+                money("l_extendedprice").as("price"))
+        // (l_orderkey, l_linenumber) not unique in fixture → full-row order
+        .orderBy(col("o_orderkey"), col("l_linenumber"), col("price")),
+      """SELECT o_orderkey, l_linenumber, o_orderstatus,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, price""".stripMargin),
+
+    Q(
+      // chained star joins, dims explicitly broadcast (no shuffle of the
+      // 150-row/25-row/5-row sides at any scale)
+      "q_join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      "q_join_sortmerge",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).hint("MERGE"),
+              col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+             asMoney(sum(money("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    Q(
+      "q_join_shuffle_hash",
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d).hint("SHUFFLE_HASH"),
+              col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+             asMoney(sum(money("l_quantity"))).as("sum_qty"))
+        .orderBy(col("p_brand")),
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    Q(
+      "q_join_left_outer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+                coalesce(col("o_orderkey"), lit(-1L)).as("o_key"),
+                money("o_totalprice").as("total"))
+        .orderBy(col("c_custkey"), col("o_key")),
+      """SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_key""".stripMargin),
+
+    Q(
+      "q_join_full_outer",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.customer(s, d),
+              col("s_nationkey") === col("c_nationkey"), "full")
+        .select(coalesce(col("s_suppkey"), lit(-1L)).as("sk"),
+                coalesce(col("c_custkey"), lit(-1L)).as("ck"))
+        .orderBy(col("sk"), col("ck")),
+      """SELECT COALESCE(s_suppkey, -1) AS sk, COALESCE(c_custkey, -1) AS ck
+        |FROM supplier FULL JOIN customer ON s_nationkey = c_nationkey
+        |ORDER BY sk, ck""".stripMargin),
+
+    Q(
+      "q_join_left_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      "q_join_left_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+              "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      // 5×5 pair grid — BroadcastNestedLoopJoin; intentionally tiny
+      "q_join_cross",
+      (s, d) => {
+        val r = Tables.region(s, d)
+        r.select(col("r_name").as("an"))
+          .crossJoin(r.select(col("r_name").as("bn")))
+          .orderBy(col("an"), col("bn"))
+      },
+      """SELECT a.r_name AS an, b.r_name AS bn
+        |FROM region a CROSS JOIN region b
+        |ORDER BY an, bn""".stripMargin),
+
+    Q(
+      // equi + theta condition: the equi part hashes, the theta part
+      // filters post-probe (no O(n²) blowup)
+      "q_join_theta",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+              col("l_partkey") === col("p_partkey") &&
+              col("l_extendedprice") > col("p_retailprice") * 40)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                money("l_extendedprice").as("price"),
+                money("p_retailprice").as("retail"))
+        // (l_orderkey, l_linenumber) not unique in fixture → full-row order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
+                 col("retail")),
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS price,
+        |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS retail
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 40
+        |ORDER BY l_orderkey, l_linenumber, price, retail""".stripMargin),
+
+    Q(
+      // event pairs per user within 60s — equi on user_id (shuffle key),
+      // range predicate evaluated within the partition
+      "q_join_range_interval",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.select(col("event_id").as("a_id"), col("user_id"),
+                         col("ts_us").as("a_us"))
+        val b = e.select(col("event_id").as("b_id"),
+                         col("user_id").as("b_user"), col("ts_us").as("b_us"))
+        a.join(b, col("user_id") === col("b_user") &&
+                  col("b_us") > col("a_us") &&
+                  col("b_us") <= col("a_us") + 60000000L)
+          .select(col("a_id"), col("b_id"),
+                  (col("b_us") - col("a_us")).as("delta_us"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        |ORDER BY a_id, b_id""".stripMargin)
+  )
+}

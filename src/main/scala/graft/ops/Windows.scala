@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY §2.5 (window functions).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreaker key so
+  * row_number/ntile/lag are well-defined; rank/dense_rank are exercised
+  * over real ties (priority within status) which are deterministic by
+  * definition. Scale: windows shuffle once on the partition key; the
+  * partition keys chosen (custkey, user_id, event_type) are the natural
+  * high-cardinality or bounded keys a real pipeline would use.
+  */
+object Windows extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "q_win_rownum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  row_number().over(w).as("rn"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    Q(
+      "q_win_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderpriority"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  col("o_orderpriority"),
+                  rank().over(w).cast("int").as("rnk"),
+                  dense_rank().over(w).cast("int").as("drnk"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  CAST(RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INTEGER) AS drnk
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    Q(
+      "q_win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+                  lag(col("ts_us"), 1).over(w).as("prev_us"),
+                  lead(col("ts_us"), 1).over(w).as("next_us"),
+                  (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts), 1) OVER w AS prev_us,
+        |  LEAD(epoch_us(ts), 1) OVER w AS next_us,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin),
+
+    Q(
+      "q_win_frame_rows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  asMoney(sum(money("o_totalprice")).over(w)).as("moving_sum"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DECIMAL(18,2)) AS moving_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    Q(
+      // RANGE frame: peers (tied values) all included — deterministic
+      // under ties by construction
+      "q_win_frame_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+                  asMoney(sum(money("value")).over(w)).as("running_sum"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, event_type, value,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY event_type ORDER BY value
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(18,2)) AS running_sum
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    Q(
+      "q_win_ntile_pct",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+                  ntile(4).over(w).as("quartile"),
+                  r4(percent_rank().over(w)).as("pr"),
+                  r4(cume_dist().over(w)).as("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  )
+}
