@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Determinism._
 import graft.io.Tables
@@ -182,6 +183,59 @@ object Joins extends OpGroup {
         |  ON a.user_id = b.user_id
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    Q(
+      // as-of join (SURVEY §2.3/§4.3): for each purchase, the most recent
+      // strictly-prior click by the same user. Spark has no native ASOF —
+      // emulated as ONE pass: union-tag both sides, then
+      // last(click, ignoreNulls) over (PARTITION BY user ORDER BY ts)
+      // running frame. Purchases sort before clicks at equal ts (kind 0<1)
+      // so "prior" is strict. This is the scalable formulation: a single
+      // shuffle on user_id + one sort — no range self-join blowup, and it
+      // degrades gracefully under skew (one hot user = one hot partition,
+      // same as any asof engine).
+      "q_join_asof",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(
+            col("event_id"), col("user_id"), col("ts_us"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+            when(col("event_type") === "click", col("ts_us")).as("click_us"),
+            when(col("event_type") === "click", col("event_id")).as("click_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("kind").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("prev_click_id",
+                     last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("prev_click_us",
+                      last(col("click_us"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 0)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  col("ts_us"),
+                  coalesce(col("prev_click_id"), lit(-1L)).as("prev_click_id"),
+                  coalesce(col("prev_click_us"), lit(-1L)).as("prev_click_us"))
+          .orderBy(col("purchase_id"))
+      },
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id,
+        |    last_value(click_us IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM t)
+        |SELECT event_id AS purchase_id, user_id, ts_us,
+        |  COALESCE(prev_click_id, -1) AS prev_click_id,
+        |  COALESCE(prev_click_us, -1) AS prev_click_us
+        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin)
   )
 }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY §2.6 (LLM-pipeline half) — the training-data-pipeline operators
+  * the north star asks for: exact + near dedup, similarity search, text
+  * analysis. All pure DataFrame ops (codegen'd; distributed by key).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = hash-aggregate on the dedup key: one shuffle, map-side
+  *    partial agg, no collect. The groupBy/min formulation (vs
+  *    dropDuplicates) is also deterministic — dropDuplicates keeps an
+  *    arbitrary row.
+  *  - MinHash: per-(doc, band) signatures are computed with one explode +
+  *    hash-agg (linear, no cross join); candidate pairs come from a
+  *    self-join on the (k, min-hash) bucket — exactly LSH banding. At
+  *    cluster scale the bucket join is an equi-join (shuffle on bucket
+  *    hash), never an O(n²) comparison; hot buckets (boilerplate shingles)
+  *    would be salted or capped.
+  *  - cosine top-k: brute-force is a broadcast of the (small) query set
+  *    against the full collection — linear scans, fused dot product via
+  *    array fold, no posexplode shuffle of the 64× element rows. The IVF
+  *    route for huge collections lives in LshSimSpec/plans notes.
+  *  - the md5(shingle + '#' + k) trick replaces per-engine 64-bit hash
+  *    functions with a hex string both engines agree on byte-for-byte —
+  *    portability over speed; a 100 TB deployment would swap in xxhash64
+  *    (Spark-side only) once the oracle is retired.
+  */
+object LlmOps extends OpGroup {
+
+  private val K = 16 // minhash signature length
+
+  /** doc_id + distinct word-3-gram shingles. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+              explode(expr(
+                "transform(sequence(0, size(w) - 3)," +
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "q_dedup_exact",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("keep_id"),
+             count(lit(1)).as("n_dups"))
+        .orderBy(col("user_id"), col("event_type")),
+      """SELECT user_id, event_type, MIN(event_id) AS keep_id,
+        |  COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin),
+
+    Q(
+      // near-duplicate candidate pairs via MinHash/LSH: K=16 hash slots,
+      // hash_k(shingle) = md5(shingle || '#' || k); docs agreeing on >= 8
+      // of 16 slot-minima are emitted with their agreement count.
+      "q_dedup_near_minhash",
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d))
+        val sig = sh
+          .select(col("doc_id"), col("s"),
+                  explode(expr(s"sequence(0, ${K - 1})")).as("k"))
+          .select(col("doc_id"), col("k"),
+                  md5(concat(col("s"), lit("#"), col("k").cast("string")))
+                    .as("h"))
+          .groupBy(col("doc_id"), col("k"))
+          .agg(min(col("h")).as("mh"))
+        val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
+        val b = sig.select(col("doc_id").as("doc_b"),
+                           col("k").as("k2"), col("mh").as("mh2"))
+        a.join(b, col("k") === col("k2") && col("mh") === col("mh2") &&
+                  col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_match"))
+          .filter(col("n_match") >= K / 2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        |        FROM tok WHERE len(w) >= 3)),
+        |sig AS (
+        |  SELECT doc_id, k, MIN(md5(concat(s, '#', CAST(k AS VARCHAR)))) AS mh
+        |  FROM (SELECT doc_id, s, unnest(range(0, $K)) AS k FROM sh)
+        |  GROUP BY doc_id, k)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+        |FROM sig a JOIN sig b
+        |  ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b
+        |HAVING COUNT(*) >= ${K / 2}
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
+      // brute-force cosine top-3 for query vectors (vec_id < 10) against
+      // the whole collection. Query side is tiny -> broadcast; dot product
+      // and norms are sequential double folds over the float arrays
+      // (exact widen), ranked after round(…,4) so both engines rank
+      // identical numbers (tiebreak: cand_id).
+      "q_sim_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+                  sqrt(aggregate(col("embedding"), lit(0.0),
+                       (acc, x) => acc + x.cast("double") * x.cast("double")))
+                    .as("nrm"))
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                  col("nrm").as("q_nrm"))
+        val c = emb.select(col("vec_id").as("cand_id"),
+                           col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+        val dot = aggregate(
+          zip_with(col("q_emb"), col("c_emb"),
+                   (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, z) => acc + z)
+        val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+          .select(col("q_id"), col("cand_id"),
+                  r4(dot / (col("q_nrm") * col("c_nrm"))).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
+      "q_text_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+                size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             avg4(sum(col("n_chars")), count(lit(1))).as("avg_chars"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             min(col("n_tokens")).as("min_tokens"),
+             max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang")),
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        |  SUM(len(string_split(text, ' '))) AS sum_tokens,
+        |  MIN(len(string_split(text, ' '))) AS min_tokens,
+        |  MAX(len(string_split(text, ' '))) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // top-5 terms per language by frequency (tokenize -> explode ->
+      // count -> windowed rank; term asc tiebreak). The classic "what's
+      // in my corpus" reduction: one explode + one hash-agg + one
+      // small-per-group sort.
+      "q_text_topterms",
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("term").asc)
+        terms.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy(col("lang"), col("rn"))
+      },
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, COUNT(*) AS n FROM t GROUP BY lang, term),
+        |r AS (SELECT lang, term, n,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY n DESC, term ASC) AS rn
+        |      FROM c)
+        |SELECT lang, term, n, rn FROM r WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin),
+
+    Q(
+      "q_text_search",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").contains("spark") && !col("text").contains("slow"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang")),
+      """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents
+        |WHERE text LIKE '%spark%' AND text NOT LIKE '%slow%'
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+}
