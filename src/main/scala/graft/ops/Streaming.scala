@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY §2.7 — windowed event-time analytics, batch-emulated over the
+  * `events` fixture so DuckDB can oracle-check them. The *same* window
+  * expressions run incrementally under Structured Streaming — the
+  * streaming twins (MemoryStream + watermark/session_window/state) live
+  * in graft.streaming + StreamingSpec, where the no-oracle semantics
+  * (late data, state eviction) are asserted directly.
+  *
+  * Scale notes (100 TB/day of events):
+  *  - tumbling/sliding aggs are hash-aggregates keyed by (window, type):
+  *    map-side partial agg means the shuffle carries one row per
+  *    (partition, window, type), not per event.
+  *  - sessionization is the classic gaps-and-islands: one shuffle on
+  *    user_id + one in-partition sort; no self-join. Streaming twin uses
+  *    session_window() with watermark-driven state eviction.
+  *  - window starts are emitted as epoch-µs BIGINT (R4) — cross-engine
+  *    comparable and unambiguous across timezones.
+  */
+object Streaming extends OpGroup {
+
+  private val HalfHourUs = 1800000000L
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "q_stream_tumble",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             asMoney(sum(money("value"))).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_us"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_us"), col("event_type")),
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY win_us, event_type
+        |ORDER BY win_us, event_type""".stripMargin),
+
+    Q(
+      // 1h windows every 30min: window() fans each event into exactly 2
+      // overlapping windows (Expand, then the same hash-agg as tumbling).
+      "q_stream_slide",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             asMoney(sum(money("value"))).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_us"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_us"), col("event_type")),
+      s"""WITH x AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % $HalfHourUs AS t30,
+        |    event_type, value
+        |  FROM events),
+        |e AS (
+        |  SELECT unnest([t30 - $HalfHourUs, t30]) AS win_us,
+        |    event_type, value
+        |  FROM x)
+        |SELECT win_us, event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_value
+        |FROM e GROUP BY win_us, event_type
+        |ORDER BY win_us, event_type""".stripMargin),
+
+    Q(
+      // per-user sessions with a 30-minute inactivity gap —
+      // gaps-and-islands: flag session starts with lag(), number sessions
+      // with a running sum, aggregate per (user, session).
+      "q_stream_session",
+      (s, d) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(ord))
+          .withColumn("new_s",
+            when(col("prev_us").isNull ||
+                 col("ts_us") - col("prev_us") > HalfHourUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(run))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts_us")).as("start_us"),
+               (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+          .orderBy(col("user_id"), col("sid"))
+      },
+      s"""WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |      AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |                   OR ts_us - prev_us > $HalfHourUs
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM t),
+        |g AS (
+        |  SELECT *, SUM(new_s) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_us) AS start_us,
+        |  MAX(ts_us) - MIN(ts_us) AS dur_us
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin)
+  )
+}
