@@ -1,0 +1,60 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Self-describing topic↔table catalog (SURVEY §1.1/§2.9): the analog of
+  * the reference's `ros_sql_metadata` tables
+  * [upstream: ros_sql/models.py], persisted as a small parquet table next
+  * to the data. One row per recorded topic: topic name, mangled table
+  * name, message type name, schema fingerprint, schema DDL. Readback
+  * verifies the fingerprint before reconstructing typed objects — the
+  * md5-check the reference performs in sql2msg.
+  *
+  * At cluster scale this is driver-side-tiny (one row per topic); a real
+  * deployment would keep it in the metastore or a Delta table — the API
+  * here is the seam.
+  */
+final case class TopicMeta(
+    topic: String,
+    table: String,
+    msgType: String,
+    fingerprint: String,
+    schemaDdl: String)
+
+final class Catalog(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def register(topic: String, msgType: String, schema: StructType): TopicMeta = {
+    val meta = TopicMeta(
+      topic = topic,
+      table = SchemaMapper.namify(topic),
+      msgType = msgType,
+      fingerprint = SchemaMapper.fingerprint(schema),
+      schemaDdl = schema.toDDL)
+    val others = all().filter(_.topic != topic)
+    (others :+ meta).toDS().repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    meta
+  }
+
+  def all(): Seq[TopicMeta] =
+    try spark.read.parquet(path).as[TopicMeta].collect().toSeq
+    catch { case _: Exception => Seq.empty } // first registration
+
+  def lookup(topic: String): Option[TopicMeta] =
+    all().find(_.topic == topic)
+
+  /** Readback guard: fail fast when the stored schema no longer matches
+    * the requested type — the reference's md5 mismatch error. */
+  def verified(topic: String, expected: StructType): TopicMeta = {
+    val meta = lookup(topic).getOrElse(
+      throw new IllegalArgumentException(s"topic not recorded: $topic"))
+    val fp = SchemaMapper.fingerprint(expected)
+    require(meta.fingerprint == fp,
+      s"schema drift for $topic: recorded ${meta.fingerprint}, requested $fp")
+    meta
+  }
+
+  def asDF: DataFrame = spark.read.parquet(path)
+}

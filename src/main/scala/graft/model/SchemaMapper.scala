@@ -1,0 +1,61 @@
+package graft.model
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Message-class → relational-schema mapping (SURVEY §2.9): the analog of
+  * the reference's recursive table generator
+  * [upstream: ros_sql/ros2sql.py::add_schemas], Spark-first.
+  *
+  * Where the reference SHREDS nested messages and arrays into child
+  * tables with FK bookkeeping (an artifact of flat SQL backends), we keep
+  * them native: StructType nests, ArrayType stays a list — Parquet
+  * stores both columnar (Dremel repetition/definition levels), Catalyst
+  * prunes into them, and nothing is joined back at read time. For sinks
+  * that genuinely need flat rows (JDBC), `flatten` derives the reference
+  * style `parent_child` columns as a VIEW of the nested truth, not as
+  * the storage format.
+  */
+object SchemaMapper {
+
+  /** Topic name → table identifier, e.g. "/robot1/pose" → "robot1_pose"
+    * [upstream: ros_sql/util.py::namify]. */
+  def namify(topic: String): String = {
+    val cleaned = topic.dropWhile(_ == '/').toLowerCase
+      .map(c => if (c.isLetterOrDigit) c else '_')
+    if (cleaned.isEmpty || !cleaned.head.isLetter) s"t_$cleaned" else cleaned
+  }
+
+  /** Schema of a message case class, via its implicit Encoder — the
+    * introspection step the reference does with __slots__/_slot_types. */
+  def schemaOf[T: Encoder]: StructType =
+    implicitly[Encoder[T]].schema
+
+  /** Stable schema fingerprint — the md5sum analog the reference stores
+    * in its catalog to detect message-definition drift
+    * [upstream: ros_sql/models.py]. */
+  def fingerprint(schema: StructType): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(schema.catalogString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Leaf columns of a (possibly nested) schema as `a_b_c`-named flat
+    * projections. Arrays/maps/binaries stop recursion (JDBC-side they
+    * become opaque values or are exploded explicitly by the caller). */
+  def flattenColumns(schema: StructType, prefix: String = ""): Seq[Column] =
+    schema.fields.toSeq.flatMap { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      val flat = path.replace('.', '_')
+      f.dataType match {
+        case st: StructType => flattenColumns(st, path)
+        case _              => Seq(col(path).as(flat))
+      }
+    }
+
+  /** Nested frame → flat frame (reference-style column names). */
+  def flatten(df: DataFrame): DataFrame =
+    df.select(flattenColumns(df.schema): _*)
+}

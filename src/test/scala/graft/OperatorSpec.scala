@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Operators with no SQL oracle (SURVEY §2 ⊘ rows): approximate sketches,
+  * binary/multimodal columns — plus the determinism double-run guard and
+  * plan-shape assertions that back the 100 TB story. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BinaryType column ingest + length/md5 stats (uint8[] blob analog)") {
+    // no binary fixture ships — generate deterministic fake payloads
+    // (the real decode step would be a vectorized UDF over these bytes)
+    val blobs = (0L until 50L)
+      .map(i => (i, Array.tabulate[Byte](64)(j => ((i * 31 + j) % 127).toByte)))
+      .toDF("blob_id", "payload")
+    val stats = blobs.select(
+        col("blob_id"),
+        length(col("payload")).as("len"),
+        md5(col("payload")).as("digest"))
+      .agg(count(lit(1)).as("n"),
+           min(col("len")).as("min_len"),
+           max(col("len")).as("max_len"),
+           countDistinct(col("digest")).as("n_distinct"))
+      .head()
+    assert(stats.getLong(0) == 50 && stats.getInt(1) == 64 &&
+      stats.getInt(2) == 64 && stats.getLong(3) == 50)
+    // roundtrip through parquet stays byte-exact
+    val dir = tmpDir("blob") + "/b"
+    blobs.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("blob_id")
+      .as[(Long, Array[Byte])].collect()
+    assert(back.length == 50 &&
+      java.util.Arrays.equals(back(7)._2,
+        Array.tabulate[Byte](64)(j => ((7 * 31 + j) % 127).toByte)))
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct (HLL++) lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
+
+/** SURVEY §5.2.3: every declared query must produce identical rows under
+  * different shuffle fan-outs — catches partition-order-dependent
+  * aggregation (double sums), nondeterministic row picks, and missing
+  * total orders cheaply, without the DuckDB oracle. */
+class DeterminismSpec extends SparkSpec {
+
+  test("all declared queries are partition-count invariant") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = Seq("4", "7").map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      names.map { n =>
+        n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+      }.toMap
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val diffs = names.filter(n => results(0)(n) != results(1)(n))
+    assert(diffs.isEmpty, s"partition-sensitive queries: $diffs")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Plan-shape assertions — the 100 TB story is made of these properties,
+  * so they are pinned as tests, not just eyeballed via .explain:
+  *  - column pruning reaches the parquet scan (ReadSchema),
+  *  - predicates push into the reader (PushedFilters),
+  *  - small dims broadcast (no shuffle of the fact side for them),
+  *  - the asof emulation plans exactly one shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_scan_prune reads only the projected columns") {
+    val plan = formatted(SparkEntry.queries("q_scan_prune")(spark, sfDir))
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_size"))
+    assert(!readSchema.contains("p_name") && !readSchema.contains("p_type"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q_scan_pred_pushdown pushes the filter into the parquet reader") {
+    val plan = formatted(
+      SparkEntry.queries("q_scan_pred_pushdown")(spark, sfDir))
+    val pushed = plan.linesIterator
+      .find(_.trim.startsWith("PushedFilters")).getOrElse("")
+    assert(pushed.contains("LessThan(l_quantity"),
+      s"filter not pushed: $pushed")
+  }
+
+  test("q_join_broadcast plans broadcast joins for the dims (no shuffle)") {
+    val plan = formatted(SparkEntry.queries("q_join_broadcast")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "dim join fell back to a shuffle join")
+  }
+
+  test("join hints reach the physical plan (MERGE / SHUFFLE_HASH)") {
+    val smj = formatted(SparkEntry.queries("q_join_sortmerge")(spark, sfDir))
+    assert(smj.contains("SortMergeJoin"))
+    val shj = formatted(
+      SparkEntry.queries("q_join_shuffle_hash")(spark, sfDir))
+    assert(shj.contains("ShuffledHashJoin"))
+  }
+
+  test("asof emulation is one-pass: a single user_id exchange, no join") {
+    val df = SparkEntry.queries("q_join_asof")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "asof emulation should not join")
+    // one hashpartitioning(user_id) for the window + one rangepartitioning
+    // for the final ORDER BY
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"asof should shuffle on user_id exactly once:\n$plan")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val plan = formatted(SparkEntry.queries("q_agg_group")(spark, sfDir))
+    // partial_ aggregate functions appear below the exchange
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // AQE's placeholder plan reports 0 subtrees before execution —
+    // disable it for this static inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val found = "Found (\\d+) WholeStageCodegen".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(found.exists(_ >= 1), s"no codegen subtrees:\n${plan.take(500)}")
+  }
+
+  test("cosine top-k broadcasts the query side (no O(n^2) shuffle)") {
+    val plan = formatted(SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.Properties
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.{Catalog, SchemaMapper}
+import graft.streaming.Recorder
+
+/** Top-level message fixtures (encoder derivation). */
+case class Stamp(secs: Long, nanos: Long)
+case class Pose(x: Double, y: Double, z: Double, stamp: Stamp)
+case class PoseV2(x: Double, y: Double)
+
+/** End-to-end ros_sql-equivalent pipeline (SURVEY §2.9/§3.1 ⊘): typed
+  * stream → schema registration → micro-batched sink → catalog-verified
+  * typed readback. JDBC leg runs against embedded Derby (in Spark's
+  * classpath), standing in for the reference's SQLite/Postgres. */
+class RecorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("record to parquet + catalog, then typed readback (sql2msg analog)") {
+    implicit val ctx = spark.sqlContext
+    val base = tmpDir("rec")
+    val cat = new Catalog(spark, s"$base/_metadata")
+    val in = MemoryStream[Pose]
+    val msgs = Seq(
+      Pose(1.0, 2.0, 3.0, Stamp(1700000000L, 123456789L)),
+      Pose(4.0, 5.0, 6.0, Stamp(1700000001L, 999999999L)))
+    in.addData(msgs)
+    val (meta, q) = Recorder.recordParquet(
+      in.toDS(), "/robot1/pose", "geometry_msgs/Pose", cat,
+      base, s"$base/_ckpt")
+    q.awaitTermination()
+    assert(meta.table == "robot1_pose")
+    assert(cat.lookup("/robot1/pose").get.fingerprint ==
+      SchemaMapper.fingerprint(in.toDS().schema))
+    val back = Recorder.readback[Pose](spark, "/robot1/pose", cat, base)
+      .collect().toSet
+    assert(back == msgs.toSet) // lossless roundtrip incl. ns stamp
+  }
+
+  test("readback fails fast on schema drift (md5-check analog)") {
+    val base = tmpDir("drift")
+    val cat = new Catalog(spark, s"$base/_metadata")
+    cat.register("/robot1/pose", "geometry_msgs/Pose",
+      implicitly[org.apache.spark.sql.Encoder[Pose]].schema)
+    val err = intercept[IllegalArgumentException] {
+      Recorder.readback[PoseV2](spark, "/robot1/pose", cat, base)
+    }
+    assert(err.getMessage.contains("schema drift"))
+  }
+
+  test("record stream to JDBC (Derby) with flattened nested columns") {
+    implicit val ctx = spark.sqlContext
+    val base = tmpDir("jdbc")
+    val cat = new Catalog(spark, s"$base/_metadata")
+    val url = s"jdbc:derby:$base/db;create=true"
+    val in = MemoryStream[Pose]
+    in.addData(Pose(1.5, 2.5, 3.5, Stamp(1700000099L, 42L)))
+    val (meta, q) = Recorder.recordJdbc(
+      in.toDS(), "/cam/pose", "geometry_msgs/Pose", cat,
+      url, s"$base/_ckpt", new Properties())
+    q.awaitTermination()
+    val back = spark.read.jdbc(url, meta.table, new Properties())
+    // nested struct arrived as reference-style flat columns
+    assert(back.columns.toSet ==
+      Set("x", "y", "z", "stamp_secs", "stamp_nanos", "_recv_us"))
+    val r = back.collect().head
+    assert(r.getAs[Double]("x") == 1.5 &&
+      r.getAs[Long]("stamp_nanos") == 42L)
+  }
+
+  test("ingest receipt time is attached (reference wall-clock analog)") {
+    val df = Recorder.withReceipt(Seq((1, "a")).toDF("id", "v"))
+    val recv = df.collect().head.getAs[Long]("_recv_us")
+    assert(recv > 1600000000000000L) // sane epoch-µs
+  }
+}

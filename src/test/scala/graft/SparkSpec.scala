@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session — Spark
+  * re-use keeps the test wall-clock sane). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  def sfDir: String = SparkSpec.sfDir
+  def tmpDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Top-level so Spark can derive an Encoder without outer-scope capture. */
+case class Ev(ts: Timestamp, user: String, value: Double)
+
+/** True-streaming semantics (SURVEY §2.7 ⊘ rows) — no SQL oracle exists
+  * for these, so behavior is asserted directly: incremental equivalence
+  * with the batch twin, watermark-driven late-data drops, streaming
+  * dedup, explicit per-key state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window agg over MemoryStream matches the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("user"),
+              col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("tumble_t")
+      .outputMode(OutputMode.Complete()).start()
+    val data = Seq(
+      Ev(ts(1), "a", 1.0), Ev(ts(4), "a", 2.0), Ev(ts(11), "a", 4.0),
+      Ev(ts(7), "b", 8.0), Ev(ts(19), "b", 16.0))
+    in.addData(data)
+    q.processAllAvailable()
+    val streamed = spark.table("tumble_t").orderBy("win_us", "user").collect()
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("user"),
+              col("n"), col("s"))
+      .orderBy("win_us", "user").collect()
+    q.stop()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 4) // a:[10:00,10:10), a:[10:10,..), b:.., b:..
+  }
+
+  test("watermark drops events later than 10 minutes behind the max ts") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("n"))
+    // append mode: a window only emits once the watermark passes its end
+    val q = agg.writeStream.format("memory").queryName("late_t")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "a", 1.0)) // window [10:00,10:05)
+    q.processAllAvailable()
+    in.addData(Ev(ts(30), "a", 1.0)) // watermark -> 10:20; closes [10:00,10:05)
+    q.processAllAvailable()
+    in.addData(Ev(ts(3), "a", 1.0))  // 27 min late -> dropped
+    q.processAllAvailable()
+    in.addData(Ev(ts(45), "a", 1.0)) // watermark -> 10:35; closes [10:30,10:35)
+    q.processAllAvailable()
+    val rows = spark.table("late_t").orderBy("win_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    val us = (m: Int) => ts(m).getTime * 1000L
+    // the late event did NOT bump [10:00,10:05) to n=3
+    assert(rows == Seq(us(0) -> 2L, us(30) -> 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivered events") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dedup = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(ts(1), "a", 1.0), Ev(ts(1), "a", 1.0)) // same batch dup
+    q.processAllAvailable()
+    in.addData(Ev(ts(2), "a", 99.0)) // redelivery within watermark
+    q.processAllAvailable()
+    val n = spark.table("dedup_t").count()
+    q.stop()
+    assert(n == 1)
+  }
+
+  test("mapGroupsWithState keeps running per-user counters across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val counted = in.toDS()
+      .groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: String, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          (user, total)
+      }
+    val q = counted.writeStream.format("memory").queryName("state_t")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "a", 1.0), Ev(ts(3), "b", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(ts(4), "a", 1.0))
+    q.processAllAvailable()
+    val last = spark.table("state_t").groupBy("_1").agg(max("_2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    q.stop()
+    assert(last == Map("a" -> 3L, "b" -> 1L)) // state survived batch 1 -> 2
+  }
+
+  test("session_window groups events by 30-minute inactivity gaps") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sess = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+    val q = sess.writeStream.format("memory").queryName("sess_t")
+      .outputMode(OutputMode.Append()).start()
+    // user a: 10:01, 10:05 (one session), 11:30 (new session after gap)
+    in.addData(Ev(ts(1), "a", 1.0), Ev(ts(5), "a", 1.0),
+               Ev(Timestamp.valueOf("2024-01-01 11:30:00"), "a", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 14:00:00"), "z", 1.0))
+    q.processAllAvailable() // advance watermark so sessions close
+    val rows = spark.table("sess_t").filter(col("user") === "a")
+      .orderBy(col("n").desc).collect().map(_.getLong(1)).toSeq
+    q.stop()
+    assert(rows == Seq(2L, 1L))
+  }
+}
