@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.functions.{GeoMean, WordNgrams}
+import graft.io.Tables
+
+/** SURVEY §2.8 — user-defined function surface: scalar UDF, typed UDAF
+  * (Aggregator), and a custom Catalyst Generator as the UDTF.
+  *
+  * Scale notes: a scalar Scala UDF is an optimizer black box — no
+  * predicate pushdown through it, no codegen fusion (q_udf_scalar exists
+  * to cover the capability; the same bucketing is expressible as a CASE
+  * expression, which is what a 100 TB pipeline should prefer). The
+  * Aggregator DOES participate in two-phase aggregation (see GeoMean),
+  * and the Generator keeps the plan declarative (see WordNgrams).
+  */
+object Udx extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "q_udf_scalar",
+      (s, d) => {
+        val bucket = udf((p: Double) =>
+          if (p < 10000) "low" else if (p < 50000) "mid" else "high")
+        Tables.lineitem(s, d)
+          .select(bucket(col("l_extendedprice")).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      """SELECT CASE WHEN l_extendedprice < 10000 THEN 'low'
+        |            WHEN l_extendedprice < 50000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    Q(
+      "q_udaf_geomean",
+      (s, d) => {
+        val gm = udaf(GeoMean)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(r4(gm(col("l_quantity"))).as("geomean_qty"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_quantity))), 4) AS geomean_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      "q_udtf_ngrams",
+      (s, d) => {
+        WordNgrams.register(s)
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 20)
+          .selectExpr("word_ngrams(text, 2) AS bigram")
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |b AS (
+        |  SELECT concat(w[i+1], ' ', w[i+2]) AS bigram
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+        |        FROM tok WHERE len(w) >= 2))
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC""".stripMargin)
+  )
+}
