@@ -12,8 +12,8 @@ object SparkEntry {
 
   /** All op groups, in SURVEY §2 order. */
   private def groups: Seq[OpGroup] = Seq(
-    Scans, Filters, Joins, Aggs, Windows, SetOps, Scalars, LlmOps, Streaming,
-    Udx
+    Scans, Filters, Joins, Aggs, Windows, SetOps, Scalars, LlmOps,
+    NearDupOps, TextOps, Streaming, Udx
   )
 
   private def all: Seq[Q] = groups.flatMap(_.qs)

@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** North-star near-duplicate + ANN operators beyond MinHash (LlmOps):
+  * SimHash signatures, n-gram Jaccard pairs, embedding-cosine near-dup
+  * via random-hyperplane (sign-bit) bucketing, and an LSH-bucketed
+  * approximate top-k — the scale path for similarity search.
+  *
+  * Scale notes (100 TB):
+  *  - SimHash is embarrassingly parallel: one array fold per doc, no
+  *    shuffle until the tiny signature aggregation. Hamming-band pair
+  *    generation would reuse the MinHash banding join shape.
+  *  - Jaccard avoids O(n²) via the inverted-index (shared-shingle) join:
+  *    only docs sharing a 5-gram ever meet. 5-grams keep buckets
+  *    selective; hot shingles (boilerplate) would be capped/salted.
+  *  - sign-bit bucketing IS SRP-LSH with axis-aligned planes: vectors
+  *    only compare within their bucket, turning all-pairs cosine into a
+  *    per-bucket equi-join. Recall is traded for a bounded candidate
+  *    set — the documented ANN contract (exact baseline: q_sim_cosine_topk).
+  */
+object NearDupOps extends OpGroup {
+
+  /** '0'/'1' sign-bit string of the first n embedding dims (SRP-LSH). */
+  private def signBits(embCol: String, n: Int) =
+    expr(s"concat_ws('', transform(slice($embCol, 1, $n)," +
+         " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
+
+  private def sqlBits(embCol: String, n: Int): String =
+    s"array_to_string(list_transform($embCol[1:$n]," +
+    s" x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+
+  /** Sequential double dot product of two float arrays (exact widen). */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b," +
+         " (x, y) -> cast(x as double) * cast(y as double))," +
+         " 0D, (acc, z) -> acc + z)")
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // 32-bit SimHash from md5-hex-digit parities: bit k = majority
+      // vote over the doc's distinct tokens of digit_k(md5(token)) % 2.
+      // Equal signatures = near/exact-duplicate clusters.
+      "q_dedup_simhash",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+                expr("transform(array_distinct(split(text, ' ')), t -> md5(t))")
+                  .as("hs"))
+        .select(col("doc_id"),
+                expr(
+                  """concat_ws('', transform(
+                    |  aggregate(hs, array_repeat(0, 32),
+                    |    (acc, h) -> zip_with(acc, sequence(1, 32),
+                    |      (a, k) -> a + CASE WHEN
+                    |        (instr('0123456789abcdef', substring(h, k, 1)) - 1) % 2 = 1
+                    |        THEN 1 ELSE -1 END)),
+                    |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))""".stripMargin)
+                  .as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("sig")),
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |b AS (
+        |  SELECT doc_id, unnest(range(1, 33)) AS k,
+        |    unnest(list_transform(range(1, 33), k ->
+        |      CASE WHEN (instr('0123456789abcdef', substr(h, k, 1)) - 1) % 2 = 1
+        |           THEN 1 ELSE -1 END)) AS v
+        |  FROM h),
+        |s AS (SELECT doc_id, k, SUM(v) AS sv FROM b GROUP BY doc_id, k),
+        |sig AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, ''
+        |               ORDER BY k) AS sig
+        |  FROM s GROUP BY doc_id)
+        |SELECT sig, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM sig GROUP BY sig ORDER BY sig""".stripMargin),
+
+    Q(
+      // word-5-gram Jaccard via inverted-index join: only docs sharing a
+      // shingle are compared; J = |A∩B| / (|A|+|B|-|A∩B|).
+      "q_dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"),
+                  explode(expr(
+                    "transform(sequence(0, size(w) - 5), i -> " +
+                    "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+                    .as("g"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("g"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("g2")),
+                col("g") === col("g2") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                     .withColumnRenamed("sz", "sz_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                     .withColumnRenamed("sz", "sz_b"), "doc_b")
+          .withColumn("jac", r4(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter"))))
+          .filter(col("jac") >= 0.2)
+          .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jac
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
+      // embedding near-dup: 16-bit sign bucket (SRP-LSH) prunes to
+      // same-bucket pairs, then exact cosine >= 0.9 confirms.
+      "q_dedup_embed_cosine",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+                  signBits("embedding", 16).as("bucket"),
+                  sqrt(dot("embedding", "embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+                         col("bucket"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+                         col("bucket").as("bucket2"), col("nrm").as("nb"))
+        a.join(b, col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
+          .withColumn("cos", r4(dot("ea", "eb") / (col("na") * col("nb"))))
+          .filter(col("cos") >= 0.9)
+          .select(col("a_id"), col("b_id"), col("cos"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    ${sqlBits("embedding", 16)} AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE)
+        |             * CAST(b.embedding[i] AS DOUBLE)))
+        |        / (a.nrm * b.nrm), 4) AS cos
+        |  FROM e a JOIN e b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    Q(
+      // LSH-bucketed approximate top-3: queries only scan their own
+      // 8-bit sign bucket (~1/256 of the collection) — the documented
+      // recall/cost tradeoff vs the exact q_sim_cosine_topk baseline.
+      "q_sim_ann_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+                  signBits("embedding", 8).as("bucket"),
+                  sqrt(dot("embedding", "embedding")).as("nrm"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  col("bucket"), col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("cand_id"),
+                         col("embedding").as("ce"),
+                         col("bucket").as("bucket2"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        broadcast(q)
+          .join(c, col("bucket") === col("bucket2") &&
+                   col("q_id") =!= col("cand_id"))
+          .withColumn("cos", r4(dot("qe", "ce") / (col("qn") * col("cn"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    ${sqlBits("embedding", 8)} AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE)
+        |             * CAST(c.embedding[i] AS DOUBLE)))
+        |        / (q.nrm * c.nrm), 4) AS cos
+        |  FROM e q JOIN e c
+        |    ON q.bucket = c.bucket AND q.vec_id < 10
+        |   AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin)
+  )
+}

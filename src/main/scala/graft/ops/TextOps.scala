@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY north-star text-analysis operators over `documents`:
+  * language ID (term-profile heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish subword estimate), and rolling-hash document
+  * fingerprinting. All pure relational/higher-order-function plans —
+  * explode + hash-agg + small-per-group windows — so they scale linearly
+  * and shuffle only on (lang/term/doc) keys.
+  *
+  * Determinism: scores mix integer counts with IEEE double arithmetic
+  * only through exactly-rounded ops (+,*,/) on identical inputs, so both
+  * engines produce bit-identical doubles; hashes are integer-only. */
+object TextOps extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // unigram-profile language ID: build top-5 term profiles per lang
+      // from the corpus, score each doc by profile hits over its distinct
+      // tokens, predict argmax(hits) (tiebreak lang asc), emit the
+      // confusion matrix. Profile join is broadcast-small (25 rows).
+      "q_text_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tokens = docs
+          .select(col("doc_id"), col("lang"),
+                  explode(split(col("text"), " ")).as("term"))
+        val profile = tokens
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("n").desc, col("term").asc)))
+          .filter(col("rn") <= 5)
+          .select(col("lang").as("p_lang"), col("term").as("p_term"))
+        val hits = tokens.select(col("doc_id"), col("term")).distinct()
+          .join(broadcast(profile), col("term") === col("p_term"))
+          .groupBy(col("doc_id"), col("p_lang"))
+          .agg(count(lit(1)).as("hits"))
+        val predicted = hits
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("hits").desc, col("p_lang").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("p_lang").as("predicted"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(predicted, "doc_id")
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, term AS p_term FROM (
+        |    SELECT lang, term, COUNT(*) AS n,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY COUNT(*) DESC, term ASC) AS rn
+        |    FROM tokens GROUP BY lang, term)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+        |  FROM (SELECT DISTINCT doc_id, term FROM tokens) t
+        |  JOIN profile p ON t.term = p.p_term
+        |  GROUP BY t.doc_id, p.p_lang),
+        |predicted AS (
+        |  SELECT doc_id, p_lang AS predicted FROM (
+        |    SELECT doc_id, p_lang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY hits DESC, p_lang ASC) AS rn
+        |    FROM hits)
+        |  WHERE rn = 1)
+        |SELECT d.lang, p.predicted, COUNT(*) AS n_docs
+        |FROM documents d JOIN predicted p ON d.doc_id = p.doc_id
+        |GROUP BY d.lang, p.predicted
+        |ORDER BY d.lang, p.predicted""".stripMargin),
+
+    Q(
+      // doc quality score: length saturation, stopword ratio, mean word
+      // length — weighted blend, bucketed histogram per lang.
+      "q_text_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("n_chars"),
+                  split(col("text"), " ").as("w"))
+          .select(col("lang"),
+                  col("n_chars").cast("double").as("chars"),
+                  size(col("w")).cast("double").as("n_tok"),
+                  size(filter(col("w"), t => t === "the" || t === "a"))
+                    .cast("double").as("n_stop"))
+        docs
+          .withColumn("score",
+            least(col("chars") / 500.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3 +
+            least((col("chars") - col("n_tok") + 1.0) / col("n_tok") / 8.0,
+                  lit(1.0)) * 0.3)
+          .withColumn("bucket", floor(col("score") * 10).cast("int"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(n_chars AS DOUBLE) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    least(chars / 500.0, 1.0) * 0.4 +
+        |    (1.0 - n_stop / n_tok) * 0.3 +
+        |    least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3 AS score
+        |  FROM f)
+        |SELECT lang, CAST(floor(score * 10) AS INT) AS bucket,
+        |  COUNT(*) AS n_docs
+        |FROM sc GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin),
+
+    Q(
+      // token counting: whitespace tokens + a BPE-ish subword estimate
+      // (ceil(len/4) units per word — the "~4 chars per token" rule used
+      // to size LLM training corpora; integer math, so exactly portable).
+      "q_text_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+                split(col("text"), " ").as("w"))
+        .select(col("lang"),
+                size(col("w")).as("n_ws"),
+                aggregate(col("w"), lit(0L),
+                  (acc, t) => acc + ceil(length(t) / lit(4.0)))
+                  .as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_ws")).as("ws_tokens"),
+             sum(col("n_bpe")).as("bpe_tokens"),
+             avg4(sum(col("n_bpe")), count(lit(1))).as("avg_bpe_per_doc"))
+        .orderBy(col("lang")),
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS n_ws,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_bpe
+        |  FROM documents)
+        |SELECT lang, SUM(n_ws) AS ws_tokens, SUM(n_bpe) AS bpe_tokens,
+        |  round(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 4) AS avg_bpe_per_doc
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // rolling-hash document fingerprint: position-weighted polynomial
+      // hash over md5-derived word values, mod 2^31-1 — pure integer
+      // math, identical in both engines. Fingerprint collisions = exact
+      // (or reordered-within-period) duplicate candidates.
+      "q_text_fingerprint",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        // v(word) in 0..255 from two md5 hex digits; weight 31^(i mod 8)
+        // (31^k is exactly representable for k<=7, so the double->long
+        // cast is identical under Spark's truncation and DuckDB's round)
+        val fp = docs.select(
+          col("doc_id"),
+          (expr(
+            """aggregate(
+              |  zip_with(
+              |    transform(w, t ->
+              |      (instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+              |    + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)),
+              |    sequence(0, size(w) - 1),
+              |    (v, i) -> cast(v as bigint)
+              |            * cast(pow(31D, cast(i % 8 as double)) as bigint)),
+              |  0L, (acc, x) -> acc + x)""".stripMargin)
+            % 2147483647L).as("fp"))
+        fp.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("fp"))
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(1, len(w) + 1), i ->
+        |      CAST((instr('0123456789abcdef', substr(md5(w[i]), 1, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef', substr(md5(w[i]), 2, 1)) - 1)
+        |        AS BIGINT)
+        |      * CAST(pow(31.0, (i - 1) % 8) AS BIGINT)))
+        |    % 2147483647 AS fp
+        |  FROM w)
+        |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM v GROUP BY fp ORDER BY fp""".stripMargin)
+  )
+}
