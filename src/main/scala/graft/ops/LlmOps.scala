@@ -109,20 +109,16 @@ object LlmOps extends OpGroup {
       // identical numbers (tiebreak: cand_id).
       "q_sim_cosine_topk",
       (s, d) => {
+        graft.functions.DotF32.register(s)
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
-                  sqrt(aggregate(col("embedding"), lit(0.0),
-                       (acc, x) => acc + x.cast("double") * x.cast("double")))
-                    .as("nrm"))
+                  sqrt(expr("dot_f32(embedding, embedding)")).as("nrm"))
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
                   col("nrm").as("q_nrm"))
         val c = emb.select(col("vec_id").as("cand_id"),
                            col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-        val dot = aggregate(
-          zip_with(col("q_emb"), col("c_emb"),
-                   (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, z) => acc + z)
+        val dot = expr("dot_f32(q_emb, c_emb)")
         val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
           .select(col("q_id"), col("cand_id"),
                   r4(dot / (col("q_nrm") * col("c_nrm"))).as("cos"))

@@ -34,11 +34,9 @@ object NearDupOps extends OpGroup {
     s"array_to_string(list_transform($embCol[1:$n]," +
     s" x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
 
-  /** Sequential double dot product of two float arrays (exact widen). */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b," +
-         " (x, y) -> cast(x as double) * cast(y as double))," +
-         " 0D, (acc, z) -> acc + z)")
+  /** Sequential double dot product of two float arrays (exact widen) —
+    * the native codegen'd DotF32 expression; query fns register it. */
+  private def dot(a: String, b: String) = expr(s"dot_f32($a, $b)")
 
   def qs: Seq[Q] = Seq(
     Q(
@@ -139,6 +137,7 @@ object NearDupOps extends OpGroup {
       // same-bucket pairs, then exact cosine >= 0.9 confirms.
       "q_dedup_embed_cosine",
       (s, d) => {
+        graft.functions.DotF32.register(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
                   signBits("embedding", 16).as("bucket"),
@@ -176,6 +175,7 @@ object NearDupOps extends OpGroup {
       // recall/cost tradeoff vs the exact q_sim_cosine_topk baseline.
       "q_sim_ann_lsh",
       (s, d) => {
+        graft.functions.DotF32.register(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
                   signBits("embedding", 8).as("bucket"),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DotF32, WordNgrams}
+
+/** Custom Catalyst surface: the DotF32 native expression and the
+  * WordNgrams generator — null handling, edge cases, and interpreted vs
+  * codegen agreement (both paths must yield bit-identical doubles, since
+  * oracle-checked queries rely on the fold order). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_f32 computes the sequential double fold exactly") {
+    DotF32.register(spark)
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.selectExpr("dot_f32(a, b) AS d").head().getDouble(0)
+    assert(got == (4.0 + 10.0 + 18.0))
+  }
+
+  test("dot_f32 agrees bit-for-bit with the lambda formulation") {
+    DotF32.register(spark)
+    val e = graft.io.Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val both = e.selectExpr(
+      "vec_id",
+      "dot_f32(embedding, embedding) AS fused",
+      """aggregate(zip_with(embedding, embedding,
+        | (x, y) -> cast(x as double) * cast(y as double)),
+        | 0D, (acc, z) -> acc + z) AS lambda""".stripMargin)
+    val bad = both.filter(col("fused") =!= col("lambda")).count()
+    assert(bad == 0)
+  }
+
+  test("dot_f32 interpreted eval matches codegen result") {
+    DotF32.register(spark)
+    val df = Seq((Seq(0.1f, -0.2f, 0.3f, 1.5f), Seq(2.5f, 0.4f, -1.1f, 0.7f)))
+      .toDF("a", "b")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = df.selectExpr("dot_f32(a, b)").head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    val gen = df.selectExpr("dot_f32(a, b)").head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(interp) ==
+      java.lang.Double.doubleToLongBits(gen))
+  }
+
+  test("dot_f32 is null-safe and handles length mismatch") {
+    DotF32.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f)), None: Option[Seq[Float]]),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f)))).toDF("a", "b")
+    val rows = df.selectExpr("dot_f32(a, b) AS d").collect()
+    assert(rows(0).isNullAt(0))       // null input -> null
+    assert(rows(1).getDouble(0) == 3.0) // min-length semantics
+  }
+
+  test("word_ngrams generates n-grams, drops nulls and short docs") {
+    WordNgrams.register(spark)
+    val df = Seq(Some("a b c d"), Some("x"), None)
+      .toDF("text")
+    val rows = df.selectExpr("word_ngrams(text, 3) AS g")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a b c", "b c d")) // "x" too short, null skipped
+  }
+
+  test("word_ngrams composes with aggregation below other operators") {
+    WordNgrams.register(spark)
+    val n = Seq("a b a b").toDF("text")
+      .selectExpr("word_ngrams(text, 2) AS g")
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("a b" -> 2L, "b a" -> 1L))
+  }
+}
