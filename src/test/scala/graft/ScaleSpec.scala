@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scale mechanics that single-file fixtures leave inert (SURVEY §4.2
+  * notes partition pruning is a no-op on them): write a properly
+  * partitioned table, then pin the pruning behaviors a 100 TB layout
+  * depends on — static partition pruning from literal predicates and
+  * dynamic partition pruning (DPP) injected through a dim join. */
+class ScaleSpec extends SparkSpec {
+
+  private lazy val partitionedOrders: String = {
+    val dir = tmpDir("scale") + "/orders_by_year"
+    Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    dir
+  }
+
+  test("static partition pruning: literal year filter skips partitions") {
+    val df = spark.read.parquet(partitionedOrders)
+      .filter(col("yr") === 1997)
+      .select(col("o_orderkey"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("yr"), s"no partition filter: $pf")
+    // only the 1997 partition's files are scanned
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.headOption.contains(1), s"scanned=$scanned")
+  }
+
+  test("dynamic partition pruning flows through a broadcast dim join") {
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    import spark.implicits._
+    // DPP requires a SELECTIVE FILTER over a scannable relation on the
+    // build side — a bare in-memory literal doesn't qualify
+    val dimDir = tmpDir("scale") + "/year_dim"
+    (1995 to 2001).map(y => (y, if (y == 1995) "keep" else "drop"))
+      .toDF("d_yr", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val joined = spark.read.parquet(partitionedOrders)
+      .join(dim, col("yr") === col("d_yr"))
+      .select(col("o_orderkey"), col("tag"))
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning"),
+      s"DPP subquery not injected:\n${plan.take(1200)}")
+  }
+
+  test("AQE coalesces the post-shuffle partitions of a small aggregate") {
+    val df = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead coalesced") ||
+           finalPlan.contains("coalesced"),
+      s"AQE did not coalesce:\n$finalPlan")
+  }
+}
