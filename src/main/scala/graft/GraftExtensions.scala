@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotF32, WordNgrams}
+import graft.plans.AsOfJoinStrategy
+
+/** Session-extension entry point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` wires the engine's custom
+  * Catalyst surface into every new session with zero code changes —
+  * the standard deployment seam for an extension library:
+  *  - `dot_f32(a, b)`: native codegen'd float-array dot product
+  *  - `word_ngrams(text, n)`: generator (UDTF) for word n-grams
+  *  - AsOfJoinStrategy: plans graft.plans.AsOfJoinPlan into the
+  *    single-merge-pass AsOfJoinExec
+  * (Programmatic alternatives exist too: DotF32.register /
+  * WordNgrams.register / AsOf.ensureRegistered.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def ngramsBuilder(exprs: Seq[Expression]): Expression =
+    WordNgrams(exprs.head, exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Int]
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      ngramsBuilder _))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+}

@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map("a" -> 3L, "b" -> 1L)) // state survived batch 1 -> 2
   }
 
+  test("rate source ingest: live-topic analog lands as a typed table") {
+    // deterministic rate-micro-batch source -> typed projection -> parquet
+    // sink: the subscribe-loop shape of the reference's recorder
+    val base = tmpDir("rate")
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 10).option("numPartitions", 2)
+      .load()
+      .selectExpr("value AS event_id", "timestamp AS ts")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 10 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        n = try spark.read.parquet(s"$base/out").count()
+            catch { case _: Exception => 0L }
+      }
+      assert(n >= 10, s"only $n rows ingested")
+      val ids = spark.read.parquet(s"$base/out")
+        .orderBy("event_id").limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == (0L until 10L)) // deterministic first batch
+    } finally q.stop()
+  }
+
   test("session_window groups events by 30-minute inactivity gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
