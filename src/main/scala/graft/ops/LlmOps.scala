@@ -34,17 +34,6 @@ object LlmOps extends OpGroup {
 
   private val K = 16 // minhash signature length
 
-  /** doc_id + distinct word-3-gram shingles. */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-              explode(expr(
-                "transform(sequence(0, size(w) - 3)," +
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
-
   def qs: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -64,15 +53,32 @@ object LlmOps extends OpGroup {
       // of 16 slot-minima are emitted with their agreement count.
       "q_dedup_near_minhash",
       (s, d) => {
-        val sh = shingles(Tables.documents(s, d))
-        val sig = sh
+        // Shape chosen by measurement (see SCALE.md): shingle dedup runs
+        // map-side per doc (array_distinct — no shuffle), then the plan
+        // goes RELATIONAL (explode + hash-aggregate, whole-stage codegen,
+        // map-side partial min) rather than nested array lambdas (those
+        // are interpreted, measured 8× slower). K=16 32-bit slots come
+        // from FOUR md5s per shingle — each 128-bit md5 sliced into four
+        // 8-hex windows (standard wide-hash slicing).
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"),
+                  explode(expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3)," +
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
           .select(col("doc_id"), col("s"),
-                  explode(expr(s"sequence(0, ${K - 1})")).as("k"))
-          .select(col("doc_id"), col("k"),
-                  md5(concat(col("s"), lit("#"), col("k").cast("string")))
+                  explode(expr("sequence(0, 3)")).as("j"))
+          .select(col("doc_id"), col("j"),
+                  md5(concat(col("s"), lit("#"), col("j").cast("string")))
                     .as("h"))
-          .groupBy(col("doc_id"), col("k"))
-          .agg(min(col("h")).as("mh"))
+          .select(col("doc_id"),
+                  explode(expr(
+                    "transform(sequence(0, 3), i -> named_struct(" +
+                    "'k', j * 4 + i, 'hk', substring(h, i * 8 + 1, 8)))"))
+                    .as("e"))
+          .groupBy(col("doc_id"), col("e.k").as("k"))
+          .agg(min(col("e.hk")).as("mh"))
         val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
         val b = sig.select(col("doc_id").as("doc_b"),
                            col("k").as("k2"), col("mh").as("mh2"))
@@ -90,10 +96,15 @@ object LlmOps extends OpGroup {
         |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s
         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
         |        FROM tok WHERE len(w) >= 3)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    md5(concat(s, '#', CAST(j AS VARCHAR))) AS h
+        |  FROM (SELECT doc_id, s, unnest(range(0, 4)) AS j FROM sh)),
         |sig AS (
-        |  SELECT doc_id, k, MIN(md5(concat(s, '#', CAST(k AS VARCHAR)))) AS mh
-        |  FROM (SELECT doc_id, s, unnest(range(0, $K)) AS k FROM sh)
-        |  GROUP BY doc_id, k)
+        |  SELECT doc_id, j * 4 + i AS k,
+        |    MIN(substr(h, i * 8 + 1, 8)) AS mh
+        |  FROM (SELECT doc_id, j, h, unnest(range(0, 4)) AS i FROM hj)
+        |  GROUP BY doc_id, j * 4 + i)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
         |FROM sig a JOIN sig b
         |  ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
