@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All op groups, in SURVEY §2 order. */
   private def groups: Seq[OpGroup] = Seq(
-    Scans, Filters, Joins, Aggs, Windows, SetOps, Scalars, LlmOps,
+    Scans, Filters, Joins, Aggs, Windows, SetOps, SqlOps, Scalars, LlmOps,
     NearDupOps, TextOps, Streaming, Udx
   )
 

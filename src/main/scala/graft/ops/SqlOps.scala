@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** SQL-first relational surface: subqueries (exercising Catalyst's
+  * decorrelation — RewriteCorrelatedScalarSubquery /
+  * RewritePredicateSubquery, SURVEY §4.2) and PIVOT.
+  *
+  * Determinism note on q_subquery_scalar_corr: the TPC-H Q17 pattern
+  * compares against 0.5*AVG, but AVG of doubles is not bit-portable
+  * across engines at a filter BOUNDARY — so the predicate is algebraically
+  * rearranged to integer-valued double math (2·qty·count < sum), which
+  * is exact: quantities are integral and sums stay far below 2^53.
+  */
+object SqlOps extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // lineitems with quantity below half the part's average —
+      // two correlated scalar subqueries, decorrelated by Catalyst into
+      // an aggregate + join (no per-row re-execution)
+      "q_subquery_scalar_corr",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("li_sq")
+        s.sql(
+          """SELECT l_orderkey, l_linenumber,
+            |  CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS qty
+            |FROM li_sq o
+            |WHERE l_quantity * 2 *
+            |    (SELECT COUNT(*) FROM li_sq i WHERE i.l_partkey = o.l_partkey)
+            |  < (SELECT SUM(l_quantity) FROM li_sq i
+            |     WHERE i.l_partkey = o.l_partkey)
+            |ORDER BY l_orderkey, l_linenumber, qty""".stripMargin)
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem o
+        |WHERE l_quantity * 2 *
+        |    (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = o.l_partkey)
+        |  < (SELECT SUM(l_quantity) FROM lineitem i
+        |     WHERE i.l_partkey = o.l_partkey)
+        |ORDER BY l_orderkey, l_linenumber, qty""".stripMargin),
+
+    Q(
+      // IN-subquery → RewritePredicateSubquery plans a left-semi join
+      "q_subquery_in",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("ord_sq")
+        Tables.customer(s, d).createOrReplaceTempView("cust_sq")
+        s.sql(
+          """SELECT o_orderkey, o_orderstatus
+            |FROM ord_sq
+            |WHERE o_custkey IN (SELECT c_custkey FROM cust_sq
+            |                    WHERE c_mktsegment = 'AUTOMOBILE')
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'AUTOMOBILE')
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q(
+      // PIVOT with explicit value list (deterministic column set);
+      // oracle expresses the same reshape as conditional aggregation
+      "q_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(asMoney(sum(money("l_quantity"))))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_linestatus = 'F'), 2) AS DECIMAL(18,2)) AS qty_f,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_linestatus = 'O'), 2) AS DECIMAL(18,2)) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  )
+}
