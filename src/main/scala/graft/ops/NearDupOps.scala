@@ -86,26 +86,27 @@ object NearDupOps extends OpGroup {
       // shingle are compared; J = |A∩B| / (|A|+|B|-|A∩B|).
       "q_dedup_ngram_jaccard",
       (s, d) => {
+        // shingle dedup runs map-side (array_distinct in the scan
+        // projection — no global distinct shuffle), and |doc| rides along
+        // as an array-size column, so the inverted-index self-join needs
+        // NO separate sizes table: 3 exchanges total where the naive
+        // sizes-join formulation planned 7 (measured via PlanShapeReport)
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 5)
-          .select(col("doc_id"),
-                  explode(expr(
-                    "transform(sequence(0, size(w) - 5), i -> " +
-                    "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-                    .as("g"))
-          .distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("g"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("g2")),
-                col("g") === col("g2") && col("doc_a") < col("doc_b"))
+          .withColumn("gs", expr(
+            "array_distinct(transform(sequence(0, size(w) - 5), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"))
+          .select(col("doc_id"), size(col("gs")).as("sz"),
+                  explode(col("gs")).as("g"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+                          col("g"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+                          col("g").as("g2"))
+        a.join(b, col("g") === col("g2") && col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                     .withColumnRenamed("sz", "sz_a"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                     .withColumnRenamed("sz", "sz_b"), "doc_b")
+          .agg(count(lit(1)).as("inter"),
+               max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
           .withColumn("jac", r4(col("inter").cast("double") /
             (col("sz_a") + col("sz_b") - col("inter"))))
           .filter(col("jac") >= 0.2)
