@@ -53,6 +53,46 @@ class ScaleSpec extends SparkSpec {
       s"DPP subquery not injected:\n${plan.take(1200)}")
   }
 
+  test("bucketed tables join with ZERO exchanges (the 100 TB fact-join plan)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sfDir)
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      Tables.lineitem(spark, sfDir)
+        .write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_quantity"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join spreads a hot key and matches the plain join result") {
+    import spark.implicits._
+    // one pathological key carrying 10k rows + a normal tail
+    val probe = ((1 to 10000).map(i => ("hot", i)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("k", "v")
+    val build = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .map(k => (k, s"dim_$k")).toDF("bk", "payload")
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select(col("k"), col("v"), col("payload"))
+    val salted = graft.ops.Skew.saltedEquiJoin(
+        probe, build, col("k"), col("bk"), 8)
+      .select(col("k"), col("v"), col("payload"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("AQE coalesces the post-shuffle partitions of a small aggregate") {
     val df = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
