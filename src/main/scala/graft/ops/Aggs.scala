@@ -141,6 +141,22 @@ object Aggs extends OpGroup {
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_total
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin),
+
+    Q(
+      // array-building aggregation — collect_list is ingestion-order
+      // nondeterministic, so the output array is sorted (R5 allows array
+      // outputs; determinism restored via sort_array)
+      "q_agg_collect_sorted",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_custkey") <= 20)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_custkey")),
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderkey)) AS order_keys, COUNT(*) AS n
+        |FROM orders WHERE o_custkey <= 20
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   )
 }

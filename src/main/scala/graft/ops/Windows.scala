@@ -123,6 +123,32 @@ object Windows extends OpGroup {
         |  ROUND(CUME_DIST() OVER w, 4) AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      // navigation fns over a fully-framed window: first/last/nth order
+      // key per customer by (date, key) — frame must be UNBOUNDED..UNBOUNDED
+      // for last/nth to see the whole partition
+      "q_win_first_last_nth",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  first(col("o_orderkey")).over(w).as("first_key"),
+                  last(col("o_orderkey")).over(w).as("last_key"),
+                  nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_key,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 }
