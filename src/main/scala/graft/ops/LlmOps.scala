@@ -60,25 +60,34 @@ object LlmOps extends OpGroup {
         // are interpreted, measured 8× slower). K=16 32-bit slots come
         // from FOUR md5s per shingle — each 128-bit md5 sliced into four
         // 8-hex windows (standard wide-hash slicing).
+        // explode_OUTER + null filter: prevents InferFiltersFromGenerate
+        // from inlining the shingle expression into the scan filter
+        // multiple times (see q_dedup_ngram_jaccard note; same measured
+        // pathology)
         val sig = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"),
-                  explode(expr(
+                  explode_outer(expr(
                     "array_distinct(transform(sequence(0, size(w) - 3)," +
                     " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
+          .filter(col("s").isNotNull)
           .select(col("doc_id"), col("s"),
                   explode(expr("sequence(0, 3)")).as("j"))
           .select(col("doc_id"), col("j"),
                   md5(concat(col("s"), lit("#"), col("j").cast("string")))
                     .as("h"))
-          .select(col("doc_id"),
-                  explode(expr(
-                    "transform(sequence(0, 3), i -> named_struct(" +
-                    "'k', j * 4 + i, 'hk', substring(h, i * 8 + 1, 8)))"))
-                    .as("e"))
-          .groupBy(col("doc_id"), col("e.k").as("k"))
-          .agg(min(col("e.hk")).as("mh"))
+          // aggregate the 4 window-minima per (doc, j) BEFORE fanning out
+          // to slot rows: the hash-agg consumes |shingles|×4 rows instead
+          // of ×16, and stack() then emits just 16 rows per doc
+          .groupBy(col("doc_id"), col("j"))
+          .agg(min(substring(col("h"), 1, 8)).as("m0"),
+               min(substring(col("h"), 9, 8)).as("m1"),
+               min(substring(col("h"), 17, 8)).as("m2"),
+               min(substring(col("h"), 25, 8)).as("m3"))
+          .select(col("doc_id"), expr(
+            "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
+            " j * 4 + 3, m3) AS (k, mh)"))
         val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
         val b = sig.select(col("doc_id").as("doc_b"),
                            col("k").as("k2"), col("mh").as("mh2"))

@@ -82,28 +82,41 @@ object NearDupOps extends OpGroup {
         |FROM sig GROUP BY sig ORDER BY sig""".stripMargin),
 
     Q(
-      // word-5-gram Jaccard via inverted-index join: only docs sharing a
-      // shingle are compared; J = |A∩B| / (|A|+|B|-|A∩B|).
+      // word-7-gram Jaccard via inverted-index join: only docs sharing a
+      // shingle are compared; J = |A∩B| / (|A|+|B|-|A∩B|). Shingle width
+      // is the selectivity dial: with this corpus's small vocabulary,
+      // 5-grams collide by the birthday bound into ~10^8 candidate pairs
+      // at sf0.1 (measured: >12 s), while 7-grams keep only genuinely
+      // overlapping docs.
       "q_dedup_ngram_jaccard",
       (s, d) => {
         // shingle dedup runs map-side (array_distinct in the scan
         // projection — no global distinct shuffle), and |doc| rides along
         // as an array-size column, so the inverted-index self-join needs
-        // NO separate sizes table: 3 exchanges total where the naive
-        // sizes-join formulation planned 7 (measured via PlanShapeReport)
+        // NO separate sizes table: the naive sizes-join formulation
+        // planned 7 exchanges (measured via PlanShapeReport)
+        // explode_OUTER, not explode: InferFiltersFromGenerate would
+        // otherwise add size(gs)>0/isnotnull(gs) filters whose pushdown
+        // inlines the whole shingle expression (split included) THREE
+        // more times into the scan filter — measured 10s vs 1s at sf0.1
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 5)
+          .filter(size(col("w")) >= 7)
           .withColumn("gs", expr(
-            "array_distinct(transform(sequence(0, size(w) - 5), i -> " +
-            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"))
+            "array_distinct(transform(sequence(0, size(w) - 7), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6])))"))
           .select(col("doc_id"), size(col("gs")).as("sz"),
-                  explode(col("gs")).as("g"))
+                  explode_outer(col("gs")).as("g"))
+          .filter(col("g").isNotNull)
         val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
                           col("g"))
         val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
                           col("g").as("g2"))
-        a.join(b, col("g") === col("g2") && col("doc_a") < col("doc_b"))
+        // MERGE hint: both sides are the same large shingle table — AQE
+        // would otherwise broadcast one (measured 5× slower at sf0.1:
+        // building a multi-million-row hash relation beats the purpose)
+        a.join(b.hint("MERGE"),
+               col("g") === col("g2") && col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter"),
                max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
@@ -115,11 +128,11 @@ object NearDupOps extends OpGroup {
       },
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
+        |  WHERE len(string_split(text, ' ')) >= 7),
         |sh AS (
         |  SELECT DISTINCT doc_id,
-        |    concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]) AS g
-        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i FROM w)),
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 6)) AS i FROM w)),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
