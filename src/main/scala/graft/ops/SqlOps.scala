@@ -14,9 +14,53 @@ import graft.io.Tables
   * rearranged to integer-valued double math (2·qty·count < sum), which
   * is exact: quantities are integral and sums stay far below 2^53.
   */
+/** Typed row for the Dataset[T] API demo (top-level for the Encoder). */
+final case class CustRow(
+    c_custkey: Long, c_name: String, c_nationkey: Int,
+    c_acctbal: Double, c_mktsegment: String)
+
 object SqlOps extends OpGroup {
 
   def qs: Seq[Q] = Seq(
+    Q(
+      // typed Dataset[T] surface: case-class Encoder, typed filter/map
+      // (the reference's typed-message readback style, §2.9). Note the
+      // cost documented in SCALE.md: typed lambdas deserialize rows and
+      // block codegen fusion — fine for typed pipelines, wrong for hot
+      // relational paths. Output is integer cents (floor(x*100 + 0.5) —
+      // identical IEEE ops in both engines, unlike round-half ties).
+      "q_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d).as[CustRow]
+          .filter(c => c.c_acctbal > 1000.0 && c.c_mktsegment != "MACHINERY")
+          .map(c => (c.c_custkey, c.c_mktsegment,
+                     math.floor(c.c_acctbal * 100 + 0.5).toLong))
+          .toDF("c_custkey", "seg", "bal_cents")
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_mktsegment AS seg,
+        |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_mktsegment <> 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      // exact interpolated percentiles (sort-based aggregate; the approx
+      // sketch twin is ApproxSpec's HLL / approx_percentile territory)
+      "q_agg_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(r4(expr("percentile(l_quantity, 0.5)")).as("p50"),
+             r4(expr("percentile(l_quantity, 0.9)")).as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
     Q(
       // lineitems with quantity below half the part's average —
       // two correlated scalar subqueries, decorrelated by Catalyst into

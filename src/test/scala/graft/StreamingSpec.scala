@@ -9,6 +9,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Top-level so Spark can derive an Encoder without outer-scope capture. */
 case class Ev(ts: Timestamp, user: String, value: Double)
 
+/** transformWithState processor: running per-user event counter with
+  * explicit ValueState (the Spark-4-native successor to
+  * mapGroupsWithState; requires the RocksDB state store). */
+class RunningCountProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, Ev, (String, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var countState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    countState = getHandle.getValueState[Long](
+      "count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    val total =
+      (if (countState.exists()) countState.get() else 0L) + rows.size
+    countState.update(total)
+    Iterator.single((key, total))
+  }
+}
+
 /** True-streaming semantics (SURVEY §2.7 ⊘ rows) — no SQL oracle exists
   * for these, so behavior is asserted directly: incremental equivalence
   * with the batch twin, watermark-driven late-data drops, streaming
@@ -111,6 +136,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     q.stop()
     assert(last == Map("a" -> 3L, "b" -> 1L)) // state survived batch 1 -> 2
+  }
+
+  test("transformWithState keeps ValueState across batches (RocksDB store)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val counted = in.toDS()
+        .groupByKey(_.user)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = counted.writeStream.format("memory").queryName("tws_t")
+        .outputMode(OutputMode.Update()).start()
+      in.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "a", 1.0), Ev(ts(3), "b", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(4), "a", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("tws_t").groupBy("_1").agg(max("_2"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      q.stop()
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
   test("rate source ingest: live-topic analog lands as a typed table") {
