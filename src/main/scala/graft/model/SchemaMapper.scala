@@ -58,4 +58,24 @@ object SchemaMapper {
   /** Nested frame → flat frame (reference-style column names). */
   def flatten(df: DataFrame): DataFrame =
     df.select(flattenColumns(df.schema): _*)
+
+  /** Inverse of [[flatten]]: rebuild the nested shape from reference
+    * style `parent_child` flat columns — the sql2msg reconstruction step
+    * [upstream: ros_sql/factories.py::sql2msg], done as ONE columnar
+    * projection instead of the reference's per-row recursive fetch. */
+  def unflattenColumns(target: StructType, prefix: String = ""): Seq[Column] =
+    target.fields.toSeq.map { f =>
+      val flat = (if (prefix.isEmpty) f.name else s"${prefix}_${f.name}")
+      f.dataType match {
+        case st: StructType =>
+          org.apache.spark.sql.functions
+            .struct(unflattenColumns(st, flat): _*).as(f.name)
+        case _ => col(flat).as(f.name)
+      }
+    }
+
+  /** Flat frame (as produced by [[flatten]]) → nested frame matching
+    * `target`. Extra sink-side columns (e.g. `_recv_us`) are dropped. */
+  def unflatten(df: DataFrame, target: StructType): DataFrame =
+    df.select(unflattenColumns(target): _*)
 }

@@ -86,4 +86,21 @@ object Recorder {
     val meta = catalog.verified(topic, enc.schema)
     spark.read.parquet(s"$baseDir/${meta.table}").as[T](enc)
   }
+
+  /** Typed readback from a FLAT JDBC table (the true sql2msg analog:
+    * the reference reconstructs messages from its shredded SQL layout).
+    * Unflattens reference-style `parent_child` columns back into the
+    * message's nested shape in one projection. */
+  def readbackJdbc[T: Encoder](
+      spark: SparkSession,
+      topic: String,
+      catalog: Catalog,
+      url: String,
+      props: Properties = new Properties()): Dataset[T] = {
+    val enc = implicitly[Encoder[T]]
+    val meta = catalog.verified(topic, enc.schema)
+    SchemaMapper
+      .unflatten(spark.read.jdbc(url, meta.table, props), enc.schema)
+      .as[T](enc)
+  }
 }

@@ -70,6 +70,10 @@ class RecorderSpec extends SparkSpec {
     val r = back.collect().head
     assert(r.getAs[Double]("x") == 1.5 &&
       r.getAs[Long]("stamp_nanos") == 42L)
+    // full sql2msg analog: typed reconstruction from the FLAT SQL table
+    val typed = Recorder.readbackJdbc[Pose](spark, "/cam/pose", cat, url)
+      .collect().toSeq
+    assert(typed == Seq(Pose(1.5, 2.5, 3.5, Stamp(1700000099L, 42L))))
   }
 
   test("ingest receipt time is attached (reference wall-clock analog)") {
