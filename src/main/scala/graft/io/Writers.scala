@@ -1,0 +1,43 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Write-side layout API — the storage decisions that decide 100 TB read
+  * cost (SCALE.md). Each writer encodes one layout discipline:
+  *
+  *  - `partitioned`: directory partitioning on low-cardinality keys
+  *    (date, topic, lang) → static partition pruning + DPP at read time
+  *    (pinned in ScaleSpec). Rule of thumb: partitions ≥ ~1 GB; never
+  *    partition on high-cardinality keys (small-file explosion).
+  *  - `bucketed`: pre-shuffled, pre-sorted layout on a join/agg key →
+  *    exchanges (and sorts) elide entirely for joins on that key
+  *    (ScaleSpec proves the zero-exchange join; the custom AsOfJoinExec
+  *    benefits identically through its ClusteredDistribution).
+  *  - `sortedWithin`: clusters values inside each file so parquet
+  *    row-group min/max statistics skip I/O for range predicates —
+  *    cheap, composable with both of the above.
+  */
+object Writers {
+
+  def partitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  def bucketed(
+      df: DataFrame, table: String, buckets: Int, key: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  def sortedWithin(
+      df: DataFrame, path: String, sortCols: Seq[String],
+      partitions: Option[Int] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val repart = partitions.map(df.repartition(_)).getOrElse(df)
+    repart.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+}

@@ -93,6 +93,32 @@ class ScaleSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("Writers: partitioned layout prunes, sorted layout narrows row-group stats") {
+    import graft.io.Writers
+    val dir = tmpDir("writers")
+    Writers.partitioned(
+      Tables.orders(spark, sfDir).withColumn("yr", year(col("o_orderdate"))),
+      s"$dir/part", Seq("yr"))
+    val years = new java.io.File(s"$dir/part").listFiles()
+      .filter(_.getName.startsWith("yr=")).map(_.getName).sorted
+    assert(years.length >= 5 && years.head == "yr=1995")
+    Writers.sortedWithin(Tables.lineitem(spark, sfDir),
+      s"$dir/sorted", Seq("l_shipdate"), partitions = Some(2))
+    val back = spark.read.parquet(s"$dir/sorted")
+    assert(back.count() == Tables.lineitem(spark, sfDir).count())
+    // within each file, values are clustered: every file's rows arrive
+    // non-decreasing in l_shipdate (what row-group stats skipping needs)
+    import spark.implicits._
+    val perFile = back
+      .select(input_file_name().as("f"),
+              unix_micros(col("l_shipdate").cast("timestamp")).as("d"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(perFile.values.forall { rows =>
+      val ds = rows.map(_._2).toSeq
+      ds == ds.sorted
+    })
+  }
+
   test("AQE coalesces the post-shuffle partitions of a small aggregate") {
     val df = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
