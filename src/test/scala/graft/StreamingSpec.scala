@@ -46,13 +46,12 @@ class StreamingSpec extends SparkSpec {
 
   test("tumbling window agg over MemoryStream matches the batch twin") {
     implicit val ctx = spark.sqlContext
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Windowed.tumble(df, col("ts"), "10 minutes",
+        keys = Seq(col("user")),
+        aggs = Seq(count(lit(1)).as("n"), sum(col("value")).as("s")))
     val in = MemoryStream[Ev]
-    val agg = in.toDF()
-      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
-      .select(unix_micros(col("w.start")).as("win_us"), col("user"),
-              col("n"), col("s"))
-    val q = agg.writeStream.format("memory").queryName("tumble_t")
+    val q = agg(in.toDF()).writeStream.format("memory").queryName("tumble_t")
       .outputMode(OutputMode.Complete()).start()
     val data = Seq(
       Ev(ts(1), "a", 1.0), Ev(ts(4), "a", 2.0), Ev(ts(11), "a", 4.0),
@@ -60,12 +59,8 @@ class StreamingSpec extends SparkSpec {
     in.addData(data)
     q.processAllAvailable()
     val streamed = spark.table("tumble_t").orderBy("win_us", "user").collect()
-    val batch = data.toDF()
-      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
-      .select(unix_micros(col("w.start")).as("win_us"), col("user"),
-              col("n"), col("s"))
-      .orderBy("win_us", "user").collect()
+    // the SAME builder runs on the batch frame — incremental equivalence
+    val batch = agg(data.toDF()).orderBy("win_us", "user").collect()
     q.stop()
     assert(streamed.toSeq == batch.toSeq)
     assert(streamed.length == 4) // a:[10:00,10:10), a:[10:10,..), b:.., b:..
