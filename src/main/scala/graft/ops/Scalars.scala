@@ -43,6 +43,24 @@ object Scalars extends OpGroup {
         |FROM part ORDER BY p_partkey""".stripMargin),
 
     Q(
+      // regex surface — patterns restricted to simple character classes
+      // that mean the same thing in Spark's java.util.regex and DuckDB's
+      // RE2 (no backrefs/lookaround, which RE2 lacks)
+      "q_fn_regex",
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_count(col("p_name"), lit("[a-z]+")).as("n_runs"),
+          col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"))
+        .orderBy(col("p_partkey")),
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  len(regexp_extract_all(p_name, '[a-z]+')) AS n_runs,
+        |  regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    Q(
       "q_fn_date",
       (s, d) => Tables.orders(s, d)
         .select(

@@ -48,6 +48,24 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile tracks the exact percentile within tolerance") {
+    val li = Tables.lineitem(spark, sfDir)
+    val Array(approx, exact) = li.select(
+        expr("approx_percentile(l_quantity, 0.5, 1000)"),
+        expr("percentile(l_quantity, 0.5)"))
+      .head().toSeq.map(_.toString.toDouble).toArray
+    assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
+  }
+
+  test("seeded sample is deterministic within Spark and size-plausible") {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.sample(withReplacement = false, 0.1, seed = 42)
+    val b = li.sample(withReplacement = false, 0.1, seed = 42)
+    assert(a.collect().toSeq == b.collect().toSeq) // same seed, same rows
+    val n = a.count().toDouble / li.count()
+    assert(n > 0.05 && n < 0.15, s"sampled fraction $n")
+  }
 }
 
 /** SURVEY §5.2.3: every declared query must produce identical rows under
