@@ -81,4 +81,36 @@ class RecorderSpec extends SparkSpec {
     val recv = df.collect().head.getAs[Long]("_recv_us")
     assert(recv > 1600000000000000L) // sane epoch-µs
   }
+
+  test("end-to-end: two topics, one catalog, analytics over the log") {
+    implicit val ctx = spark.sqlContext
+    val base = tmpDir("e2e")
+    val cat = new Catalog(spark, s"$base/_metadata")
+    // topic 1: poses
+    val poses = MemoryStream[Pose]
+    poses.addData(Pose(1, 1, 1, Stamp(1700000000L, 0)))
+    val (m1, q1) = Recorder.recordParquet(poses.toDS(), "/r1/pose",
+      "geometry_msgs/Pose", cat, base, s"$base/ck1")
+    q1.awaitTermination()
+    // topic 2: sensor events (ts carries event time)
+    val evs = MemoryStream[Ev]
+    evs.addData(
+      Ev(java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "a", 1.0),
+      Ev(java.sql.Timestamp.valueOf("2024-01-01 10:04:00"), "a", 2.0),
+      Ev(java.sql.Timestamp.valueOf("2024-01-01 10:11:00"), "b", 4.0))
+    val (m2, q2) = Recorder.recordParquet(evs.toDS(), "/r1/sensor",
+      "graft/Ev", cat, base, s"$base/ck2")
+    q2.awaitTermination()
+    // catalog holds both topics, distinct tables
+    assert(cat.all().map(_.topic).toSet == Set("/r1/pose", "/r1/sensor"))
+    assert(Set(m1.table, m2.table).size == 2)
+    // windowed analytics straight over the recorded log (the "query the
+    // logged tables with standard tools" half of the reference contract)
+    val agg = graft.streaming.Windowed.tumble(
+        spark.read.parquet(s"$base/${m2.table}"),
+        org.apache.spark.sql.functions.col("ts"), "10 minutes")
+      .orderBy("win_us")
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(agg == Seq(2L, 1L))
+  }
 }
