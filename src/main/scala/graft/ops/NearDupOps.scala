@@ -232,6 +232,81 @@ object NearDupOps extends OpGroup {
         |                       ORDER BY cos DESC, cand_id ASC) AS rn
         |  FROM scored)
         |SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
+      // IVF-style ANN: every vector is assigned to its nearest "centroid"
+      // (deterministic 1-in-200 sample — real IVF k-means-trains these;
+      // the partition/search mechanics are what scales), queries probe
+      // ONLY their own cell (nprobe=1). Centroid set is broadcast; the
+      // assignment is a linear scan ⋈ broadcast, never vector×vector.
+      "q_sim_ann_ivf",
+      (s, d) => {
+        graft.functions.DotF32.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+                  sqrt(dot("embedding", "embedding")).as("nrm"))
+        val cent = e.filter(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+                  col("nrm").as("cnrm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val assign = e.join(broadcast(cent), col("vec_id") =!= lit(-1L))
+          .withColumn("ccos",
+            r4(dot("embedding", "cemb") / (col("nrm") * col("cnrm"))))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+                  col("cent_id").as("cell"))
+        val q = assign.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  col("nrm").as("qn"), col("cell"))
+        val c = assign.select(col("vec_id").as("cand_id"),
+                              col("embedding").as("ce"),
+                              col("nrm").as("cn"), col("cell").as("cell2"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        broadcast(q)
+          .join(c, col("cell") === col("cell2") &&
+                   col("q_id") =!= col("cand_id"))
+          .withColumn("cos", r4(dot("qe", "ce") / (col("qn") * col("cn"))))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id % 200 = 0),
+        |assign AS (
+        |  SELECT vec_id, embedding, nrm, cell FROM (
+        |    SELECT v.vec_id, v.embedding, v.nrm, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |              i -> CAST(v.embedding[i] AS DOUBLE)
+        |                 * CAST(c.cemb[i] AS DOUBLE)))
+        |            / (v.nrm * c.cnrm), 4) DESC, c.cent_id ASC) AS arn
+        |    FROM e v CROSS JOIN cent c)
+        |  WHERE arn = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE)
+        |             * CAST(c.embedding[i] AS DOUBLE)))
+        |        / (q.nrm * c.nrm), 4) AS cos
+        |  FROM assign q JOIN assign c
+        |    ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin)
   )
 }
