@@ -34,6 +34,68 @@ object LlmOps extends OpGroup {
 
   private val K = 16 // minhash signature length
 
+  /** MinHash/LSH near-dup candidate pairs (doc_a < doc_b, n_match) —
+    * shared by q_dedup_near_minhash and q_dedup_cluster. Shape notes
+    * inline at the q_dedup_near_minhash entry. */
+  private[ops] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                                d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+              explode_outer(expr(
+                "array_distinct(transform(sequence(0, size(w) - 3)," +
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s"),
+              explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("doc_id"), col("j"),
+              md5(concat(col("s"), lit("#"), col("j").cast("string")))
+                .as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(substring(col("h"), 1, 8)).as("m0"),
+           min(substring(col("h"), 9, 8)).as("m1"),
+           min(substring(col("h"), 17, 8)).as("m2"),
+           min(substring(col("h"), 25, 8)).as("m3"))
+      .select(col("doc_id"), expr(
+        "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
+        " j * 4 + 3, m3) AS (k, mh)"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
+    val b = sig.select(col("doc_id").as("doc_b"),
+                       col("k").as("k2"), col("mh").as("mh2"))
+    a.join(b, col("k") === col("k2") && col("mh") === col("mh2") &&
+              col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= K / 2)
+  }
+
+  /** The matching DuckDB WITH-clauses producing `pairs(doc_a, doc_b,
+    * n_match)` — embedded by both oracle strings. */
+  private[ops] val minhashPairsSql: String =
+    s"""tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s
+      |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+      |        FROM tok WHERE len(w) >= 3)),
+      |hj AS (
+      |  SELECT doc_id, j,
+      |    md5(concat(s, '#', CAST(j AS VARCHAR))) AS h
+      |  FROM (SELECT doc_id, s, unnest(range(0, 4)) AS j FROM sh)),
+      |sig AS (
+      |  SELECT doc_id, j * 4 + i AS k,
+      |    MIN(substr(h, i * 8 + 1, 8)) AS mh
+      |  FROM (SELECT doc_id, j, h, unnest(range(0, 4)) AS i FROM hj)
+      |  GROUP BY doc_id, j * 4 + i),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+      |  FROM sig a JOIN sig b
+      |    ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+      |  GROUP BY doc_a, doc_b
+      |  HAVING COUNT(*) >= ${K / 2})""".stripMargin
+
   def qs: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -51,75 +113,72 @@ object LlmOps extends OpGroup {
       // near-duplicate candidate pairs via MinHash/LSH: K=16 hash slots,
       // hash_k(shingle) = md5(shingle || '#' || k); docs agreeing on >= 8
       // of 16 slot-minima are emitted with their agreement count.
+      // Shape chosen by measurement (see SCALE.md): shingle dedup runs
+      // map-side per doc (array_distinct — no shuffle); the plan is
+      // RELATIONAL (explode + hash-agg with partial min; nested array
+      // lambdas measured 8× slower — interpreted); K=16 32-bit slots from
+      // FOUR md5s per shingle (128-bit hash sliced into 8-hex windows);
+      // explode_outer + null filter prevents InferFiltersFromGenerate
+      // from inlining the shingle expr into the scan filter 3×; the
+      // 4 window-minima aggregate per (doc, j) BEFORE stack() fans out
+      // slot rows (hash-agg consumes 4× fewer rows).
       "q_dedup_near_minhash",
-      (s, d) => {
-        // Shape chosen by measurement (see SCALE.md): shingle dedup runs
-        // map-side per doc (array_distinct — no shuffle), then the plan
-        // goes RELATIONAL (explode + hash-aggregate, whole-stage codegen,
-        // map-side partial min) rather than nested array lambdas (those
-        // are interpreted, measured 8× slower). K=16 32-bit slots come
-        // from FOUR md5s per shingle — each 128-bit md5 sliced into four
-        // 8-hex windows (standard wide-hash slicing).
-        // explode_OUTER + null filter: prevents InferFiltersFromGenerate
-        // from inlining the shingle expression into the scan filter
-        // multiple times (see q_dedup_ngram_jaccard note; same measured
-        // pathology)
-        val sig = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"),
-                  explode_outer(expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3)," +
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
-          .filter(col("s").isNotNull)
-          .select(col("doc_id"), col("s"),
-                  explode(expr("sequence(0, 3)")).as("j"))
-          .select(col("doc_id"), col("j"),
-                  md5(concat(col("s"), lit("#"), col("j").cast("string")))
-                    .as("h"))
-          // aggregate the 4 window-minima per (doc, j) BEFORE fanning out
-          // to slot rows: the hash-agg consumes |shingles|×4 rows instead
-          // of ×16, and stack() then emits just 16 rows per doc
-          .groupBy(col("doc_id"), col("j"))
-          .agg(min(substring(col("h"), 1, 8)).as("m0"),
-               min(substring(col("h"), 9, 8)).as("m1"),
-               min(substring(col("h"), 17, 8)).as("m2"),
-               min(substring(col("h"), 25, 8)).as("m3"))
-          .select(col("doc_id"), expr(
-            "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
-            " j * 4 + 3, m3) AS (k, mh)"))
-        val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
-        val b = sig.select(col("doc_id").as("doc_b"),
-                           col("k").as("k2"), col("mh").as("mh2"))
-        a.join(b, col("k") === col("k2") && col("mh") === col("mh2") &&
-                  col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_match"))
-          .filter(col("n_match") >= K / 2)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      s"""WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s
-        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
-        |        FROM tok WHERE len(w) >= 3)),
-        |hj AS (
-        |  SELECT doc_id, j,
-        |    md5(concat(s, '#', CAST(j AS VARCHAR))) AS h
-        |  FROM (SELECT doc_id, s, unnest(range(0, 4)) AS j FROM sh)),
-        |sig AS (
-        |  SELECT doc_id, j * 4 + i AS k,
-        |    MIN(substr(h, i * 8 + 1, 8)) AS mh
-        |  FROM (SELECT doc_id, j, h, unnest(range(0, 4)) AS i FROM hj)
-        |  GROUP BY doc_id, j * 4 + i)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
-        |FROM sig a JOIN sig b
-        |  ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
-        |GROUP BY doc_a, doc_b
-        |HAVING COUNT(*) >= ${K / 2}
+      (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      s"""WITH $minhashPairsSql
+        |SELECT doc_a, doc_b, n_match FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
+      // dedup clustering: connected components over the near-dup pair
+      // graph — the canonical-document step a real dedup pipeline ends
+      // with. Spark side: min-label propagation iterated to FIXPOINT
+      // (driver-coordinated loop, the Pregel pattern — each iteration is
+      // one distributed join+agg; lineage truncated per step via
+      // localCheckpoint). Oracle: recursive CTE transitive closure.
+      // Both compute exact connected components, so results agree by
+      // definition; cluster id = min doc_id in the component.
+      "q_dedup_cluster",
+      (s, d) => {
+        val pairs = minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        var labels = edges.select(col("doc_a").as("doc")).distinct()
+          .withColumn("root", col("doc")).localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val prop = edges
+            .join(labels, col("doc_a") === col("doc"))
+            .groupBy(col("doc_b").as("doc2"))
+            .agg(min(col("root")).as("nroot"))
+          val next = labels
+            .join(prop, col("doc") === col("doc2"), "left")
+            .select(col("doc"),
+                    least(col("root"), coalesce(col("nroot"), col("root")))
+                      .as("root"))
+            .localCheckpoint()
+          changed = next.join(labels.withColumnRenamed("root", "old"), "doc")
+            .filter(col("root") =!= col("old")).count()
+          labels = next
+        }
+        labels.groupBy(col("root"))
+          .agg(count(lit(1)).as("cluster_size"),
+               sort_array(collect_list(col("doc"))).as("members"))
+          .orderBy(col("root"))
+      },
+      s"""WITH RECURSIVE $minhashPairsSql,
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc, root) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_b, w.root FROM walk w
+        |  JOIN edges e ON e.doc_a = w.doc),
+        |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc)
+        |SELECT root, COUNT(*) AS cluster_size,
+        |  list_sort(list(doc)) AS members
+        |FROM comp GROUP BY root ORDER BY root""".stripMargin),
 
     Q(
       // brute-force cosine top-3 for query vectors (vec_id < 10) against
