@@ -108,6 +108,61 @@ object Streaming extends OpGroup {
         |SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_us) AS start_us,
         |  MAX(ts_us) - MIN(ts_us) AS dur_us
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, sid""".stripMargin)
+        |ORDER BY user_id, sid""".stripMargin),
+
+    Q(
+      // time-series resample + forward fill: each user's event values
+      // sampled onto a fixed 6-hour grid, carrying the last observation
+      // forward — the asof machinery (union-tag + running last) applied
+      // to gap-filling. One shuffle on user_id; the grid is generated,
+      // never materialized as input. Tie note: verified no duplicate
+      // (user_id, ts_us) events at any fixture scale, so "last
+      // observation" is unique (DeterminismSpec double-runs guard it).
+      "q_ts_resample",
+      (s, d) => {
+        val stepUs = 6L * 3600 * 1000000
+        val startUs = 1704067200000000L // 2024-01-01 00:00 UTC
+        val endUs = 1706745600000000L   // 2024-02-01 00:00 UTC
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"),
+                  money(col("value")).as("v"), lit(0).as("is_grid"))
+        val grid = Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"),
+                  explode(expr(s"sequence(${startUs}L, ${endUs}L, ${stepUs}L)"))
+                    .as("ts_us"),
+                  lit(null).cast(graft.Determinism.Money).as("v"),
+                  lit(1).as("is_grid"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("is_grid").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.unionByName(grid)
+          .withColumn("ffill", last(col("v"), ignoreNulls = true).over(w))
+          .filter(col("is_grid") === 1)
+          .select(col("user_id"), col("ts_us").as("grid_us"),
+                  coalesce(col("ffill"), lit(-1).cast(graft.Determinism.Money))
+                    .as("v_ffill"))
+          .orderBy(col("user_id"), col("grid_us"))
+      },
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS v,
+        |    0 AS is_grid
+        |  FROM events),
+        |grid AS (
+        |  SELECT u.user_id, g.ts_us, CAST(NULL AS DECIMAL(18,2)) AS v,
+        |    1 AS is_grid
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(range(1704067200000000,
+        |    1706745600000001, 21600000000)) AS ts_us) g),
+        |u AS (SELECT * FROM ev UNION ALL BY NAME SELECT * FROM grid),
+        |f AS (
+        |  SELECT *, last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us ASC, is_grid ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+        |  FROM u)
+        |SELECT user_id, ts_us AS grid_us,
+        |  COALESCE(ffill, CAST(-1 AS DECIMAL(18,2))) AS v_ffill
+        |FROM f WHERE is_grid = 1
+        |ORDER BY user_id, grid_us""".stripMargin)
   )
 }
