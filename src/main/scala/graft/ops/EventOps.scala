@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
@@ -91,6 +92,33 @@ object EventOps extends OpGroup {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN cohort ON e.user_id = cohort.user_id
         |GROUP BY cohort_us, weeks_since
-        |ORDER BY cohort_us, weeks_since""".stripMargin)
+        |ORDER BY cohort_us, weeks_since""".stripMargin),
+
+    Q(
+      // event-sequence transition matrix (1st-order Markov): counts of
+      // consecutive (prev_type -> type) per user timeline; '^' marks the
+      // start state. lag() over a unique (ts, id) order — one shuffle.
+      "q_events_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+                  col("event_type"))
+          .withColumn("prev",
+            coalesce(lag(col("event_type"), 1).over(w), lit("^")))
+          .groupBy(col("prev"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev"), col("event_type"))
+      },
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    COALESCE(lag(event_type) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY epoch_us(ts) ASC, event_id ASC), '^') AS prev
+        |  FROM events)
+        |SELECT prev, event_type, COUNT(*) AS n
+        |FROM t GROUP BY prev, event_type
+        |ORDER BY prev, event_type""".stripMargin)
   )
 }
