@@ -68,6 +68,27 @@ class ApproxSpec extends SparkSpec {
   }
 }
 
+/** Source-format surface beyond parquet: CSV and JSON-lines with
+  * explicit schemas (schema inference is banned at scale — a full-file
+  * inference pass over 100 TB is a job in itself). */
+class SourceFormatSpec extends SparkSpec {
+
+  test("csv and json-lines round-trip with explicit schemas") {
+    val dir = tmpDir("fmt")
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    src.write.mode("overwrite").json(s"$dir/json")
+    val csvBack = spark.read.schema(src.schema)
+      .option("header", "true").csv(s"$dir/csv")
+    val jsonBack = spark.read.schema(src.schema).json(s"$dir/json")
+    val want = src.orderBy("n_nationkey").collect().toSeq
+    assert(csvBack.orderBy("n_nationkey").collect().toSeq == want)
+    assert(jsonBack.orderBy("n_nationkey").collect().toSeq == want)
+    // schema is the declared one, not an inferred guess
+    assert(csvBack.schema == src.schema && jsonBack.schema == src.schema)
+  }
+}
+
 /** SURVEY §5.2.3: every declared query must produce identical rows under
   * different shuffle fan-outs — catches partition-order-dependent
   * aggregation (double sums), nondeterministic row picks, and missing
