@@ -151,6 +151,22 @@ object TextOps extends OpGroup {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
 
     Q(
+      // fuzzy matching primitive: edit distance of each customer name to
+      // a probe string, bucketed — levenshtein() is exact integer math
+      // in both engines (the 100 TB use: blocking-key join + editdist
+      // confirm, same shape as the LSH-prune + cosine-confirm pattern)
+      "q_fn_levenshtein",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+                levenshtein(col("c_name"), lit("customer 42")).as("dist"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_key"))
+        .orderBy(col("dist")),
+      """SELECT levenshtein(c_name, 'customer 42') AS dist,
+        |  COUNT(*) AS n, MIN(c_custkey) AS first_key
+        |FROM customer GROUP BY dist ORDER BY dist""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact

@@ -126,6 +126,32 @@ object Windows extends OpGroup {
         |ORDER BY c_custkey""".stripMargin),
 
     Q(
+      // share-of-total reporting ratios: window aggregate over the whole
+      // result (empty OVER ()) and per-group — integer counts through
+      // exactly-rounded IEEE division, so portable without decimal casts
+      "q_win_share_of_total",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("pct_total",
+            r4(col("n") / sum(col("n")).over(Window.partitionBy())))
+          .withColumn("pct_in_status",
+            r4(col("n") / sum(col("n"))
+              .over(Window.partitionBy(col("o_orderstatus")))))
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderstatus, o_orderpriority, n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS pct_total,
+        |  round(CAST(n AS DOUBLE) /
+        |        SUM(n) OVER (PARTITION BY o_orderstatus), 4) AS pct_in_status
+        |FROM c ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+
+    Q(
       // navigation fns over a fully-framed window: first/last/nth order
       // key per customer by (date, key) — frame must be UNBOUNDED..UNBOUNDED
       // for last/nth to see the whole partition

@@ -58,6 +58,21 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
   }
 
+  test("stratified sampleBy honors per-stratum fractions (seeded)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val sampled = li.stat.sampleBy("l_returnflag",
+      Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.0), seed = 7L)
+    val counts = sampled.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("R")) // 0-fraction stratum fully excluded
+    val fa = counts("A").toDouble / base("A")
+    val fn = counts("N").toDouble / base("N")
+    assert(fa > 0.35 && fa < 0.65, s"A fraction $fa")
+    assert(fn > 0.03 && fn < 0.2, s"N fraction $fn")
+  }
+
   test("seeded sample is deterministic within Spark and size-plausible") {
     val li = Tables.lineitem(spark, sfDir)
     val a = li.sample(withReplacement = false, 0.1, seed = 42)
