@@ -144,6 +144,34 @@ object Aggs extends OpGroup {
         |ORDER BY o_custkey""".stripMargin),
 
     Q(
+      // deterministic mode: most frequent quantity per flag, ties broken
+      // by smallest value — native mode() has engine-specific tie picks,
+      // so both sides use the same count+rank formulation
+      "q_agg_mode",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+                  col("n").as("mode_n"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin),
+
+    Q(
       // array-building aggregation — collect_list is ingestion-order
       // nondeterministic, so the output array is sorted (R5 allows array
       // outputs; determinism restored via sort_array)
