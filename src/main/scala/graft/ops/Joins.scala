@@ -186,6 +186,29 @@ object Joins extends OpGroup {
         |ORDER BY a_id, b_id""".stripMargin),
 
     Q(
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+      // match each other instead of silently dropping — the classic
+      // correctness corner of joining on derived nullable keys
+      "q_join_nullsafe",
+      (s, d) => {
+        val g = Tables.orders(s, d)
+          .groupBy(nullif(col("o_orderstatus"), lit("O")).as("k"))
+          .agg(count(lit(1)).as("n"))
+        g.select(col("k"), col("n").as("n_a"))
+          .join(g.select(col("k").as("k2"), col("n").as("n_b")),
+                col("k") <=> col("k2"))
+          .select(coalesce(col("k"), lit("NULL")).as("k"),
+                  col("n_a"), col("n_b"))
+          .orderBy(col("k"))
+      },
+      """WITH g AS (
+        |  SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS n
+        |  FROM orders GROUP BY NULLIF(o_orderstatus, 'O'))
+        |SELECT COALESCE(a.k, 'NULL') AS k, a.n AS n_a, b.n AS n_b
+        |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin),
+
+    Q(
       // as-of join (SURVEY §2.3/§4.3): for each purchase, the most recent
       // strictly-prior click by the same user. Spark has no native ASOF —
       // emulated as ONE pass: union-tag both sides, then
