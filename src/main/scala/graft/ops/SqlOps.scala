@@ -107,6 +107,32 @@ object SqlOps extends OpGroup {
         |ORDER BY o_orderkey""".stripMargin),
 
     Q(
+      // UNPIVOT (melt): wide per-flag measures back to long
+      // (measure, value) rows — the inverse reshape of q_pivot
+      "q_unpivot",
+      (s, d) => {
+        val wide = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(asMoney(sum(money("l_quantity"))).as("qty"),
+               asMoney(sum(money("l_extendedprice"))).as("price"),
+               asMoney(sum(money("l_discount"))).as("disc"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("qty"), col("price"), col("disc")),
+            "measure", "value")
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS qty,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS price,
+        |    CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM wide UNPIVOT (value FOR measure IN (qty, price, disc))
+        |ORDER BY l_returnflag, measure""".stripMargin),
+
+    Q(
       // PIVOT with explicit value list (deterministic column set);
       // oracle expresses the same reshape as conditional aggregation
       "q_pivot",
