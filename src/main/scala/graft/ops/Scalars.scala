@@ -104,6 +104,26 @@ object Scalars extends OpGroup {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq""".stripMargin),
 
     Q(
+      // bitwise surface — exact integer semantics in both engines
+      "q_fn_bitops",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          expr("o_orderkey & 255").as("band"),
+          expr("o_orderkey | 4096").as("bor"),
+          expr("o_orderkey ^ 1023").as("bxor"),
+          expr("shiftleft(o_orderkey, 2)").as("shl"),
+          expr("shiftright(o_orderkey, 3)").as("shr"))
+        .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, 1023) AS bxor,
+        |  o_orderkey << 2 AS shl,
+        |  o_orderkey >> 3 AS shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    Q(
       "q_fn_case_coalesce",
       (s, d) => Tables.orders(s, d)
         .select(
