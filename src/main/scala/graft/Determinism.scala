@@ -19,12 +19,22 @@ object Determinism {
   def money(c: Column): Column = c.cast(Money)
   def money(name: String): Column = money(col(name))
 
-  /** Final cast of a decimal aggregate back to DECIMAL(18,2). MUST round
-    * explicitly before casting: Spark's decimal downscale cast rounds
-    * HALF_UP but DuckDB's TRUNCATES (verified: CAST(0.135 AS DEC(18,2)) →
-    * 0.13 there). ROUND(x,2) is half-away-from-zero in both engines, so
-    * the oracle side is always `CAST(ROUND(x, 2) AS DECIMAL(18,2))`. */
-  def asMoney(c: Column): Column = round(c, 2).cast(Money)
+  /** Final projection of a decimal aggregate: round to cents, then emit
+    * as DOUBLE. MUST round explicitly before casting: Spark's decimal
+    * downscale cast rounds HALF_UP but DuckDB's TRUNCATES (verified:
+    * CAST(0.135 AS DEC(18,2)) → 0.13 there). ROUND(x,2) is
+    * half-away-from-zero in both engines, so the oracle side is always
+    * `CAST(ROUND(x, 2) AS DOUBLE)`.
+    *
+    * Why DOUBLE and not DECIMAL(18,2) (round-1 driver lesson): the
+    * driver's comparator stringifies pandas values — Spark decimal
+    * parquet loads as Decimal('253942.00') while DuckDB decimals arrive
+    * float64 ('253942.0'), so equal values hash differently. The same
+    * scale-2 decimal converts to the same double on both engines
+    * (conversion is exact-input deterministic), making the final double
+    * bit-identical. All *aggregation* still happens in DECIMAL(18,2)
+    * (R2) — only the final output column is widened. */
+  def asMoney(c: Column): Column = round(c, 2).cast(Money).cast("double")
 
   /** Deterministic average: exact decimal sum → one double → divide by
     * exact count → round. Avoids both engines' (different) native

@@ -30,9 +30,9 @@ object Aggs extends OpGroup {
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -65,7 +65,7 @@ object Aggs extends OpGroup {
         .orderBy(col("g_flag"), col("g_status"),
                  asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS cnt,
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
@@ -84,7 +84,7 @@ object Aggs extends OpGroup {
         .orderBy(col("g_flag"), col("g_status"),
                  asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS cnt,
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
@@ -99,14 +99,14 @@ object Aggs extends OpGroup {
         Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-            |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+            |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
             |  COUNT(*) AS cnt
             |FROM gs_lineitem
             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -139,7 +139,7 @@ object Aggs extends OpGroup {
         .filter(col("n_orders") >= 15)
         .orderBy(col("o_custkey")),
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_total
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin),
 
@@ -173,17 +173,20 @@ object Aggs extends OpGroup {
 
     Q(
       // array-building aggregation — collect_list is ingestion-order
-      // nondeterministic, so the output array is sorted (R5 allows array
-      // outputs; determinism restored via sort_array)
+      // nondeterministic, so the array is sorted, then serialized to a
+      // CSV string (R5: scalar outputs only — array cells crash the
+      // driver comparator's pandas sort, CORRECTNESS_r01 `err`)
       "q_agg_collect_sorted",
       (s, d) => Tables.orders(s, d)
         .filter(col("o_custkey") <= 20)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+               .as("order_keys"),
              count(lit(1)).as("n"))
         .orderBy(col("o_custkey")),
       """SELECT o_custkey,
-        |  list_sort(list(o_orderkey)) AS order_keys, COUNT(*) AS n
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  COUNT(*) AS n
         |FROM orders WHERE o_custkey <= 20
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   )

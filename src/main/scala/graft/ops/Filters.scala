@@ -18,7 +18,7 @@ object Filters extends OpGroup {
         // (l_orderkey, l_linenumber) not unique in fixture → full-row order
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue")),
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS revenue
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin),
 
     Q(
@@ -42,7 +42,7 @@ object Filters extends OpGroup {
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_revenue"))
       },
       """SELECT l_orderkey, l_linenumber, o_orderpriority,
-        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS disc_revenue
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS disc_revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
         |  AND l_discount BETWEEN 0.05 AND 0.07

@@ -25,11 +25,11 @@ object Joins extends OpGroup {
       (s, d) => Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
-                money("l_extendedprice").as("price"))
+                money("l_extendedprice").cast("double").as("price"))
         // (l_orderkey, l_linenumber) not unique in fixture → full-row order
         .orderBy(col("o_orderkey"), col("l_linenumber"), col("price")),
       """SELECT o_orderkey, l_linenumber, o_orderstatus,
-        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS price
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey, l_linenumber, price""".stripMargin),
 
@@ -60,7 +60,7 @@ object Joins extends OpGroup {
              asMoney(sum(money("l_extendedprice"))).as("sum_price"))
         .orderBy(col("o_orderstatus")),
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
-        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
@@ -74,7 +74,7 @@ object Joins extends OpGroup {
              asMoney(sum(money("l_quantity"))).as("sum_qty"))
         .orderBy(col("p_brand")),
       """SELECT p_brand, COUNT(*) AS n_lines,
-        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM part JOIN lineitem ON p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
@@ -84,10 +84,10 @@ object Joins extends OpGroup {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"),
                 coalesce(col("o_orderkey"), lit(-1L)).as("o_key"),
-                money("o_totalprice").as("total"))
+                money("o_totalprice").cast("double").as("total"))
         .orderBy(col("c_custkey"), col("o_key")),
       """SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key,
-        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS total
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_key""".stripMargin),
 
@@ -148,14 +148,14 @@ object Joins extends OpGroup {
               col("l_partkey") === col("p_partkey") &&
               col("l_extendedprice") > col("p_retailprice") * 40)
         .select(col("l_orderkey"), col("l_linenumber"),
-                money("l_extendedprice").as("price"),
-                money("p_retailprice").as("retail"))
+                money("l_extendedprice").cast("double").as("price"),
+                money("p_retailprice").cast("double").as("retail"))
         // (l_orderkey, l_linenumber) not unique in fixture → full-row order
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
                  col("retail")),
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS price,
-        |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS retail
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price,
+        |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS retail
         |FROM lineitem JOIN part
         |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 40
         |ORDER BY l_orderkey, l_linenumber, price, retail""".stripMargin),

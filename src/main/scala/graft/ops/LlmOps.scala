@@ -163,7 +163,10 @@ object LlmOps extends OpGroup {
         }
         labels.groupBy(col("root"))
           .agg(count(lit(1)).as("cluster_size"),
-               sort_array(collect_list(col("doc"))).as("members"))
+               // R5: serialize member list to a CSV string — array cells
+               // crash the driver comparator (CORRECTNESS_r01 `err`)
+               concat_ws(",", sort_array(collect_list(col("doc"))))
+                 .as("members"))
           .orderBy(col("root"))
       },
       s"""WITH RECURSIVE $minhashPairsSql,
@@ -177,7 +180,7 @@ object LlmOps extends OpGroup {
         |  JOIN edges e ON e.doc_a = w.doc),
         |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc)
         |SELECT root, COUNT(*) AS cluster_size,
-        |  list_sort(list(doc)) AS members
+        |  array_to_string(list_sort(list(doc)), ',') AS members
         |FROM comp GROUP BY root ORDER BY root""".stripMargin),
 
     Q(
@@ -238,12 +241,13 @@ object LlmOps extends OpGroup {
              sum(col("n_chars")).as("sum_chars"),
              avg4(sum(col("n_chars")), count(lit(1))).as("avg_chars"),
              sum(col("n_tokens")).as("sum_tokens"),
-             min(col("n_tokens")).as("min_tokens"),
-             max(col("n_tokens")).as("max_tokens"))
+             min(col("n_tokens")).cast("bigint").as("min_tokens"),
+             max(col("n_tokens")).cast("bigint").as("max_tokens"))
         .orderBy(col("lang")),
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
-        |  SUM(len(string_split(text, ' '))) AS sum_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  MIN(len(string_split(text, ' '))) AS min_tokens,
         |  MAX(len(string_split(text, ' '))) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),

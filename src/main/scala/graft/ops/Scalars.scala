@@ -68,14 +68,16 @@ object Scalars extends OpGroup {
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
-          trunc(col("o_orderdate"), "month").as("month_start"),
+          // R4: dates cross the compare as 'yyyy-MM-dd' strings
+          date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd")
+            .as("month_start"),
           datediff(col("o_orderdate").cast("date"),
                    to_date(lit("1995-01-01"))).as("days_since_epoch95"))
         .orderBy(col("o_orderkey")),
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |  day(o_orderdate) AS dom,
-        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |    AS days_since_epoch95
         |FROM orders ORDER BY o_orderkey""".stripMargin),
@@ -195,7 +197,7 @@ object Scalars extends OpGroup {
              sum(col("k")).as("sum_k"))
         .orderBy(col("event_type")),
       """SELECT event_type, COUNT(k) AS n, MIN(k) AS min_k,
-        |  MAX(k) AS max_k, SUM(k) AS sum_k
+        |  MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
@@ -233,11 +235,11 @@ object Scalars extends OpGroup {
                 struct(col("o_orderdate").as("dt"),
                        col("o_totalprice").as("total")).as("env"))
         .select(col("o_orderkey"),
-                col("env.dt").cast("date").as("od"),
-                money(col("env.total")).as("total"))
+                date_format(col("env.dt"), "yyyy-MM-dd").as("od"),
+                money(col("env.total")).cast("double").as("total"))
         .orderBy(col("o_orderkey")),
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
-        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total
         |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 }

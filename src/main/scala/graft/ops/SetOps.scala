@@ -37,12 +37,13 @@ object SetOps extends OpGroup {
     Q(
       "q_limit_offset",
       (s, d) => Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
-                money("o_totalprice").as("total"))
+        .select(col("o_orderkey"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+                money("o_totalprice").cast("double").as("total"))
         .orderBy(col("odate"), col("o_orderkey"))
         .offset(10).limit(20),
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total
         |FROM orders ORDER BY odate, o_orderkey
         |LIMIT 20 OFFSET 10""".stripMargin),
 
@@ -58,7 +59,7 @@ object SetOps extends OpGroup {
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(10),
       """SELECT c_custkey, c_name,
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS revenue
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin),

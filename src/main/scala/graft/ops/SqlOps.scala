@@ -70,7 +70,7 @@ object SqlOps extends OpGroup {
         Tables.lineitem(s, d).createOrReplaceTempView("li_sq")
         s.sql(
           """SELECT l_orderkey, l_linenumber,
-            |  CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS qty
+            |  CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)), 2) AS DOUBLE) AS qty
             |FROM li_sq o
             |WHERE l_quantity * 2 *
             |    (SELECT COUNT(*) FROM li_sq i WHERE i.l_partkey = o.l_partkey)
@@ -79,7 +79,7 @@ object SqlOps extends OpGroup {
             |ORDER BY l_orderkey, l_linenumber, qty""".stripMargin)
       },
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS qty
+        |  CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)), 2) AS DOUBLE) AS qty
         |FROM lineitem o
         |WHERE l_quantity * 2 *
         |    (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = o.l_partkey)
@@ -124,9 +124,9 @@ object SqlOps extends OpGroup {
       },
       """WITH wide AS (
         |  SELECT l_returnflag,
-        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS qty,
-        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS price,
-        |    CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS disc
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price,
+        |    CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, measure, value
         |FROM wide UNPIVOT (value FOR measure IN (qty, price, disc))
@@ -145,9 +145,9 @@ object SqlOps extends OpGroup {
         .orderBy(col("l_returnflag")),
       """SELECT l_returnflag,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-        |       FILTER (WHERE l_linestatus = 'F'), 2) AS DECIMAL(18,2)) AS qty_f,
+        |       FILTER (WHERE l_linestatus = 'F'), 2) AS DOUBLE) AS qty_f,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-        |       FILTER (WHERE l_linestatus = 'O'), 2) AS DECIMAL(18,2)) AS qty_o
+        |       FILTER (WHERE l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)
   )

@@ -38,7 +38,7 @@ object Streaming extends OpGroup {
         .orderBy(col("win_us"), col("event_type")),
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
         |  COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_us, event_type
         |ORDER BY win_us, event_type""".stripMargin),
 
@@ -63,7 +63,7 @@ object Streaming extends OpGroup {
         |    event_type, value
         |  FROM x)
         |SELECT win_us, event_type, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM e GROUP BY win_us, event_type
         |ORDER BY win_us, event_type""".stripMargin),
 
@@ -105,7 +105,8 @@ object Streaming extends OpGroup {
         |      (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM f)
-        |SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_us) AS start_us,
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us,
         |  MAX(ts_us) - MIN(ts_us) AS dur_us
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin),
@@ -125,12 +126,13 @@ object Streaming extends OpGroup {
         val endUs = 1706745600000000L   // 2024-02-01 00:00 UTC
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts_us"),
-                  money(col("value")).as("v"), lit(0).as("is_grid"))
+                  money(col("value")).cast("double").as("v"),
+                  lit(0).as("is_grid"))
         val grid = Tables.events(s, d).select(col("user_id")).distinct()
           .select(col("user_id"),
                   explode(expr(s"sequence(${startUs}L, ${endUs}L, ${stepUs}L)"))
                     .as("ts_us"),
-                  lit(null).cast(graft.Determinism.Money).as("v"),
+                  lit(null).cast("double").as("v"),
                   lit(1).as("is_grid"))
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us").asc, col("is_grid").asc)
@@ -139,17 +141,17 @@ object Streaming extends OpGroup {
           .withColumn("ffill", last(col("v"), ignoreNulls = true).over(w))
           .filter(col("is_grid") === 1)
           .select(col("user_id"), col("ts_us").as("grid_us"),
-                  coalesce(col("ffill"), lit(-1).cast(graft.Determinism.Money))
+                  coalesce(col("ffill"), lit(-1).cast("double"))
                     .as("v_ffill"))
           .orderBy(col("user_id"), col("grid_us"))
       },
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |    CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS v,
+        |    CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS v,
         |    0 AS is_grid
         |  FROM events),
         |grid AS (
-        |  SELECT u.user_id, g.ts_us, CAST(NULL AS DECIMAL(18,2)) AS v,
+        |  SELECT u.user_id, g.ts_us, CAST(NULL AS DOUBLE) AS v,
         |    1 AS is_grid
         |  FROM (SELECT DISTINCT user_id FROM events) u
         |  CROSS JOIN (SELECT unnest(range(1704067200000000,
@@ -161,7 +163,7 @@ object Streaming extends OpGroup {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
         |  FROM u)
         |SELECT user_id, ts_us AS grid_us,
-        |  COALESCE(ffill, CAST(-1 AS DECIMAL(18,2))) AS v_ffill
+        |  COALESCE(ffill, CAST(-1 AS DOUBLE)) AS v_ffill
         |FROM f WHERE is_grid = 1
         |ORDER BY user_id, grid_us""".stripMargin)
   )

@@ -146,7 +146,8 @@ object TextOps extends OpGroup {
         |    list_sum(list_transform(string_split(text, ' '),
         |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_bpe
         |  FROM documents)
-        |SELECT lang, SUM(n_ws) AS ws_tokens, SUM(n_bpe) AS bpe_tokens,
+        |SELECT lang, CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
         |  round(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 4) AS avg_bpe_per_doc
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
 
@@ -204,9 +205,10 @@ object TextOps extends OpGroup {
         |         + (instr('0123456789abcdef', substr(md5(w[i]), 2, 1)) - 1)
         |        AS BIGINT)
         |      * CAST(pow(31.0, (i - 1) % 8) AS BIGINT)))
-        |    % 2147483647 AS fp
+        |    % 2147483647 AS fp0
         |  FROM w)
-        |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |SELECT CAST(fp0 AS BIGINT) AS fp, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS first_doc
         |FROM v GROUP BY fp ORDER BY fp""".stripMargin)
   )
 }

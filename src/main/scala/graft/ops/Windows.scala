@@ -83,7 +83,7 @@ object Windows extends OpGroup {
       """SELECT o_custkey, o_orderkey,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DECIMAL(18,2)) AS moving_sum
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     Q(
@@ -102,7 +102,7 @@ object Windows extends OpGroup {
       """SELECT event_id, event_type, value,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY event_type ORDER BY value
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(18,2)) AS running_sum
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_sum
         |FROM events ORDER BY event_id""".stripMargin),
 
     Q(

@@ -1,49 +1,60 @@
 #!/usr/bin/env python3
-"""Local pre-flight for the driver's DuckDB oracle compare (t2).
+"""Driver-strict pre-flight for the DuckDB oracle compare (t2).
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
-Reads each SparkEntry query result (parquet written by graft.Verify) and
-re-runs the paired oracle SQL in DuckDB over the same source tables, then
-compares: row count, column-name set, and exact values (columns sorted by
-name; rows in query order — every declared query is totally ordered).
+Round-1 lesson (CORRECTNESS_r01.json): the previous version of this script
+canonicalized Decimal scale and float repr, reporting 88/88 locally while the
+driver saw 60/88. The driver loads the Spark result with pandas.read_parquet
+and the oracle with duckdb .df(), sorts columns by name, sorts rows with
+DataFrame.sort_values, then compares STRINGIFIED cell values with NO numeric
+normalization — Decimal('253942.00') != '253942.0', datetime.date(...) !=
+Timestamp(...), and array cells crash sort_values outright.
+
+This script reproduces those semantics exactly:
+  - Spark side: pandas.read_parquet on the whole query output dir.
+  - Oracle side: duckdb con.execute(sql).df().
+  - Columns sorted by name; rows sorted by sort_values(all columns)
+    (TypeError => FAIL, matching the driver's `err` rows).
+  - Cells compared as str(value) — no Decimal.normalize, no float coercion.
+  - pandas dtype mismatch is reported as a FAIL even if strings happen to
+    match: identical dtypes are the only way to *guarantee* identical
+    stringification, so we force canonical output types on every query.
 """
-import sys, json, glob, decimal, datetime, math
+import sys, json, glob
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, decimal.Decimal):
-        # numeric equality across scales: 1234.50 == 1234.5
-        return "dec:" + format(v.normalize(), "f")
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return "flt:" + repr(v)
-    if isinstance(v, int):
-        return "int:" + str(v)
-    if isinstance(v, datetime.datetime):
-        return "ts:" + v.isoformat()
-    if isinstance(v, datetime.date):
-        return "date:" + v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return "str:" + str(v)
+def norm(df):
+    """Driver-style canonical frame: columns sorted by name, rows sorted by
+    all columns, cells stringified. Raises on unsortable cells (arrays)."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    return df
 
 
-def fetch(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+def cells(df):
+    return [tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)]
+
+
+def dtype_class(dt):
+    """Stringification-equivalence class of a pandas dtype. The driver
+    compares str(value), so dtypes that ALWAYS stringify equal values
+    identically (int32 vs int64) are interchangeable; anything else
+    (Decimal object vs float64, date object vs datetime64, float32 vs
+    float64, int vs float) changes stringification and must match."""
+    s = str(dt)
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("datetime64"):
+        return "datetime"
+    return s
 
 
 def main():
@@ -61,21 +72,35 @@ def main():
             n_fail += 1
             continue
         try:
-            scols, srows = fetch(
-                con, f"SELECT * FROM read_parquet({files!r})")
-            ocols, orows = fetch(con, oracle[name])
+            sdf = pd.read_parquet(files if len(files) > 1 else files[0])
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        if scols != ocols:
-            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} "
+                  f"oracle={sorted(odf.columns)}")
             n_fail += 1
             continue
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
             continue
+        try:
+            sdf, odf = norm(sdf), norm(odf)
+        except Exception as e:
+            print(f"FAIL {name}: sort error (driver 'err'): {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sd, od = dict(sdf.dtypes), dict(odf.dtypes)
+        dt_bad = [c for c in sd if dtype_class(sd[c]) != dtype_class(od[c])]
+        if dt_bad:
+            detail = ", ".join(f"{c}: spark={sd[c]} oracle={od[c]}" for c in dt_bad)
+            print(f"FAIL {name}: dtype mismatch ({detail})")
+            n_fail += 1
+            continue
+        srows, orows = cells(sdf), cells(odf)
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
         if bad:
             i, a, b = bad[0]
