@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * boxes, and walks three structures" in the 100 TB hot path (ANN
   * scoring touches every vector pair the LSH bucketing lets through).
   *
-  * Semantics match the lambda formulation EXACTLY (sequential
-  * left-to-right fold, float→double exact widening) so swapping it into
-  * oracle-checked queries cannot change a hash.
+  * Semantics match the lambda formulation for EQUAL-LENGTH arrays with
+  * NON-NULL elements (sequential left-to-right fold, float→double exact
+  * widening) — the embeddings contract this engine enforces at
+  * ingestion. Unlike `aggregate(zip_with(...))`, mismatched lengths
+  * truncate to the shorter array (zip_with would null-pad and yield a
+  * null sum) and containsNull element slots read as 0.0f; don't swap
+  * this into a query whose inputs can violate the contract.
   */
 case class DotF32(left: Expression, right: Expression)
   extends BinaryExpression {

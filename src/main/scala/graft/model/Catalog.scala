@@ -38,9 +38,19 @@ final class Catalog(spark: SparkSession, path: String) {
     meta
   }
 
+  /** Empty ONLY when the catalog doesn't exist yet (first registration).
+    * Any other read failure propagates: swallowing it here would let
+    * register() overwrite the catalog with a single topic, silently
+    * dropping every other topic's metadata. register() is read-then-
+    * overwrite and therefore not safe under concurrent registrations —
+    * callers must serialize (the recorder registers topics one at a
+    * time from the driver). */
   def all(): Seq[TopicMeta] =
     try spark.read.parquet(path).as[TopicMeta].collect().toSeq
-    catch { case _: Exception => Seq.empty } // first registration
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Seq.empty
+    }
 
   def lookup(topic: String): Option[TopicMeta] =
     all().find(_.topic == topic)

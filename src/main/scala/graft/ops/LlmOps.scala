@@ -151,15 +151,19 @@ object LlmOps extends OpGroup {
             .join(labels, col("doc_a") === col("doc"))
             .groupBy(col("doc_b").as("doc2"))
             .agg(min(col("root")).as("nroot"))
+          // Carry the previous root through the update so convergence is
+          // read off the checkpointed result with a trivial local scan —
+          // the round-1 shape re-joined next⋈labels per iteration, re-
+          // executing the propagation join just to count changed rows.
           val next = labels
             .join(prop, col("doc") === col("doc2"), "left")
             .select(col("doc"),
                     least(col("root"), coalesce(col("nroot"), col("root")))
-                      .as("root"))
+                      .as("root"),
+                    col("root").as("old"))
             .localCheckpoint()
-          changed = next.join(labels.withColumnRenamed("root", "old"), "doc")
-            .filter(col("root") =!= col("old")).count()
-          labels = next
+          changed = next.filter(col("root") =!= col("old")).count()
+          labels = next.select(col("doc"), col("root"))
         }
         labels.groupBy(col("root"))
           .agg(count(lit(1)).as("cluster_size"),

@@ -249,15 +249,20 @@ object NearDupOps extends OpGroup {
         val cent = e.filter(col("vec_id") % 200 === 0)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
                   col("nrm").as("cnrm"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cent_id").asc)
+        // nearest-centroid assignment as a max_by aggregation (argmax of
+        // (ccos, -cent_id) — same ordering as the oracle's row_number
+        // ccos DESC, cent_id ASC): partial aggregation collapses the n×k
+        // candidate rows to one per vector MAP-SIDE, where the round-1
+        // row_number window shuffled all n×k rows first.
         val assign = e.join(broadcast(cent), col("vec_id") =!= lit(-1L))
           .withColumn("ccos",
             r4(dot("embedding", "cemb") / (col("nrm") * col("cnrm"))))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-                  col("cent_id").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("embedding"), col("nrm"), col("cent_id")),
+            struct(col("ccos"), (-col("cent_id")).as("neg"))).as("b"))
+          .select(col("vec_id"), col("b.embedding").as("embedding"),
+                  col("b.nrm").as("nrm"), col("b.cent_id").as("cell"))
         val q = assign.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
                   col("nrm").as("qn"), col("cell"))

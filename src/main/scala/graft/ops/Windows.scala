@@ -126,20 +126,26 @@ object Windows extends OpGroup {
         |ORDER BY c_custkey""".stripMargin),
 
     Q(
-      // share-of-total reporting ratios: window aggregate over the whole
-      // result (empty OVER ()) and per-group — integer counts through
+      // share-of-total reporting ratios: grand total computed as a scalar
+      // aggregate broadcast-joined back (NOT an empty OVER () window —
+      // that moves every row to a single partition, a scale-killer
+      // template even when the input happens to be small); per-status
+      // share stays a keyed window. Integer counts through
       // exactly-rounded IEEE division, so portable without decimal casts
       "q_win_share_of_total",
       (s, d) => {
         val counts = Tables.orders(s, d)
           .groupBy(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("grand_total"))
         counts
-          .withColumn("pct_total",
-            r4(col("n") / sum(col("n")).over(Window.partitionBy())))
+          .crossJoin(broadcast(total))
+          .withColumn("pct_total", r4(col("n") / col("grand_total")))
           .withColumn("pct_in_status",
             r4(col("n") / sum(col("n"))
               .over(Window.partitionBy(col("o_orderstatus")))))
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+                  col("pct_total"), col("pct_in_status"))
           .orderBy(col("o_orderstatus"), col("o_orderpriority"))
       },
       """WITH c AS (

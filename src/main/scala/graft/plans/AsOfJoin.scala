@@ -25,8 +25,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * pre-bucketed tables join with zero shuffle.
   *
   * Contract: keys are any hashable type; time columns must be LongType
-  * (the engine's canonical epoch-µs form, SURVEY §2.0 R4). Unmatched
-  * left rows emit nulls on the right (LEFT OUTER asof semantics).
+  * (the engine's canonical epoch-µs form, SURVEY §2.0 R4) and NON-NULL —
+  * a null time has no place on an as-of axis, so the exec fails fast
+  * rather than silently treating it as epoch 0. Unmatched left rows
+  * emit nulls on the right (LEFT OUTER asof semantics).
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -96,12 +98,22 @@ final case class AsOfJoinExec(
         private var matched: InternalRow = _       // latest right <= bound
         private var matchedKey: InternalRow = _
 
+        // null time would silently compare as epoch 0 via getLong —
+        // fail fast instead (see class contract)
+        private def timeOf(projected: InternalRow, side: String): Long = {
+          if (projected.isNullAt(0))
+            throw new IllegalStateException(
+              s"as-of join: null $side time value; time columns must be " +
+              "non-null epoch-µs LongType")
+          projected.getLong(0)
+        }
+
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
             val r = rIter.next()
             rRow = r.copy()
             rKey = rKeyProj(rRow).copy()
-            rTime = rTimeProj(rRow).getLong(0)
+            rTime = timeOf(rTimeProj(rRow), "right")
           } else rRow = null
 
         advanceRight()
@@ -111,7 +123,7 @@ final case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTime = lTimeProj(l).getLong(0)
+          val lTime = timeOf(lTimeProj(l), "left")
           // consume right rows with (key, time) < (lKey, lTime): the last
           // one with an equal key is the as-of match (strictly prior)
           while (rRow != null && {
