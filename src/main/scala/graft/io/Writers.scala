@@ -25,10 +25,20 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Repartition on the bucket key first: without it every write task
+    * emits a file into every bucket (tasks × buckets small files, and
+    * >1 file per bucket means the planner cannot trust sortBy order and
+    * re-sorts at read time). repartition uses the same murmur3 hash as
+    * bucketBy, so each output task holds exactly one bucket → one file
+    * per bucket → joins on the key elide both the exchange AND (with
+    * spark.sql.legacy.bucketedTableScan.outputOrdering=true, sound
+    * under the one-file-per-bucket guarantee) the sort — both pinned
+    * in ScaleSpec. */
   def bucketed(
       df: DataFrame, table: String, buckets: Int, key: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+    df.repartition(buckets, col(key))
+      .write.mode(mode)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 

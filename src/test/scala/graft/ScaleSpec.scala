@@ -55,13 +55,17 @@ class ScaleSpec extends SparkSpec {
 
   test("bucketed tables join with ZERO exchanges (the 100 TB fact-join plan)") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Spark 3+ ignores bucket sortBy order at read time by default
+    // (multiple files per bucket would break it); Writers.bucketed
+    // guarantees one file per bucket, so opting back in is sound and
+    // elides the merge-join sorts too
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      Tables.orders(spark, sfDir)
-        .write.mode("overwrite").bucketBy(4, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("orders_b")
-      Tables.lineitem(spark, sfDir)
-        .write.mode("overwrite").bucketBy(4, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("lineitem_b")
+      // end-to-end through the write-side layout API
+      graft.io.Writers.bucketed(
+        Tables.orders(spark, sfDir), "orders_b", 4, "o_orderkey")
+      graft.io.Writers.bucketed(
+        Tables.lineitem(spark, sfDir), "lineitem_b", 4, "l_orderkey")
       val joined = spark.table("orders_b")
         .join(spark.table("lineitem_b"),
               col("o_orderkey") === col("l_orderkey"))
@@ -70,8 +74,12 @@ class ScaleSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
+      // the pre-sorted layout also elides the merge-join sorts
+      assert(!plan.contains("Sort "), s"bucketed join still sorts:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
