@@ -13,7 +13,7 @@ object SparkEntry {
   /** All op groups, in SURVEY §2 order. */
   private def groups: Seq[OpGroup] = Seq(
     Scans, Filters, Joins, Aggs, Windows, SetOps, SqlOps, Scalars, LlmOps,
-    NearDupOps, TextOps, Streaming, EventOps, Udx
+    NearDupOps, TextOps, PipelineOps, Streaming, EventOps, Udx
   )
 
   private def all: Seq[Q] = groups.flatMap(_.qs)
