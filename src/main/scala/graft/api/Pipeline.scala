@@ -1,0 +1,156 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public, parameterized training-data pipeline API — the reusable form
+  * of the `q_*` operators in `graft.ops.PipelineOps`, which delegate
+  * here (so the DuckDB oracle gate verifies THIS code on every run).
+  * All operators are pure DataFrame transforms: no actions, no state,
+  * distributed by construction.
+  *
+  * Determinism contract: anything that "samples" derives its randomness
+  * from `hash16` (an md5 slice) — the same row always makes the same
+  * decision, on any cluster size, on every rerun. No `rand()`.
+  */
+object Pipeline {
+
+  /** Uniform 16-bit content hash in [0, 65536): first 4 hex digits of
+    * md5(string(c)). Engine-portable (md5 is bit-identical everywhere)
+    * and cheap enough for the scan projection. */
+  def hash16(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Deterministic stratified sampling: keep a row iff
+    * hash16(id) < 65536 * weight(stratum). `weights` maps stratum value
+    * → keep probability; unlisted strata use `default`. Map-side only —
+    * zero shuffle — and replayable. */
+  def sampleStratified(
+      df: DataFrame, stratum: Column, id: Column,
+      weights: Map[String, Double], default: Double): DataFrame = {
+    val thr = weights.foldLeft(lit((default * 65536).toInt)) {
+      case (acc, (k, w)) =>
+        when(stratum === k, lit((w * 65536).toInt)).otherwise(acc)
+    }
+    df.filter(hash16(id) < thr)
+  }
+
+  /** Deterministic split assignment over `buckets` hash buckets:
+    * `assignments` maps bucket index → split name; unmapped buckets get
+    * `defaultSplit`. 90/5/5 = buckets=20, {0→"test", 1→"val"},
+    * default "train". Adds column `split`. */
+  def splitAssign(
+      df: DataFrame, id: Column, buckets: Int,
+      assignments: Map[Int, String], defaultSplit: String): DataFrame = {
+    val m = hash16(id) % buckets
+    val split = assignments.foldLeft(lit(defaultSplit)) {
+      case (acc, (b, name)) => when(m === b, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Corpus TF-IDF: top-`k` terms per group (e.g. language) ranked by
+    * tf(group, term) · ln(N / df(term)), ties broken by term. Output:
+    * (group, term, tf, df, score, rn). One explode, two hash-aggs; the
+    * per-term df and scalar N broadcast back — no per-doc-pair work. */
+  def tfidfTopTerms(
+      df: DataFrame, id: Column, group: Column, text: Column,
+      k: Int): DataFrame = {
+    val tokens = df.select(
+      id.as("_id"), group.as("grp"),
+      explode(split(text, " ")).as("term"))
+    val tf = tokens.groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("term"), col("tf"), col("df"),
+              col("score"), col("rn"))
+  }
+
+  /** BM25 retrieval scoring of `terms` over a corpus; returns the
+    * top-`k` (id, score) rows via TakeOrderedAndProject (per-partition
+    * heaps — no global sort, no single-partition window). */
+  def bm25TopDocs(
+      df: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(id.as("_id"), split(text, " ").as("w"))
+      .select(col("_id"), col("w"), size(col("w")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+                         sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("_id"))
+      .agg(round(sum(col("part")), 4).as("score"))
+      .select(col("_id"), col("score"))
+      .orderBy(col("score").desc, col("_id").asc).limit(k)
+  }
+
+  /** Token-budget sequence packing: rows stream into bins in `order`
+    * order within each `group` partition; bin id = running-total offset
+    * div `budget` (deterministic integer math). Adds columns
+    * (tok already present as `tokens`) `bin`. */
+  def packBins(
+      df: DataFrame, group: Column, order: Column, tokens: Column,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(tokens).over(w))
+      // integer floor-div (offsets are non-negative, well under 2^53)
+      .withColumn("bin", floor((col("_cum") - tokens) / budget).cast("bigint"))
+      .drop("_cum")
+  }
+
+  /** Benchmark-contamination detection: rows of `corpus` that share at
+    * least one distinct word-`n`-gram with `benchmark`. LEFT SEMI join
+    * against the (broadcast) benchmark shingle set — candidates never
+    * fan out into pairs, and only (id, shingle) rows ever shuffle (the
+    * wide text column stays out of the exchange); contaminated ids then
+    * semi-join back to the original corpus rows. Real web-scale
+    * decontamination runs n=13; pick n by corpus shingle selectivity.
+    *
+    * NOTE the generator discipline (SCALE.md, measured 10×): shingling
+    * uses explode_OUTER + an explicit null filter so
+    * InferFiltersFromGenerate can't inline the shingle expression into
+    * the scan filter three times. */
+  def contaminated(
+      corpus: DataFrame, benchmark: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    def shingles(src: DataFrame) = src
+      .select(id.as("_id"), split(text, " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("_id"), explode_outer(expr(
+        s"array_distinct(transform(sequence(0, size(w) - $n), i -> " +
+        s"concat_ws(' ', $parts)))")).as("g"))
+      .filter(col("g").isNotNull)
+    val bench = shingles(benchmark).select(col("g"))
+    val ids = shingles(corpus)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("_id")).distinct()
+    corpus.join(ids, id === col("_id"), "left_semi")
+  }
+}

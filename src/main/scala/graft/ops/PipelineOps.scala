@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Determinism._
+import graft.api.Pipeline
 import graft.io.Tables
 
 /** Training-data pipeline operators (SURVEY §2.6 extension): the
@@ -11,6 +11,10 @@ import graft.io.Tables
   * run — deterministic stratified sampling (data mixing), train/val/test
   * splitting, TF-IDF and BM25 relevance scoring, token-budget sequence
   * packing, and benchmark-contamination detection.
+  *
+  * Each query is a thin reporting wrapper over the PUBLIC parameterized
+  * API in `graft.api.Pipeline` — the oracle gate therefore verifies the
+  * reusable library operators themselves, not fixture-bound copies.
   *
   * Scale notes (100 TB):
   *  - sampling/splitting are pure map-side predicates on a content hash —
@@ -22,8 +26,8 @@ import graft.io.Tables
   *  - packing is one window per (lang) partition over pre-aggregated
   *    per-doc token counts — rows shuffled once, integer math.
   *  - contamination is a LEFT SEMI join against the benchmark shingle
-  *    set: candidate docs never fan out into pairs, and the benchmark
-  *    side (tiny) broadcasts.
+  *    set: candidate docs never fan out into pairs, only (id, shingle)
+  *    rows shuffle, and the benchmark side (tiny) broadcasts.
   *
   * Determinism: sampling thresholds are integer compares on a 16-bit
   * hash slice (no floats); scores follow R3 (identical operand order,
@@ -31,15 +35,9 @@ import graft.io.Tables
   */
 object PipelineOps extends OpGroup {
 
-  /** Uniform 16-bit hash of a column: first 4 hex digits of md5(str(c)).
-    * Integer in [0, 65536) computed identically by both engines — the
-    * portable replacement for rand()-based sampling. */
-  private def u16Spark(c: String): Column = {
-    def d(i: Int) =
-      s"(instr('0123456789abcdef', substring(md5(cast($c as string)), $i, 1)) - 1)"
-    expr(s"${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)}")
-  }
-
+  /** DuckDB rendering of Pipeline.hash16: integer value of the first 4
+    * hex digits of md5(str(c)) via digit arithmetic (DuckDB has no
+    * conv(); instr over the hex alphabet computes the same integer). */
   private def u16Sql(c: String): String = {
     def d(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $i, 1)) - 1)"
@@ -53,16 +51,20 @@ object PipelineOps extends OpGroup {
       // by an integer threshold on the content hash — replayable on any
       // cluster, no rand(), no shuffle before the reporting aggregate.
       "q_sample_stratified",
-      (s, d) => Tables.documents(s, d)
-        .select(col("lang"), u16Spark("doc_id").as("u"))
-        .withColumn("thr",
-          when(col("lang") === "en", 16384).otherwise(49152))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_total"),
-             count(when(col("u") < col("thr"), 1)).as("n_kept"),
-             r4(count(when(col("u") < col("thr"), 1)) / count(lit(1)))
-               .as("pct_kept"))
-        .orderBy(col("lang")),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = Pipeline.sampleStratified(
+          docs, col("lang"), col("doc_id"),
+          weights = Map("en" -> 0.25), default = 0.75)
+        docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+          .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+                Seq("lang"), "left")
+          .select(col("lang"), col("n_total"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  r4(coalesce(col("n_kept"), lit(0L)) / col("n_total"))
+                    .as("pct_kept"))
+          .orderBy(col("lang"))
+      },
       s"""WITH h AS (
         |  SELECT lang, ${u16Sql("doc_id")} AS u,
         |    CASE WHEN lang = 'en' THEN 16384 ELSE 49152 END AS thr
@@ -78,12 +80,10 @@ object PipelineOps extends OpGroup {
       // hash mod 20 — docs never migrate between splits across reruns
       // or cluster sizes, the property rand()-splits lack.
       "q_split_train_holdout",
-      (s, d) => Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"),
-                (u16Spark("doc_id") % 20).as("m"))
-        .withColumn("split",
-          when(col("m") === 0, "test")
-            .when(col("m") === 1, "val").otherwise("train"))
+      (s, d) => Pipeline.splitAssign(
+          Tables.documents(s, d), col("doc_id"), buckets = 20,
+          assignments = Map(0 -> "test", 1 -> "val"),
+          defaultSplit = "train")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("lang"), col("split")),
@@ -101,29 +101,11 @@ object PipelineOps extends OpGroup {
       // ln(N/df(term)). One explode, two hash-aggs, the scalar N and the
       // per-term df broadcast back — no per-doc-pair work anywhere.
       "q_text_tfidf",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val tokens = docs.select(
-          col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("term"))
-        val tf = tokens.groupBy(col("lang"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tokens.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf
-          .join(broadcast(df), "term")
-          .crossJoin(broadcast(n))
-          .withColumn("score",
-            r4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("score").desc, col("term").asc)
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("lang"), col("term"), col("tf"), col("df"),
-                  col("score"), col("rn"))
-          .orderBy(col("lang"), col("rn"))
-      },
+      (s, d) => Pipeline.tfidfTopTerms(
+          Tables.documents(s, d), col("doc_id"), col("lang"), col("text"),
+          k = 3)
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"), col("rn")),
       """WITH tokens AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
@@ -148,45 +130,14 @@ object PipelineOps extends OpGroup {
       // BM25 (k1=1.2, b=0.75) retrieval scoring for a two-term query
       // over the corpus, top-10 docs. Same shape as tf-idf: per-doc tf
       // for the query terms only (explode + filter + hash-agg), per-term
-      // df and the scalar (N, avgdl) broadcast back. R3: both engines
-      // evaluate the identical expression tree, rank on round(…,4).
+      // df and the scalar (N, avgdl) broadcast back. R3: the oracle
+      // mirrors the API's exact constant arithmetic ((1.2 + 1.0),
+      // (1.0 - 0.75)) so both engines fold identical doubles.
       "q_text_bm25",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-        val stats = docs.agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl"))
-        val qterms = Seq("spark", "query")
-        val tf = docs
-          .select(col("doc_id"), col("dl"),
-                  explode(col("w")).as("term"))
-          .filter(col("term").isin(qterms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val scored = tf
-          .join(broadcast(df), "term")
-          .crossJoin(broadcast(stats))
-          .withColumn("avgdl",
-            col("sum_dl").cast("double") / col("n_docs"))
-          .withColumn("idf",
-            log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
-              / (col("df") + 0.5)))
-          .withColumn("part",
-            col("idf") * (col("tf") * 2.2)
-              / (col("tf") + lit(1.2) *
-                  (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .groupBy(col("doc_id"))
-          .agg(r4(sum(col("part"))).as("score"))
-        // global top-10 via orderBy+limit = TakeOrderedAndProject
-        // (per-partition heaps + driver merge — no global sort, no
-        // single-partition window)
-        scored
-          .select(col("doc_id"), col("score"))
-          .orderBy(col("score").desc, col("doc_id").asc).limit(10)
-      },
+      (s, d) => Pipeline.bm25TopDocs(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          terms = Seq("spark", "query"), k = 10)
+        .withColumnRenamed("_id", "doc_id"),
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
         |    len(string_split(text, ' ')) AS dl
@@ -202,8 +153,8 @@ object PipelineOps extends OpGroup {
         |  SELECT tf.doc_id,
         |    round(SUM(
         |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
         |           / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
         |    ), 4) AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN stats
@@ -222,11 +173,8 @@ object PipelineOps extends OpGroup {
         val toks = Tables.documents(s, d)
           .select(col("lang"), col("doc_id"),
                   size(split(col("text"), " ")).cast("bigint").as("tok"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        toks
-          .withColumn("cum", sum(col("tok")).over(w))
-          .withColumn("bin", expr(s"(cum - tok) div $budget"))
+        Pipeline.packBins(toks, col("lang"), col("doc_id"), col("tok"),
+                          budget)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
                sum(col("tok")).as("total_tokens"),
@@ -254,33 +202,18 @@ object PipelineOps extends OpGroup {
     Q(
       // benchmark-contamination detection: a doc is contaminated when it
       // shares any distinct word-7-gram with the held-out "benchmark"
-      // set (source = 'src0' here). LEFT SEMI join against the benchmark
-      // shingle set — candidates never fan out into pairs; the benchmark
-      // side is tiny and broadcasts. 7-gram width = same selectivity
+      // set (source = 'src0' here). 7-gram width = same selectivity
       // dial as q_dedup_ngram_jaccard (real decontamination runs use
       // 13-grams on web-scale docs).
       "q_contamination",
       (s, d) => {
-        def shingles(src: org.apache.spark.sql.DataFrame) = src
-          .select(col("doc_id"), col("lang"), col("source"),
-                  split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 7)
-          .select(col("doc_id"), col("lang"), col("source"),
-                  explode_outer(expr(
-                    "array_distinct(transform(sequence(0, size(w) - 7), i -> " +
-                    "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]," +
-                    " w[i+5], w[i+6])))")).as("g"))
-          .filter(col("g").isNotNull)
-        val all = shingles(Tables.documents(s, d))
-        val bench = all.filter(col("source") === "src0").select(col("g"))
-        val corpus = all.filter(col("source") =!= "src0")
-        val contaminated = corpus
-          .join(broadcast(bench), Seq("g"), "left_semi")
-          .select(col("doc_id"), col("lang")).distinct()
-        Tables.documents(s, d)
-          .filter(col("source") =!= "src0")
-          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-          .join(contaminated.groupBy(col("lang"))
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("source") =!= "src0")
+        val bench = docs.filter(col("source") === "src0")
+        val hits = Pipeline.contaminated(
+          corpus, bench, col("doc_id"), col("text"), n = 7)
+        corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .join(hits.groupBy(col("lang"))
                   .agg(count(lit(1)).as("n_contaminated"),
                        min(col("doc_id")).as("first_doc")),
                 Seq("lang"), "left")
