@@ -1,0 +1,139 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public, parameterized similarity-search API over an embedding column
+  * (`array<float>`) — exact brute-force baseline plus two ANN scale
+  * paths (SRP-LSH sign buckets, IVF cells). The `q_sim_*` operators
+  * delegate here, so the DuckDB oracle gate verifies this code.
+  *
+  * Dot products run through `dot_f32`, the native codegen'd Catalyst
+  * expression (graft.functions.DotF32) — one branch-free loop inside
+  * whole-stage codegen; the higher-order-function formulation measured
+  * 8× slower (interpreted). Cosines are round(…,4) so rankings compare
+  * identical numbers everywhere (R3); ties break on candidate id.
+  */
+object Sim {
+
+  /** '0'/'1' sign-bit string of the first n embedding dims — random-
+    * hyperplane LSH with axis-aligned planes. Public so callers can
+    * pre-bucket collections at write time. */
+  def signBits(emb: Column, n: Int): Column =
+    concat_ws("", transform(slice(emb, 1, n),
+      x => when(x >= 0, "1").otherwise("0")))
+
+  private def dot(a: String, b: String) = expr(s"dot_f32($a, $b)")
+
+  private def withNorm(df: DataFrame, id: Column, emb: Column): DataFrame = {
+    graft.functions.DotF32.register(df.sparkSession)
+    df.select(id.as("vec_id"), emb.as("embedding"))
+      .withColumn("nrm", sqrt(expr("dot_f32(embedding, embedding)")))
+  }
+
+  /** Exact top-k cosine neighbours for the rows matching `isQuery`:
+    * the (small) query side broadcasts against ONE linear scan of the
+    * collection — correct baseline, O(|Q|·n) dot products, no shuffle
+    * of the collection. Returns (q_id, cand_id, cos, rn). */
+  def cosineTopK(
+      df: DataFrame, id: Column, emb: Column, isQuery: Column,
+      k: Int): DataFrame = {
+    val e = withNorm(df, id, emb)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("cand_id"),
+                     col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+              round(dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")), 4)
+                .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: queries only scan their own
+    * `bits`-bit sign bucket (~1/2^bits of the collection) — recall
+    * traded for a bounded candidate set. Same output shape as
+    * cosineTopK. */
+  def lshTopK(
+      df: DataFrame, id: Column, emb: Column, isQuery: Column,
+      bits: Int, k: Int): DataFrame = {
+    val e = withNorm(df, id, emb)
+      .withColumn("bucket", signBits(col("embedding"), bits))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              col("bucket"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+                     col("bucket").as("bucket2"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q)
+      .join(c, col("bucket") === col("bucket2") &&
+               col("q_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
+  /** IVF-style approximate top-k: every vector is assigned to its
+    * nearest centroid (rows matching `isCentroid`; real IVF k-means-
+    * trains these — the partition/search mechanics are what scales),
+    * queries probe ONLY their own cell (nprobe=1). Centroids broadcast;
+    * assignment is a max_by aggregation, so partial aggregation
+    * collapses the n×k candidate rows to one per vector MAP-SIDE. */
+  def ivfTopK(
+      df: DataFrame, id: Column, emb: Column, isQuery: Column,
+      isCentroid: Column, k: Int): DataFrame = {
+    val e = withNorm(df, id, emb)
+    val cent = e.filter(isCentroid)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+              col("nrm").as("cnrm"))
+    val assign = e.join(broadcast(cent), col("vec_id") =!= lit(-1L))
+      .withColumn("ccos",
+        round(dot("embedding", "cemb") / (col("nrm") * col("cnrm")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("nrm"), col("cent_id")),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+              col("b.nrm").as("nrm"), col("b.cent_id").as("cell"))
+    val q = assign.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              col("nrm").as("qn"), col("cell"))
+    val c = assign.select(col("vec_id").as("cand_id"),
+                          col("embedding").as("ce"),
+                          col("nrm").as("cn"), col("cell").as("cell2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q)
+      .join(c, col("cell") === col("cell2") &&
+               col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
+  /** SRP-LSH embedding near-duplicate pairs: `bits`-bit sign bucket
+    * prunes ~2^bits×, exact cosine ≥ minCos confirms within buckets.
+    * Returns (a_id, b_id, cos) with a_id < b_id. */
+  def embeddingNearDupPairs(
+      df: DataFrame, id: Column, emb: Column,
+      bits: Int = 16, minCos: Double = 0.9): DataFrame = {
+    val e = withNorm(df, id, emb)
+      .withColumn("bucket", signBits(col("embedding"), bits))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+                     col("bucket"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+                     col("bucket").as("bucket2"), col("nrm").as("nb"))
+    a.join(b, col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

@@ -35,40 +35,14 @@ object LlmOps extends OpGroup {
   private val K = 16 // minhash signature length
 
   /** MinHash/LSH near-dup candidate pairs (doc_a < doc_b, n_match) —
-    * shared by q_dedup_near_minhash and q_dedup_cluster. Shape notes
-    * inline at the q_dedup_near_minhash entry. */
+    * shared by q_dedup_near_minhash and q_dedup_cluster; delegates to
+    * the public parameterized API (graft.api.Dedup.minhashPairs). Shape
+    * notes inline at the q_dedup_near_minhash entry. */
   private[ops] def minhashPairs(s: org.apache.spark.sql.SparkSession,
-                                d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-              explode_outer(expr(
-                "array_distinct(transform(sequence(0, size(w) - 3)," +
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
-      .filter(col("s").isNotNull)
-      .select(col("doc_id"), col("s"),
-              explode(expr("sequence(0, 3)")).as("j"))
-      .select(col("doc_id"), col("j"),
-              md5(concat(col("s"), lit("#"), col("j").cast("string")))
-                .as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(substring(col("h"), 1, 8)).as("m0"),
-           min(substring(col("h"), 9, 8)).as("m1"),
-           min(substring(col("h"), 17, 8)).as("m2"),
-           min(substring(col("h"), 25, 8)).as("m3"))
-      .select(col("doc_id"), expr(
-        "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
-        " j * 4 + 3, m3) AS (k, mh)"))
-    val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
-    val b = sig.select(col("doc_id").as("doc_b"),
-                       col("k").as("k2"), col("mh").as("mh2"))
-    a.join(b, col("k") === col("k2") && col("mh") === col("mh2") &&
-              col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_match"))
-      .filter(col("n_match") >= K / 2)
-  }
+                                d: String): DataFrame =
+    graft.api.Dedup.minhashPairs(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      shingle = 3, minMatch = K / 2)
 
   /** The matching DuckDB WITH-clauses producing `pairs(doc_a, doc_b,
     * n_match)` — embedded by both oracle strings. */
@@ -99,10 +73,10 @@ object LlmOps extends OpGroup {
   def qs: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
-      (s, d) => Tables.events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("event_id")).as("keep_id"),
-             count(lit(1)).as("n_dups"))
+      (s, d) => graft.api.Dedup.exactGroups(
+          Tables.events(s, d),
+          keys = Seq(col("user_id"), col("event_type")),
+          id = col("event_id"))
         .orderBy(col("user_id"), col("event_type")),
       """SELECT user_id, event_type, MIN(event_id) AS keep_id,
         |  COUNT(*) AS n_dups
@@ -139,32 +113,8 @@ object LlmOps extends OpGroup {
       // definition; cluster id = min doc_id in the component.
       "q_dedup_cluster",
       (s, d) => {
-        val pairs = minhashPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val edges = pairs.union(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        var labels = edges.select(col("doc_a").as("doc")).distinct()
-          .withColumn("root", col("doc")).localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val prop = edges
-            .join(labels, col("doc_a") === col("doc"))
-            .groupBy(col("doc_b").as("doc2"))
-            .agg(min(col("root")).as("nroot"))
-          // Carry the previous root through the update so convergence is
-          // read off the checkpointed result with a trivial local scan —
-          // the round-1 shape re-joined next⋈labels per iteration, re-
-          // executing the propagation join just to count changed rows.
-          val next = labels
-            .join(prop, col("doc") === col("doc2"), "left")
-            .select(col("doc"),
-                    least(col("root"), coalesce(col("nroot"), col("root")))
-                      .as("root"),
-                    col("root").as("old"))
-            .localCheckpoint()
-          changed = next.filter(col("root") =!= col("old")).count()
-          labels = next.select(col("doc"), col("root"))
-        }
+        val labels = graft.api.Dedup.connectedComponents(
+          minhashPairs(s, d), "doc_a", "doc_b")
         labels.groupBy(col("root"))
           .agg(count(lit(1)).as("cluster_size"),
                // R5: serialize member list to a CSV string — array cells
@@ -194,27 +144,10 @@ object LlmOps extends OpGroup {
       // (exact widen), ranked after round(…,4) so both engines rank
       // identical numbers (tiebreak: cand_id).
       "q_sim_cosine_topk",
-      (s, d) => {
-        graft.functions.DotF32.register(s)
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-                  sqrt(expr("dot_f32(embedding, embedding)")).as("nrm"))
-        val q = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                  col("nrm").as("q_nrm"))
-        val c = emb.select(col("vec_id").as("cand_id"),
-                           col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-        val dot = expr("dot_f32(q_emb, c_emb)")
-        val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
-          .select(col("q_id"), col("cand_id"),
-                  r4(dot / (col("q_nrm") * col("c_nrm"))).as("cos"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("cand_id").asc)
-        scored
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy(col("q_id"), col("rn"))
-      },
+      (s, d) => graft.api.Sim.cosineTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, k = 3)
+        .orderBy(col("q_id"), col("rn")),
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,

@@ -25,18 +25,10 @@ import graft.io.Tables
   */
 object NearDupOps extends OpGroup {
 
-  /** '0'/'1' sign-bit string of the first n embedding dims (SRP-LSH). */
-  private def signBits(embCol: String, n: Int) =
-    expr(s"concat_ws('', transform(slice($embCol, 1, $n)," +
-         " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
-
+  /** DuckDB rendering of graft.api.Sim.signBits (SRP-LSH bucket). */
   private def sqlBits(embCol: String, n: Int): String =
     s"array_to_string(list_transform($embCol[1:$n]," +
     s" x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
-
-  /** Sequential double dot product of two float arrays (exact widen) —
-    * the native codegen'd DotF32 expression; query fns register it. */
-  private def dot(a: String, b: String) = expr(s"dot_f32($a, $b)")
 
   def qs: Seq[Q] = Seq(
     Q(
@@ -44,20 +36,8 @@ object NearDupOps extends OpGroup {
       // vote over the doc's distinct tokens of digit_k(md5(token)) % 2.
       // Equal signatures = near/exact-duplicate clusters.
       "q_dedup_simhash",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-                expr("transform(array_distinct(split(text, ' ')), t -> md5(t))")
-                  .as("hs"))
-        .select(col("doc_id"),
-                expr(
-                  """concat_ws('', transform(
-                    |  aggregate(hs, array_repeat(0, 32),
-                    |    (acc, h) -> zip_with(acc, sequence(1, 32),
-                    |      (a, k) -> a + CASE WHEN
-                    |        (instr('0123456789abcdef', substring(h, k, 1)) - 1) % 2 = 1
-                    |        THEN 1 ELSE -1 END)),
-                    |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))""".stripMargin)
-                  .as("sig"))
+      (s, d) => graft.api.Dedup.simhashSignature(
+          Tables.documents(s, d), col("doc_id"), col("text"), bits = 32)
         .groupBy(col("sig"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("sig")),
@@ -89,43 +69,14 @@ object NearDupOps extends OpGroup {
       // at sf0.1 (measured: >12 s), while 7-grams keep only genuinely
       // overlapping docs.
       "q_dedup_ngram_jaccard",
-      (s, d) => {
-        // shingle dedup runs map-side (array_distinct in the scan
-        // projection — no global distinct shuffle), and |doc| rides along
-        // as an array-size column, so the inverted-index self-join needs
-        // NO separate sizes table: the naive sizes-join formulation
-        // planned 7 exchanges (measured via PlanShapeReport)
-        // explode_OUTER, not explode: InferFiltersFromGenerate would
-        // otherwise add size(gs)>0/isnotnull(gs) filters whose pushdown
-        // inlines the whole shingle expression (split included) THREE
-        // more times into the scan filter — measured 10s vs 1s at sf0.1
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 7)
-          .withColumn("gs", expr(
-            "array_distinct(transform(sequence(0, size(w) - 7), i -> " +
-            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6])))"))
-          .select(col("doc_id"), size(col("gs")).as("sz"),
-                  explode_outer(col("gs")).as("g"))
-          .filter(col("g").isNotNull)
-        val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-                          col("g"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-                          col("g").as("g2"))
-        // MERGE hint: both sides are the same large shingle table — AQE
-        // would otherwise broadcast one (measured 5× slower at sf0.1:
-        // building a multi-million-row hash relation beats the purpose)
-        a.join(b.hint("MERGE"),
-               col("g") === col("g2") && col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"),
-               max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
-          .withColumn("jac", r4(col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter"))))
-          .filter(col("jac") >= 0.2)
-          .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      // shape notes (measured): see graft.api.Dedup.jaccardPairs — the
+      // inverted-index join with |doc| riding along as a column, the
+      // explode_outer generator discipline, and the MERGE hint all live
+      // there now
+      (s, d) => graft.api.Dedup.jaccardPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          n = 7, minJaccard = 0.2)
+        .orderBy(col("doc_a"), col("doc_b")),
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 7),
@@ -150,22 +101,10 @@ object NearDupOps extends OpGroup {
       // embedding near-dup: 16-bit sign bucket (SRP-LSH) prunes to
       // same-bucket pairs, then exact cosine >= 0.9 confirms.
       "q_dedup_embed_cosine",
-      (s, d) => {
-        graft.functions.DotF32.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-                  signBits("embedding", 16).as("bucket"),
-                  sqrt(dot("embedding", "embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-                         col("bucket"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-                         col("bucket").as("bucket2"), col("nrm").as("nb"))
-        a.join(b, col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
-          .withColumn("cos", r4(dot("ea", "eb") / (col("na") * col("nb"))))
-          .filter(col("cos") >= 0.9)
-          .select(col("a_id"), col("b_id"), col("cos"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => graft.api.Sim.embeddingNearDupPairs(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          bits = 16, minCos = 0.9)
+        .orderBy(col("a_id"), col("b_id")),
       s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    ${sqlBits("embedding", 16)} AS bucket,
@@ -188,29 +127,10 @@ object NearDupOps extends OpGroup {
       // 8-bit sign bucket (~1/256 of the collection) — the documented
       // recall/cost tradeoff vs the exact q_sim_cosine_topk baseline.
       "q_sim_ann_lsh",
-      (s, d) => {
-        graft.functions.DotF32.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-                  signBits("embedding", 8).as("bucket"),
-                  sqrt(dot("embedding", "embedding")).as("nrm"))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-                  col("bucket"), col("nrm").as("qn"))
-        val c = e.select(col("vec_id").as("cand_id"),
-                         col("embedding").as("ce"),
-                         col("bucket").as("bucket2"), col("nrm").as("cn"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("cand_id").asc)
-        broadcast(q)
-          .join(c, col("bucket") === col("bucket2") &&
-                   col("q_id") =!= col("cand_id"))
-          .withColumn("cos", r4(dot("qe", "ce") / (col("qn") * col("cn"))))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
-          .orderBy(col("q_id"), col("rn"))
-      },
+      (s, d) => graft.api.Sim.lshTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, bits = 8, k = 3)
+        .orderBy(col("q_id"), col("rn")),
       s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    ${sqlBits("embedding", 8)} AS bucket,
@@ -241,45 +161,15 @@ object NearDupOps extends OpGroup {
       // ONLY their own cell (nprobe=1). Centroid set is broadcast; the
       // assignment is a linear scan ⋈ broadcast, never vector×vector.
       "q_sim_ann_ivf",
-      (s, d) => {
-        graft.functions.DotF32.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-                  sqrt(dot("embedding", "embedding")).as("nrm"))
-        val cent = e.filter(col("vec_id") % 200 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-                  col("nrm").as("cnrm"))
-        // nearest-centroid assignment as a max_by aggregation (argmax of
-        // (ccos, -cent_id) — same ordering as the oracle's row_number
-        // ccos DESC, cent_id ASC): partial aggregation collapses the n×k
-        // candidate rows to one per vector MAP-SIDE, where the round-1
-        // row_number window shuffled all n×k rows first.
-        val assign = e.join(broadcast(cent), col("vec_id") =!= lit(-1L))
-          .withColumn("ccos",
-            r4(dot("embedding", "cemb") / (col("nrm") * col("cnrm"))))
-          .groupBy(col("vec_id"))
-          .agg(max_by(
-            struct(col("embedding"), col("nrm"), col("cent_id")),
-            struct(col("ccos"), (-col("cent_id")).as("neg"))).as("b"))
-          .select(col("vec_id"), col("b.embedding").as("embedding"),
-                  col("b.nrm").as("nrm"), col("b.cent_id").as("cell"))
-        val q = assign.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-                  col("nrm").as("qn"), col("cell"))
-        val c = assign.select(col("vec_id").as("cand_id"),
-                              col("embedding").as("ce"),
-                              col("nrm").as("cn"), col("cell").as("cell2"))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("cand_id").asc)
-        broadcast(q)
-          .join(c, col("cell") === col("cell2") &&
-                   col("q_id") =!= col("cand_id"))
-          .withColumn("cos", r4(dot("qe", "ce") / (col("qn") * col("cn"))))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
-          .orderBy(col("q_id"), col("rn"))
-      },
+      // assignment is a max_by aggregation (argmax of (ccos, -cent_id),
+      // same ordering as the oracle's row_number): partial aggregation
+      // collapses the n×k candidate rows to one per vector MAP-SIDE —
+      // see graft.api.Sim.ivfTopK
+      (s, d) => graft.api.Sim.ivfTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10,
+          isCentroid = col("vec_id") % 200 === 0, k = 3)
+        .orderBy(col("q_id"), col("rn")),
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
