@@ -131,6 +131,58 @@ object Dedup {
                 .as("sig"))
   }
 
+  /** Per-document 32-bit SimHash signature as a BIGINT (bit k set iff
+    * the majority vote for hex digit k+1's parity is positive — same
+    * votes as simhashSignature, packed). Integer-exact, map-side. */
+  def simhashSig32(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), text.as("_t"))
+      .select(col("doc_id"),
+              expr("transform(array_distinct(split(_t, ' ')), t -> md5(t))")
+                .as("hs"))
+      .select(col("doc_id"),
+              expr(
+                """aggregate(
+                  |  zip_with(
+                  |    aggregate(hs, array_repeat(0, 32),
+                  |      (acc, h) -> zip_with(acc, sequence(1, 32),
+                  |        (a, k) -> a + CASE WHEN
+                  |          (instr('0123456789abcdef', substring(h, k, 1)) - 1) % 2 = 1
+                  |          THEN 1 ELSE -1 END)),
+                  |    sequence(0, 31),
+                  |    (v, k) -> CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END),
+                  |  0L, (acc, x) -> acc + x)""".stripMargin)
+                .as("sig"))
+
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips,
+    * via BYTE BANDING (the pigeonhole trick): signatures within
+    * Hamming ≤ 3 must agree on at least one of the four 8-bit bands,
+    * so candidates come from an equi-join on (band index, band value) —
+    * never an all-pairs scan — and `bit_count(a XOR b)` (codegen'd
+    * integer built-in) confirms exactly. Returns
+    * (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def simhashHammingPairs(
+      df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val sig = simhashSig32(df, id, text)
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("(sig div shiftleft(1L, 8 * b)) % 256"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+                         col("b"), col("bv"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+                          col("b").as("b2"), col("bv").as("bv2"))
+    a.join(bb.hint("MERGE"),
+           col("b") === col("b2") && col("bv") === col("bv2") &&
+           col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** N-gram Jaccard near-duplicate pairs via the inverted-index join:
     * only docs sharing an n-gram ever meet. Returns
     * (doc_a, doc_b, inter, jac) for round(J, 4) ≥ minJaccard.

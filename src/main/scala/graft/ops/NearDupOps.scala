@@ -62,6 +62,49 @@ object NearDupOps extends OpGroup {
         |FROM sig GROUP BY sig ORDER BY sig""".stripMargin),
 
     Q(
+      // SimHash near-dup JOIN: packed 32-bit signatures, pairs within
+      // Hamming <= 3 found by byte banding (pigeonhole: <= 3 flipped
+      // bits leave at least one of four 8-bit bands intact) and
+      // confirmed with bit_count(xor) — integer-exact in both engines,
+      // never an all-pairs comparison.
+      "q_dedup_simhash_hamming",
+      (s, d) => graft.api.Dedup.simhashHammingPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b")),
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |b AS (
+        |  SELECT doc_id, unnest(range(1, 33)) AS k,
+        |    unnest(list_transform(range(1, 33), k ->
+        |      CASE WHEN (instr('0123456789abcdef', substr(h, k, 1)) - 1) % 2 = 1
+        |           THEN 1 ELSE -1 END)) AS v
+        |  FROM h),
+        |s AS (SELECT doc_id, k, SUM(v) AS sv FROM b GROUP BY doc_id, k),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN sv > 0
+        |                  THEN (CAST(1 AS BIGINT) << (k - 1))
+        |                  ELSE 0 END) AS BIGINT) AS sig
+        |  FROM s GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, sig, bb.b, (sig >> (8 * bb.b)) & 255 AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    MIN(a.sig) AS sig_a, MIN(b.sig) AS sig_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
       // word-7-gram Jaccard via inverted-index join: only docs sharing a
       // shingle are compared; J = |A∩B| / (|A|+|B|-|A∩B|). Shingle width
       // is the selectivity dial: with this corpus's small vocabulary,
