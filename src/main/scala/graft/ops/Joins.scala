@@ -303,6 +303,56 @@ object Joins extends OpGroup {
         |SELECT event_id AS purchase_id, user_id, ts_us,
         |  COALESCE(prev_click_id, -1) AS prev_click_id,
         |  COALESCE(prev_click_us, -1) AS prev_click_us
+        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin),
+
+    Q(
+      // bounded-lookback as-of through the native operator: the match
+      // must lie within 1 hour before the purchase (pandas merge_asof
+      // `tolerance`). The exec post-checks the buffered latest-prior row
+      // — any earlier row is farther away, so the merge stays O(1)-state.
+      // Oracle: the window emulation's latest-prior is the unique
+      // candidate, post-filtered by the same bound.
+      "q_join_asof_tolerance",
+      (s, d) => {
+        val hourUs = 3600000000L
+        val e = graft.io.Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  col("ts_us"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+                  col("user_id").as("c_user"), col("ts_us").as("click_us"))
+        graft.plans.AsOf.join(purchases, clicks,
+            Seq(purchases("user_id")), Seq(clicks("c_user")),
+            purchases("ts_us"), clicks("click_us"),
+            toleranceUs = hourUs)
+          .select(col("purchase_id"), col("user_id"), col("ts_us"),
+                  coalesce(col("click_id"), lit(-1L)).as("prev_click_id"),
+                  coalesce(col("click_us"), lit(-1L)).as("prev_click_us"))
+          .orderBy(col("purchase_id"))
+      },
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id,
+        |    last_value(click_us IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM t)
+        |SELECT event_id AS purchase_id, user_id, ts_us,
+        |  CASE WHEN prev_click_us IS NOT NULL
+        |         AND ts_us - prev_click_us <= 3600000000
+        |       THEN prev_click_id ELSE -1 END AS prev_click_id,
+        |  CASE WHEN prev_click_us IS NOT NULL
+        |         AND ts_us - prev_click_us <= 3600000000
+        |       THEN prev_click_us ELSE -1 END AS prev_click_us
         |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin)
   )
 }

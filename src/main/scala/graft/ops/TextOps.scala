@@ -26,27 +26,8 @@ object TextOps extends OpGroup {
       "q_text_langid",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val tokens = docs
-          .select(col("doc_id"), col("lang"),
-                  explode(split(col("text"), " ")).as("term"))
-        val profile = tokens
-          .groupBy(col("lang"), col("term"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("lang"))
-              .orderBy(col("n").desc, col("term").asc)))
-          .filter(col("rn") <= 5)
-          .select(col("lang").as("p_lang"), col("term").as("p_term"))
-        val hits = tokens.select(col("doc_id"), col("term")).distinct()
-          .join(broadcast(profile), col("term") === col("p_term"))
-          .groupBy(col("doc_id"), col("p_lang"))
-          .agg(count(lit(1)).as("hits"))
-        val predicted = hits
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id"))
-              .orderBy(col("hits").desc, col("p_lang").asc)))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("p_lang").as("predicted"))
+        val predicted = graft.api.Text.languageId(
+          docs, col("doc_id"), col("text"), col("lang"), profileSize = 5)
         docs.select(col("doc_id"), col("lang"))
           .join(predicted, "doc_id")
           .groupBy(col("lang"), col("predicted"))
@@ -84,26 +65,12 @@ object TextOps extends OpGroup {
       // doc quality score: length saturation, stopword ratio, mean word
       // length — weighted blend, bucketed histogram per lang.
       "q_text_quality",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("lang"), col("n_chars"),
-                  split(col("text"), " ").as("w"))
-          .select(col("lang"),
-                  col("n_chars").cast("double").as("chars"),
-                  size(col("w")).cast("double").as("n_tok"),
-                  size(filter(col("w"), t => t === "the" || t === "a"))
-                    .cast("double").as("n_stop"))
-        docs
-          .withColumn("score",
-            least(col("chars") / 500.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3 +
-            least((col("chars") - col("n_tok") + 1.0) / col("n_tok") / 8.0,
-                  lit(1.0)) * 0.3)
-          .withColumn("bucket", floor(col("score") * 10).cast("int"))
-          .groupBy(col("lang"), col("bucket"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("lang"), col("bucket"))
-      },
+      (s, d) => graft.api.Text.qualityScore(
+          Tables.documents(s, d), col("text"), col("n_chars"))
+        .withColumn("bucket", floor(col("score") * 10).cast("int"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("bucket")),
       """WITH f AS (
         |  SELECT lang,
         |    CAST(n_chars AS DOUBLE) AS chars,
@@ -127,14 +94,8 @@ object TextOps extends OpGroup {
       // (ceil(len/4) units per word — the "~4 chars per token" rule used
       // to size LLM training corpora; integer math, so exactly portable).
       "q_text_tokens",
-      (s, d) => Tables.documents(s, d)
-        .select(col("lang"),
-                split(col("text"), " ").as("w"))
-        .select(col("lang"),
-                size(col("w")).as("n_ws"),
-                aggregate(col("w"), lit(0L),
-                  (acc, t) => acc + ceil(length(t) / lit(4.0)))
-                  .as("n_bpe"))
+      (s, d) => graft.api.Text.tokenCounts(
+          Tables.documents(s, d), col("text"), charsPerTok = 4.0)
         .groupBy(col("lang"))
         .agg(sum(col("n_ws")).as("ws_tokens"),
              sum(col("n_bpe")).as("bpe_tokens"),
@@ -172,30 +133,15 @@ object TextOps extends OpGroup {
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact
       // (or reordered-within-period) duplicate candidates.
+      // v(word) in 0..255 from two md5 hex digits; weight 31^(i mod 8)
+      // (31^k is exactly representable for k<=7, so the double->long
+      // cast is identical under Spark's truncation and DuckDB's round)
       "q_text_fingerprint",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-        // v(word) in 0..255 from two md5 hex digits; weight 31^(i mod 8)
-        // (31^k is exactly representable for k<=7, so the double->long
-        // cast is identical under Spark's truncation and DuckDB's round)
-        val fp = docs.select(
-          col("doc_id"),
-          (expr(
-            """aggregate(
-              |  zip_with(
-              |    transform(w, t ->
-              |      (instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
-              |    + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)),
-              |    sequence(0, size(w) - 1),
-              |    (v, i) -> cast(v as bigint)
-              |            * cast(pow(31D, cast(i % 8 as double)) as bigint)),
-              |  0L, (acc, x) -> acc + x)""".stripMargin)
-            % 2147483647L).as("fp"))
-        fp.groupBy(col("fp"))
-          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-          .orderBy(col("fp"))
-      },
+      (s, d) => graft.api.Text.fingerprint(
+          Tables.documents(s, d), col("text"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("fp")),
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |v AS (

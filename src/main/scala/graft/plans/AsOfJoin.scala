@@ -29,6 +29,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * a null time has no place on an as-of axis, so the exec fails fast
   * rather than silently treating it as epoch 0. Unmatched left rows
   * emit nulls on the right (LEFT OUTER asof semantics).
+  *
+  * Options (pandas merge_asof / kdb aj surface):
+  *  - `inclusive`: match rightTime == leftTime too (default strict <).
+  *  - `toleranceUs` ≥ 0: the match must satisfy
+  *    leftTime − rightTime ≤ toleranceUs, else null (−1 = unbounded).
+  *    Tolerance is a post-check on the buffered latest-prior row — any
+  *    earlier row is farther away, so one buffered row stays sufficient
+  *    and the merge remains O(1)-state.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -36,7 +44,9 @@ final case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    inclusive: Boolean = false,
+    toleranceUs: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -48,8 +58,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, inc, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, inc, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -59,6 +69,8 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    inclusive: Boolean,
+    toleranceUs: Long,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -97,6 +109,7 @@ final case class AsOfJoinExec(
         private var rTime: Long = _
         private var matched: InternalRow = _       // latest right <= bound
         private var matchedKey: InternalRow = _
+        private var matchedTime: Long = _
 
         // null time would silently compare as epoch 0 via getLong —
         // fail fast instead (see class contract)
@@ -124,17 +137,22 @@ final case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = timeOf(lTimeProj(l), "left")
-          // consume right rows with (key, time) < (lKey, lTime): the last
-          // one with an equal key is the as-of match (strictly prior)
+          // consume right rows with (key, time) before the bound: the
+          // last one with an equal key is the as-of match (strictly
+          // prior, or prior-or-equal when inclusive)
           while (rRow != null && {
             val c = keyOrd.compare(rKey, lKey)
-            c < 0 || (c == 0 && rTime < lTime)
+            c < 0 || (c == 0 &&
+              (if (inclusive) rTime <= lTime else rTime < lTime))
           }) {
             matched = rRow
             matchedKey = rKey
+            matchedTime = rTime
             advanceRight()
           }
-          val ok = matched != null && keyOrd.compare(matchedKey, lKey) == 0
+          val ok = matched != null &&
+            keyOrd.compare(matchedKey, lKey) == 0 &&
+            (toleranceUs < 0L || lTime - matchedTime <= toleranceUs)
           resultProj(joined(l, if (ok) matched else nullRight))
         }
       }
@@ -155,14 +173,19 @@ object AsOf {
   }
 
   /** `asofJoin(trades, quotes, keys, tradeTime, quoteTime)`: every left
-    * row joined to the latest strictly-prior right row per key. */
+    * row joined to the latest strictly-prior right row per key.
+    * `inclusive` admits equal timestamps (pandas merge_asof
+    * allow_exact_matches); `toleranceUs` ≥ 0 bounds the lookback
+    * (matches farther than the tolerance emit nulls). */
   def join(
       left: DataFrame,
       right: DataFrame,
       leftKeys: Seq[Column],
       rightKeys: Seq[Column],
       leftTime: Column,
-      rightTime: Column): DataFrame = {
+      rightTime: Column,
+      inclusive: Boolean = false,
+      toleranceUs: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     GraftBridge.ofRows(spark, AsOfJoinPlan(
@@ -171,6 +194,7 @@ object AsOf {
       leftKeys.map(GraftBridge.expression),
       rightKeys.map(GraftBridge.expression),
       GraftBridge.expression(leftTime),
-      GraftBridge.expression(rightTime)))
+      GraftBridge.expression(rightTime),
+      inclusive, toleranceUs))
   }
 }

@@ -64,4 +64,29 @@ class AsOfJoinSpec extends SparkSpec {
       .count(_.contains("Exchange hashpartitioning")) == 2,
       s"expected exactly one co-partitioning exchange per side:\n$plan")
   }
+
+  test("inclusive bound admits equal timestamps; tolerance nulls far matches") {
+    val trades = Seq((1L, 10L, "T1"), (1L, 100L, "T2"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 10L, "a"), (1L, 20L, "b"))
+      .toDF("qk", "qt", "quote")
+    def run(inclusive: Boolean, tol: Long) =
+      AsOf.join(trades, quotes, Seq(trades("k")), Seq(quotes("qk")),
+          trades("t"), quotes("qt"),
+          inclusive = inclusive, toleranceUs = tol)
+        .select(col("trade"), col("quote"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // strict (default): T1 at t=10 has no strictly-prior quote
+    assert(run(inclusive = false, tol = -1L) ==
+      Map("T1" -> null, "T2" -> "b"))
+    // inclusive: the equal-timestamp quote matches
+    assert(run(inclusive = true, tol = -1L) ==
+      Map("T1" -> "a", "T2" -> "b"))
+    // tolerance 50: T2's latest prior (t=20) is 80 away -> null
+    assert(run(inclusive = false, tol = 50L) ==
+      Map("T1" -> null, "T2" -> null))
+    // tolerance exactly at the gap boundary matches (<=)
+    assert(run(inclusive = false, tol = 80L) ==
+      Map("T1" -> null, "T2" -> "b"))
+  }
 }
