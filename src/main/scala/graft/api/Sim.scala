@@ -82,13 +82,17 @@ object Sim {
 
   /** IVF-style approximate top-k: every vector is assigned to its
     * nearest centroid (rows matching `isCentroid`; real IVF k-means-
-    * trains these — the partition/search mechanics are what scales),
-    * queries probe ONLY their own cell (nprobe=1). Centroids broadcast;
+    * trains these — the partition/search mechanics are what scales);
+    * queries probe their `nprobe` nearest cells (collection rows keep
+    * nprobe=1 — standard IVF). Centroids broadcast. For nprobe=1 the
     * assignment is a max_by aggregation, so partial aggregation
-    * collapses the n×k candidate rows to one per vector MAP-SIDE. */
+    * collapses the n×k candidate rows to one per vector MAP-SIDE; the
+    * multi-probe query side ranks cells with a window over the tiny
+    * query×centroid set only. */
   def ivfTopK(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
-      isCentroid: Column, k: Int): DataFrame = {
+      isCentroid: Column, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val e = withNorm(df, id, emb)
     val cent = e.filter(isCentroid)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
@@ -102,9 +106,25 @@ object Sim {
         struct(col("ccos"), (-col("cent_id")).as("neg"))).as("b"))
       .select(col("vec_id"), col("b.embedding").as("embedding"),
               col("b.nrm").as("nrm"), col("b.cent_id").as("cell"))
-    val q = assign.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-              col("nrm").as("qn"), col("cell"))
+    val q =
+      if (nprobe == 1)
+        assign.filter(isQuery)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  col("nrm").as("qn"), col("cell"))
+      else {
+        // rank every (query, centroid) pair — queries are few, so this
+        // window runs over a tiny set — and probe the top-nprobe cells
+        val wCell = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        e.filter(isQuery)
+          .join(broadcast(cent), col("vec_id") =!= lit(-1L))
+          .withColumn("ccos",
+            round(dot("embedding", "cemb") / (col("nrm") * col("cnrm")), 4))
+          .withColumn("cr", row_number().over(wCell))
+          .filter(col("cr") <= nprobe)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  col("nrm").as("qn"), col("cent_id").as("cell"))
+      }
     val c = assign.select(col("vec_id").as("cand_id"),
                           col("embedding").as("ce"),
                           col("nrm").as("cn"), col("cell").as("cell2"))

@@ -146,6 +146,37 @@ class ApiSpec extends SparkSpec {
     (exactTop & approxTop).foreach(id => assert(ec(id) == ac(id)))
   }
 
+  test("hash16Fast keeps uniformity and determinism with the fast hasher") {
+    val df = Seq.tabulate(2000)(i => (i.toLong, "a")).toDF("id", "s")
+    val kept = Pipeline.sampleStratified(
+      df, col("s"), col("id"), Map("a" -> 0.5), default = 1.0,
+      hasher = Pipeline.hash16Fast)
+    val n = kept.count()
+    assert(n > 800 && n < 1200, s"got $n")   // ~50%, hash-uniform
+    val again = Pipeline.sampleStratified(
+      df, col("s"), col("id"), Map("a" -> 0.5), default = 1.0,
+      hasher = Pipeline.hash16Fast)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
+
+  test("ivfTopK nprobe>1 probes more cells and only improves recall") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    def run(p: Int) = Sim.ivfTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 3,
+        isCentroid = col("vec_id") % 100 === 0, k = 3, nprobe = p)
+      .select("cand_id", "cos").as[(Long, Double)].collect().toMap
+    val p1 = run(1)
+    val p3 = run(3)
+    val exact = Sim.cosineTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 3, k = 3)
+      .select("cand_id", "cos").as[(Long, Double)].collect().toMap
+    assert(p1.size == 3 && p3.size == 3)
+    // nprobe=3's worst kept cosine is >= nprobe=1's (more candidates
+    // can only improve the top-k), and <= the exact scan's
+    assert(p3.values.min >= p1.values.min)
+    assert(exact.values.min >= p3.values.min)
+  }
+
   test("sampleStratified and splitAssign run unchanged on a stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Doc]

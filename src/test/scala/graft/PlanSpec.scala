@@ -86,4 +86,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"))
   }
+
+  test("stratified sampling decides membership at the scan (map-side)") {
+    val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the hash predicate must be a scan-stage DataFilter — membership
+    // is decided before ANY exchange; the only shuffles are the two
+    // tiny reporting aggregates'
+    assert(plan.contains("DataFilters: [isnotnull(doc_id"),
+      s"hash predicate not at the scan:\n$plan")
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) <= 2)
+    assert(!plan.contains("Window"), "no window belongs in a sample")
+  }
+
+  test("contamination semi-joins against a broadcast benchmark set") {
+    val df = SparkEntry.queries("q_contamination")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    assert(plan.contains("Broadcast"), "benchmark shingles should broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("simhash hamming banding merge-joins (no broadcast of the self-join)") {
+    val df = SparkEntry.queries("q_dedup_simhash_hamming")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"band join shape:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the bit_count confirmation must run inside the join stage, before
+    // the pair-dedup aggregate (filter-early, SCALE.md pathology #5)
+    // plan prints top-down: pair-dedup aggregate, then the bit_count
+    // filter, then the band join below it
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    val aggIdx = plan.indexOf("HashAggregate")
+    val filterIdx = plan.indexOf("bit_count")
+    assert(filterIdx >= 0, "bit_count filter missing from the plan")
+    assert(aggIdx < filterIdx && filterIdx < joinIdx,
+      "hamming filter must sit between the join and the aggregate")
+  }
+
+  test("bm25 plans TakeOrderedAndProject (no global sort for top-k)") {
+    val df = SparkEntry.queries("q_text_bm25")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 }
