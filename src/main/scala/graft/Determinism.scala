@@ -42,6 +42,12 @@ object Determinism {
   def avg4(sumDec: Column, cnt: Column): Column =
     round(sumDec.cast("double") / cnt, 4)
 
-  /** R3 rounding for unavoidable doubles. */
+  /** R3 rounding for unavoidable doubles.
+    *
+    * Negative-zero rule (found by the sf0.1 sweep, round 2): a tiny
+    * negative rounds to -0.0 in DuckDB (str '-0.0') but to +0.0 in
+    * Spark (Round goes through BigDecimal, which has no signed zero) —
+    * so every ORACLE output column of scale-4 round carries `+ 0`
+    * (IEEE: -0.0 + 0 = +0.0); the Spark side needs nothing. */
   def r4(c: Column): Column = round(c, 4)
 }

@@ -33,7 +33,7 @@ object Aggs extends OpGroup {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) + 0 AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -126,8 +126,8 @@ object Aggs extends OpGroup {
       """SELECT l_returnflag,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
         |  COUNT(*) AS cnt,
-        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
-        |  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) + 0 AS sd_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 4) + 0 AS var_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     Q(

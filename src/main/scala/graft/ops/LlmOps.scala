@@ -158,7 +158,7 @@ object LlmOps extends OpGroup {
         |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
         |            i -> CAST(q.embedding[i] AS DOUBLE)
         |               * CAST(c.embedding[i] AS DOUBLE)))
-        |          / (q.nrm * c.nrm), 4) AS cos
+        |          / (q.nrm * c.nrm), 4) + 0 AS cos
         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
         |ranked AS (
         |  SELECT q_id, cand_id, cos,
@@ -183,7 +183,7 @@ object LlmOps extends OpGroup {
         .orderBy(col("lang")),
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) + 0 AS avg_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  MIN(len(string_split(text, ' '))) AS min_tokens,
         |  MAX(len(string_split(text, ' '))) AS max_tokens

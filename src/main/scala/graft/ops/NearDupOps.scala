@@ -133,7 +133,7 @@ object NearDupOps extends OpGroup {
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, inter,
-        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jac
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) + 0 AS jac
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
@@ -159,7 +159,7 @@ object NearDupOps extends OpGroup {
         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |          i -> CAST(a.embedding[i] AS DOUBLE)
         |             * CAST(b.embedding[i] AS DOUBLE)))
-        |        / (a.nrm * b.nrm), 4) AS cos
+        |        / (a.nrm * b.nrm), 4) + 0 AS cos
         |  FROM e a JOIN e b
         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.9
@@ -185,7 +185,7 @@ object NearDupOps extends OpGroup {
         |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
         |          i -> CAST(q.embedding[i] AS DOUBLE)
         |             * CAST(c.embedding[i] AS DOUBLE)))
-        |        / (q.nrm * c.nrm), 4) AS cos
+        |        / (q.nrm * c.nrm), 4) + 0 AS cos
         |  FROM e q JOIN e c
         |    ON q.bucket = c.bucket AND q.vec_id < 10
         |   AND q.vec_id <> c.vec_id),
@@ -236,7 +236,7 @@ object NearDupOps extends OpGroup {
         |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
         |          i -> CAST(q.embedding[i] AS DOUBLE)
         |             * CAST(c.embedding[i] AS DOUBLE)))
-        |        / (q.nrm * c.nrm), 4) AS cos
+        |        / (q.nrm * c.nrm), 4) + 0 AS cos
         |  FROM assign q JOIN assign c
         |    ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
         |r AS (

@@ -72,7 +72,7 @@ object PipelineOps extends OpGroup {
         |SELECT lang, COUNT(*) AS n_total,
         |  COUNT(CASE WHEN u < thr THEN 1 END) AS n_kept,
         |  round(CAST(COUNT(CASE WHEN u < thr THEN 1 END) AS DOUBLE)
-        |        / COUNT(*), 4) AS pct_kept
+        |        / COUNT(*), 4) + 0 AS pct_kept
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin),
 
     Q(
@@ -117,7 +117,7 @@ object PipelineOps extends OpGroup {
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.lang, tf.term, tf.tf, df.df,
-        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) + 0 AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN n),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY lang
@@ -156,7 +156,7 @@ object PipelineOps extends OpGroup {
         |      * (tf.tf * (1.2 + 1.0))
         |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
         |           / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
-        |    ), 4) AS score
+        |    ), 4) + 0 AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN stats
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, score FROM scored
@@ -196,7 +196,7 @@ object PipelineOps extends OpGroup {
         |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
         |  CAST(MAX((cum - tok) // 2048) + 1 AS BIGINT) AS n_bins,
         |  round(CAST(SUM(tok) AS DOUBLE)
-        |        / ((MAX((cum - tok) // 2048) + 1) * 2048), 4) AS fill_ratio
+        |        / ((MAX((cum - tok) // 2048) + 1) * 2048), 4) + 0 AS fill_ratio
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
 
     Q(

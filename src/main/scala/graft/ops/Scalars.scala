@@ -101,7 +101,7 @@ object Scalars extends OpGroup {
         |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
         |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
         |  l_linenumber % 3 AS mod3,
-        |  round(ln(1.0 + l_quantity), 4) AS ln1p,
+        |  round(ln(1.0 + l_quantity), 4) + 0 AS ln1p,
         |  power(l_quantity, 2) AS sq
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq""".stripMargin),
 
@@ -164,9 +164,9 @@ object Scalars extends OpGroup {
           size(filter(col("embedding"), x => x > 0)).as("n_pos"))
         .orderBy(col("vec_id")),
       """SELECT vec_id, len(embedding) AS dim,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first,
         |  round(list_sum(list_transform(embedding[1:8],
-        |        x -> CAST(x AS DOUBLE))), 4) AS head8_sum,
+        |        x -> CAST(x AS DOUBLE))), 4) + 0 AS head8_sum,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
@@ -181,7 +181,7 @@ object Scalars extends OpGroup {
       """SELECT vec_id,
         |  unnest(range(0, len(embedding))) AS pos,
         |  round(CAST(unnest(list_transform(embedding,
-        |        x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS val
+        |        x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) + 0 AS val
         |FROM embeddings WHERE vec_id < 3
         |ORDER BY vec_id, pos""".stripMargin),
 

@@ -56,8 +56,8 @@ object SqlOps extends OpGroup {
              count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_quantity, 0.5), 4) + 0 AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) + 0 AS p90,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),

@@ -109,7 +109,7 @@ object TextOps extends OpGroup {
         |  FROM documents)
         |SELECT lang, CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
         |  CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
-        |  round(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 4) AS avg_bpe_per_doc
+        |  round(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 4) + 0 AS avg_bpe_per_doc
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
 
     Q(

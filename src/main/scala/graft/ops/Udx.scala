@@ -46,7 +46,7 @@ object Udx extends OpGroup {
           .orderBy(col("l_returnflag"))
       },
       """SELECT l_returnflag,
-        |  round(exp(avg(ln(l_quantity))), 4) AS geomean_qty,
+        |  round(exp(avg(ln(l_quantity))), 4) + 0 AS geomean_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),

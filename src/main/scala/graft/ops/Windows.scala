@@ -119,8 +119,8 @@ object Windows extends OpGroup {
       },
       """SELECT c_custkey, c_mktsegment,
         |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 4) AS pr,
-        |  ROUND(CUME_DIST() OVER w, 4) AS cd
+        |  ROUND(PERCENT_RANK() OVER w, 4) + 0 AS pr,
+        |  ROUND(CUME_DIST() OVER w, 4) + 0 AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin),
@@ -152,9 +152,9 @@ object Windows extends OpGroup {
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |SELECT o_orderstatus, o_orderpriority, n,
-        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS pct_total,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) + 0 AS pct_total,
         |  round(CAST(n AS DOUBLE) /
-        |        SUM(n) OVER (PARTITION BY o_orderstatus), 4) AS pct_in_status
+        |        SUM(n) OVER (PARTITION BY o_orderstatus), 4) + 0 AS pct_in_status
         |FROM c ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
 
     Q(
