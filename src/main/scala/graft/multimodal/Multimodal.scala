@@ -62,6 +62,22 @@ object MediaCodec {
           math.min(f * stride + stride, payload.length)))
     }
   }
+
+  /** "Resize": deterministic byte-domain downsample standing in for an
+    * image rescale — keeps every k-th byte so output size tracks the
+    * target dimensions. A real impl swaps in the codec here; the
+    * surrounding operator contract (new meta dims, smaller payload,
+    * determinism) is what the pipeline relies on. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int,
+                 newW: Int, newH: Int): Array[Byte] = {
+    if (payload.isEmpty || w * h == 0 || newW * newH == 0) Array.emptyByteArray
+    else {
+      val ratio = math.max(1L,
+        (w.toLong * h) / math.max(1L, newW.toLong * newH)).toInt
+      payload.indices.collect { case i if i % ratio == 0 => payload(i) }
+        .toArray
+    }
+  }
 }
 
 object Multimodal {
@@ -79,6 +95,37 @@ object Multimodal {
         val digest = md.digest(doc.payload).map("%02x".format(_)).mkString
         MediaFeatures(doc.mediaId, doc.payload.length, digest,
           MediaCodec.embedStub(doc.payload).toSeq)
+      }
+    }
+  }
+
+  /** Frame sampling as a Dataset operator: one (mediaId, frameIdx,
+    * frame) row per sampled frame, one decoder session per partition.
+    * Downstream per-frame work (captioning, embedding) then hangs off
+    * a normal exploded table instead of re-decoding the video. */
+  def sampleFrames(docs: Dataset[MediaDoc],
+                   frames: Int): Dataset[(Long, Int, Array[Byte])] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { batch =>
+      // real impl: open the demuxer once per partition here
+      batch.flatMap { doc =>
+        MediaCodec.frameSampleStub(doc.payload, frames).zipWithIndex
+          .map { case (frame, idx) => (doc.mediaId, idx, frame) }
+      }
+    }
+  }
+
+  /** Resize as a Dataset operator: payload shrinks toward the target
+    * dims, metadata is rewritten to match — the schema contract a real
+    * codec swap must preserve. */
+  def resize(docs: Dataset[MediaDoc], newW: Int, newH: Int): Dataset[MediaDoc] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { batch =>
+      batch.map { doc =>
+        doc.copy(
+          meta = doc.meta.copy(width = newW, height = newH),
+          payload = MediaCodec.resizeStub(
+            doc.payload, doc.meta.width, doc.meta.height, newW, newH))
       }
     }
   }

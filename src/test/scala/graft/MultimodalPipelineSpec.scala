@@ -51,4 +51,32 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(frames.length == 4 && frames.forall(_.length == 25))
     assert(MediaCodec.frameSampleStub(Array.emptyByteArray, 4).isEmpty)
   }
+
+  test("sampleFrames explodes to (mediaId, frameIdx, frame) rows") {
+    val out = Multimodal.sampleFrames(docs(6).toDS().repartition(3), 4)
+      .collect()
+    assert(out.length == 24)                    // 6 docs × 4 frames
+    assert(out.map(_._1).distinct.sorted.toSeq == (0L until 6L))
+    assert(out.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 1, 2, 3))
+    // deterministic under repartitioning
+    val again = Multimodal.sampleFrames(docs(6).toDS().repartition(5), 4)
+      .collect()
+    assert(out.map(t => (t._1, t._2, t._3.toSeq)).sortBy(x => (x._1, x._2)).toSeq ==
+      again.map(t => (t._1, t._2, t._3.toSeq)).sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("resize rewrites metadata and shrinks payloads proportionally") {
+    val ds = docs(8).toDS()
+    val resized = Multimodal.resize(ds, 32, 24).collect().sortBy(_.mediaId)
+    val orig = docs(8)
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(r.meta.width == 32 && r.meta.height == 24)
+      assert(r.meta.format == o.meta.format)     // format untouched
+      // 64×48 → 32×24 is a 4:1 pixel ratio → ~1/4 the bytes
+      assert(r.payload.length == (o.payload.length + 3) / 4)
+    }
+    // schema contract preserved: resize(out) still feeds extractFeatures
+    val feats = Multimodal.extractFeatures(Multimodal.resize(ds, 32, 24))
+    assert(feats.count() == 8)
+  }
 }
