@@ -127,6 +127,35 @@ class ScaleSpec extends SparkSpec {
     })
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at 100 TB this is the difference between scanning the whole fact
+    // table and skipping most of it: a bloom filter built from the
+    // filtered dim side is injected into the fact scan
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dimDir = tmpDir("bloom") + "/orders"
+      Tables.orders(spark, sfDir).write.mode("overwrite").parquet(dimDir)
+      val factDir = tmpDir("bloom") + "/lineitem"
+      Tables.lineitem(spark, sfDir).write.mode("overwrite").parquet(factDir)
+      val dim = spark.read.parquet(dimDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = spark.read.parquet(factDir)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("AQE coalesces the post-shuffle partitions of a small aggregate") {
     val df = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
