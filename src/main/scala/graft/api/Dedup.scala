@@ -22,8 +22,12 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingle array (distinct, map-side) of a text column. */
-  private def shingleExpr(n: Int): String = {
+  /** Word n-gram shingle array (distinct, map-side) of a text column —
+    * the ONE definition of "shared n-gram" for minhash, jaccard, and
+    * contamination (a drift here would make dedup and decontamination
+    * disagree); callers must pair it with the explode_outer + null
+    * filter generator discipline (SCALE.md pathology #1). */
+  private[api] def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
     s"array_distinct(transform(sequence(0, size(w) - $n), i -> " +
       s"concat_ws(' ', $parts)))"

@@ -18,9 +18,13 @@ object Pipeline {
 
   /** Uniform 16-bit content hash in [0, 65536): first 4 hex digits of
     * md5(string(c)). Engine-portable (md5 is bit-identical everywhere)
-    * and cheap enough for the scan projection. */
+    * and cheap enough for the scan projection. A null id hashes as the
+    * empty string — it gets a deterministic (kept/assigned) decision
+    * like any other value, so sampleStratified and splitAssign treat
+    * null ids identically instead of one silently dropping them. */
   def hash16(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+    conv(substring(md5(coalesce(c.cast("string"), lit(""))), 1, 4), 16, 10)
+      .cast("int")
 
   /** Production variant of [[hash16]]: xxhash64 (codegen'd, ~5× md5's
     * throughput) folded to the same [0, 65536) range. NOT cross-engine
@@ -28,7 +32,8 @@ object Pipeline {
     * external verification is retired; decisions differ from hash16's
     * but have the same uniformity and determinism guarantees. */
   def hash16Fast(c: Column): Column =
-    pmod(xxhash64(c.cast("string")), lit(65536L)).cast("int")
+    pmod(xxhash64(coalesce(c.cast("string"), lit(""))), lit(65536L))
+      .cast("int")
 
   /** Deterministic stratified sampling: keep a row iff
     * hash16(id) < 65536 * weight(stratum). `weights` maps stratum value
@@ -148,13 +153,11 @@ object Pipeline {
   def contaminated(
       corpus: DataFrame, benchmark: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
-    val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
     def shingles(src: DataFrame) = src
       .select(id.as("_id"), split(text, " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("_id"), explode_outer(expr(
-        s"array_distinct(transform(sequence(0, size(w) - $n), i -> " +
-        s"concat_ws(' ', $parts)))")).as("g"))
+      .select(col("_id"),
+              explode_outer(expr(Dedup.shingleExpr(n))).as("g"))
       .filter(col("g").isNotNull)
     val bench = shingles(benchmark).select(col("g"))
     val ids = shingles(corpus)

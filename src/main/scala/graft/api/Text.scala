@@ -54,8 +54,11 @@ object Text {
       stopwords: Seq[String] = Seq("the", "a"),
       saturation: Double = 500.0): DataFrame = {
     val w = split(text, " ")
-    val isStop = stopwords.map(s => (t: Column) => t === s)
-      .reduce((f, g) => (t: Column) => f(t) || g(t))
+    // foldLeft, not reduce: an empty stopword list is a legitimate
+    // parameterization (score without the stopword term) and must not
+    // throw at plan construction
+    val isStop = (t: Column) =>
+      stopwords.foldLeft(lit(false))((acc, s) => acc || t === s)
     df.withColumn("_chars", nChars.cast("double"))
       .withColumn("_ntok", size(w).cast("double"))
       .withColumn("_nstop", size(filter(w, isStop)).cast("double"))

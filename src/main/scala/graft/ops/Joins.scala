@@ -279,7 +279,10 @@ object Joins extends OpGroup {
                   col("user_id").as("c_user"), col("ts_us").as("click_us"))
         graft.plans.AsOf.join(purchases, clicks,
             Seq(purchases("user_id")), Seq(clicks("c_user")),
-            purchases("ts_us"), clicks("click_us"))
+            purchases("ts_us"), clicks("click_us"),
+            // deterministic even if equal-ts clicks ever appear: largest
+            // click_id wins, matching the oracle's last_value emulation
+            rightTieBreak = Seq(clicks("click_id")))
           .select(col("purchase_id"), col("user_id"), col("ts_us"),
                   coalesce(col("click_id"), lit(-1L)).as("prev_click_id"),
                   coalesce(col("click_us"), lit(-1L)).as("prev_click_us"))
@@ -325,7 +328,8 @@ object Joins extends OpGroup {
         graft.plans.AsOf.join(purchases, clicks,
             Seq(purchases("user_id")), Seq(clicks("c_user")),
             purchases("ts_us"), clicks("click_us"),
-            toleranceUs = hourUs)
+            toleranceUs = hourUs,
+            rightTieBreak = Seq(clicks("click_id")))
           .select(col("purchase_id"), col("user_id"), col("ts_us"),
                   coalesce(col("click_id"), lit(-1L)).as("prev_click_id"),
                   coalesce(col("click_us"), lit(-1L)).as("prev_click_us"))

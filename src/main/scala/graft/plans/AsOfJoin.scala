@@ -37,6 +37,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    Tolerance is a post-check on the buffered latest-prior row — any
   *    earlier row is farther away, so one buffered row stays sufficient
   *    and the merge remains O(1)-state.
+  *  - `rightTieBreak`: extra right-side sort expressions appended after
+  *    the time column. Right rows TIED on (key, time) are otherwise
+  *    matched in partition-layout-dependent order — supply a unique
+  *    tiebreak (an id column) whenever the time column can repeat per
+  *    key, or results are nondeterministic across reruns.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -46,7 +51,8 @@ final case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     inclusive: Boolean = false,
-    toleranceUs: Long = -1L) extends BinaryNode {
+    toleranceUs: Long = -1L,
+    rightTieBreak: Seq[Expression] = Nil) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -58,8 +64,9 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, inc, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, inc, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, inc, tol, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, inc, tol, tie,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -71,6 +78,7 @@ final case class AsOfJoinExec(
     rightTime: Expression,
     inclusive: Boolean,
     toleranceUs: Long,
+    rightTieBreak: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -82,10 +90,14 @@ final case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // in-partition (key, time) sort lets the merge run in one pass
+  // in-partition (key, time) sort lets the merge run in one pass; the
+  // tiebreak pins which of several equal-time right rows is buffered
+  // last (= matched), making ties deterministic
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +:
+       rightTieBreak.map(SortOrder(_, Ascending))))
 
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
@@ -176,7 +188,10 @@ object AsOf {
     * row joined to the latest strictly-prior right row per key.
     * `inclusive` admits equal timestamps (pandas merge_asof
     * allow_exact_matches); `toleranceUs` ≥ 0 bounds the lookback
-    * (matches farther than the tolerance emit nulls). */
+    * (matches farther than the tolerance emit nulls); `rightTieBreak`
+    * pins which right row wins when several share (key, time) — pass a
+    * unique column (e.g. the event id, ascending = largest id wins)
+    * whenever times can repeat per key. */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -185,7 +200,8 @@ object AsOf {
       leftTime: Column,
       rightTime: Column,
       inclusive: Boolean = false,
-      toleranceUs: Long = -1L): DataFrame = {
+      toleranceUs: Long = -1L,
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     GraftBridge.ofRows(spark, AsOfJoinPlan(
@@ -195,6 +211,7 @@ object AsOf {
       rightKeys.map(GraftBridge.expression),
       GraftBridge.expression(leftTime),
       GraftBridge.expression(rightTime),
-      inclusive, toleranceUs))
+      inclusive, toleranceUs,
+      rightTieBreak.map(GraftBridge.expression)))
   }
 }

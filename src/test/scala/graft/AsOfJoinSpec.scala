@@ -89,4 +89,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(inclusive = false, tol = 80L) ==
       Map("T1" -> null, "T2" -> "b"))
   }
+
+  test("rightTieBreak pins the winner among equal-time right rows") {
+    val trades = Seq((1L, 30L, "T")).toDF("k", "t", "trade")
+    // two quotes tied at t=20; tiebreak on id ASC buffers id=9 last
+    val quotes = Seq((1L, 20L, 5L, "low"), (1L, 20L, 9L, "high"))
+      .toDF("qk", "qt", "qid", "quote")
+    val got = (1 to 3).map { _ =>
+      AsOf.join(trades, quotes.repartition(3),
+          Seq(trades("k")), Seq(quotes("qk")), trades("t"), quotes("qt"),
+          rightTieBreak = Seq(quotes("qid")))
+        .select(col("quote")).collect().map(_.getString(0)).toSeq
+    }
+    assert(got.forall(_ == Seq("high")), s"got $got")
+  }
 }

@@ -93,7 +93,9 @@ class PlanSpec extends SparkSpec {
     // the hash predicate must be a scan-stage DataFilter — membership
     // is decided before ANY exchange; the only shuffles are the two
     // tiny reporting aggregates'
-    assert(plan.contains("DataFilters: [isnotnull(doc_id"),
+    val scanFilter = plan.linesIterator
+      .filter(_.contains("DataFilters:")).mkString
+    assert(scanFilter.contains("conv(substring(md5"),
       s"hash predicate not at the scan:\n$plan")
     assert(plan.linesIterator
       .count(_.contains("Exchange hashpartitioning")) <= 2)
