@@ -131,6 +131,23 @@ object Aggs extends OpGroup {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     Q(
+      // bivariate stats: sample correlation + covariance of quantity vs
+      // price per flag — unavoidable doubles under R3/R10 (round + 0)
+      "q_agg_corr",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+             r4(corr(col("l_quantity"), col("l_extendedprice")))
+               .as("corr_qp"),
+             r4(covar_samp(col("l_quantity"), col("l_extendedprice")))
+               .as("cov_qp"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    Q(
       "q_agg_having",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_custkey"))
