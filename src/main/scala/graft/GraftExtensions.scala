@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotF32, WordNgrams}
 import graft.plans.AsOfJoinStrategy
@@ -20,12 +20,6 @@ import graft.plans.AsOfJoinStrategy
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def ngramsBuilder(exprs: Seq[Expression]): Expression =
-    WordNgrams(exprs.head, exprs(1) match {
-      case Literal(v: Int, _) => v
-      case other => other.eval().asInstanceOf[Int]
-    })
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_f32"),
@@ -34,7 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-      ngramsBuilder _))
+      // the ONE builder (WordNgrams.builder) — argument validation can't
+      // drift between this path and WordNgrams.register
+      (exprs: Seq[Expression]) => WordNgrams.builder(exprs)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

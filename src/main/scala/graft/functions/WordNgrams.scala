@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,7 +37,11 @@ case class WordNgrams(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null || n < 1) Nil
     else {
-      val words = v.asInstanceOf[UTF8String].toString.split(' ')
+      // real whitespace tokenization: runs of spaces/tabs/newlines are
+      // one separator and never yield empty words (split(' ') produced
+      // empty/glued tokens on multi-space input)
+      val words = v.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
       if (words.length < n) Nil
       else (0 to words.length - n).map { i =>
         InternalRow(UTF8String.fromString(
@@ -51,14 +55,34 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 object WordNgrams {
+  /** THE builder for `word_ngrams(col, n)` — shared by register() and
+    * GraftExtensions so argument validation can't drift between the
+    * programmatic and extension-injected registration paths. Accepts any
+    * constant integral n; anything else gets a clear analysis-time error
+    * instead of a ClassCastException / unbound-reference crash. */
+  def builder(exprs: Seq[Expression]): WordNgrams = {
+    require(exprs.length == 2, "word_ngrams(col, n) takes two arguments")
+    // the builder runs at analysis time, BEFORE constant folding —
+    // accept any foldable integral expression (a bare literal, a CAST
+    // of one, …), not just Literal[Int]
+    val n = exprs(1) match {
+      case e if e.foldable => e.eval() match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long   => l.intValue
+        case s: java.lang.Short  => s.intValue
+        case b: java.lang.Byte   => b.intValue
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: n must be a constant integer, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams: n must be a constant integer, got ${other.sql}")
+    }
+    WordNgrams(exprs.head, n)
+  }
+
   /** Register `word_ngrams(col, n)` in the session's function registry so
     * it is callable from SQL/selectExpr like any built-in generator. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams",
-      exprs => WordNgrams(exprs.head, exprs(1) match {
-        case Literal(v: Int, _) => v
-        case other => other.eval().asInstanceOf[Int]
-      }),
-      "scala_udf")
+      "word_ngrams", builder, "scala_udf")
 }

@@ -33,6 +33,13 @@ final class Catalog(spark: SparkSession, path: String) {
       fingerprint = SchemaMapper.fingerprint(schema),
       schemaDdl = schema.toDDL)
     val others = all().filter(_.topic != topic)
+    // namify is lossy ("/a/b" and "/a-b" both mangle to "a_b") — a
+    // silent collision would interleave two topics' data in one path
+    others.find(_.table == meta.table).foreach { clash =>
+      throw new IllegalArgumentException(
+        s"table name collision: topic '$topic' and '${clash.topic}' both " +
+        s"mangle to '${meta.table}' — rename one topic")
+    }
     (others :+ meta).toDS().repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(path)
     meta
@@ -66,5 +73,7 @@ final class Catalog(spark: SparkSession, path: String) {
     meta
   }
 
-  def asDF: DataFrame = spark.read.parquet(path)
+  /** DataFrame view with the same missing-path contract as [[all]]
+    * (empty result before the first registration, not an exception). */
+  def asDF: DataFrame = all().toDS().toDF()
 }

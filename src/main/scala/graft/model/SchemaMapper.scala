@@ -42,6 +42,17 @@ object SchemaMapper {
       .digest(schema.catalogString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Flat `a_b_c` names of every leaf under a schema (shared by flatten
+    * and the unflatten null-struct guard). */
+  private def leafNames(schema: StructType, prefix: String): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val flat = if (prefix.isEmpty) f.name else s"${prefix}_${f.name}"
+      f.dataType match {
+        case st: StructType => leafNames(st, flat)
+        case _              => Seq(flat)
+      }
+    }
+
   /** Leaf columns of a (possibly nested) schema as `a_b_c`-named flat
     * projections. Arrays/maps/binaries stop recursion (JDBC-side they
     * become opaque values or are exploded explicitly by the caller). */
@@ -55,9 +66,20 @@ object SchemaMapper {
       }
     }
 
-  /** Nested frame → flat frame (reference-style column names). */
-  def flatten(df: DataFrame): DataFrame =
+  /** Nested frame → flat frame (reference-style column names). Fails
+    * fast on mangled-name collisions (nested `a.b` vs flat sibling
+    * `a_b` both become `a_b`) — otherwise the JDBC sink dies mid-batch
+    * on a duplicate column, and unflatten resolves ambiguously. */
+  def flatten(df: DataFrame): DataFrame = {
+    val names = leafNames(df.schema, "")
+    val dups = names.groupBy(identity).collect {
+      case (n, occ) if occ.length > 1 => n
+    }
+    require(dups.isEmpty,
+      s"flatten: mangled column name collision: ${dups.mkString(", ")} — " +
+      "rename the conflicting fields before flattening")
     df.select(flattenColumns(df.schema): _*)
+  }
 
   /** Inverse of [[flatten]]: rebuild the nested shape from reference
     * style `parent_child` flat columns — the sql2msg reconstruction step
@@ -68,8 +90,19 @@ object SchemaMapper {
       val flat = (if (prefix.isEmpty) f.name else s"${prefix}_${f.name}")
       f.dataType match {
         case st: StructType =>
-          org.apache.spark.sql.functions
-            .struct(unflattenColumns(st, flat): _*).as(f.name)
+          import org.apache.spark.sql.functions.{lit, struct, when}
+          val built = struct(unflattenColumns(st, flat): _*)
+          // a null nested struct flattens to all-null leaves; rebuild it
+          // as null (not a struct of zeros/defaults) when the target
+          // field is nullable — struct(...) alone always constructs a
+          // non-null value, silently fabricating default sub-messages
+          val rebuilt =
+            if (f.nullable) {
+              val allNull = leafNames(st, flat)
+                .map(col(_).isNull).reduce(_ && _)
+              when(allNull, lit(null).cast(st)).otherwise(built)
+            } else built
+          rebuilt.as(f.name)
         case _ => col(flat).as(f.name)
       }
     }

@@ -44,18 +44,24 @@ object TypeMap {
     * shredded child table — the multimodal-column hook. */
   val byteArray: DataType = BinaryType
 
-  /** Resolve a field type name like "float32", "uint8[]", "Header",
-    * "geometry_msgs/Point[]" against known message schemas. */
+  /** `T[]`, fixed `T[36]`, and bounded `T[<=10]` array suffixes — ROS
+    * message IDL has all three; the relational mapping is the same
+    * ArrayType (the bound is a writer-side constraint, not a type). */
+  private val ArraySuffix = """^(.*)\[(?:<=)?\d*\]$""".r
+
+  /** Resolve a field type name like "float32", "uint8[]", "float64[36]",
+    * "string[<=10]", "Header", "geometry_msgs/Point[]" against known
+    * message schemas. */
   def resolve(name: String,
               known: Map[String, StructType] = Map.empty): DataType =
-    if (name.endsWith("[]")) {
-      val elem = name.dropRight(2)
-      if (elem == "uint8" || elem == "byte" || elem == "char") byteArray
-      else ArrayType(resolve(elem, known), containsNull = false)
-    } else {
-      primitives.getOrElse(name,
-        known.getOrElse(name,
-          known.getOrElse(name.split('/').last,
-            throw new IllegalArgumentException(s"unknown type: $name"))))
+    name match {
+      case ArraySuffix(elem) =>
+        if (elem == "uint8" || elem == "byte" || elem == "char") byteArray
+        else ArrayType(resolve(elem, known), containsNull = false)
+      case _ =>
+        primitives.getOrElse(name,
+          known.getOrElse(name,
+            known.getOrElse(name.split('/').last,
+              throw new IllegalArgumentException(s"unknown type: $name"))))
     }
 }

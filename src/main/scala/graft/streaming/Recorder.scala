@@ -64,7 +64,11 @@ object Recorder {
       baseDir: String,
       checkpointDir: String): (TopicMeta, StreamingQuery) = {
     val meta = catalog.register(topic, msgType, stream.schema)
-    val q = stream.toDF().writeStream
+    // receipt metadata on BOTH sinks (it was JDBC-only, leaving the
+    // documented 100 TB path with no ingest-time column); readback's
+    // .as[T] binds by name, so the extra _recv_us column is transparent
+    // to typed consumers and available to audits
+    val q = withReceipt(stream.toDF()).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .option("path", s"$baseDir/${meta.table}")

@@ -75,4 +75,32 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(n == Map("a b" -> 2L, "b a" -> 1L))
   }
+
+  test("word_ngrams tokenizes real whitespace (runs, tabs, newlines)") {
+    WordNgrams.register(spark)
+    val rows = Seq("a  b\tc\nd ").toDF("text")
+      .selectExpr("word_ngrams(text, 2) AS g")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a b", "b c", "c d"))
+  }
+
+  test("word_ngrams n accepts any integral literal, rejects non-constants") {
+    WordNgrams.register(spark)
+    val df = Seq("a b c").toDF("text")
+    val viaLong = df.selectExpr("word_ngrams(text, CAST(2 AS BIGINT)) AS g")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaLong == Seq("a b", "b c"))
+    val e = intercept[Exception](
+      df.selectExpr("word_ngrams(text, length(text)) AS g").collect())
+    assert(e.getMessage.contains("constant integer"), e.getMessage)
+  }
+
+  test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
+    import org.apache.spark.sql.functions._
+    val gm = udaf(graft.functions.GeoMean)
+    // ln(0)/ln(-4) are null in SQL and avg skips them -> geomean(2, 8) = 4
+    val got = Seq(2.0, 0.0, -4.0, 8.0).toDF("x")
+      .agg(gm(col("x")).as("g")).collect().head.getDouble(0)
+    assert(math.abs(got - 4.0) < 1e-12, s"got $got")
+  }
 }

@@ -61,4 +61,42 @@ class ModelSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getDouble(1) == 2.0 &&
       r.getLong(2) == 3L && r.getLong(3) == 4L)
   }
+
+  test("fixed and bounded ROS array types resolve like unbounded ones") {
+    assert(TypeMap.resolve("float64[36]") ==           // covariance matrix
+      ArrayType(DoubleType, containsNull = false))
+    assert(TypeMap.resolve("string[<=10]") ==          // bounded (ROS 2)
+      ArrayType(StringType, containsNull = false))
+    assert(TypeMap.resolve("uint8[640]") == BinaryType) // fixed blob
+    val header = StructType(Seq(StructField("seq", LongType)))
+    assert(TypeMap.resolve("Header[4]", Map("Header" -> header)) ==
+      ArrayType(header, containsNull = false))
+  }
+
+  test("flatten rejects mangled-name collisions instead of corrupting") {
+    val nested = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("pose_x", DoubleType),
+        StructField("pose", StructType(Seq(StructField("x", DoubleType)))))))
+    val e = intercept[IllegalArgumentException](SchemaMapper.flatten(nested))
+    assert(e.getMessage.contains("collision"))
+  }
+
+  test("null nested structs round-trip through flatten/unflatten as null") {
+    val target = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pose", StructType(Seq(
+        StructField("x", DoubleType),
+        StructField("y", DoubleType))), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(2.0, 3.0)),
+      org.apache.spark.sql.Row(2L, null))
+    val nested = spark.createDataFrame(rows, target)
+    val back = SchemaMapper.unflatten(SchemaMapper.flatten(nested), target)
+      .orderBy("id").collect()
+    assert(back(0).getStruct(1).getDouble(0) == 2.0)
+    assert(back(1).isNullAt(1),
+      "null sub-message must stay null, not become a struct of defaults")
+  }
 }
