@@ -1,4 +1,5 @@
 package graft
+import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -11,17 +12,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/session warmup outside the measured window so the first
-    // measured query isn't charged ~4s of one-time JVM cost
-    SparkEntry.entry(spark).count()
+    // measured query isn't charged ~4s of one-time JVM cost. Warm on the
+    // BENCH dataset (not a hardcoded fixture path) and never let a warmup
+    // failure kill the run before any JSON is emitted.
+    try SparkEntry.queries("q_agg_group")(spark, sfDir).count()
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case NonFatal(e) =>
+        // record the failure loudly — time-to-exception must not
+        // masquerade as a (suspiciously fast) clean measurement
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,7 +70,9 @@ object MediaCodec {
     * determinism) is what the pipeline relies on. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int,
                  newW: Int, newH: Int): Array[Byte] = {
-    if (payload.isEmpty || w * h == 0 || newW * newH == 0) Array.emptyByteArray
+    // pixel counts in Long: 65536x65536 overflows Int multiply to 0
+    if (payload.isEmpty || w.toLong * h == 0L || newW.toLong * newH == 0L)
+      Array.emptyByteArray
     else {
       val ratio = math.max(1L,
         (w.toLong * h) / math.max(1L, newW.toLong * newH)).toInt
@@ -135,7 +137,9 @@ object Multimodal {
   def metaStats(spark: SparkSession, path: String) =
     spark.read.parquet(path)
       .select(col("mediaId"), col("meta.format").as("format"),
-              (col("meta.width") * col("meta.height")).as("pixels"))
+              // long multiply: gigapixel dims overflow Int
+              (col("meta.width").cast("long") * col("meta.height"))
+                .as("pixels"))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"), max(col("pixels")).as("max_pixels"))
 }

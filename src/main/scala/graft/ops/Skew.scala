@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   * partitions of it overwhelm a task, or when the build side must stay a
   * shuffled hash join.
   *
-  * Shape: the probe side gets a uniform random-ish salt in [0, n) that is
-  * DETERMINISTIC per row (hash of the whole row, not rand() — keeps
-  * retries and the double-run determinism test stable); the build side is
-  * replicated n× with every salt value. The join key becomes
-  * (key, salt), fanning one hot key across n tasks.
+  * Shape: the probe side gets a salt in [0, n) that is DETERMINISTIC per
+  * row (hash of the whole row, not rand() — keeps retries and the
+  * double-run determinism test stable); the build side is replicated n×
+  * with every salt value. The join key becomes (key, salt), fanning one
+  * hot key across n tasks.
+  *
+  * Limitation of determinism-by-content: BYTE-IDENTICAL probe rows all
+  * hash to the same salt, so a hot key whose rows are exact duplicates
+  * is not spread (results stay correct; the skew remains). If that is
+  * your shape, add a distinguishing column (an event id) before salting —
+  * a rand()/monotonic salt would spread them but breaks replay-stable
+  * results under task retries, which this engine refuses to do.
   */
 object Skew {
 
@@ -23,12 +30,20 @@ object Skew {
       probeKey: Column,
       buildKey: Column,
       buckets: Int): DataFrame = {
-    val salted = probe.withColumn("_salt",
+    require(buckets >= 1,
+      s"saltedEquiJoin: buckets must be >= 1, got $buckets " +
+      "(0 would pmod-by-zero; under non-ANSI that silently returns 0 rows)")
+    // reserved internal name, asserted absent: a caller's own column
+    // must neither be overwritten nor dropped from the output
+    val salt = "__graft_salt__"
+    require(!probe.columns.contains(salt) && !build.columns.contains(salt),
+      s"saltedEquiJoin: input already has a '$salt' column")
+    val salted = probe.withColumn(salt,
       pmod(hash(probe.columns.map(col).toSeq: _*), lit(buckets)))
-    val replicated = build.withColumn("_salt",
+    val replicated = build.withColumn(salt,
       explode(expr(s"sequence(0, ${buckets - 1})")))
     salted.join(replicated,
-        probeKey === buildKey && salted("_salt") === replicated("_salt"))
-      .drop("_salt")
+        probeKey === buildKey && salted(salt) === replicated(salt))
+      .drop(salt)
   }
 }
