@@ -36,6 +36,14 @@ object Determinism {
     * (R2) — only the final output column is widened. */
   def asMoney(c: Column): Column = round(c, 2).cast(Money).cast("double")
 
+  /** Final projection of a NON-aggregated money input column: exact
+    * decimal cents, widened to DOUBLE for the comparator (same R9
+    * rationale as asMoney; the oracle side is
+    * `CAST(ROUND(CAST(x AS DECIMAL(18,2)), 2) AS DOUBLE)`). The one
+    * named home of the output-widening rule for raw columns. */
+  def moneyOut(c: Column): Column = money(c).cast("double")
+  def moneyOut(name: String): Column = moneyOut(col(name))
+
   /** Deterministic average: exact decimal sum → one double → divide by
     * exact count → round. Avoids both engines' (different) native
     * decimal-avg semantics. */

@@ -19,16 +19,25 @@ object Sim {
 
   /** '0'/'1' sign-bit string of the first n embedding dims — random-
     * hyperplane LSH with axis-aligned planes. Public so callers can
-    * pre-bucket collections at write time. */
+    * pre-bucket collections at write time. A null embedding yields a
+    * NULL bucket (never equi-joins), not the empty-string bucket
+    * concat_ws alone would fabricate. */
   def signBits(emb: Column, n: Int): Column =
-    concat_ws("", transform(slice(emb, 1, n),
-      x => when(x >= 0, "1").otherwise("0")))
+    when(emb.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("", transform(slice(emb, 1, n),
+        x => when(x >= 0, "1").otherwise("0"))))
 
   private def dot(a: String, b: String) = expr(s"dot_f32($a, $b)")
 
-  private def withNorm(df: DataFrame, id: Column, emb: Column): DataFrame = {
+  /** Canonical projection: (vec_id, embedding, nrm) plus the caller's
+    * predicates evaluated BEFORE the rename as `_isq`/`_isc` flag
+    * columns — so isQuery/isCentroid may reference any column of the
+    * original frame, not just the post-projection names. */
+  private def withNorm(df: DataFrame, id: Column, emb: Column,
+                       flags: Seq[(String, Column)] = Nil): DataFrame = {
     graft.functions.DotF32.register(df.sparkSession)
-    df.select(id.as("vec_id"), emb.as("embedding"))
+    df.select((Seq(id.as("vec_id"), emb.as("embedding")) ++
+        flags.map { case (n, c) => c.as(n) }): _*)
       .withColumn("nrm", sqrt(expr("dot_f32(embedding, embedding)")))
   }
 
@@ -39,12 +48,13 @@ object Sim {
   def cosineTopK(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
       k: Int): DataFrame = {
-    val e = withNorm(df, id, emb)
-    val q = e.filter(isQuery)
+    val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
+    val q = e.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"))
     val c = e.select(col("vec_id").as("cand_id"),
                      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+
     val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
               round(dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")), 4)
@@ -61,9 +71,9 @@ object Sim {
   def lshTopK(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
       bits: Int, k: Int): DataFrame = {
-    val e = withNorm(df, id, emb)
+    val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
       .withColumn("bucket", signBits(col("embedding"), bits))
-    val q = e.filter(isQuery)
+    val q = e.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
               col("bucket"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
@@ -93,22 +103,27 @@ object Sim {
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
       isCentroid: Column, k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val e = withNorm(df, id, emb)
-    val cent = e.filter(isCentroid)
+    val e = withNorm(df, id, emb,
+      Seq("_isq" -> isQuery, "_isc" -> isCentroid))
+    val cent = e.filter(col("_isc"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
               col("nrm").as("cnrm"))
-    val assign = e.join(broadcast(cent), col("vec_id") =!= lit(-1L))
+    // a true cross join — the previous `vec_id =!= -1` pseudo-condition
+    // silently dropped any vector whose id was -1 or null
+    val assign = e.crossJoin(broadcast(cent))
       .withColumn("ccos",
         round(dot("embedding", "cemb") / (col("nrm") * col("cnrm")), 4))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("embedding"), col("nrm"), col("cent_id")),
-        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("b"))
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("b"),
+        max(col("_isq")).as("_isq"))
       .select(col("vec_id"), col("b.embedding").as("embedding"),
-              col("b.nrm").as("nrm"), col("b.cent_id").as("cell"))
+              col("b.nrm").as("nrm"), col("b.cent_id").as("cell"),
+              col("_isq"))
     val q =
       if (nprobe == 1)
-        assign.filter(isQuery)
+        assign.filter(col("_isq"))
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
                   col("nrm").as("qn"), col("cell"))
       else {
@@ -116,8 +131,7 @@ object Sim {
         // window runs over a tiny set — and probe the top-nprobe cells
         val wCell = Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("cent_id").asc)
-        e.filter(isQuery)
-          .join(broadcast(cent), col("vec_id") =!= lit(-1L))
+        e.filter(col("_isq")).crossJoin(broadcast(cent))
           .withColumn("ccos",
             round(dot("embedding", "cemb") / (col("nrm") * col("cnrm")), 4))
           .withColumn("cr", row_number().over(wCell))

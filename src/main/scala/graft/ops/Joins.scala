@@ -25,7 +25,7 @@ object Joins extends OpGroup {
       (s, d) => Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
-                money("l_extendedprice").cast("double").as("price"))
+                moneyOut("l_extendedprice").as("price"))
         // (l_orderkey, l_linenumber) not unique in fixture → full-row order
         .orderBy(col("o_orderkey"), col("l_linenumber"), col("price")),
       """SELECT o_orderkey, l_linenumber, o_orderstatus,
@@ -84,7 +84,7 @@ object Joins extends OpGroup {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"),
                 coalesce(col("o_orderkey"), lit(-1L)).as("o_key"),
-                money("o_totalprice").cast("double").as("total"))
+                moneyOut("o_totalprice").as("total"))
         .orderBy(col("c_custkey"), col("o_key")),
       """SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key,
         |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total
@@ -148,8 +148,8 @@ object Joins extends OpGroup {
               col("l_partkey") === col("p_partkey") &&
               col("l_extendedprice") > col("p_retailprice") * 40)
         .select(col("l_orderkey"), col("l_linenumber"),
-                money("l_extendedprice").cast("double").as("price"),
-                money("p_retailprice").cast("double").as("retail"))
+                moneyOut("l_extendedprice").as("price"),
+                moneyOut("p_retailprice").as("retail"))
         // (l_orderkey, l_linenumber) not unique in fixture → full-row order
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
                  col("retail")),

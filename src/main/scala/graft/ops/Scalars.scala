@@ -236,7 +236,7 @@ object Scalars extends OpGroup {
                        col("o_totalprice").as("total")).as("env"))
         .select(col("o_orderkey"),
                 date_format(col("env.dt"), "yyyy-MM-dd").as("od"),
-                money(col("env.total")).cast("double").as("total"))
+                moneyOut(col("env.total")).as("total"))
         .orderBy(col("o_orderkey")),
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
         |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total

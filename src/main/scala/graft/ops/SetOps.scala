@@ -39,7 +39,7 @@ object SetOps extends OpGroup {
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"),
                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
-                money("o_totalprice").cast("double").as("total"))
+                moneyOut("o_totalprice").as("total"))
         .orderBy(col("odate"), col("o_orderkey"))
         .offset(10).limit(20),
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,

@@ -126,7 +126,7 @@ object Streaming extends OpGroup {
         val endUs = 1706745600000000L   // 2024-02-01 00:00 UTC
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts_us"),
-                  money(col("value")).cast("double").as("v"),
+                  moneyOut(col("value")).as("v"),
                   lit(0).as("is_grid"))
         val grid = Tables.events(s, d).select(col("user_id")).distinct()
           .select(col("user_id"),

@@ -88,11 +88,13 @@ object Windows extends OpGroup {
 
     Q(
       // RANGE frame: peers (tied values) all included — deterministic
-      // under ties by construction
+      // under ties by construction. Null ordering pinned explicitly:
+      // Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST — latent
+      // cross-engine divergence if value were ever null
       "q_win_frame_range",
       (s, d) => {
         val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("value"))
+          .orderBy(asc_nulls_first("value"))
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("value"),
@@ -101,7 +103,7 @@ object Windows extends OpGroup {
       },
       """SELECT event_id, event_type, value,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY event_type ORDER BY value
+        |    PARTITION BY event_type ORDER BY value ASC NULLS FIRST
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_sum
         |FROM events ORDER BY event_id""".stripMargin),
 

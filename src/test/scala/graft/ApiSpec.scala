@@ -177,6 +177,19 @@ class ApiSpec extends SparkSpec {
     assert(exact.values.min >= p3.values.min)
   }
 
+  test("Sim predicates may reference any original column, not post-rename names") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    // label is neither the id nor the embedding — it would be dropped by
+    // the internal projection; the flags are evaluated before it
+    val byLabel = Sim.cosineTopK(emb, col("vec_id"), col("embedding"),
+      isQuery = col("label") === 5 && col("vec_id") < 50, k = 2)
+    assert(byLabel.select("q_id").distinct().count() > 0)
+    val ivf = Sim.ivfTopK(emb, col("vec_id"), col("embedding"),
+      isQuery = col("label") === 5 && col("vec_id") < 50,
+      isCentroid = col("label") === 0, k = 2)
+    assert(ivf.select("q_id").distinct().count() > 0)
+  }
+
   test("sampleStratified and splitAssign run unchanged on a stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Doc]
