@@ -116,14 +116,20 @@ object Joins extends OpGroup {
         |ORDER BY c_custkey""".stripMargin),
 
     Q(
+      // anti-join vs the 'F'-status order subset: every customer has SOME
+      // order in this data, so the unfiltered anti-join returned 0 rows on
+      // both engines — a vacuous green that tested nothing (VERDICT r2).
+      // ~5% of customers have no 'F' order, so this emits real rows at
+      // every SF while exercising identical anti-join semantics.
       "q_join_left_anti",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-              "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey")),
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin),
 
     Q(
