@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public, parameterized deduplication API — the reusable forms of the
@@ -22,16 +23,47 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** THE tokenizer for the n-gram/shingle family (minhash, jaccard,
+    * contamination, simhash, word_ngrams): whitespace-robust — any run
+    * of ASCII whitespace is ONE separator and never yields empty
+    * tokens. The character class is spelled out (= Java regex `\s`)
+    * instead of `\s` itself because DuckDB's RE2 `\s` omits `\x0B`;
+    * the oracle twin (`ops.toksSql`) uses the same explicit class, so
+    * both engines tokenize byte-identically on ANY input, not just the
+    * single-spaced fixture corpus. */
+  private[graft] def tokens(text: Column): Column =
+    filter(split(text, "[ \\t\\n\\r\\f\\x0B]+"), w => w =!= lit(""))
+
   /** Word n-gram shingle array (distinct, map-side) of a text column —
     * the ONE definition of "shared n-gram" for minhash, jaccard, and
     * contamination (a drift here would make dedup and decontamination
-    * disagree); callers must pair it with the explode_outer + null
-    * filter generator discipline (SCALE.md pathology #1). */
+    * disagree). Operates on a `w` token array produced by [[tokens]]
+    * (the one tokenizer, shared with the word_ngrams generator);
+    * callers must pair it with the explode_outer + null filter
+    * generator discipline (SCALE.md pathology #1). */
   private[api] def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
     s"array_distinct(transform(sequence(0, size(w) - $n), i -> " +
       s"concat_ws(' ', $parts)))"
   }
+
+  /** Drop shingles whose document frequency exceeds `cap` from an
+    * exploded (doc, shingle) frame. The hot set (df > cap) is tiny by
+    * definition — one hash-agg builds it, then it BROADCASTS into a
+    * left-anti join, so the corpus-sized side is never reshuffled.
+    * `cap = None` returns the input untouched (byte-identical plan). */
+  private def capHotShingles(
+      exploded: DataFrame, s: Column, cap: Option[Int]): DataFrame =
+    cap match {
+      case None => exploded
+      case Some(n) =>
+        require(n >= 1, "maxShingleDocFreq must be >= 1")
+        val hot = exploded.groupBy(s.as("_hot_s"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > n)
+          .select(col("_hot_s"))
+        exploded.join(broadcast(hot), s === col("_hot_s"), "left_anti")
+    }
 
   /** MinHash/LSH near-duplicate candidate pairs: 16 hash slots (four
     * md5s per shingle, sliced into 8-hex windows), pairs agreeing on at
@@ -46,16 +78,26 @@ object Dedup {
     * expression into the scan filter 3× (measured 10×); the four
     * window-minima aggregate per (doc, j) BEFORE stack() fans out slot
     * rows; candidates come from an equi-join on (slot, min) buckets —
-    * LSH banding, never an all-pairs comparison. */
+    * LSH banding, never an all-pairs comparison.
+    *
+    * `maxShingleDocFreq`: the boilerplate escape hatch at 1000× scale —
+    * drop shingles appearing in more than N docs BEFORE they influence
+    * signatures (headers/footers/license text otherwise minhash-collide
+    * unrelated docs AND make their buckets pathologically hot). The hot
+    * set is tiny by construction (only shingles with df > N), so it
+    * broadcasts into a left-anti join — no extra shuffle of the corpus.
+    * Default None keeps the exact r2 plan and results. */
   def minhashPairs(
       df: DataFrame, id: Column, text: Column,
-      shingle: Int = 3, minMatch: Int = 8): DataFrame = {
-    val sig = df
-      .select(id.as("doc_id"), split(text, " ").as("w"))
+      shingle: Int = 3, minMatch: Int = 8,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val exploded = df
+      .select(id.as("doc_id"), tokens(text).as("w"))
       .filter(size(col("w")) >= shingle)
       .select(col("doc_id"),
               explode_outer(expr(shingleExpr(shingle))).as("s"))
       .filter(col("s").isNotNull)
+    val sig = capHotShingles(exploded, col("s"), maxShingleDocFreq)
       .select(col("doc_id"), col("s"),
               explode(expr("sequence(0, 3)")).as("j"))
       .select(col("doc_id"), col("j"),
@@ -81,32 +123,77 @@ object Dedup {
 
   /** Connected components over an undirected edge list (a, b) →
     * (doc, root) with root = min member id. Pregel-style min-label
-    * propagation to fixpoint: each iteration is one distributed
-    * join + aggregate, lineage truncated per step via localCheckpoint;
-    * convergence reads off the checkpointed result (no extra join).
-    * O(diameter) rounds — near-dup graphs are shallow. */
+    * propagation to fixpoint.
+    *
+    * ONE Spark job per iteration: the label update materializes through
+    * an eager checkpoint, and convergence is detected by an accumulator
+    * bumped WHILE that job runs (a tiny nondeterministic UDF on the
+    * changed-flag column) — there is no separate per-iteration count()
+    * job, which at 100 TB halves both the job count and the scheduler
+    * round-trips of the fixpoint loop. Task retries can only over-count
+    * the accumulator, and only the zero/non-zero distinction is read,
+    * so convergence is still exact.
+    *
+    *  - `shortcut = true` adds pointer-halving: each round also maps
+    *    every label through the just-computed label table
+    *    (root ← label(root)), turning O(diameter) rounds into
+    *    O(log diameter) — worth its extra per-round join on
+    *    long-chain graphs; near-dup graphs are shallow, so the
+    *    default keeps the cheaper single-join round.
+    *  - `reliable = true` swaps localCheckpoint (executor-storage
+    *    lineage cut — an executor loss kills the job) for reliable
+    *    checkpointing to `spark.sparkContext.setCheckpointDir` — the
+    *    resilient choice for long fixpoints on real clusters. */
   def connectedComponents(
-      pairs: DataFrame, a: String, b: String): DataFrame = {
-    val p = pairs.select(col(a).as("doc_a"), col(b).as("doc_b"))
-      .localCheckpoint()
+      pairs: DataFrame, a: String, b: String,
+      shortcut: Boolean = false,
+      reliable: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
+    if (reliable) require(
+      spark.sparkContext.getCheckpointDir.isDefined,
+      "connectedComponents(reliable = true) needs " +
+      "spark.sparkContext.setCheckpointDir(...)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val changedAcc = spark.sparkContext.longAccumulator("graft_cc_changed")
+    // materialized as a column of the checkpointed frame, so it runs
+    // exactly during the update job — never a second action
+    val bump = udf { (changed: Boolean) =>
+      if (changed) changedAcc.add(1L); changed
+    }.asNondeterministic()
+
+    val p = ckpt(pairs.select(col(a).as("doc_a"), col(b).as("doc_b")))
     val edges = p.union(
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc")).distinct()
-      .withColumn("root", col("doc")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    var labels = ckpt(edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("root", col("doc")))
+    var converged = false
+    while (!converged) {
+      changedAcc.reset()
       val prop = edges
         .join(labels, col("doc_a") === col("doc"))
         .groupBy(col("doc_b").as("doc2"))
         .agg(min(col("root")).as("nroot"))
-      val next = labels
+      var upd = labels
         .join(prop, col("doc") === col("doc2"), "left")
         .select(col("doc"),
                 least(col("root"), coalesce(col("nroot"), col("root")))
                   .as("root"),
-                col("root").as("old"))
-        .localCheckpoint()
-      changed = next.filter(col("root") =!= col("old")).count()
+                col("root").as("_old"))
+      if (shortcut) {
+        // pointer halving: roots are themselves doc ids, so one more
+        // equi-join rewrites root ← label(root) (labels only decrease)
+        val m = upd.select(col("doc").as("_rd"), col("root").as("_rr"))
+        upd = upd.join(m, col("root") === col("_rd"), "left")
+          .select(col("doc"),
+                  least(col("root"), coalesce(col("_rr"), col("root")))
+                    .as("root"),
+                  col("_old"))
+      }
+      val next = ckpt(upd.select(col("doc"), col("root"),
+        bump(col("root") < col("_old")).as("_chg")))
+      converged = changedAcc.value == 0
       labels = next.select(col("doc"), col("root"))
     }
     labels
@@ -119,9 +206,9 @@ object Dedup {
   def simhashSignature(
       df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, "md5 provides 32 hex digits")
-    df.select(id.as("doc_id"), text.as("_t"))
+    df.select(id.as("doc_id"), tokens(text).as("_w"))
       .select(col("doc_id"),
-              expr("transform(array_distinct(split(_t, ' ')), t -> md5(t))")
+              expr("transform(array_distinct(_w), t -> md5(t))")
                 .as("hs"))
       .select(col("doc_id"),
               expr(
@@ -139,9 +226,9 @@ object Dedup {
     * the majority vote for hex digit k+1's parity is positive — same
     * votes as simhashSignature, packed). Integer-exact, map-side. */
   def simhashSig32(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), text.as("_t"))
+    df.select(id.as("doc_id"), tokens(text).as("_w"))
       .select(col("doc_id"),
-              expr("transform(array_distinct(split(_t, ' ')), t -> md5(t))")
+              expr("transform(array_distinct(_w), t -> md5(t))")
                 .as("hs"))
       .select(col("doc_id"),
               expr(
@@ -199,17 +286,39 @@ object Dedup {
     * joined (the naive formulation planned 7 exchanges); the MERGE hint
     * stops AQE from broadcasting a multi-million-row self-join side
     * (measured 5×). n is the selectivity dial — small vocabularies need
-    * wider shingles (see q_dedup_ngram_jaccard notes). */
+    * wider shingles (see q_dedup_ngram_jaccard notes).
+    *
+    * `maxShingleDocFreq` drops boilerplate shingles (df > N) before the
+    * candidate join — the hot-bucket escape hatch (see minhashPairs).
+    * Capped shingles leave the shingle SETS too (|doc| and J are
+    * computed over the capped space — the standard semantics: J over
+    * uncapped sets would report near-1 similarity for docs sharing only
+    * boilerplate, exactly what the cap exists to kill). The capped path
+    * recounts |doc| with one window over the filtered index; the
+    * default path keeps |doc| riding map-side (byte-identical r2 plan). */
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column,
-      n: Int = 7, minJaccard: Double = 0.2): DataFrame = {
-    val sh = df
-      .select(id.as("doc_id"), split(text, " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .withColumn("gs", expr(shingleExpr(n)))
-      .select(col("doc_id"), size(col("gs")).as("sz"),
-              explode_outer(col("gs")).as("g"))
-      .filter(col("g").isNotNull)
+      n: Int = 7, minJaccard: Double = 0.2,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh = maxShingleDocFreq match {
+      case None =>
+        df.select(id.as("doc_id"), tokens(text).as("w"))
+          .filter(size(col("w")) >= n)
+          .withColumn("gs", expr(shingleExpr(n)))
+          .select(col("doc_id"), size(col("gs")).as("sz"),
+                  explode_outer(col("gs")).as("g"))
+          .filter(col("g").isNotNull)
+      case cap =>
+        val exploded = df
+          .select(id.as("doc_id"), tokens(text).as("w"))
+          .filter(size(col("w")) >= n)
+          .select(col("doc_id"),
+                  explode_outer(expr(shingleExpr(n))).as("g"))
+          .filter(col("g").isNotNull)
+        capHotShingles(exploded, col("g"), cap)
+          .withColumn("sz", count(lit(1)).over(
+            Window.partitionBy(col("doc_id"))))
+    }
     val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
                       col("g"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),

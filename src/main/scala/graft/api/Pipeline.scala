@@ -154,7 +154,7 @@ object Pipeline {
       corpus: DataFrame, benchmark: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     def shingles(src: DataFrame) = src
-      .select(id.as("_id"), split(text, " ").as("w"))
+      .select(id.as("_id"), Dedup.tokens(text).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("_id"),
               explode_outer(expr(Dedup.shingleExpr(n))).as("g"))

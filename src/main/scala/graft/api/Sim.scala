@@ -67,15 +67,50 @@ object Sim {
   /** LSH-bucketed approximate top-k: queries only scan their own
     * `bits`-bit sign bucket (~1/2^bits of the collection) — recall
     * traded for a bounded candidate set. Same output shape as
-    * cosineTopK. */
+    * cosineTopK.
+    *
+    * `nprobe` > 1 enables MULTI-PROBE LSH (Lv et al., VLDB'07): each
+    * query also probes the nprobe−1 buckets at Hamming distance 1
+    * obtained by flipping its LEAST-CONFIDENT sign bits — the dims
+    * whose |value| is smallest, i.e. the hyperplanes the vector sits
+    * closest to and whose side a true neighbour most plausibly lands
+    * across. Recall rises toward exact while the scan stays bounded at
+    * nprobe/2^bits of the collection; every probed bucket is distinct,
+    * so no candidate dedup pass is needed. The probe expansion is a
+    * per-QUERY-row array transform (the tiny broadcast side) — the
+    * collection side is untouched, and the nprobe=1 plan is
+    * byte-identical to r2's. */
   def lshTopK(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
-      bits: Int, k: Int): DataFrame = {
+      bits: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits + 1 = ${bits + 1}]: own bucket plus " +
+      "at most one flip per sign bit")
     val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
       .withColumn("bucket", signBits(col("embedding"), bits))
-    val q = e.filter(col("_isq"))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-              col("bucket"), col("nrm").as("qn"))
+    val q0 = e.filter(col("_isq"))
+    val q =
+      if (nprobe == 1)
+        q0.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  col("bucket"), col("nrm").as("qn"))
+      else {
+        // rank the first `bits` dims by |value| ascending (ties on dim
+        // index): positions of the least-confident hyperplane sides
+        val ranked = sort_array(zip_with(
+          slice(col("embedding"), 1, bits), sequence(lit(1), lit(bits)),
+          (x, i) => struct(abs(x).as("a"), i.as("i"))))
+        val flips = transform(slice(ranked, 1, nprobe - 1), s => {
+          val i = s.getField("i")
+          val flipped = when(col("bucket").substr(i, lit(1)) === "1",
+                             lit("0")).otherwise(lit("1"))
+          concat(col("bucket").substr(lit(1), i - lit(1)), flipped,
+                 col("bucket").substr(i + lit(1), lit(bits)))
+        })
+        q0.withColumn("_probes", concat(array(col("bucket")), flips))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  explode(col("_probes")).as("bucket"),
+                  col("nrm").as("qn"))
+      }
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
                      col("bucket").as("bucket2"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("q_id"))

@@ -39,7 +39,10 @@ case class WordNgrams(child: Expression, n: Int)
     else {
       // real whitespace tokenization: runs of spaces/tabs/newlines are
       // one separator and never yield empty words (split(' ') produced
-      // empty/glued tokens on multi-space input)
+      // empty/glued tokens on multi-space input). Java `\s` ==
+      // [ \t\n\x0B\f\r] — the same set graft.api.Dedup.tokens and its
+      // oracle twin ops.toksSql spell out, so the generator, the
+      // shingle family, and both engines' oracles share ONE tokenizer
       val words = v.asInstanceOf[UTF8String].toString
         .split("\\s+").filter(_.nonEmpty)
       if (words.length < n) Nil

@@ -36,10 +36,15 @@ object Writers {
     * in ScaleSpec. */
   def bucketed(
       df: DataFrame, table: String, buckets: Int, key: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
+      mode: SaveMode = SaveMode.Overwrite,
+      sortCols: Seq[String] = Nil): Unit =
     df.repartition(buckets, col(key))
       .write.mode(mode)
-      .bucketBy(buckets, key).sortBy(key)
+      // secondary sortCols serve operators that need in-partition
+      // (key, time) order — e.g. AsOfJoinExec's merge reads bucketed
+      // (key, ts)-sorted tables with zero exchanges AND zero sorts
+      // (pinned in ScaleSpec)
+      .bucketBy(buckets, key).sortBy(key, sortCols: _*)
       .saveAsTable(table)
 
   def sortedWithin(

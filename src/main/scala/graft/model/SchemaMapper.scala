@@ -95,12 +95,20 @@ object SchemaMapper {
           // a null nested struct flattens to all-null leaves; rebuild it
           // as null (not a struct of zeros/defaults) when the target
           // field is nullable — struct(...) alone always constructs a
-          // non-null value, silently fabricating default sub-messages
+          // non-null value, silently fabricating default sub-messages.
+          // LOSSY corner (documented): a genuinely non-null struct whose
+          // leaves happen to be all null is indistinguishable from a
+          // null struct after flattening, and rebuilds as null. A
+          // zero-leaf struct type has no evidence either way — keep it
+          // non-null (reduceOption guard; bare reduce threw on empty).
           val rebuilt =
             if (f.nullable) {
-              val allNull = leafNames(st, flat)
-                .map(col(_).isNull).reduce(_ && _)
-              when(allNull, lit(null).cast(st)).otherwise(built)
+              leafNames(st, flat).map(col(_).isNull)
+                .reduceOption(_ && _) match {
+                case Some(allNull) =>
+                  when(allNull, lit(null).cast(st)).otherwise(built)
+                case None => built
+              }
             } else built
           rebuilt.as(f.name)
         case _ => col(flat).as(f.name)

@@ -48,7 +48,7 @@ object LlmOps extends OpGroup {
     * n_match)` — embedded by both oracle strings. */
   private[ops] val minhashPairsSql: String =
     s"""tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s

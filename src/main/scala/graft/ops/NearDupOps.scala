@@ -41,9 +41,9 @@ object NearDupOps extends OpGroup {
         .groupBy(col("sig"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("sig")),
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct(string_split(text, ' '))) AS t
+        |    unnest(list_distinct(${toksSql("text")})) AS t
         |  FROM documents),
         |h AS (SELECT doc_id, md5(t) AS h FROM tok),
         |b AS (
@@ -72,9 +72,9 @@ object NearDupOps extends OpGroup {
           Tables.documents(s, d), col("doc_id"), col("text"),
           maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b")),
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct(string_split(text, ' '))) AS t
+        |    unnest(list_distinct(${toksSql("text")})) AS t
         |  FROM documents),
         |h AS (SELECT doc_id, md5(t) AS h FROM tok),
         |b AS (
@@ -120,9 +120,9 @@ object NearDupOps extends OpGroup {
           Tables.documents(s, d), col("doc_id"), col("text"),
           n = 7, minJaccard = 0.2)
         .orderBy(col("doc_a"), col("doc_b")),
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 7),
+      s"""WITH w AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents
+        |  WHERE len(${toksSql("text")}) >= 7),
         |sh AS (
         |  SELECT DISTINCT doc_id,
         |    concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g

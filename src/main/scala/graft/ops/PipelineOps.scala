@@ -39,8 +39,12 @@ object PipelineOps extends OpGroup {
     * hex digits of md5(str(c)) via digit arithmetic (DuckDB has no
     * conv(); instr over the hex alphabet computes the same integer). */
   private def u16Sql(c: String): String = {
+    // COALESCE mirrors Pipeline.hash16's documented null semantics (a
+    // null id hashes as '' and gets a deterministic decision) — without
+    // it DuckDB's md5(NULL) = NULL silently dropped null-id rows from
+    // the oracle side only (ADVICE r2; latent on the non-null fixture)
     def d(i: Int) =
-      s"(instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $i, 1)) - 1)"
+      s"(instr('0123456789abcdef', substr(md5(COALESCE(CAST($c AS VARCHAR), '')), $i, 1)) - 1)"
     s"${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)}"
   }
 
@@ -222,8 +226,8 @@ object PipelineOps extends OpGroup {
                   coalesce(col("first_doc"), lit(-1L)).as("first_doc"))
           .orderBy(col("lang"))
       },
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, source, ${toksSql("text")} AS w
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, lang, source,

@@ -62,8 +62,11 @@ object Udx extends OpGroup {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc)
       },
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w
+      // oracle tokenizes with the SAME whitespace-robust rule as the
+      // generator (ops.toksSql = Java \s — ADVICE r2 flagged the
+      // single-space drift here)
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w
         |  FROM documents WHERE doc_id < 20),
         |b AS (
         |  SELECT concat(w[i+1], ' ', w[i+2]) AS bigram

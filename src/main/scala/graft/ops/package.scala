@@ -17,4 +17,13 @@ package object ops {
   trait OpGroup {
     def qs: Seq[Q]
   }
+
+  /** DuckDB twin of `graft.api.Dedup.tokens` — THE oracle-side
+    * tokenizer for the n-gram/shingle family. The explicit character
+    * class equals Java regex `\s` (RE2's `\s` omits `\x0B`), and the
+    * empty-string filter drops the artifacts of leading separators, so
+    * both engines produce identical token arrays on ANY whitespace,
+    * not just the single-spaced fixture corpus. */
+  def toksSql(c: String): String =
+    s"list_filter(string_split_regex($c, '[ \\t\\n\\r\\f\\x0B]+'), w -> w <> '')"
 }

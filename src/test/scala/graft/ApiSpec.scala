@@ -9,6 +9,9 @@ import graft.api.{Dedup, Pipeline, Sim}
 /** Top-level for Encoder derivation (no outer-scope capture). */
 case class Doc(doc_id: Long, text: String, lang: String)
 
+/** Top-level for Encoder derivation (no outer-scope capture). */
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 /** The public `graft.api` operators at NON-default parameters — the
   * oracle gate (Verify + compare.py) pins the default paths through the
   * q_* wrappers; this suite pins the parameterized behavior and the
@@ -127,6 +130,121 @@ class ApiSpec extends SparkSpec {
     val comp = Dedup.connectedComponents(edges, "x", "y")
       .as[(Long, Long)].collect().toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: pointer-halving shortcut and reliable checkpointing") {
+    // a 64-node chain — the worst case for plain min-propagation
+    // (O(diameter) rounds); the shortcut variant must still converge to
+    // the identical labels
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("x", "y")
+    val viaShortcut = Dedup
+      .connectedComponents(edges, "x", "y", shortcut = true)
+      .as[(Long, Long)].collect()
+    assert(viaShortcut.length == 64 && viaShortcut.forall(_._2 == 0L))
+    // reliable mode fails fast without a checkpoint dir…
+    assertThrows[IllegalArgumentException](
+      Dedup.connectedComponents(edges, "x", "y", reliable = true))
+    // …and produces the same components with one (survives executor
+    // loss at 100 TB, unlike localCheckpoint's executor-local blocks)
+    spark.sparkContext.setCheckpointDir(tmpDir("cc-ckpt"))
+    val rel = Dedup.connectedComponents(edges, "x", "y", reliable = true)
+      .as[(Long, Long)].collect()
+    assert(rel.toMap == viaShortcut.toMap)
+  }
+
+  test("connectedComponents folds convergence into the update job (no count() jobs)") {
+    // r1/r2 ran a separate count() action per iteration to detect the
+    // fixpoint — at 100 TB that doubles the job count of the loop. The
+    // accumulator fold must leave ZERO count()-originated jobs.
+    @volatile var totalJobs = 0
+    @volatile var countJobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        totalJobs += 1
+        val cs = Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")
+        if (cs.startsWith("count at")) countJobs += 1
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val edges = (0L until 8L).map(i => (i, i + 1)).toDF("x", "y")
+      val comp = Dedup.connectedComponents(edges, "x", "y")
+        .as[(Long, Long)].collect()
+      assert(comp.forall(_._2 == 0L))
+      // listener delivery is async — wait for the job-start events
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (totalJobs == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(totalJobs > 0, "listener saw no jobs")
+      assert(countJobs == 0,
+        s"convergence still runs count() actions ($countJobs of $totalJobs jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("minhash/jaccard hot-shingle cap kills boilerplate, keeps true dups") {
+    val boiler = "this license header is attached to every single document here"
+    val corpus = ((1 to 20).map(i =>
+        Doc(i.toLong, s"$boiler unique$i tail$i words$i", "en")) ++ Seq(
+        Doc(21L, "totally shared duplicate tail one two three four five", "en"),
+        Doc(22L, "totally shared duplicate tail one two three four five", "en")))
+      .toDF()
+    // uncapped: the shared header makes all 20 boilerplate docs pairwise
+    // "similar" (J ≈ 0.57) — C(20,2) = 190 junk pairs
+    val uncapped = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.05)
+    assert(uncapped.count() > 100)
+    // capped at df ≤ 5: boilerplate shingles (df = 20) leave the index;
+    // only the true duplicate pair survives, at full J = 1.0
+    val capped = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.05, maxShingleDocFreq = Some(5))
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSeq == Seq((21L, 22L)))
+    assert(capped.head._3 == 1.0)
+    // same story through the minhash signatures
+    val mh = Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
+        shingle = 3, minMatch = 8, maxShingleDocFreq = Some(5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((21L, 22L)))
+  }
+
+  test("embeddingNearDupPairs returns exactly the planted pairs") {
+    val vs = Seq(
+      Vec(1L, Array(1f, 0.2f, 0.1f, 0.05f)),
+      Vec(2L, Array(0.99f, 0.21f, 0.1f, 0.05f)),   // near-dup of 1 (cos ≈ 1)
+      Vec(3L, Array(0.1f, 0.9f, 0.2f, 0.1f)),      // same bucket as 1/2, cos ≈ 0.32
+      Vec(5L, Array(-1f, -0.2f, -0.1f, -0.05f)),
+      Vec(6L, Array(-0.99f, -0.21f, -0.1f, -0.05f)), // near-dup of 5, negative bucket
+      Vec(7L, Array(-0.1f, 0.9f, -0.2f, 0.3f))     // alone in its bucket
+    ).toDF()
+    val pairs = Sim.embeddingNearDupPairs(
+        vs, col("vec_id"), col("embedding"), bits = 4, minCos = 0.9)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)]
+      .collect().sortBy(p => (p._1, p._2))
+    // exactly the planted near-dups — bucket pruning dropped neither
+    // (both share their partner's sign pattern at bits = 4), and the
+    // same-bucket low-cosine pair (1,3)/(2,3) was confirmed away
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (5L, 6L)))
+    assert(pairs.forall(_._3 >= 0.99))
+  }
+
+  test("lshTopK multi-probe: candidates grow monotonically, within the exact set") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    def run(p: Int) = Sim.lshTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 0, bits = 6, k = 10000, nprobe = p)
+      .select("cand_id").as[Long].collect().toSet
+    val p1 = run(1)
+    val p4 = run(4)
+    val p7 = run(7)        // bits + 1 = all Hamming-1 neighbours
+    assert(p1.subsetOf(p4) && p4.subsetOf(p7),
+      "probing more buckets must only add candidates")
+    assert(p4.size > p1.size,
+      "Hamming-1 buckets of this fixture are non-empty — nprobe must widen the scan")
+    val exact = Sim.cosineTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 0, k = 10000)
+      .select("cand_id").as[Long].collect().toSet
+    assert(p7.subsetOf(exact))
+    assertThrows[IllegalArgumentException](run(8))   // > bits + 1
   }
 
   test("Sim: lshTopK candidates are a subset of cosineTopK's collection scan") {

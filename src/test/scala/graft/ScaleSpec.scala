@@ -85,6 +85,43 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed (key,time)-sorted tables feed AsOfJoinExec with ZERO exchanges") {
+    // the claim AsOfJoin.scala makes ("pre-bucketed tables join with
+    // zero shuffle") — proven: ClusteredDistribution is satisfied by the
+    // bucketed layout and the (key, time) sortBy satisfies the merge's
+    // requiredChildOrdering, so neither an Exchange nor a Sort appears
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val e = Tables.events(spark, sfDir)
+      graft.io.Writers.bucketed(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        "asof_l_b", 4, "user_id", sortCols = Seq("ts_us"))
+      graft.io.Writers.bucketed(
+        e.filter(col("event_type") === "click")
+          .select(col("event_id").as("rid"), col("user_id").as("ruser"),
+                  col("ts_us").as("rts")),
+        "asof_r_b", 4, "ruser", sortCols = Seq("rts"))
+      val l = spark.table("asof_l_b")
+      val r = spark.table("asof_r_b")
+      val df = graft.plans.AsOf.join(l, r,
+        Seq(l("user_id")), Seq(r("ruser")), l("ts_us"), r("rts"))
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      // the exec prints as "AsOfJoin" (Spark strips the Exec suffix)
+      assert(plan.contains("AsOfJoin"), s"custom exec not planned:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of join still shuffles:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"bucketed as-of join still sorts:\n$plan")
+    } finally {
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      spark.sql("DROP TABLE IF EXISTS asof_l_b")
+      spark.sql("DROP TABLE IF EXISTS asof_r_b")
+    }
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import spark.implicits._
     // one pathological key carrying 10k rows + a normal tail
