@@ -19,18 +19,28 @@ object Bench {
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+    // this box's run-to-run wall-clock variance is measured at ±60%
+    // (SCALE.md) — a single run per query mostly benchmarks the noise.
+    // Report the MEDIAN of `reps` runs per query (default 3; the loop is
+    // per-query round-robin so total runtime stays bounded and visible).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case NonFatal(e) =>
-        // record the failure loudly — time-to-exception must not
-        // masquerade as a (suspiciously fast) clean measurement
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case NonFatal(e) =>
+          // record the failure loudly — time-to-exception must not
+          // masquerade as a (suspiciously fast) clean measurement
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sorted = times.sorted
+      name -> (if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2))
     }
+    failed = failed.distinct
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
