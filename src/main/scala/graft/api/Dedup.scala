@@ -41,7 +41,7 @@ object Dedup {
     * (the one tokenizer, shared with the word_ngrams generator);
     * callers must pair it with the explode_outer + null filter
     * generator discipline (SCALE.md pathology #1). */
-  private[api] def shingleExpr(n: Int): String = {
+  private[graft] def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
     s"array_distinct(transform(sequence(0, size(w) - $n), i -> " +
       s"concat_ws(' ', $parts)))"

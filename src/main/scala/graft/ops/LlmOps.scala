@@ -45,15 +45,18 @@ object LlmOps extends OpGroup {
       shingle = 3, minMatch = K / 2)
 
   /** The matching DuckDB WITH-clauses producing `pairs(doc_a, doc_b,
-    * n_match)` — embedded by both oracle strings. */
-  private[ops] val minhashPairsSql: String =
+    * n_match)` — embedded by the oracle strings. `capFilter` mirrors
+    * Dedup.minhashPairs' maxShingleDocFreq (drop shingles with
+    * df > cap before they touch signatures). */
+  private def minhashPairsSqlWith(capFilter: String): String =
     s"""tok AS (
       |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s
       |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
       |        FROM tok WHERE len(w) >= 3)),
+      |sh AS (SELECT doc_id, s FROM sh0 $capFilter),
       |hj AS (
       |  SELECT doc_id, j,
       |    md5(concat(s, '#', CAST(j AS VARCHAR))) AS h
@@ -69,6 +72,13 @@ object LlmOps extends OpGroup {
       |    ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
       |  GROUP BY doc_a, doc_b
       |  HAVING COUNT(*) >= ${K / 2})""".stripMargin
+
+  private[ops] val minhashPairsSql: String = minhashPairsSqlWith("")
+
+  /** Capped variant: shingles present in more than 5 docs are dropped
+    * before hashing — mirrors maxShingleDocFreq = Some(5). */
+  private[ops] val minhashPairsCappedSql: String = minhashPairsSqlWith(
+    "WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 5)")
 
   def qs: Seq[Q] = Seq(
     Q(
@@ -99,6 +109,25 @@ object LlmOps extends OpGroup {
       "q_dedup_near_minhash",
       (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       s"""WITH $minhashPairsSql
+        |SELECT doc_a, doc_b, n_match FROM pairs
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
+      // minhash with the hot-shingle cap engaged: trigrams in more than
+      // 5 docs (29 such boilerplate shingles at sf0.01) leave the index
+      // via a BROADCAST anti-join before hashing — the 1000× escape
+      // hatch for header/footer/license text, which otherwise makes LSH
+      // buckets pathologically hot AND minhash-collides unrelated docs.
+      // True duplicate pairs share their unique content, so they
+      // survive the cap (ApiSpec proves the collapse on a planted
+      // boilerplate corpus; this query oracle-checks the capped
+      // pipeline end-to-end).
+      "q_dedup_minhash_capped",
+      (s, d) => graft.api.Dedup.minhashPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          shingle = 3, minMatch = K / 2, maxShingleDocFreq = Some(5))
+        .orderBy(col("doc_a"), col("doc_b")),
+      s"""WITH $minhashPairsCappedSql
         |SELECT doc_a, doc_b, n_match FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
 

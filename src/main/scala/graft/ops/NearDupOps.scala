@@ -203,6 +203,54 @@ object NearDupOps extends OpGroup {
         |ORDER BY q_id, rn""".stripMargin),
 
     Q(
+      // multi-probe LSH (Lv et al., VLDB'07): each query scans its own
+      // 6-bit sign bucket PLUS the two Hamming-1 buckets across its
+      // least-confident hyperplanes (smallest |dim value| — the planes
+      // the vector sits closest to, where a true neighbour most
+      // plausibly lands on the other side). nprobe/2^bits of the
+      // collection scanned; recall strictly ⊇ the single-probe scan
+      // (ApiSpec pins the monotonicity; this query oracle-checks the
+      // probe-expansion arithmetic end-to-end, including the
+      // abs-ranking and the bit-flip string surgery).
+      "q_sim_ann_multiprobe",
+      (s, d) => graft.api.Sim.lshTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, bits = 6, k = 3, nprobe = 3)
+        .orderBy(col("q_id"), col("rn")),
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    ${sqlBits("embedding", 6)} AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id, unnest(
+        |    [bucket] || list_transform(
+        |      list_sort(list_transform(range(1, 7),
+        |        i -> {'a': abs(embedding[i]), 'i': i}))[1:2],
+        |      s -> substr(bucket, 1, s.i - 1)
+        |        || (CASE WHEN substr(bucket, s.i, 1) = '1'
+        |                 THEN '0' ELSE '1' END)
+        |        || substr(bucket, s.i + 1, 6))) AS pbucket
+        |  FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE)
+        |             * CAST(c.embedding[i] AS DOUBLE)))
+        |        / (q.nrm * c.nrm), 4) + 0 AS cos
+        |  FROM probes p
+        |  JOIN e q ON q.vec_id = p.vec_id
+        |  JOIN e c ON c.bucket = p.pbucket AND c.vec_id <> p.vec_id),
+        |r AS (
+        |  SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
       // IVF-style ANN: every vector is assigned to its nearest "centroid"
       // (deterministic 1-in-200 sample — real IVF k-means-trains these;
       // the partition/search mechanics are what scales), queries probe

@@ -19,6 +19,64 @@ object TextOps extends OpGroup {
 
   def qs: Seq[Q] = Seq(
     Q(
+      // Gopher-style repetition quality metrics: a doc whose 2-/3-grams
+      // repeat heavily is boilerplate/spam — dup-n-gram fraction
+      //   f_n = 1 − distinct n-grams / total n-grams
+      // per doc, aggregated per lang. Deterministic at any parallelism:
+      // the corpus rates divide INTEGER sums (no float-summation order
+      // sensitivity), max/count compare bit-identical IEEE doubles.
+      // Tokenization = the canonical shingle-family tokenizer
+      // (Dedup.tokens / toksSql), n-grams = Dedup.shingleExpr — the one
+      // definition shared with minhash/jaccard/contamination.
+      "q_text_repetition",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("lang"),
+                  graft.api.Dedup.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("lang"),
+                  (size(col("w")) - 1).as("n2"),
+                  size(expr(graft.api.Dedup.shingleExpr(2))).as("d2"),
+                  (size(col("w")) - 2).as("n3"),
+                  size(expr(graft.api.Dedup.shingleExpr(3))).as("d3"))
+          .withColumn("f2",
+            lit(1.0) - col("d2").cast("double") / col("n2"))
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               r4(lit(1.0) -
+                 sum(col("d2")).cast("double") / sum(col("n2")))
+                 .as("dup2_rate"),
+               r4(max(col("f2"))).as("max_dup2"),
+               sum(when(col("f2") > 0.1, 1).otherwise(0)).cast("bigint")
+                 .as("n_repetitive"),
+               r4(lit(1.0) -
+                 sum(col("d3")).cast("double") / sum(col("n3")))
+                 .as("dup3_rate"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH t AS (
+        |  SELECT lang, ${toksSql("text")} AS w FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    len(w) - 1 AS n2,
+        |    len(list_distinct(list_transform(range(0, len(w) - 1),
+        |      i -> concat_ws(' ', w[i+1], w[i+2])))) AS d2,
+        |    len(w) - 2 AS n3,
+        |    len(list_distinct(list_transform(range(0, len(w) - 2),
+        |      i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS d3
+        |  FROM t WHERE len(w) >= 3),
+        |f AS (
+        |  SELECT lang, n2, d2, n3, d3,
+        |    1.0 - CAST(d2 AS DOUBLE) / n2 AS f2
+        |  FROM g)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  round(1.0 - CAST(SUM(d2) AS DOUBLE) / SUM(n2), 4) + 0 AS dup2_rate,
+        |  round(MAX(f2), 4) + 0 AS max_dup2,
+        |  COUNT(CASE WHEN f2 > 0.1 THEN 1 END) AS n_repetitive,
+        |  round(1.0 - CAST(SUM(d3) AS DOUBLE) / SUM(n3), 4) + 0 AS dup3_rate
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
       // unigram-profile language ID: build top-5 term profiles per lang
       // from the corpus, score each doc by profile hits over its distinct
       // tokens, predict argmax(hits) (tiebreak lang asc), emit the
