@@ -132,4 +132,29 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("capped minhash anti-joins a BROADCAST hot set (corpus never reshuffles for the cap)") {
+    val df = SparkEntry.queries("q_dedup_minhash_capped")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cap must be a broadcast LeftAnti probe on the exploded corpus —
+    // a shuffled anti-join would add a full corpus exchange per cap
+    assert(plan.contains("LeftAnti"), s"cap anti-join missing:\n$plan")
+    val antiLine = plan.linesIterator
+      .find(l => l.contains("LeftAnti")).getOrElse("")
+    assert(antiLine.contains("Broadcast"),
+      s"hot-set anti-join is not broadcast:\n$antiLine")
+  }
+
+  test("multi-probe LSH expands probes on the broadcast query side only") {
+    val df = SparkEntry.queries("q_sim_ann_multiprobe")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe expansion = Generate (explode) feeding the BROADCAST side;
+    // the collection side must not gain an exchange or a generate
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket join should broadcast the probe side:\n$plan")
+    val bIdx = plan.indexOf("BroadcastExchange")
+    val gIdx = plan.indexOf("Generate explode")
+    assert(bIdx >= 0 && gIdx > bIdx,
+      s"probe explode must sit under the broadcast exchange:\n$plan")
+  }
 }
