@@ -23,6 +23,22 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** CDC/SCD compaction: keep the LATEST full row per business key.
+    * One hash-aggregate with map-side partials — `max_by` of the whole
+    * row over a version struct — instead of the window-rank idiom,
+    * which would sort every key group. `version` must total-order rows
+    * within a key (append a unique id as the final tiebreak column);
+    * with ties, "latest" would be partition-order dependent, which
+    * this engine refuses to ship. Returns rows with `df`'s columns. */
+  def keepLatest(
+      df: DataFrame, keys: Seq[Column], version: Seq[Column]): DataFrame = {
+    require(version.nonEmpty, "keepLatest: version columns required")
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(keys: _*)
+      .agg(max_by(payload, struct(version: _*)).as("_latest"))
+      .select(col("_latest.*"))
+  }
+
   /** THE tokenizer for the n-gram/shingle family (minhash, jaccard,
     * contamination, simhash, word_ngrams): whitespace-robust — any run
     * of ASCII whitespace is ONE separator and never yields empty

@@ -83,6 +83,107 @@ object Text {
           (acc, t) => acc + ceil(length(t) / lit(charsPerTok))))
       .drop("_w")
 
+  /** Sequential regex redaction (PII scrubbing): each (pattern,
+    * replacement) pair is applied in order with GLOBAL semantics —
+    * order matters (redact emails before bare digit runs, or the
+    * run inside the address wins). Patterns must stay inside the
+    * RE2-compatible subset (character classes, bounded repetition; no
+    * lookaround) so an external engine can reproduce the scrub
+    * byte-for-byte. Map-side only: a chain of codegen'd
+    * `regexp_replace` calls, no shuffle, no UDF. */
+  def redact(
+      df: DataFrame, text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns,
+      out: String = "redacted"): DataFrame =
+    df.withColumn(out,
+      patterns.foldLeft(text) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+
+  /** Default scrub set: emails, dotted-quad IPs, then long digit runs
+    * (ids, phones, SSN-ish) — in that order, so the broader patterns
+    * see only what the narrower ones left behind. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{6,}" -> "<ID>")
+
+  /** Canonical URL form for URL-level dedup: scheme+host lowercased,
+    * tracking parameters (utm_*, ref) stripped, separators repaired
+    * (a leading parameter promoted to `?` when the original first
+    * parameter was tracking). Pure regex pipeline — RE2-subset
+    * patterns, `$1`-style backreference only in the separator repair —
+    * so the oracle twin reproduces it with regexp_replace(…, 'g').
+    * Fragments (#…) are treated as part of the tail; strip them first
+    * if the corpus carries them. */
+  def normalizeUrl(url: Column): Column = {
+    val hostPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val head = lower(regexp_extract(url, s"($hostPat)", 1))
+    val tail = regexp_replace(url, hostPat, "")
+    val stripped =
+      regexp_replace(tail, "[?&](utm_[a-z0-9_]+|ref)=[^&]*", "")
+    concat(head, regexp_replace(stripped, "^([^?&]*)&", "$1?"))
+  }
+
+  /** Per-document boilerplate measurement (the line-frequency idea of
+    * CCNet/RefinedWeb, expressed over the canonical shingle space): a
+    * shingle is "boilerplate" when its document frequency exceeds
+    * `minDocFrac` of the corpus, and each doc reports how much of it
+    * is made of such shingles. Returns (doc_id, n_sh, n_boiler).
+    *
+    * Scale shape: explode → two hash-aggs (per-doc totals, corpus doc
+    * frequency); the hot set is tiny BY DEFINITION (Σ dfreq ≤ docs ×
+    * shingles/doc, so at most shinglesPerDoc/minDocFrac shingles can
+    * clear the bar) and broadcasts into a semi-join — the corpus-sized
+    * side never reshuffles on content. The corpus total is a one-row
+    * scalar aggregate cross-joined in (never a driver-side count()). */
+  def boilerplateStats(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 2, minDocFrac: Double = 0.07): DataFrame = {
+    require(n >= 1, "boilerplateStats: n must be >= 1")
+    val exploded = df
+      .select(id.as("doc_id"), Dedup.tokens(text).as("w"))
+      .filter(size(col("w")) >= n)
+      // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+      // would push the shingle expression into the scan 3× (SCALE.md)
+      .select(col("doc_id"),
+              explode_outer(expr(Dedup.shingleExpr(n))).as("sh"))
+      .filter(col("sh").isNotNull)
+    val perDoc = exploded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val nDocs = df.select(count(lit(1)).as("_n_docs"))
+    val hot = exploded.groupBy(col("sh"))
+      .agg(count(lit(1)).as("_dfreq"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("_dfreq") > col("_n_docs") * minDocFrac)
+      .select(col("sh").as("hot_sh"))
+    val boiler = exploded
+      .join(broadcast(hot), col("sh") === col("hot_sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+              coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats) —
+    * low entropy flags repetitive/templated text, the cheap cousin of
+    * a perplexity filter. H = ln N − (Σ n·ln n)/N from one explode +
+    * two hash-aggs; integer counts, one double reduction (callers
+    * round corpus-level aggregates, R3). Returns (doc_id, n_tokens,
+    * entropy). */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+              explode_outer(Dedup.tokens(text)).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+           sum(col("n") * log(col("n").cast("double"))).as("_nlogn"))
+      .select(col("doc_id"), col("n_tokens"),
+              (log(col("n_tokens").cast("double")) -
+               col("_nlogn") / col("n_tokens")).as("entropy"))
+
   /** Rolling-hash document fingerprint (md5-derived word values in
     * 0..255, position weights 31^(i mod 8), mod 2^31−1) — pure integer
     * math, identical in any engine. Equal fingerprints = exact (or

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** Warehouse-maintenance operators every large ingest pipeline runs:
+  * CDC/SCD compaction (keep-latest per key), the explicit salted join
+  * for pathological key skew, fixed-width histogram profiling, and
+  * rolling distinct-actives (DAU/WAU).
+  *
+  * Scale notes per operator live on each query; the common thread is
+  * "one hash-aggregate where the folk idiom uses a window", and
+  * replicate/broadcast only what is provably tiny.
+  */
+object EtlOps extends OpGroup {
+
+  private val DayUs = 86400000000L
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // keep-latest order per customer — api.Dedup.keepLatest: ONE
+      // hash-agg (max_by of the row over the version struct), not the
+      // window-rank idiom that sorts every key group. (o_orderdate,
+      // o_orderkey) is a total order (orderkey unique), so "latest" is
+      // deterministic; the oracle's window twin proves the equivalence.
+      "q_dedup_latest",
+      (s, d) => graft.api.Dedup.keepLatest(
+          Tables.orders(s, d)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                    col("o_totalprice"), col("o_orderstatus")),
+          keys = Seq(col("o_custkey")),
+          version = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+                moneyOut("o_totalprice").as("totalprice"),
+                col("o_orderstatus"))
+        .orderBy(col("o_custkey")),
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        |    AS totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin),
+
+    Q(
+      // explicit skew salting (ops.Skew.saltedEquiJoin): the probe side
+      // gets a deterministic content-hash salt in [0,8), the build side
+      // replicates 8x, the join key becomes (key, salt) — one hot key
+      // fans across 8 tasks. The oracle is the PLAIN join: salting must
+      // be invisible in the result, and the hash gate proves it.
+      "q_join_skew_salted",
+      (s, d) => graft.ops.Skew.saltedEquiJoin(
+          probe = Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+                    col("l_quantity"), col("l_extendedprice")),
+          build = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          probeKey = col("l_orderkey"),
+          buildKey = col("o_orderkey"),
+          buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             asMoney(sum(money("l_quantity"))).as("sum_qty"),
+             asMoney(sum(money("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    Q(
+      // fixed-width histogram of extendedprice: integer bucket id from
+      // floor division (identical IEEE op in both engines — no
+      // width_bucket, which DuckDB lacks), then one hash-agg. The
+      // data-profiling primitive: count + mass + bounds per bucket.
+      "q_agg_histogram",
+      (s, d) => Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 5000.0).cast("int")
+                  .as("bucket"),
+                col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             asMoney(sum(money("l_extendedprice"))).as("sum_price"),
+             min(col("l_extendedprice")).as("lo"),
+             max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket")),
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS sum_price,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    Q(
+      // rolling 7-day distinct actives (DAU/WAU): reduce the stream to
+      // distinct (day, user) FIRST (the only corpus-sized shuffle),
+      // then each pair covers days d..d+6 via a 7-row explode — an
+      // equi-groupBy, never a range self-join — and a broadcast
+      // semi-join on the observed-day grid trims the tail beyond the
+      // last day. Spark has no COUNT(DISTINCT) OVER RANGE; this shape
+      // sidesteps it and scales linearly in active pairs.
+      "q_events_active_users",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select((col("ts_us") - col("ts_us") % DayUs).as("day_us"),
+                  col("user_id"))
+          .distinct()
+        val grid = du.select(col("day_us").as("g_us")).distinct()
+        val wau = du
+          .select(explode(sequence(lit(0L), lit(6L))).as("o"),
+                  col("day_us"), col("user_id"))
+          .select((col("day_us") + col("o") * DayUs).as("cov_us"),
+                  col("user_id"))
+          .join(broadcast(grid), col("cov_us") === col("g_us"), "left_semi")
+          .groupBy(col("cov_us"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        du.groupBy(col("day_us"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .join(wau, col("day_us") === col("cov_us"))
+          .select(col("day_us"), col("dau"), col("wau"))
+          .orderBy(col("day_us"))
+      },
+      s"""WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $DayUs AS day_us,
+        |    user_id
+        |  FROM events),
+        |grid AS (SELECT DISTINCT day_us FROM du),
+        |cov AS (
+        |  SELECT du.day_us + o * $DayUs AS cov_us, user_id
+        |  FROM du, unnest(range(0, 7)) AS t(o)),
+        |wau AS (
+        |  SELECT cov_us AS day_us, COUNT(DISTINCT user_id) AS wau
+        |  FROM cov SEMI JOIN grid ON cov.cov_us = grid.day_us
+        |  GROUP BY cov_us),
+        |dau AS (
+        |  SELECT day_us, COUNT(DISTINCT user_id) AS dau FROM du
+        |  GROUP BY day_us)
+        |SELECT dau.day_us, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day_us = wau.day_us
+        |ORDER BY dau.day_us""".stripMargin)
+  )
+}

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** Corpus-scrubbing operators a web-scale training pipeline runs before
+  * anything else: PII redaction, URL canonicalization (tracking-param
+  * strip → URL-level dedup), corpus-frequency boilerplate measurement
+  * (the CCNet/RefinedWeb idea over the canonical shingle space), and
+  * token-distribution entropy (the cheap perplexity-filter cousin).
+  * All delegate to `graft.api.Text`; every regex stays in the
+  * RE2-compatible subset so the DuckDB twin reproduces the scrub
+  * byte-for-byte.
+  *
+  * The PII/URL queries derive their input strings from fixture columns
+  * (names, keys, sources) because the corpus itself is synthetic word
+  * soup with nothing to redact — the DERIVATION is mirrored in the
+  * oracle, so both engines scrub identical non-trivial inputs and the
+  * hash gate exercises real pattern hits (no vacuous green).
+  */
+object ScrubOps extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // PII scrub: email → dotted-quad IP → long digit run, in that
+      // order (api.Text.PiiPatterns). Map-side regexp_replace chain;
+      // delta = chars removed, a second signal that redaction happened.
+      "q_text_pii_redact",
+      (s, d) => {
+        val contact = concat(
+          col("c_name"), lit(" <"),
+          lower(translate(col("c_name"), "#", ".")),
+          lit("@example.com> ip 10.0."),
+          (col("c_custkey") % 256).cast("string"), lit("."),
+          (col("c_nationkey") % 256).cast("string"),
+          lit(" acct "),
+          (col("c_custkey") * 7919 + 100000).cast("string"))
+        graft.api.Text.redact(
+            Tables.customer(s, d).withColumn("contact", contact),
+            col("contact"))
+          .select(col("c_custkey"), col("redacted"),
+                  (length(col("contact")) - length(col("redacted")))
+                    .cast("bigint").as("delta"))
+          .orderBy(col("c_custkey"))
+      },
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <' || lower(replace(c_name, '#', '.'))
+        |      || '@example.com> ip 10.0.'
+        |      || CAST(c_custkey % 256 AS VARCHAR) || '.'
+        |      || CAST(c_nationkey % 256 AS VARCHAR)
+        |      || ' acct ' || CAST(c_custkey * 7919 + 100000 AS VARCHAR)
+        |      AS contact
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_custkey, contact,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(contact,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |      '[0-9]{6,}', '<ID>', 'g') AS redacted
+        |  FROM c)
+        |SELECT c_custkey, redacted,
+        |  CAST(len(contact) - len(redacted) AS BIGINT) AS delta
+        |FROM r ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      // URL canonicalization + dedup: two variants per doc (one with
+      // uppercase host + tracking params, one clean) collapse to ONE
+      // normalized form — n_distinct proves the dedup, per source.
+      "q_text_url_normalize",
+      (s, d) => {
+        val id = col("doc_id").cast("string")
+        val page = (col("doc_id") % 7).cast("string")
+        val urls = Tables.documents(s, d)
+          .select(col("source"), explode(array(
+            concat(lit("HTTPS://WWW.Example.COM/"), col("source"),
+                   lit("/doc?id="), id, lit("&utm_source=feed&ref="),
+                   col("lang"), lit("&page="), page),
+            concat(lit("https://www.example.com/"), col("source"),
+                   lit("/doc?id="), id, lit("&page="), page))).as("url"))
+        urls
+          .select(col("source"),
+                  graft.api.Text.normalizeUrl(col("url")).as("norm"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_urls"),
+               countDistinct(col("norm")).as("n_distinct"),
+               min(col("norm")).as("sample"))
+          .orderBy(col("source"))
+      },
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    unnest(['HTTPS://WWW.Example.COM/' || source || '/doc?id='
+        |        || CAST(doc_id AS VARCHAR) || '&utm_source=feed&ref='
+        |        || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR),
+        |      'https://www.example.com/' || source || '/doc?id='
+        |        || CAST(doc_id AS VARCHAR) || '&page='
+        |        || CAST(doc_id % 7 AS VARCHAR)]) AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT source,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(url,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |        '[?&](utm_[a-z0-9_]+|ref)=[^&]*', '', 'g'),
+        |      '^([^?&]*)&', '\1?') AS norm
+        |  FROM u)
+        |SELECT source, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT norm) AS n_distinct, MIN(norm) AS sample
+        |FROM n GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // corpus-frequency boilerplate: a 2-gram shingle in > 7% of docs
+      // is boilerplate; per-source ratio of boilerplate shingle mass.
+      // Same tokenizer + shingle space as minhash/jaccard/contamination
+      // (api.Dedup.tokens / shingleExpr — the ONE n-gram definition).
+      "q_text_boilerplate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = graft.api.Text.boilerplateStats(
+          docs, col("doc_id"), col("text"), n = 2, minDocFrac = 0.07)
+        docs.select(col("doc_id"), col("source"))
+          .join(stats, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_sh")).as("total_shingles"),
+               sum(col("n_boiler")).as("boiler_shingles"),
+               r4(sum(col("n_boiler")).cast("double") / sum(col("n_sh")))
+                 .as("boiler_ratio"))
+          .orderBy(col("source"))
+      },
+      s"""WITH t AS (
+        |  SELECT doc_id, source, ${toksSql("text")} AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(0, len(w) - 1),
+        |      i -> concat_ws(' ', w[i+1], w[i+2])))) AS sh
+        |  FROM t WHERE len(w) >= 2),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |hot AS (
+        |  SELECT sh FROM g, tot GROUP BY sh, n_docs
+        |  HAVING COUNT(*) > n_docs * 0.07),
+        |per AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_sh,
+        |    COUNT(CASE WHEN sh IN (SELECT sh FROM hot) THEN 1 END)
+        |      AS n_boiler
+        |  FROM g GROUP BY doc_id, source)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+        |  CAST(SUM(n_boiler) AS BIGINT) AS boiler_shingles,
+        |  round(CAST(SUM(n_boiler) AS DOUBLE) / SUM(n_sh), 4) + 0
+        |    AS boiler_ratio
+        |FROM per GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // token-distribution entropy per doc (nats), aggregated per lang —
+      // H = ln N − (Σ n·ln n)/N. Integer counts everywhere; the one
+      // double reduction is r4-rounded at the corpus level (R3).
+      "q_text_entropy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ent = graft.api.Text.tokenEntropy(
+          docs, col("doc_id"), col("text"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(ent, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               r4(avg(col("entropy"))).as("avg_entropy"),
+               r4(min(col("entropy"))).as("min_entropy"),
+               r4(max(col("entropy"))).as("max_entropy"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, unnest(${toksSql("text")}) AS t
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, lang, t, COUNT(*) AS n
+        |  FROM tok GROUP BY doc_id, lang, t),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    ln(SUM(n)) - SUM(n * ln(n)) / SUM(n) AS ent
+        |  FROM cnt GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  round(AVG(ent), 4) + 0 AS avg_entropy,
+        |  round(MIN(ent), 4) + 0 AS min_entropy,
+        |  round(MAX(ent), 4) + 0 AS max_entropy
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+}

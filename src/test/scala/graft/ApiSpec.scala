@@ -308,6 +308,96 @@ class ApiSpec extends SparkSpec {
     assert(ivf.select("q_id").distinct().count() > 0)
   }
 
+  test("keepLatest: one row per key, version tiebreak total, full payload") {
+    val df = Seq(
+      (1L, 10L, "2024-01-01", "old"),
+      (1L, 11L, "2024-01-02", "mid"),
+      (1L, 12L, "2024-01-02", "new"),   // same date as 11 — id breaks the tie
+      (2L, 20L, "2023-12-31", "only")
+    ).toDF("k", "id", "d", "payload")
+    val latest = Dedup.keepLatest(
+      df, keys = Seq(col("k")), version = Seq(col("d"), col("id")))
+    assert(latest.columns.toSeq == df.columns.toSeq)
+    val rows = latest.orderBy("k").as[(Long, Long, String, String)]
+      .collect().toSeq
+    assert(rows == Seq((1L, 12L, "2024-01-02", "new"),
+                       (2L, 20L, "2023-12-31", "only")))
+  }
+
+  test("redact: pattern order matters, global replacement, custom sets") {
+    val df = Seq(
+      "mail bob.smith+x@foo-bar.co.uk and carol@ex.io now",
+      "server 192.168.001.255 acct 1234567 ok",
+      "short 12345 stays; 123456 goes"
+    ).toDF("t")
+    val out = graft.api.Text.redact(df, col("t")).as[(String, String)]
+      .collect().map(_._2).toSeq
+    assert(out(0) == "mail <EMAIL> and <EMAIL> now")       // both, globally
+    assert(out(1) == "server <IP> acct <ID> ok")           // IP before ID
+    assert(out(2) == "short 12345 stays; <ID> goes")       // 6+ digits only
+    // custom pattern set applies in the caller's order
+    val custom = graft.api.Text.redact(
+      df, col("t"), Seq("[0-9]+" -> "#"), out = "r")
+    assert(custom.select("r").as[String].collect()(1) ==
+      "server #.#.#.# acct # ok")
+  }
+
+  test("normalizeUrl: host case, tracking strip, separator repair") {
+    val cases = Seq(
+      // tracking first: its '?' is consumed, next param promoted
+      "HTTP://Ex.COM/p?utm_source=a&id=1"  -> "http://ex.com/p?id=1",
+      // tracking mid + end
+      "http://ex.com/p?id=1&ref=x&page=2&utm_c=z" ->
+        "http://ex.com/p?id=1&page=2",
+      // only tracking params: query vanishes entirely
+      "https://A.B/p?utm_a=1&ref=2"        -> "https://a.b/p",
+      // nothing to do (path case preserved — only host lowercases)
+      "https://ex.com/Path?id=9"           -> "https://ex.com/Path?id=9",
+      // no query at all
+      "FTP://HOST.X/file"                  -> "ftp://host.x/file",
+      // 'href=' must NOT lose its 'ref=' tail (separator anchors it)
+      "http://ex.com/p?href=ok&utm_x=1"    -> "http://ex.com/p?href=ok")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.api.Text.normalizeUrl(col("u"))).as[String]
+      .collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("boilerplateStats: planted hot shingle counted, rare ones not") {
+    // 'x y' appears in 4/5 docs (dfreq 0.8); every other 2-gram is rare
+    val corpus = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "x y e f"), (4L, "x y g h"),
+      (5L, "p q r s")
+    ).toDF("doc_id", "text")
+    val st = graft.api.Text.boilerplateStats(
+        corpus, col("doc_id"), col("text"), n = 2, minDocFrac = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1-4: 3 distinct 2-grams each, exactly one ('x y') boilerplate
+    assert(st.take(4) == Seq((1L, 3L, 1L), (2L, 3L, 1L),
+                             (3L, 3L, 1L), (4L, 3L, 1L)))
+    assert(st(4) == ((5L, 3L, 0L)))   // no hot shingles in doc 5
+    // frac above the plant's dfreq: nothing is boilerplate
+    val none = graft.api.Text.boilerplateStats(
+        corpus, col("doc_id"), col("text"), n = 2, minDocFrac = 0.9)
+      .agg(sum("n_boiler")).as[Long].collect().head
+    assert(none == 0L)
+  }
+
+  test("tokenEntropy: uniform = ln k, constant = 0, skew in between") {
+    val df = Seq(
+      (1L, "a b c d"),          // uniform over 4 → ln 4
+      (2L, "a a a a"),          // constant → 0
+      (3L, "a a a b")           // skewed → between 0 and ln 2... ln 4
+    ).toDF("doc_id", "text")
+    val h = graft.api.Text.tokenEntropy(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(math.abs(h(0)._3 - math.log(4)) < 1e-12)
+    assert(math.abs(h(1)._3) < 1e-12)
+    assert(h(2)._3 > 0.0 && h(2)._3 < math.log(4))
+    assert(h.forall(_._2 == 4L))
+  }
+
   test("sampleStratified and splitAssign run unchanged on a stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Doc]
