@@ -188,6 +188,100 @@ object Sim {
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
   }
 
+  /** Spherical k-means (Lloyd's) over an `array<float>` embedding
+    * column — the trainer that turns `ivfTopK`'s "rows matching
+    * isCentroid" from a caller-supplied guess into learned cell
+    * centers, and the core of embedding-cluster semantic dedup.
+    *
+    * Deterministic by construction: init = the k lowest-id vectors
+    * (no sampling — replayable on any cluster size), assignment =
+    * max cosine with centroid-index tiebreak. Returns
+    * (cell, centroid array<float>, n_members).
+    *
+    * Scale shape: centroids live on the driver BETWEEN jobs (k×dim
+    * floats — tiny by definition; this is how MLlib's KMeans works
+    * too) and broadcast INTO each iteration. Per iteration: one
+    * crossJoin×broadcast + map-side `max_by` partial agg for
+    * assignment (the ivfTopK shape — n×k dot products fused in
+    * codegen'd dot_f32, collapsed to one row per vector before the
+    * exchange), then a posexplode + (cell,pos) hash-agg for the mean
+    * update — both linear in n, nothing driver-side but the k
+    * centroids themselves. Empty cells keep their previous centroid.
+    *
+    * Centroid means are double sums (partition-order sensitive in the
+    * last ulp) — fine for a trainer; anything oracle-checked should
+    * consume the ASSIGNMENT (integer cells), not raw centroid floats. */
+  def kmeansFit(
+      df: DataFrame, id: Column, emb: Column,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1, "kmeansFit: k must be >= 1")
+    require(iters >= 0, "kmeansFit: iters must be >= 0")
+    val spark = df.sparkSession
+    val e = withNorm(df, id, emb)
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
+    var cents: Array[(Int, Seq[Float])] =
+      e.orderBy(col("vec_id").asc).limit(k)
+        .select(col("embedding")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+
+    def centDf(cs: Array[(Int, Seq[Float])]): DataFrame =
+      spark.createDataFrame(cs.toSeq).toDF("cell", "cemb")
+        .withColumn("cnrm", sqrt(expr("dot_f32(cemb, cemb)")))
+
+    def assign(cs: Array[(Int, Seq[Float])]): DataFrame =
+      e.crossJoin(broadcast(centDf(cs)))
+        .withColumn("ccos",
+          dot("embedding", "cemb") / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("embedding")),
+                    struct(col("ccos"), (-col("cell")).as("n"))).as("b"))
+        .select(col("vec_id"), col("b.cell").as("cell"),
+                col("b.embedding").as("embedding"))
+
+    for (_ <- 0 until iters) {
+      val means = assign(cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("v"))
+        .select(col("cell"), col("v.m").as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
+        .toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    assign(cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(centDf(cents).select(col("cell"), col("cemb").as("centroid")),
+            Seq("cell"), "right")
+      .select(col("cell"), col("centroid"),
+              coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
+  /** Assign every vector to its nearest trained centroid (cosine,
+    * centroid-index tiebreak): the scoring/ETL companion to
+    * [[kmeansFit]] — broadcast centroids, map-side `max_by`, one row
+    * per vector out. `centroids` is (cell, centroid) as produced by
+    * kmeansFit. Returns (vec_id, cell, cos round-4). */
+  def kmeansAssign(
+      df: DataFrame, id: Column, emb: Column,
+      centroids: DataFrame): DataFrame = {
+    val e = withNorm(df, id, emb)
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
+    val c = centroids
+      .select(col("cell"), col("centroid").as("cemb"))
+      .withColumn("cnrm", sqrt(expr("dot_f32(cemb, cemb)")))
+    e.crossJoin(broadcast(c))
+      .withColumn("ccos",
+        round(dot("embedding", "cemb") / (col("nrm") * col("cnrm")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("ccos")),
+                  struct(col("ccos"), (-col("cell")).as("n"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+              col("b.ccos").as("cos"))
+  }
+
   /** SRP-LSH embedding near-duplicate pairs: `bits`-bit sign bucket
     * prunes ~2^bits×, exact cosine ≥ minCos confirms within buckets.
     * Returns (a_id, b_id, cos) with a_id < b_id. */

@@ -308,6 +308,45 @@ class ApiSpec extends SparkSpec {
     assert(ivf.select("q_id").distinct().count() > 0)
   }
 
+  test("kmeansFit recovers planted clusters; assign is deterministic") {
+    // 3 planted clusters around near-orthogonal directions; ids 0,1,2
+    // land one per cluster so the lowest-id init seeds each basin
+    def jitter(base: Array[Float], s: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + s * (i % 3 - 1) * 0.05f }
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0.1f), Array(0f, 1f, 0f, -0.1f),
+      Array(0f, 0f, 1f, 0.2f))
+    val vecs = (0 until 30).map { i =>
+      Vec(i.toLong, jitter(bases(i % 3), (i / 3).toFloat))
+    }
+    val df = vecs.toDF()
+    val model = Sim.kmeansFit(df, col("vec_id"), col("embedding"),
+                              k = 3, iters = 4)
+    val m = model.orderBy("cell")
+      .as[(Int, Array[Float], Long)].collect()
+    assert(m.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(m.map(_._3).sum == 30L && m.forall(_._3 == 10L))
+    val centroids = model.select("cell", "centroid")
+    val a = Sim.kmeansAssign(df, col("vec_id"), col("embedding"), centroids)
+      .as[(Long, Int, Double)].collect().toSeq
+    // all members of a plant share a cell; different plants differ
+    val byPlant = a.groupBy(_._1 % 3).map { case (p, xs) =>
+      p -> xs.map(_._2).distinct }
+    assert(byPlant.values.forall(_.size == 1), s"mixed cells: $byPlant")
+    assert(byPlant.values.flatten.toSet.size == 3)
+    // deterministic: a second fit+assign produces the identical result
+    val again = Sim.kmeansAssign(df, col("vec_id"), col("embedding"),
+      Sim.kmeansFit(df, col("vec_id"), col("embedding"), k = 3, iters = 4)
+        .select("cell", "centroid"))
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a.sortBy(_._1) == again.sortBy(_._1))
+    // k > natural clusters: empty cells keep their init centroid, 0 members
+    val wide = Sim.kmeansFit(df, col("vec_id"), col("embedding"),
+                             k = 5, iters = 3)
+    assert(wide.count() == 5)
+    assert(wide.agg(sum("n_members")).as[Long].collect().head == 30L)
+  }
+
   test("keepLatest: one row per key, version tiebreak total, full payload") {
     val df = Seq(
       (1L, 10L, "2024-01-01", "old"),
