@@ -149,20 +149,21 @@ object Text {
       .select(col("doc_id"),
               explode_outer(expr(Dedup.shingleExpr(n))).as("sh"))
       .filter(col("sh").isNotNull)
-    val perDoc = exploded.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"))
     val nDocs = df.select(count(lit(1)).as("_n_docs"))
     val hot = exploded.groupBy(col("sh"))
       .agg(count(lit(1)).as("_dfreq"))
       .crossJoin(broadcast(nDocs))
       .filter(col("_dfreq") > col("_n_docs") * minDocFrac)
       .select(col("sh").as("hot_sh"))
-    val boiler = exploded
-      .join(broadcast(hot), col("sh") === col("hot_sh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    perDoc.join(boiler, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-              coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+    // ONE probe pass: a left join against the broadcast hot set marks
+    // boilerplate rows in place, so total and boilerplate counts come
+    // from the same aggregate (a separate semi-join branch would
+    // re-explode the corpus — no cross-branch CSE). hot_sh is grouped-
+    // distinct, so the join never duplicates rows.
+    exploded
+      .join(broadcast(hot), col("sh") === col("hot_sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hot_sh")).as("n_boiler"))
   }
 
   /** Per-document Shannon entropy of the token distribution (nats) —

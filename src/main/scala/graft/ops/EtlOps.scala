@@ -113,18 +113,20 @@ object EtlOps extends OpGroup {
                   col("user_id"))
           .distinct()
         val grid = du.select(col("day_us").as("g_us")).distinct()
-        val wau = du
-          .select(explode(sequence(lit(0L), lit(6L))).as("o"),
+        // ONE du pass: the o=0 coverage row IS the day itself, so DAU is
+        // the distinct count over that slice of the same exploded frame
+        // (a second du branch would re-scan and re-distinct the stream —
+        // Spark has no cross-branch CSE)
+        du.select(explode(sequence(lit(0L), lit(6L))).as("o"),
                   col("day_us"), col("user_id"))
           .select((col("day_us") + col("o") * DayUs).as("cov_us"),
-                  col("user_id"))
+                  col("o"), col("user_id"))
           .join(broadcast(grid), col("cov_us") === col("g_us"), "left_semi")
           .groupBy(col("cov_us"))
-          .agg(countDistinct(col("user_id")).as("wau"))
-        du.groupBy(col("day_us"))
-          .agg(countDistinct(col("user_id")).as("dau"))
-          .join(wau, col("day_us") === col("cov_us"))
-          .select(col("day_us"), col("dau"), col("wau"))
+          .agg(countDistinct(when(col("o") === 0L, col("user_id")))
+                 .as("dau"),
+               countDistinct(col("user_id")).as("wau"))
+          .select(col("cov_us").as("day_us"), col("dau"), col("wau"))
           .orderBy(col("day_us"))
       },
       s"""WITH du AS (
@@ -133,17 +135,13 @@ object EtlOps extends OpGroup {
         |  FROM events),
         |grid AS (SELECT DISTINCT day_us FROM du),
         |cov AS (
-        |  SELECT du.day_us + o * $DayUs AS cov_us, user_id
-        |  FROM du, unnest(range(0, 7)) AS t(o)),
-        |wau AS (
-        |  SELECT cov_us AS day_us, COUNT(DISTINCT user_id) AS wau
-        |  FROM cov SEMI JOIN grid ON cov.cov_us = grid.day_us
-        |  GROUP BY cov_us),
-        |dau AS (
-        |  SELECT day_us, COUNT(DISTINCT user_id) AS dau FROM du
-        |  GROUP BY day_us)
-        |SELECT dau.day_us, dau.dau, wau.wau
-        |FROM dau JOIN wau ON dau.day_us = wau.day_us
-        |ORDER BY dau.day_us""".stripMargin)
+        |  SELECT du.day_us + o * $DayUs AS cov_us, o, user_id
+        |  FROM du, unnest(range(0, 7)) AS t(o))
+        |SELECT cov_us AS day_us,
+        |  COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+        |  COUNT(DISTINCT user_id) AS wau
+        |FROM cov SEMI JOIN grid ON cov.cov_us = grid.day_us
+        |GROUP BY cov_us
+        |ORDER BY day_us""".stripMargin)
   )
 }

@@ -157,4 +157,40 @@ class PlanSpec extends SparkSpec {
     assert(bIdx >= 0 && gIdx > bIdx,
       s"probe explode must sit under the broadcast exchange:\n$plan")
   }
+
+  test("keepLatest is ONE hash-aggregate: no Window, no per-key sort") {
+    val df = SparkEntry.queries("q_dedup_latest")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window-rank crept in:\n$plan")
+    val ex = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly one exchange, got $ex:\n$plan")
+  }
+
+  test("active-users covers days with ONE distinct pass + broadcast grid") {
+    val df = SparkEntry.queries("q_events_active_users")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one coverage explode — a second du branch would double-scan events
+    val gen = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(gen == 1, s"expected one coverage explode, got $gen:\n$plan")
+    // the day grid joins as a BROADCAST semi, never a shuffle/BNL join
+    assert(plan.contains("BroadcastHashJoin") &&
+           plan.contains("LeftSemi"), s"grid semi-join not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range-style join crept in:\n$plan")
+  }
+
+  test("boilerplate probes the corpus ONCE against a broadcast hot set") {
+    val df = SparkEntry.queries("q_text_boilerplate")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two explodes total: one to build the hot set, one probe pass —
+    // the old three-branch form re-exploded the corpus for the totals
+    val gen = plan.linesIterator.count(_.contains("Generate"))
+    assert(gen == 2, s"expected two shingle explodes, got $gen:\n$plan")
+    // the hot-set mark is a broadcast outer join on the probe side
+    val outerLine = plan.linesIterator
+      .find(l => l.contains("LeftOuter") && l.contains("Join")).getOrElse("")
+    assert(outerLine.contains("Broadcast"),
+      s"hot-set mark join is not broadcast:\n$outerLine\n$plan")
+  }
 }
