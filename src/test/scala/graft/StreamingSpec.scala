@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Top-level so Spark can derive an Encoder without outer-scope capture. */
 case class Ev(ts: Timestamp, user: String, value: Double)
 
+/** Top-level for Encoder derivation (stream-stream join test). */
+case class Imp(its: Timestamp, ad: String)
+/** Top-level for Encoder derivation (stream-stream join test). */
+case class Clk(cts: Timestamp, ad: String)
+
 /** transformWithState processor: running per-user event counter with
   * explicit ValueState (the Spark-4-native successor to
   * mapGroupsWithState; requires the RocksDB state store). */
@@ -185,6 +190,46 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
       assert(ids == (0L until 10L)) // deterministic first batch
     } finally q.stop()
+  }
+
+  test("stream-stream join: watermarked time-range inner + outer expiry") {
+    // the ad-attribution shape: impressions ⋈ clicks within 10 minutes
+    // after the impression, both sides watermarked so join state expires
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val joined = imps.toDF().withWatermark("its", "10 minutes")
+      .join(
+        clks.toDF().select(col("cts"), col("ad").as("c_ad"))
+          .withWatermark("cts", "10 minutes"),
+        expr("ad = c_ad AND cts >= its AND " +
+             "cts <= its + interval 10 minutes"),
+        "leftOuter")
+      .select(col("ad"), unix_micros(col("its")).as("imp_us"),
+              unix_micros(col("cts")).as("clk_us"))
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode(OutputMode.Append()).start()
+    // A clicks in-range; B's click is 20 min late (outside the range);
+    // C never clicks
+    imps.addData(Imp(ts(0), "A"), Imp(ts(1), "B"), Imp(ts(2), "C"))
+    clks.addData(Clk(ts(5), "A"), Clk(ts(21), "B"))
+    q.processAllAvailable()
+    // push both watermarks far past every impression's join window so
+    // unmatched state expires and the outer rows emit
+    imps.addData(Imp(Timestamp.valueOf("2024-01-01 12:00:00"), "zz"))
+    clks.addData(Clk(Timestamp.valueOf("2024-01-01 12:00:00"), "zz"))
+    q.processAllAvailable()
+    imps.addData(Imp(Timestamp.valueOf("2024-01-01 13:00:00"), "zz"))
+    clks.addData(Clk(Timestamp.valueOf("2024-01-01 13:00:00"), "zz"))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_t")
+      .filter(col("ad").isin("A", "B", "C"))
+      .collect()
+      .map(r => (r.getString(0), r.get(2) != null)).toSeq.sorted
+    q.stop()
+    // A matched; B and C expired unmatched → null click side
+    assert(rows == Seq(("A", true), ("B", false), ("C", false)),
+      s"got $rows")
   }
 
   test("session_window groups events by 30-minute inactivity gaps") {
