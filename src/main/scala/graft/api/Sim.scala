@@ -188,6 +188,28 @@ object Sim {
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
   }
 
+  /** Symmetric int8 quantization with per-vector max-abs calibration:
+    * q_i = round(x_i · 127/amax) ∈ [−127, 127] plus the double `scale`
+    * for dequantization — the 4× memory/bandwidth shrink an ANN serving
+    * tier applies before shipping vectors. Pure map-side (the HOF
+    * transform is fine here: cheap per-element prep, not a hot
+    * aggregation loop); null and all-zero vectors are dropped — no
+    * scale exists for them. The arithmetic (float→double promote,
+    * divide, round-half-away-from-zero) is bit-reproducible across
+    * engines, so quantized checksums are oracle-checkable.
+    * Returns (vec_id, qvec array<int>, scale). */
+  def quantizeInt8(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("vec_id"), emb.as("embedding"))
+      .filter(col("embedding").isNotNull)
+      .withColumn("_amax",
+        array_max(transform(col("embedding"), x => abs(x))))
+      .filter(col("_amax") > 0)
+      .withColumn("scale", lit(127.0) / col("_amax"))
+      .select(col("vec_id"),
+              transform(col("embedding"),
+                x => round(x * col("scale")).cast("int")).as("qvec"),
+              col("scale"))
+
   /** Spherical k-means (Lloyd's) over an `array<float>` embedding
     * column — the trainer that turns `ivfTopK`'s "rows matching
     * isCentroid" from a caller-supplied guess into learned cell

@@ -298,6 +298,45 @@ object NearDupOps extends OpGroup {
         |                       ORDER BY cos DESC, cand_id ASC) AS rn
         |  FROM scored)
         |SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
-        |ORDER BY q_id, rn""".stripMargin)
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
+      // int8 quantization (api.Sim.quantizeInt8): per-vector max-abs
+      // calibration, q = round(x·127/amax) — the 4× ANN-serving shrink.
+      // Declared output is R5-safe scalars (checksums + bounds), never
+      // the array itself; qmax = 127 for every vector doubles as the
+      // calibration invariant the oracle re-derives independently.
+      "q_embed_quantize",
+      (s, d) => {
+        val q = graft.api.Sim.quantizeInt8(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"))
+        q.select(col("vec_id"),
+                 size(col("qvec")).as("n_dims"),
+                 expr("aggregate(qvec, 0L, (a, x) -> a + x)").as("qsum"),
+                 expr("aggregate(qvec, 0L, (a, x) -> a + abs(x))")
+                   .as("qmass"),
+                 array_max(transform(col("qvec"), x => abs(x))).as("qmax"),
+                 r4(col("scale")).as("scale4"))
+          .orderBy(col("vec_id"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (
+        |  SELECT vec_id, embedding, 127.0 / CAST(amax AS DOUBLE) AS scale
+        |  FROM e WHERE amax > 0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * scale) AS INT)) AS qvec, scale
+        |  FROM s)
+        |SELECT vec_id, len(qvec) AS n_dims,
+        |  CAST(list_sum(qvec) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT)
+        |    AS qmass,
+        |  CAST(list_max(list_transform(qvec, x -> abs(x))) AS INT) AS qmax,
+        |  round(scale, 4) + 0 AS scale4
+        |FROM q ORDER BY vec_id""".stripMargin)
   )
 }

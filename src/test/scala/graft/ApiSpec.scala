@@ -308,6 +308,24 @@ class ApiSpec extends SparkSpec {
     assert(ivf.select("q_id").distinct().count() > 0)
   }
 
+  test("quantizeInt8: exact planted values, drop rules, dequant bound") {
+    val df = Seq(
+      Vec(1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      Vec(2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero: no scale
+      Vec(3L, null)                              // null: dropped
+    ).toDF()
+    val q = Sim.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .as[(Long, Array[Int], Double)].collect()
+    assert(q.map(_._1).toSeq == Seq(1L))         // 2 and 3 dropped
+    val (_, qv, scale) = q.head
+    assert(scale == 127.0)                       // amax = 1.0
+    assert(qv.toSeq == Seq(64, -127, 32, 0))     // round(0.5·127)=64 (HALF_UP)
+    // dequantization error ≤ 0.5/scale per element
+    val orig = Seq(0.5f, -1.0f, 0.25f, 0.0f)
+    qv.zip(orig).foreach { case (qi, x) =>
+      assert(math.abs(qi / scale - x) <= 0.5 / scale + 1e-12) }
+  }
+
   test("kmeansFit recovers planted clusters; assign is deterministic") {
     // 3 planted clusters around near-orthogonal directions; ids 0,1,2
     // land one per cluster so the lowest-id init seeds each basin

@@ -67,6 +67,52 @@ class RoundtripSpec extends SparkSpec {
     }
   }
 
+  test("normalizeUrl is idempotent; tracking variants converge (property)") {
+    import org.apache.spark.sql.functions.col
+    // generated URLs: mixed-case scheme/host, path segments, params in
+    // random order with tracking params interleaved at any position
+    val genParam = Gen.oneOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5))
+        .map(k => s"$k=1"),
+      Gen.oneOf("utm_source=x", "utm_campaign=abc", "ref=home",
+                "utm_x_1=z"))
+    val genUrl = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "Ftp")
+      host <- Gen.oneOf("Ex.COM", "a.b.c", "WWW.Site.Org")
+      path <- Gen.listOfN(2, Gen.alphaNumStr.map(_.take(4)))
+        .map(_.mkString("/"))
+      params <- Gen.listOf(genParam).map(_.take(6))
+    } yield {
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme://$host/$path$q"
+    }
+    for (seed <- 1L to 5L) {
+      val urls = Gen.listOfN(40, genUrl)
+        .apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail(s"generator exhausted at seed $seed"))
+      val once = urls.toDF("u")
+        .select(graft.api.Text.normalizeUrl(col("u")).as("n"))
+      val twice = once.select(graft.api.Text.normalizeUrl(col("n")).as("n2"))
+        .as[String].collect().toSeq
+      val first = once.as[String].collect().toSeq
+      assert(first == twice, "normalizeUrl is not idempotent")
+      // no tracking param survives, separators are repaired
+      first.foreach { n =>
+        assert(!n.contains("utm_") && !n.matches(".*[?&]ref=.*"), n)
+        assert(!n.contains("?&") && !n.endsWith("&") && !n.endsWith("?"), n)
+        assert(n.count(_ == '?') <= 1, n)
+      }
+      // a URL and its tracking-decorated twin normalize identically
+      val decorated = urls.map { u =>
+        if (u.contains("?")) u + "&utm_source=zz" else u + "?utm_source=zz"
+      }
+      val normDecorated = decorated.toDF("u")
+        .select(graft.api.Text.normalizeUrl(col("u")).as("n"))
+        .as[String].collect().toSeq
+      assert(first == normDecorated, "tracking twin diverged")
+    }
+  }
+
   test("ns stamps survive where TimestampType would truncate") {
     val m = Stamp(1700000000L, 123456789L)
     val dir = tmpDir("ns") + "/s"
