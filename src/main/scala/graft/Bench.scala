@@ -21,23 +21,33 @@ object Bench {
     }
     // this box's run-to-run wall-clock variance is measured at ±60%
     // (SCALE.md) — a single run per query mostly benchmarks the noise.
-    // Report the MEDIAN of `reps` runs per query (default 3; the loop is
-    // per-query round-robin so total runtime stays bounded and visible).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Report the MEDIAN of `reps` runs per query, with the reps loop
+    // OUTSIDE the query loop (true round-robin): rep r of every query
+    // runs before rep r+1 of any, so repeats of one query are never
+    // back-to-back warm-cache re-runs of the measurement just taken.
+    // A malformed reps env value falls back to the default rather than
+    // killing the run before any JSON is emitted.
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
+      .getOrElse(3).max(1)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case NonFatal(e) =>
-          // record the failure loudly — time-to-exception must not
-          // masquerade as a (suspiciously fast) clean measurement
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
-        }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) = ((System.nanoTime() - t0) / 1e9) ::
+          times.getOrElse(name, Nil)
+      } catch { case NonFatal(e) =>
+        // record the failure loudly — time-to-exception must not
+        // masquerade as a (suspiciously fast) clean measurement
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      val sorted = times.sorted
+    }
+    val results = names.map { case (name, _) =>
+      val sorted = times.getOrElse(name, Nil).sorted
       name -> (if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2))
     }
     failed = failed.distinct

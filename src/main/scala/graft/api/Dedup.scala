@@ -63,22 +63,41 @@ object Dedup {
       s"concat_ws(' ', $parts)))"
   }
 
-  /** Drop shingles whose document frequency exceeds `cap` from an
-    * exploded (doc, shingle) frame. The hot set (df > cap) is tiny by
-    * definition — one hash-agg builds it, then it BROADCASTS into a
-    * left-anti join, so the corpus-sized side is never reshuffled.
-    * `cap = None` returns the input untouched (byte-identical plan). */
+  /** Drop shingles whose document frequency exceeds the cap from an
+    * exploded (doc, shingle) frame: one hash-agg builds the hot set,
+    * which BROADCASTS into a left-anti join, so the corpus-sized side
+    * is never reshuffled. Both caps absent returns the input untouched
+    * (byte-identical plan).
+    *
+    * Broadcast-safety bound: with the FRACTION cap, |hot| ≤
+    * shinglesPerDoc / frac — corpus-INDEPENDENT, always broadcastable.
+    * With only the ABSOLUTE cap, |hot| ≤ totalShingleRows / cap, which
+    * GROWS with the corpus for a fixed cap — callers must scale cap
+    * with corpus size (cap ≈ frac·N), or prefer `capFrac`; at 1000×
+    * with a fixture-sized absolute cap the hot set itself would be
+    * huge and the broadcast would be the failure point. `nDocs` is a
+    * one-row count frame, evaluated only on the frac path. */
   private def capHotShingles(
-      exploded: DataFrame, s: Column, cap: Option[Int]): DataFrame =
-    cap match {
-      case None => exploded
-      case Some(n) =>
-        require(n >= 1, "maxShingleDocFreq must be >= 1")
-        val hot = exploded.groupBy(s.as("_hot_s"))
-          .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > n)
-          .select(col("_hot_s"))
-        exploded.join(broadcast(hot), s === col("_hot_s"), "left_anti")
+      exploded: DataFrame, s: Column,
+      cap: Option[Int], capFrac: Option[Double],
+      nDocs: => DataFrame): DataFrame =
+    if (cap.isEmpty && capFrac.isEmpty) exploded
+    else {
+      cap.foreach(c => require(c >= 1, "maxShingleDocFreq must be >= 1"))
+      capFrac.foreach(f => require(f > 0 && f <= 1,
+        "maxShingleDocFrac must be in (0, 1]"))
+      val dfreq = exploded.groupBy(s.as("_hot_s"))
+        .agg(count(lit(1)).as("_df"))
+      val hot = capFrac match {
+        case None => dfreq.filter(col("_df") > cap.get)
+        case Some(f) =>
+          val bar = col("_n_docs") * f
+          dfreq.crossJoin(broadcast(nDocs))
+            .filter(col("_df") >
+              cap.map(c => greatest(lit(c.toDouble), bar)).getOrElse(bar))
+      }
+      exploded.join(broadcast(hot.select(col("_hot_s"))),
+                    s === col("_hot_s"), "left_anti")
     }
 
   /** MinHash/LSH near-duplicate candidate pairs: 16 hash slots (four
@@ -100,20 +119,26 @@ object Dedup {
     * drop shingles appearing in more than N docs BEFORE they influence
     * signatures (headers/footers/license text otherwise minhash-collide
     * unrelated docs AND make their buckets pathologically hot). The hot
-    * set is tiny by construction (only shingles with df > N), so it
-    * broadcasts into a left-anti join — no extra shuffle of the corpus.
-    * Default None keeps the exact r2 plan and results. */
+    * set broadcasts into a left-anti join — no extra shuffle of the
+    * corpus. `maxShingleDocFrac` is the same cap as a corpus FRACTION
+    * (df > N·frac): the form whose hot-set size is bounded
+    * independently of corpus size (see capHotShingles) — prefer it at
+    * scale; when both are set the higher bar wins.
+    * Default None/None keeps the exact r2 plan and results. */
   def minhashPairs(
       df: DataFrame, id: Column, text: Column,
       shingle: Int = 3, minMatch: Int = 8,
-      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+      maxShingleDocFreq: Option[Int] = None,
+      maxShingleDocFrac: Option[Double] = None): DataFrame = {
     val exploded = df
       .select(id.as("doc_id"), tokens(text).as("w"))
       .filter(size(col("w")) >= shingle)
       .select(col("doc_id"),
               explode_outer(expr(shingleExpr(shingle))).as("s"))
       .filter(col("s").isNotNull)
-    val sig = capHotShingles(exploded, col("s"), maxShingleDocFreq)
+    val sig = capHotShingles(exploded, col("s"),
+        maxShingleDocFreq, maxShingleDocFrac,
+        df.select(count(lit(1)).as("_n_docs")))
       .select(col("doc_id"), col("s"),
               explode(expr("sequence(0, 3)")).as("j"))
       .select(col("doc_id"), col("j"),
@@ -169,8 +194,43 @@ object Dedup {
       spark.sparkContext.getCheckpointDir.isDefined,
       "connectedComponents(reliable = true) needs " +
       "spark.sparkContext.setCheckpointDir(...)")
+    // reliable mode: MANUAL parquet checkpoints with ROLLING deletion —
+    // Dataset.checkpoint never deletes its files (Spark cleans them only
+    // on driver GC and only with cleaner.referenceTracking
+    // .cleanCheckpoints=true, default false), so a long fixpoint would
+    // retain one full labels copy PER ITERATION. A parquet roundtrip
+    // cuts lineage just as hard and is equally executor-loss-proof, and
+    // iteration i−1's table is deleted the moment iteration i is
+    // written: at most the edge table plus two label tables ever exist
+    // at once, and only the RESULT table survives the fixpoint (callers
+    // reclaim it by removing the graft-cc-* subdir of the checkpoint
+    // dir once they've consumed or re-materialized the labels).
+    val ckRoot = if (reliable)
+      spark.sparkContext.getCheckpointDir.get + "/graft-cc-" +
+        java.util.UUID.randomUUID().toString
+      else ""
+    def rm(dir: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    def ckWrite(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("errorifexists").parquet(s"$ckRoot/$name")
+      spark.read.parquet(s"$ckRoot/$name")
+    }
+    var iterN = 0
+    var prevLabelDir = ""
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
+      if (!reliable) df.localCheckpoint(eager = true)
+      else {
+        val name = s"iter-$iterN"; iterN += 1
+        val out = ckWrite(df, name)
+        if (prevLabelDir.nonEmpty) rm(prevLabelDir)
+        prevLabelDir = s"$ckRoot/$name"
+        out
+      }
+    def ckptEdges(df: DataFrame): DataFrame =
+      if (reliable) ckWrite(df, "edges")
       else df.localCheckpoint(eager = true)
     val changedAcc = spark.sparkContext.longAccumulator("graft_cc_changed")
     // materialized as a column of the checkpointed frame, so it runs
@@ -179,7 +239,7 @@ object Dedup {
       if (changed) changedAcc.add(1L); changed
     }.asNondeterministic()
 
-    val p = ckpt(pairs.select(col(a).as("doc_a"), col(b).as("doc_b")))
+    val p = ckptEdges(pairs.select(col(a).as("doc_a"), col(b).as("doc_b")))
     val edges = p.union(
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = ckpt(edges.select(col("doc_a").as("doc")).distinct()
@@ -212,6 +272,7 @@ object Dedup {
       converged = changedAcc.value == 0
       labels = next.select(col("doc"), col("root"))
     }
+    if (reliable) rm(s"$ckRoot/edges")
     labels
   }
 
@@ -315,26 +376,29 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 7, minJaccard: Double = 0.2,
-      maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh = maxShingleDocFreq match {
-      case None =>
+      maxShingleDocFreq: Option[Int] = None,
+      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    val sh =
+      if (maxShingleDocFreq.isEmpty && maxShingleDocFrac.isEmpty)
         df.select(id.as("doc_id"), tokens(text).as("w"))
           .filter(size(col("w")) >= n)
           .withColumn("gs", expr(shingleExpr(n)))
           .select(col("doc_id"), size(col("gs")).as("sz"),
                   explode_outer(col("gs")).as("g"))
           .filter(col("g").isNotNull)
-      case cap =>
+      else {
         val exploded = df
           .select(id.as("doc_id"), tokens(text).as("w"))
           .filter(size(col("w")) >= n)
           .select(col("doc_id"),
                   explode_outer(expr(shingleExpr(n))).as("g"))
           .filter(col("g").isNotNull)
-        capHotShingles(exploded, col("g"), cap)
+        capHotShingles(exploded, col("g"),
+            maxShingleDocFreq, maxShingleDocFrac,
+            df.select(count(lit(1)).as("_n_docs")))
           .withColumn("sz", count(lit(1)).over(
             Window.partitionBy(col("doc_id"))))
-    }
+      }
     val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
                       col("g"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),

@@ -251,14 +251,7 @@ object Sim {
         .withColumn("cnrm", sqrt(expr("dot_f32(cemb, cemb)")))
 
     def assign(cs: Array[(Int, Seq[Float])]): DataFrame =
-      e.crossJoin(broadcast(centDf(cs)))
-        .withColumn("ccos",
-          dot("embedding", "cemb") / (col("nrm") * col("cnrm")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cell"), col("embedding")),
-                    struct(col("ccos"), (-col("cell")).as("n"))).as("b"))
-        .select(col("vec_id"), col("b.cell").as("cell"),
-                col("b.embedding").as("embedding"))
+      assignCells(e, centDf(cs), round4 = false)
 
     for (_ <- 0 until iters) {
       val means = assign(cents)
@@ -281,11 +274,30 @@ object Sim {
               coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
+  /** THE nearest-centroid assignment both kmeans entry points share
+    * (fit-time and score-time must agree by construction, not by
+    * parallel maintenance): broadcast (cell, cemb, cnrm), max cosine
+    * with centroid-index tiebreak, map-side `max_by` → one row per
+    * vector. Zero-norm centroids are dropped UP FRONT: their cosine is
+    * NaN, and NaN sorts ABOVE every double in Spark, so one degenerate
+    * centroid would otherwise capture the entire corpus. */
+  private def assignCells(
+      e: DataFrame, cents: DataFrame, round4: Boolean): DataFrame = {
+    val raw = dot("embedding", "cemb") / (col("nrm") * col("cnrm"))
+    e.crossJoin(broadcast(cents.filter(col("cnrm") > 0)))
+      .withColumn("ccos", if (round4) round(raw, 4) else raw)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("ccos"), col("embedding")),
+                  struct(col("ccos"), (-col("cell")).as("n"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+              col("b.ccos").as("ccos"), col("b.embedding").as("embedding"))
+  }
+
   /** Assign every vector to its nearest trained centroid (cosine,
     * centroid-index tiebreak): the scoring/ETL companion to
-    * [[kmeansFit]] — broadcast centroids, map-side `max_by`, one row
-    * per vector out. `centroids` is (cell, centroid) as produced by
-    * kmeansFit. Returns (vec_id, cell, cos round-4). */
+    * [[kmeansFit]], running the SAME [[assignCells]] the trainer uses.
+    * `centroids` is (cell, centroid) as produced by kmeansFit.
+    * Returns (vec_id, cell, cos round-4). */
   def kmeansAssign(
       df: DataFrame, id: Column, emb: Column,
       centroids: DataFrame): DataFrame = {
@@ -294,14 +306,8 @@ object Sim {
     val c = centroids
       .select(col("cell"), col("centroid").as("cemb"))
       .withColumn("cnrm", sqrt(expr("dot_f32(cemb, cemb)")))
-    e.crossJoin(broadcast(c))
-      .withColumn("ccos",
-        round(dot("embedding", "cemb") / (col("nrm") * col("cnrm")), 4))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("ccos")),
-                  struct(col("ccos"), (-col("cell")).as("n"))).as("b"))
-      .select(col("vec_id"), col("b.cell").as("cell"),
-              col("b.ccos").as("cos"))
+    assignCells(e, c, round4 = true)
+      .select(col("vec_id"), col("cell"), col("ccos").as("cos"))
   }
 
   /** SRP-LSH embedding near-duplicate pairs: `bits`-bit sign bucket

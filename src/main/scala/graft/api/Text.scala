@@ -109,20 +109,25 @@ object Text {
     "[0-9]{6,}" -> "<ID>")
 
   /** Canonical URL form for URL-level dedup: scheme+host lowercased,
-    * tracking parameters (utm_*, ref) stripped, separators repaired
-    * (a leading parameter promoted to `?` when the original first
-    * parameter was tracking). Pure regex pipeline — RE2-subset
-    * patterns, `$1`-style backreference only in the separator repair —
-    * so the oracle twin reproduces it with regexp_replace(…, 'g').
+    * tracking parameters (utm_*, ref) stripped from the QUERY STRING
+    * only, separators repaired (a leading parameter promoted to `?`
+    * when the original first parameter was tracking). The tail is
+    * split at the first `?` before any rewrite, so an `&` or a
+    * `ref=`-shaped segment in the PATH (RFC-legal: `/wiki/AT&T`) is
+    * never touched — an earlier draft rewrote those and corrupted the
+    * URL. Pure regex pipeline in the RE2-compatible subset, so the
+    * oracle twin reproduces it with regexp_replace(…, 'g').
     * Fragments (#…) are treated as part of the tail; strip them first
     * if the corpus carries them. */
   def normalizeUrl(url: Column): Column = {
     val hostPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
     val head = lower(regexp_extract(url, s"($hostPat)", 1))
     val tail = regexp_replace(url, hostPat, "")
+    val path = regexp_extract(tail, "^[^?]*", 0)
+    val query = regexp_replace(tail, "^[^?]*", "")
     val stripped =
-      regexp_replace(tail, "[?&](utm_[a-z0-9_]+|ref)=[^&]*", "")
-    concat(head, regexp_replace(stripped, "^([^?&]*)&", "$1?"))
+      regexp_replace(query, "[?&](utm_[a-z0-9_]+|ref)=[^&]*", "")
+    concat(head, path, regexp_replace(stripped, "^&", "?"))
   }
 
   /** Per-document boilerplate measurement (the line-frequency idea of

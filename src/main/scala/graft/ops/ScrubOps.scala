@@ -100,17 +100,22 @@ object ScrubOps extends OpGroup {
         |        || CAST(doc_id AS VARCHAR) || '&page='
         |        || CAST(doc_id % 7 AS VARCHAR)]) AS url
         |  FROM documents),
-        |n AS (
+        |t AS (
         |  SELECT source,
         |    lower(regexp_extract(url,
-        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS head,
+        |    regexp_replace(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+        |  FROM u),
+        |n AS (
+        |  SELECT source,
+        |    head || regexp_extract(tail, '^[^?]*', 0) ||
         |    regexp_replace(
         |      regexp_replace(
-        |        regexp_replace(url,
-        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |        regexp_replace(tail, '^[^?]*', ''),
         |        '[?&](utm_[a-z0-9_]+|ref)=[^&]*', '', 'g'),
-        |      '^([^?&]*)&', '\1?') AS norm
-        |  FROM u)
+        |      '^&', '?') AS norm
+        |  FROM t)
         |SELECT source, COUNT(*) AS n_urls,
         |  COUNT(DISTINCT norm) AS n_distinct, MIN(norm) AS sample
         |FROM n GROUP BY source ORDER BY source""".stripMargin),

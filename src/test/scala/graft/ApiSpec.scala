@@ -146,10 +146,21 @@ class ApiSpec extends SparkSpec {
       Dedup.connectedComponents(edges, "x", "y", reliable = true))
     // …and produces the same components with one (survives executor
     // loss at 100 TB, unlike localCheckpoint's executor-local blocks)
-    spark.sparkContext.setCheckpointDir(tmpDir("cc-ckpt"))
+    val ckBase = tmpDir("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckBase)
     val rel = Dedup.connectedComponents(edges, "x", "y", reliable = true)
       .as[(Long, Long)].collect()
     assert(rel.toMap == viaShortcut.toMap)
+    // rolling deletion: after a 64-round chain fixpoint, storage holds
+    // exactly ONE label table (the result) and the edge table is gone —
+    // not one copy per iteration
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Seq(f) ++ Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    val dirs = walk(new java.io.File(ckBase)).filter(_.isDirectory)
+    assert(dirs.count(_.getName.startsWith("iter-")) == 1,
+      s"superseded checkpoints not deleted: ${dirs.map(_.getName)}")
+    assert(!dirs.exists(_.getName == "edges"),
+      s"edge checkpoint not reclaimed: ${dirs.map(_.getName)}")
   }
 
   test("connectedComponents folds convergence into the update job (no count() jobs)") {
@@ -206,6 +217,23 @@ class ApiSpec extends SparkSpec {
         shingle = 3, minMatch = 8, maxShingleDocFreq = Some(5))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(mh == Set((21L, 22L)))
+    // the FRACTION cap (the corpus-size-independent form): df > 22·0.23
+    // ≈ df > 5 — identical result to the absolute cap on this corpus
+    val fracJac = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.05, maxShingleDocFrac = Some(0.23))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(fracJac == Seq((21L, 22L)))
+    val fracMh = Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
+        shingle = 3, minMatch = 8, maxShingleDocFrac = Some(0.23))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fracMh == Set((21L, 22L)))
+    // both caps set: the higher bar wins (frac 0.23 ≈ 5 > absolute 1,
+    // so the true-dup shingles at df = 2 still survive)
+    val both = Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
+        shingle = 3, minMatch = 8, maxShingleDocFreq = Some(1),
+        maxShingleDocFrac = Some(0.23))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(both == Set((21L, 22L)))
   }
 
   test("embeddingNearDupPairs returns exactly the planted pairs") {
@@ -413,7 +441,12 @@ class ApiSpec extends SparkSpec {
       // no query at all
       "FTP://HOST.X/file"                  -> "ftp://host.x/file",
       // 'href=' must NOT lose its 'ref=' tail (separator anchors it)
-      "http://ex.com/p?href=ok&utm_x=1"    -> "http://ex.com/p?href=ok")
+      "http://ex.com/p?href=ok&utm_x=1"    -> "http://ex.com/p?href=ok",
+      // '&' in the PATH is RFC-legal and must survive untouched
+      "https://ex.com/wiki/AT&T"           -> "https://ex.com/wiki/AT&T",
+      "https://ex.com/a&b/c?id=1&utm_s=2"  -> "https://ex.com/a&b/c?id=1",
+      // a 'ref='-shaped PATH segment is not a tracking param
+      "http://ex.com/x&ref=keep/y?utm_a=1" -> "http://ex.com/x&ref=keep/y")
     val got = cases.map(_._1).toDF("u")
       .select(graft.api.Text.normalizeUrl(col("u"))).as[String]
       .collect().toSeq
