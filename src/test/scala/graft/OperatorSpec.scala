@@ -102,6 +102,33 @@ class SourceFormatSpec extends SparkSpec {
     // schema is the declared one, not an inferred guess
     assert(csvBack.schema == src.schema && jsonBack.schema == src.schema)
   }
+
+  test("parquet schema evolution: mergeSchema unifies drifted batches") {
+    // the long-running-recorder reality: a producer adds a column
+    // mid-stream; old files must stay readable in the union view with
+    // nulls for the column they predate
+    val dir = tmpDir("evo")
+    val v1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val v2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"),
+              col("n_regionkey").as("added_later"))
+    v1.write.parquet(s"$dir/t/batch=1")
+    v2.write.parquet(s"$dir/t/batch=2")
+    val all = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(all.columns.toSet ==
+      Set("n_nationkey", "n_name", "added_later", "batch"))
+    assert(all.count() == 50)
+    // pre-drift rows surface the new column as null, post-drift keep it
+    assert(all.filter(col("batch") === 1 &&
+      col("added_later").isNull).count() == 25)
+    assert(all.filter(col("batch") === 2 &&
+      col("added_later").isNotNull).count() == 25)
+    // default reader (no mergeSchema) picks ONE file's schema — the
+    // union view is an explicit opt-in, not silent magic
+    val plain = spark.read.parquet(s"$dir/t")
+    assert(plain.columns.toSet.subsetOf(all.columns.toSet))
+  }
 }
 
 /** SURVEY §5.2.3: every declared query must produce identical rows under
