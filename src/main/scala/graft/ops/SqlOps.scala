@@ -149,6 +149,67 @@ object SqlOps extends OpGroup {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))
         |       FILTER (WHERE l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      // LATERAL correlated derived table: top-2 orders per AUTOMOBILE
+      // customer — the "top-N per outer row" SQL surface (Catalyst
+      // decorrelates the DomainJoin; same result as the window-rank
+      // idiom but expressed as the ANSI lateral join both engines
+      // speak). Non-aggregated money passthrough = moneyOut twin
+      // (decimal cast then DOUBLE; oracle ROUNDs first — DuckDB's
+      // decimal downcast truncates, R9).
+      "q_join_lateral",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("cust_lat")
+        Tables.orders(s, d).createOrReplaceTempView("ord_lat")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey,
+            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+          FROM cust_lat c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM ord_lat
+                     WHERE o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC
+                     LIMIT 2) o
+          WHERE c.c_mktsegment = 'AUTOMOBILE'
+          ORDER BY c.c_custkey, o.o_orderkey""")
+      },
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        |    AS price
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_custkey = c.c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC
+        |           LIMIT 2) o
+        |WHERE c.c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin),
+
+    Q(
+      // error-tolerant casts (the dirty-ingest staple): try_cast turns
+      // malformed input into NULL instead of failing the job; counted
+      // over always-bad, always-good, and mixed derived strings so the
+      // NULL semantics are exercised in every direction.
+      "q_fn_try_cast",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part_tc")
+        s.sql("""
+          SELECT COUNT(*) AS n,
+            COUNT(try_cast(p_name AS INT)) AS n_name_numeric,
+            COUNT(try_cast(CAST(p_partkey AS STRING) AS INT))
+              AS n_key_numeric,
+            CAST(SUM(COALESCE(try_cast(SUBSTRING(
+              CONCAT(CAST(p_partkey AS STRING), p_name), 1, 2) AS INT),
+              -1)) AS BIGINT) AS mixed_sum
+          FROM part_tc""")
+      },
+      """SELECT COUNT(*) AS n,
+        |  COUNT(TRY_CAST(p_name AS INT)) AS n_name_numeric,
+        |  COUNT(TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT))
+        |    AS n_key_numeric,
+        |  CAST(SUM(COALESCE(TRY_CAST(SUBSTR(
+        |    CAST(p_partkey AS VARCHAR) || p_name, 1, 2) AS INT),
+        |    -1)) AS BIGINT) AS mixed_sum
+        |FROM part""".stripMargin)
   )
 }
