@@ -128,6 +128,39 @@ object Windows extends OpGroup {
         |ORDER BY c_custkey""".stripMargin),
 
     Q(
+      // trailing time-interval frame: per event, count + decimal sum of
+      // the last hour of SAME-TYPE activity — RANGE over epoch-µs longs
+      // (value-based bounds, so timestamp ties share one frame and the
+      // result is deterministic in both engines). The per-event sliding
+      // aggregate windowed streams can't express without a self-join;
+      // one hash exchange on event_type, per-partition sort, O(frame)
+      // running state.
+      "q_win_time_range",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-HourUs, 0)
+        Tables.events(s, d)
+          .select(col("event_type"), col("ts_us"), col("event_id"),
+                  col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", asMoney(sum(money("value")).over(w)))
+          .select(col("event_type"), col("ts_us"), col("event_id"),
+                  col("n_1h"), col("sum_1h"))
+          .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+      },
+      s"""SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2)
+        |    AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN ${3600000000L} PRECEDING
+        |               AND CURRENT ROW)
+        |ORDER BY event_type, ts_us, event_id""".stripMargin),
+
+    Q(
       // share-of-total reporting ratios: grand total computed as a scalar
       // aggregate broadcast-joined back (NOT an empty OVER () window —
       // that moves every row to a single partition, a scale-killer

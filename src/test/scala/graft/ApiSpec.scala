@@ -393,6 +393,36 @@ class ApiSpec extends SparkSpec {
     assert(wide.agg(sum("n_members")).as[Long].collect().head == 30L)
   }
 
+  test("kmeansFit centroids drive ivfTopK (the advertised wiring)") {
+    def jitter(base: Array[Float], s: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + s * (i % 3 - 1) * 0.05f }
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0.1f), Array(0f, 1f, 0f, -0.1f),
+      Array(0f, 0f, 1f, 0.2f))
+    val vecs = (0 until 30).map { i =>
+      Vec(i.toLong, jitter(bases(i % 3), (i / 3).toFloat))
+    }
+    val df = vecs.toDF()
+    val cents = Sim.kmeansFit(df, col("vec_id"), col("embedding"),
+        k = 3, iters = 4)
+      .select(col("cell"), col("centroid")).as[(Int, Array[Float])]
+      .collect()
+    // trained centroids join the frame as synthetic rows; ivfTopK routes
+    // by nearest centroid, so query 0's candidates must all come from
+    // plant 0's cell — members (id ≡ 0 mod 3) or that cell's centroid
+    val withCents = df.unionByName(
+      cents.map { case (c, v) => Vec(1000L + c, v) }.toSeq.toDF())
+    val ivf = Sim.ivfTopK(withCents, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 0L,
+        isCentroid = col("vec_id") >= 1000L, k = 3)
+      .select("q_id", "cand_id").as[(Long, Long)].collect()
+    assert(ivf.length == 3)
+    assert(ivf.forall { case (_, c) => c >= 1000L || c % 3 == 0 },
+      s"cross-cluster leak: ${ivf.toSeq}")
+    assert(ivf.exists { case (_, c) => c < 1000L && c % 3 == 0 },
+      s"no true member returned: ${ivf.toSeq}")
+  }
+
   test("keepLatest: one row per key, version tiebreak total, full payload") {
     val df = Seq(
       (1L, 10L, "2024-01-01", "old"),
