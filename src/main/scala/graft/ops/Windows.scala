@@ -16,6 +16,11 @@ import graft.io.Tables
   */
 object Windows extends OpGroup {
 
+  /** The ONE copy of q_win_time_range's frame width — the Spark
+    * rangeBetween bound and the oracle's RANGE literal both read it,
+    * so the two sides cannot drift apart. */
+  private val HourUs = 3600000000L
+
   def qs: Seq[Q] = Seq(
     Q(
       "q_win_rownum",
@@ -137,7 +142,6 @@ object Windows extends OpGroup {
       // running state.
       "q_win_time_range",
       (s, d) => {
-        val HourUs = 3600000000L
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("ts_us"))
           .rangeBetween(-HourUs, 0)
@@ -156,7 +160,7 @@ object Windows extends OpGroup {
         |    AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN ${3600000000L} PRECEDING
+        |             RANGE BETWEEN $HourUs PRECEDING
         |               AND CURRENT ROW)
         |ORDER BY event_type, ts_us, event_id""".stripMargin),
 

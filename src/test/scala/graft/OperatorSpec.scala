@@ -124,10 +124,11 @@ class SourceFormatSpec extends SparkSpec {
       col("added_later").isNull).count() == 25)
     assert(all.filter(col("batch") === 2 &&
       col("added_later").isNotNull).count() == 25)
-    // default reader (no mergeSchema) picks ONE file's schema — the
-    // union view is an explicit opt-in, not silent magic
-    val plain = spark.read.parquet(s"$dir/t")
-    assert(plain.columns.toSet.subsetOf(all.columns.toSet))
+    // the union view is an explicit opt-in, not silent magic: reading
+    // only the pre-drift batch must NOT surface the later column
+    val preDrift = spark.read.parquet(s"$dir/t/batch=1")
+    assert(!preDrift.columns.contains("added_later"),
+      s"pre-drift batch grew the later column: ${preDrift.columns.toSeq}")
   }
 }
 
