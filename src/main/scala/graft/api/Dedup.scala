@@ -23,6 +23,30 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Blocked edit-distance near-duplicate pairs — the classic record-
+    * linkage shape (the q_fn_levenshtein SURVEY row's "100 TB use"):
+    * candidates come from an equi-join on a caller-chosen BLOCKING key
+    * (first token, soundex, length bucket, …), then `levenshtein ≤
+    * maxDist` confirms INSIDE the join stage, before any pair leaves
+    * it. Same prune-then-confirm shape as LSH-bucket + cosine. Recall
+    * is bounded by the blocking key: pairs in different blocks are
+    * never compared — that is the scale contract, choose the key
+    * accordingly. Returns (a_id, b_id, dist) with a_id < b_id. */
+  def editDistPairs(
+      df: DataFrame, id: Column, text: Column, blockKey: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "editDistPairs: maxDist must be >= 0")
+    val e = df.select(id.as("_id"), text.as("_t"), blockKey.as("_blk"))
+    val a = e.select(col("_id").as("a_id"), col("_t").as("_ta"),
+                     col("_blk"))
+    val b = e.select(col("_id").as("b_id"), col("_t").as("_tb"),
+                     col("_blk").as("_blk2"))
+    a.join(b, col("_blk") === col("_blk2") && col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** CDC/SCD compaction: keep the LATEST full row per business key.
     * One hash-aggregate with map-side partials — `max_by` of the whole
     * row over a version struct — instead of the window-rank idiom,

@@ -426,6 +426,28 @@ class ApiSpec extends SparkSpec {
       s"no true member returned: ${ivf.toSeq}")
   }
 
+  test("editDistPairs: blocking bounds candidates, distance confirms") {
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brwon fox"),    // transposition, dist 2, same block
+      (3L, "the quick brown fix"),    // substitution, dist 1, same block
+      (4L, "the slow brown fox"),     // same block, dist 4 — filtered
+      (5L, "a quick brown fox")       // different block — never compared
+    ).toDF("id", "t")
+    val blk = split(col("t"), " ").getItem(0)
+    val pairs = graft.api.Dedup.editDistPairs(
+        rows, col("id"), col("t"), blk, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) d=2, (1,3) d=1, (2,3) d=3 filtered, 4 too far, 5 unblocked
+    assert(pairs == Set((1L, 2L, 2), (1L, 3L, 1)), s"got $pairs")
+    // recall contract: 5 is dist 4 from 1 but in another block — absent
+    // even with a huge maxDist
+    val wide = graft.api.Dedup.editDistPairs(
+        rows, col("id"), col("t"), blk, maxDist = 100)
+      .filter(col("a_id") === 5L || col("b_id") === 5L)
+    assert(wide.count() == 0)
+  }
+
   test("keepLatest: one row per key, version tiebreak total, full payload") {
     val df = Seq(
       (1L, 10L, "2024-01-01", "old"),
