@@ -98,6 +98,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(us(0) -> 2L, us(30) -> 1L))
   }
 
+  test("content dedup runs INCREMENTALLY: batch fingerprint on a stream") {
+    // the batch dedup family's map-side signature (Text.fingerprint is
+    // pure per-row expressions) keys streaming dedup unchanged — docs
+    // with identical content collapse across micro-batches, reworded
+    // docs survive; the watermark bounds the signature state
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val deduped = graft.api.Text.fingerprint(
+        in.toDF().withWatermark("ts", "10 minutes"), col("user"))
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+    val q = deduped.writeStream.format("memory").queryName("fpdedup_t")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(ts(1), "same exact text", 1.0),
+               Ev(ts(2), "same exact text", 2.0),   // content dup, drops
+               Ev(ts(3), "different words here", 3.0))
+    q.processAllAvailable()
+    in.addData(Ev(ts(4), "same exact text", 4.0))   // cross-batch dup
+    q.processAllAvailable()
+    val kept = spark.table("fpdedup_t").select("user").as[String]
+      .collect().toSeq.sorted
+    q.stop()
+    assert(kept == Seq("different words here", "same exact text"),
+      s"got $kept")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered events") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
