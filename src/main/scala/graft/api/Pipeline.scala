@@ -50,6 +50,37 @@ object Pipeline {
     df.filter(hasher(id) < thr)
   }
 
+  /** Token-budget mixture planning — the data-mixing math run BEFORE
+    * training: given per-row token counts, a target mixture weight per
+    * stratum, and a total token budget, compute the per-stratum keep
+    * RATE that hits `budget × weight` tokens, capped at 1.0 (a stratum
+    * cannot contribute more than it has — the standard up-to-weight
+    * semantics; re-normalize weights upstream if you need the shortfall
+    * redistributed). The output rates feed [[sampleStratified]]
+    * directly. rate is round(…, 4) so the plan is engine-portable;
+    * kept_toks is the floor estimate under that rounded rate. One
+    * hash-agg; the weight table is a broadcast literal. Returns
+    * (stratum, toks, rate, kept_toks) for strata listed in `weights`. */
+  def mixRates(
+      df: DataFrame, stratum: Column, tokens: Column,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "mixRates: budget must be > 0")
+    require(weights.nonEmpty, "mixRates: weights must be non-empty")
+    val spark = df.sparkSession
+    val w = spark.createDataFrame(weights.toSeq.sortBy(_._1))
+      .toDF("_s", "_wt")
+    val rate = round(least(lit(1.0),
+      lit(budget.toDouble) * col("_wt") / col("toks")), 4)
+    df.select(stratum.as("stratum"), tokens.as("_n"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("_n")).cast("bigint").as("toks"))
+      .join(broadcast(w), col("stratum") === col("_s"))
+      .withColumn("rate", rate)
+      .select(col("stratum"), col("toks"), col("rate"),
+              floor(col("toks") * col("rate")).cast("bigint")
+                .as("kept_toks"))
+  }
+
   /** Deterministic split assignment over `buckets` hash buckets:
     * `assignments` maps bucket index → split name; unmapped buckets get
     * `defaultSplit`. 90/5/5 = buckets=20, {0→"test", 1→"val"},

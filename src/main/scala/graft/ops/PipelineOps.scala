@@ -251,6 +251,39 @@ object PipelineOps extends OpGroup {
         |  COALESCE(hit.n_contaminated, 0) AS n_contaminated,
         |  COALESCE(hit.first_doc, -1) AS first_doc
         |FROM base LEFT JOIN hit ON base.lang = hit.lang
-        |ORDER BY base.lang""".stripMargin)
+        |ORDER BY base.lang""".stripMargin),
+
+    Q(
+      // token-budget mixture planning (api.Pipeline.mixRates): per-lang
+      // keep rates that hit budget×weight tokens, capped at 1.0 — the
+      // data-mixing math run before training, whose output rates feed
+      // sampleStratified directly. Token counts = the q_text_tokens
+      // BPE-ish estimate (one shared definition). zh's 0.8 weight
+      // exceeds its corpus share, so the 1.0 cap branch is exercised —
+      // never a vacuous least().
+      "q_mix_budget",
+      (s, d) => graft.api.Pipeline.mixRates(
+          graft.api.Text.tokenCounts(Tables.documents(s, d), col("text")),
+          col("lang"), col("n_bpe"),
+          weights = Map("en" -> 0.3, "de" -> 0.1, "es" -> 0.1,
+                        "fr" -> 0.1, "zh" -> 0.8),
+          budget = 10000L)
+        .orderBy(col("stratum")),
+      """WITH tok AS (
+        |  SELECT lang,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang AS stratum, CAST(SUM(n) AS BIGINT) AS toks
+        |  FROM tok GROUP BY lang),
+        |w(s2, wt) AS (VALUES
+        |  ('de', 0.1), ('en', 0.3), ('es', 0.1), ('fr', 0.1),
+        |  ('zh', 0.8))
+        |SELECT stratum, toks,
+        |  round(least(1.0, 10000 * wt / toks), 4) + 0 AS rate,
+        |  CAST(floor(toks * (round(least(1.0, 10000 * wt / toks), 4) + 0))
+        |    AS BIGINT) AS kept_toks
+        |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin)
   )
 }

@@ -426,6 +426,29 @@ class ApiSpec extends SparkSpec {
       s"no true member returned: ${ivf.toSeq}")
   }
 
+  test("mixRates: budget math, 1.0 cap, and rates feed sampleStratified") {
+    val corpus = Seq.tabulate(300) { i =>
+      val lang = if (i % 3 == 0) "en" else "de"   // en: 100 docs, de: 200
+      (i.toLong, lang, 10L)                        // 10 tokens each
+    }.toDF("id", "lang", "n_tok")
+    val rates = graft.api.Pipeline.mixRates(
+        corpus, col("lang"), col("n_tok"),
+        weights = Map("en" -> 0.5, "de" -> 0.25), budget = 4000L)
+      .orderBy("stratum")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    // en: 1000 toks < 0.5·4000 → capped at 1.0; de: 1000/2000 = 0.5
+    assert(rates == Seq(("de", 2000L, 0.5, 1000L),
+                        ("en", 1000L, 1.0, 1000L)), s"got $rates")
+    // the planning output drives the sampler: realized kept tokens land
+    // near the plan (hash-uniform, 2000 docs of 10 → ±few %)
+    val rateMap = rates.map(r => r._1 -> r._3).toMap
+    val kept = graft.api.Pipeline.sampleStratified(
+        corpus, col("lang"), col("id"), rateMap, default = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") == 100L)                     // rate 1.0 keeps all
+    assert(kept("de") > 70L && kept("de") < 130L, s"got ${kept("de")}")
+  }
+
   test("editDistPairs: blocking bounds candidates, distance confirms") {
     val rows = Seq(
       (1L, "the quick brown fox"),
