@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public, parameterized event-stream API — batch sessionization and
+  * time-grid gap filling, the two reductions between raw event logs and
+  * every downstream per-session / per-interval metric.
+  *
+  * Scale notes: both operators are ONE shuffle on the entity key. The
+  * sessionize lag-window and running-sum window share a single
+  * (key, time) sort, so Spark plans one Exchange + one Sort for both;
+  * fillForward's spine is |keys| × |grid cells| — it joins, never
+  * explodes the raw events.
+  */
+object Events {
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the entity's previous event exceeds `gapUs`. Adds column `sess`
+    * (1-based, dense per key, deterministic given that
+    * (time, tieBreak…) totally orders each key's events).
+    *
+    * Shape: lag + running sum over the SAME window ordering — one
+    * shuffle on `key`, one sort, two Window operators pipelined on the
+    * sorted partition. This is the scalable form: per-key state never
+    * materializes on the driver, and a 100×-larger log only widens the
+    * shuffle, not the algorithm.
+    */
+  def sessionize(
+      df: DataFrame, key: Column, timeUs: Column,
+      tieBreak: Seq[Column], gapUs: Long): DataFrame = {
+    val order = timeUs.asc +: tieBreak.map(_.asc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val newSess = when(
+      lag(timeUs, 1).over(w).isNull ||
+        timeUs - lag(timeUs, 1).over(w) > gapUs, 1L).otherwise(0L)
+    df.withColumn("sess",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)))
+  }
+
+  /** Fill the holes in an integer time grid and carry the last
+    * observation forward. `df` must hold at most one row per
+    * (keys…, gridCol) cell — typically the output of a bucketed
+    * aggregate. Emits one row per key per grid cell in
+    * [min(grid), max(grid)] (global bounds, so all keys share one
+    * spine), with each `values` column last-value-filled within its
+    * key and `observed` marking real cells.
+    *
+    * Cells before a key's first observation stay null — forward fill
+    * has nothing to carry; callers choose the seed semantics.
+    *
+    * Shape: the bounds are a one-row aggregate (broadcast), the spine
+    * is distinct-keys × sequence-explode, and the fill is one window
+    * per key ordered by grid — so the only corpus-sized shuffles are
+    * the spine⟕df join and the window, both on the key. The spine
+    * never multiplies raw events, only grid cells.
+    */
+  def fillForward(
+      df: DataFrame, keys: Seq[String], gridCol: String,
+      values: Seq[String]): DataFrame = {
+    val bounds = df.agg(min(col(gridCol)).as("g_lo"),
+                        max(col(gridCol)).as("g_hi"))
+    val spine = df.select(keys.map(col): _*).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(keys.map(col) :+
+        explode(sequence(col("g_lo"), col("g_hi"))).as(gridCol): _*)
+    // exact presence marker — a value column may itself be null on an
+    // observed cell (e.g. avg of all-null), so don't infer from values
+    val joined = spine
+      .join(df.withColumn("__obs", lit(true)), keys :+ gridCol, "left")
+      .withColumn("observed", coalesce(col("__obs"), lit(false)))
+      .drop("__obs")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(gridCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.foldLeft(joined) { (acc, v) =>
+      acc.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+  }
+}

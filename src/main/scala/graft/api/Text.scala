@@ -190,6 +190,82 @@ object Text {
               (log(col("n_tokens").cast("double")) -
                col("_nlogn") / col("n_tokens")).as("entropy"))
 
+  /** Cross-document duplicated-n-gram measurement (the RefinedWeb
+    * "fraction of a document made of corpus-repeated n-grams" filter —
+    * distinct from within-doc repetition, which [[qualityGate]]'s dup2
+    * covers, and from [[boilerplateStats]], whose hot set is tiny by a
+    * frac-df bar). A doc's n-gram is "duplicated" when it occurs in ≥
+    * `minDf` documents. Returns (doc_id, n_sh, n_dup).
+    *
+    * Scale shape: df ≥ 2 selects a LARGE share of shingles (unlike the
+    * boilerplate hot set), so nothing here broadcasts. One window
+    * count over partition-by-shingle attaches each shingle's document
+    * frequency in the same pass that probes it — one content shuffle
+    * total, where the agg+join formulation pays a second shuffle+sort
+    * for the probe side. */
+  def dupNgramStats(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 3, minDf: Int = 2): DataFrame = {
+    require(n >= 1 && minDf >= 1, "dupNgramStats: n and minDf must be >= 1")
+    val exploded = df
+      .select(id.as("doc_id"), Dedup.tokens(text).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+              explode_outer(expr(Dedup.shingleExpr(n))).as("sh"))
+      .filter(col("sh").isNotNull)
+    // shingleExpr is per-doc distinct, so count(*) per shingle IS the
+    // document frequency — no distinct shuffle needed
+    exploded
+      .withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+           sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+  }
+
+  /** Gopher-style hard quality gate: per-document rule booleans over
+    * word count, mean word length, stopword fraction, and within-doc
+    * bigram repetition — the four cheap rules every corpus scrub runs
+    * before any model-based filter. Adds metric columns (n_words,
+    * mean_wl, stop_frac, dup2) and rule columns (pass_len, pass_wl,
+    * pass_stop, pass_rep, pass). Entirely map-side: token-array math
+    * per row, no shuffle, no UDF. The mean word length is measured
+    * from the tokens themselves (Σ len(tᵢ) / n), not inferred from
+    * n_chars, so multi-space text is measured, not guessed. */
+  def qualityGate(
+      df: DataFrame, text: Column,
+      minWords: Int = 20, maxWords: Int = 90,
+      minMeanWl: Double = 4.0, maxMeanWl: Double = 5.0,
+      minStopFrac: Double = 0.01, maxDup2: Double = 0.06,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val isStop = (t: Column) =>
+      stopwords.foldLeft(lit(false))((acc, s) => acc || t === s)
+    df.withColumn("w", Dedup.tokens(text))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("mean_wl",
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / col("n_words"))
+      .withColumn("stop_frac",
+        size(filter(col("w"), isStop)).cast("double") / col("n_words"))
+      // guarded: sequence(0, n-2) DESCENDS when n < 2 (Spark default
+      // step −1), so the bigram expression must never see a 1-token doc
+      .withColumn("dup2",
+        when(col("n_words") >= 2,
+          lit(1.0) - size(expr(Dedup.shingleExpr(2))).cast("double") /
+            (col("n_words") - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("pass_len",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_wl",
+        col("mean_wl") >= minMeanWl && col("mean_wl") <= maxMeanWl)
+      .withColumn("pass_stop", col("stop_frac") >= minStopFrac)
+      .withColumn("pass_rep", col("dup2") <= maxDup2)
+      .withColumn("pass",
+        col("pass_len") && col("pass_wl") &&
+        col("pass_stop") && col("pass_rep"))
+      .drop("w")
+  }
+
   /** Rolling-hash document fingerprint (md5-derived word values in
     * 0..255, position weights 31^(i mod 8), mod 2^31−1) — pure integer
     * math, identical in any engine. Equal fingerprints = exact (or

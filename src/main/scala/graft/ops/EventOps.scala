@@ -119,6 +119,110 @@ object EventOps extends OpGroup {
         |  FROM events)
         |SELECT prev, event_type, COUNT(*) AS n
         |FROM t GROUP BY prev, event_type
-        |ORDER BY prev, event_type""".stripMargin)
+        |ORDER BY prev, event_type""".stripMargin),
+
+    Q(
+      // batch sessionization (api.Events.sessionize): gap > 8h starts a
+      // new session; per-user session-count / event / duration rollup.
+      // The lag flag and the running sum share ONE (user, ts, id) sort —
+      // a single shuffle, pinned in PlanSpec. The streaming twin is
+      // q_stream_session; this is the backfill/batch form of the same
+      // semantics over integer epoch-µs (R4).
+      "q_events_sessionize",
+      (s, d) => {
+        val sess = graft.api.Events.sessionize(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts_us")),
+          key = col("user_id"), timeUs = col("ts_us"),
+          tieBreak = Seq(col("event_id")), gapUs = 28800000000L)
+        sess.groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_ev"),
+               (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(col("n_ev")).as("n_events"),
+               max(col("n_ev")).as("max_sess_events"),
+               // exact integer µs sum → one double division (R3): a
+               // float avg would be partition-order dependent
+               r4(sum(col("dur_us")).cast("double") / count(lit(1))
+                  / 1000000.0).as("avg_dur_sec"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |n AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM n),
+        |g AS (
+        |  SELECT user_id, sess, COUNT(*) AS n_ev,
+        |    MAX(ts_us) - MIN(ts_us) AS dur_us
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_ev) AS BIGINT) AS max_sess_events,
+        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+        |    + 0 AS avg_dur_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    Q(
+      // hourly metric grid with forward fill (api.Events.fillForward):
+      // per-type hourly averages on an integer hour index, holes filled
+      // with the last observation — the AGGREGATE-grid twin of
+      // q_ts_resample (which point-samples raw values). The spine is
+      // |types| × |hours| and joins the aggregate, never multiplying
+      // raw events; bounds come from the data (one-row agg, broadcast),
+      // not constants. Rounding happens BEFORE the fill, so a carried
+      // value is bit-identical to the cell it came from on both
+      // engines. Exact decimal sum → one double division (R2/R3).
+      "q_ts_fill_forward",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          // integral `div`, not `/`: Spark's `/` on longs is DOUBLE
+          // division (rounding near a boundary could cross it), DuckDB
+          // `//` is exact floor — both sides must do integer math
+          .groupBy(col("event_type"),
+                   expr("ts_us div 3600000000").as("hr"))
+          .agg(avg4(sum(money("value")), count(lit(1))).as("v"),
+               count(lit(1)).as("n_obs"))
+        graft.api.Events.fillForward(
+            hourly, keys = Seq("event_type"), gridCol = "hr",
+            values = Seq("v"))
+          .select(col("event_type"), col("hr"),
+                  col("v").as("v_filled"),
+                  coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*), 4) AS v,
+        |    COUNT(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
+        |spine AS (
+        |  SELECT et.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM h) et
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS hr) g),
+        |f AS (
+        |  SELECT s.event_type, s.hr, h.v, h.n_obs,
+        |    COUNT(h.v) OVER (PARTITION BY s.event_type
+        |                     ORDER BY s.hr) AS grp
+        |  FROM spine s LEFT JOIN h
+        |    ON s.event_type = h.event_type AND s.hr = h.hr)
+        |SELECT event_type, hr,
+        |  COALESCE(v, MAX(v) OVER (PARTITION BY event_type, grp)) + 0
+        |    AS v_filled,
+        |  COALESCE(n_obs, 0) AS n_obs
+        |FROM f ORDER BY event_type, hr""".stripMargin)
   )
 }

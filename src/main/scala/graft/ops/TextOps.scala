@@ -213,6 +213,98 @@ object TextOps extends OpGroup {
         |  FROM w)
         |SELECT CAST(fp0 AS BIGINT) AS fp, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS first_doc
-        |FROM v GROUP BY fp ORDER BY fp""".stripMargin)
+        |FROM v GROUP BY fp ORDER BY fp""".stripMargin),
+
+    Q(
+      // cross-document duplicated-n-gram fraction (RefinedWeb filter;
+      // api.Text.dupNgramStats): share of each doc's distinct 3-grams
+      // occurring in ≥2 docs, rolled up per source. Distinct from
+      // q_text_repetition (within-doc) and q_text_boilerplate (tiny
+      // frac-df hot set): the dup set here is corpus-sized, so the df
+      // attaches via ONE window over partition-by-shingle — no
+      // broadcast, no second content shuffle (pinned in PlanSpec).
+      "q_text_dup_ngrams",
+      (s, d) => graft.api.Text.dupNgramStats(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+                                        col("text")),
+          id = col("doc_id"), text = col("text"), n = 3)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+              "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             r4(sum(col("n_dup").cast("double") / col("n_sh")) /
+                count(lit(1))).as("avg_dup_frac"),
+             sum(when(col("n_dup").cast("double") / col("n_sh") > 0.5, 1L)
+                 .otherwise(0L)).as("n_heavy"))
+        .orderBy(col("source")),
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, ${toksSql("text")} AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS sh
+        |  FROM (SELECT doc_id, source, w, unnest(range(0, len(w)-2)) AS i
+        |        FROM tok WHERE len(w) >= 3)),
+        |d AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh),
+        |per AS (
+        |  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+        |    SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh s JOIN d ON s.sh = d.sh
+        |  GROUP BY s.doc_id, s.source)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(SUM(CAST(n_dup AS DOUBLE) / n_sh) / COUNT(*), 4) + 0
+        |    AS avg_dup_frac,
+        |  SUM(CASE WHEN CAST(n_dup AS DOUBLE) / n_sh > 0.5
+        |      THEN 1 ELSE 0 END) AS n_heavy
+        |FROM per GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // Gopher-style hard quality gate (api.Text.qualityGate): word
+      // count, mean word length, stopword fraction, bigram repetition —
+      // per-rule fail counts and the overall pass rate per source.
+      // Thresholds chosen non-vacuous on the fixture (every counter has
+      // both passing and failing docs at sf0.01). Entirely map-side;
+      // the only shuffle is the final rollup.
+      "q_text_quality_gate",
+      (s, d) => graft.api.Text.qualityGate(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+                                        col("text")),
+          text = col("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+             sum(when(col("pass_len"), 0L).otherwise(1L)).as("n_fail_len"),
+             sum(when(col("pass_wl"), 0L).otherwise(1L)).as("n_fail_wl"),
+             sum(when(col("pass_stop"), 0L).otherwise(1L)).as("n_fail_stop"),
+             sum(when(col("pass_rep"), 0L).otherwise(1L)).as("n_fail_rep"))
+        .orderBy(col("source")),
+      s"""WITH f AS (
+        |  SELECT source, ${toksSql("text")} AS w FROM documents),
+        |m AS (
+        |  SELECT source, len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+        |      / len(w) AS mean_wl,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+        |      / len(w) AS stop_frac,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(
+        |        range(0, len(w) - 1), i -> concat(w[i+1], ' ', w[i+2]))))
+        |        AS DOUBLE) / (len(w) - 1)
+        |    ELSE 0.0 END AS dup2
+        |  FROM f),
+        |r AS (
+        |  SELECT source,
+        |    (n_words BETWEEN 20 AND 90) AS pass_len,
+        |    (mean_wl >= 4.0 AND mean_wl <= 5.0) AS pass_wl,
+        |    (stop_frac >= 0.01) AS pass_stop,
+        |    (dup2 <= 0.06) AS pass_rep
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN pass_len AND pass_wl AND pass_stop AND pass_rep
+        |      THEN 1 ELSE 0 END) AS n_pass,
+        |  SUM(CASE WHEN pass_len THEN 0 ELSE 1 END) AS n_fail_len,
+        |  SUM(CASE WHEN pass_wl THEN 0 ELSE 1 END) AS n_fail_wl,
+        |  SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS n_fail_stop,
+        |  SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS n_fail_rep
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
   )
 }
