@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Determinism._
 import graft.io.Tables
 
 /** Product-analytics operators over the event stream: funnel conversion

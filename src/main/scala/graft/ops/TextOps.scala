@@ -253,8 +253,8 @@ object TextOps extends OpGroup {
         |SELECT source, COUNT(*) AS n_docs,
         |  ROUND(SUM(CAST(n_dup AS DOUBLE) / n_sh) / COUNT(*), 4) + 0
         |    AS avg_dup_frac,
-        |  SUM(CASE WHEN CAST(n_dup AS DOUBLE) / n_sh > 0.5
-        |      THEN 1 ELSE 0 END) AS n_heavy
+        |  CAST(SUM(CASE WHEN CAST(n_dup AS DOUBLE) / n_sh > 0.5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
         |FROM per GROUP BY source ORDER BY source""".stripMargin),
 
     Q(
@@ -299,12 +299,12 @@ object TextOps extends OpGroup {
         |    (dup2 <= 0.06) AS pass_rep
         |  FROM m)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN pass_len AND pass_wl AND pass_stop AND pass_rep
-        |      THEN 1 ELSE 0 END) AS n_pass,
-        |  SUM(CASE WHEN pass_len THEN 0 ELSE 1 END) AS n_fail_len,
-        |  SUM(CASE WHEN pass_wl THEN 0 ELSE 1 END) AS n_fail_wl,
-        |  SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS n_fail_stop,
-        |  SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS n_fail_rep
+        |  CAST(SUM(CASE WHEN pass_len AND pass_wl AND pass_stop AND pass_rep
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN pass_len THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_len,
+        |  CAST(SUM(CASE WHEN pass_wl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_wl,
+        |  CAST(SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_rep
         |FROM r GROUP BY source ORDER BY source""".stripMargin)
   )
 }
