@@ -58,4 +58,31 @@ object Determinism {
     * so every ORACLE output column of scale-4 round carries `+ 0`
     * (IEEE: -0.0 + 0 = +0.0); the Spark side needs nothing. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** BOUNDARY-exact scale-4 ratio via integer math, for averages whose
+    * double form can land ON the x.xxxx5 rounding boundary. avg4's
+    * double division sits a half-ulp either side of the boundary and
+    * the two engines then round DIFFERENT directions — Spark rounds
+    * the exact binary expansion (BigDecimal HALF_UP), DuckDB multiplies
+    * by 1e4 first (its own rounding) — observed at sf0.1:
+    * q_ts_fill_forward, 47.25375 → 47.2538 vs 47.2537.
+    *
+    * Inputs: `num`/`den` integral Columns with num/den = the result in
+    * 1e-4 units. round-half-up(num/den) = ⌊(2·num+den)/(2·den)⌋,
+    * computed exactly: (a − a mod b)/b is integral and < 2⁵³, so the
+    * IEEE division is exact; the final /10⁴ is the SAME double op on
+    * both engines → bit-identical. Needs 2·num+den < 2⁵³, num ≥ 0.
+    * Oracle twin: `CAST((2*num + den) // (2*den) AS DOUBLE) / 10000.0`.
+    */
+  def intRatio4(num: Column, den: Column): Column = {
+    val a = num.cast("long") * 2 + den
+    val b = den * 2
+    ((a - pmod(a, b)) / b).cast("long").cast("double") / 10000.0
+  }
+
+  /** avg4, boundary-exact: decimal sum → exact 1e-4-unit integer →
+    * intRatio4. Use for NEW money averages; avg4 stays for the round-1
+    * queries whose hashes are pinned and never hit the boundary. */
+  def avgExact4(sumDec: Column, cnt: Column): Column =
+    intRatio4((sumDec * 10000).cast("long"), cnt)
 }

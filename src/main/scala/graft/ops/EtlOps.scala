@@ -142,6 +142,61 @@ object EtlOps extends OpGroup {
         |  COUNT(DISTINCT user_id) AS wau
         |FROM cov SEMI JOIN grid ON cov.cov_us = grid.day_us
         |GROUP BY cov_us
-        |ORDER BY day_us""".stripMargin)
+        |ORDER BY day_us""".stripMargin),
+
+    Q(
+      // SCD type-2 history build: collapse each customer's order-
+      // priority change log into validity intervals — keep only rows
+      // where the attribute CHANGED vs the previous version (lag), then
+      // close each interval with the next change's date (lead). The
+      // classic warehouse dimension-history op.
+      //
+      // Scale: one shuffle on o_custkey; the lag flag, the filter, and
+      // the lead all share the SAME (custkey × (date, orderkey)) sort
+      // order — filter preserves intra-partition order, so Spark plans
+      // ONE exchange and reuses the sort for both windows.
+      "q_etl_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val changed = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                  col("o_orderpriority"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull ||
+                  col("prev") =!= col("o_orderpriority"))
+        changed
+          .withColumn("ver", row_number().over(w))
+          .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey"), col("ver"),
+                  col("o_orderpriority").as("priority"),
+                  date_format(col("o_orderdate"), "yyyy-MM-dd")
+                    .as("valid_from"),
+                  coalesce(date_format(col("next_from"), "yyyy-MM-dd"),
+                           lit("9999-12-31")).as("valid_to"),
+                  col("next_from").isNull.as("is_current"))
+          .orderBy(col("o_custkey"), col("ver"))
+      },
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |v AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+        |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS ver,
+        |  o_orderpriority AS priority,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+        |           '9999-12-31') AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM v
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, ver""".stripMargin)
   )
 }

@@ -143,10 +143,11 @@ object EventOps extends OpGroup {
           .agg(count(lit(1)).as("n_sessions"),
                sum(col("n_ev")).as("n_events"),
                max(col("n_ev")).as("max_sess_events"),
-               // exact integer µs sum → one double division (R3): a
-               // float avg would be partition-order dependent
-               r4(sum(col("dur_us")).cast("double") / count(lit(1))
-                  / 1000000.0).as("avg_dur_sec"))
+               // exact integer µs sum → boundary-exact 1e-4-sec round
+               // (intRatio4; 1e-4 s = 100 µs, so den = 100·cnt): same
+               // latent boundary class avg4 hit in q_ts_fill_forward
+               intRatio4(sum(col("dur_us")), count(lit(1)) * 100)
+                 .as("avg_dur_sec"))
           .orderBy(col("user_id"))
       },
       """WITH e AS (
@@ -170,8 +171,8 @@ object EventOps extends OpGroup {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
         |  CAST(MAX(n_ev) AS BIGINT) AS max_sess_events,
-        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
-        |    + 0 AS avg_dur_sec
+        |  CAST((2*CAST(SUM(dur_us) AS BIGINT) + 100*COUNT(*))
+        |       // (200*COUNT(*)) AS DOUBLE) / 10000.0 AS avg_dur_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     Q(
@@ -192,7 +193,9 @@ object EventOps extends OpGroup {
           // `//` is exact floor — both sides must do integer math
           .groupBy(col("event_type"),
                    expr("ts_us div 3600000000").as("hr"))
-          .agg(avg4(sum(money("value")), count(lit(1))).as("v"),
+          // boundary-exact avg (intRatio4): the plain avg4 double
+          // division hit the x.xxxx5 rounding boundary at sf0.1
+          .agg(avgExact4(sum(money("value")), count(lit(1))).as("v"),
                count(lit(1)).as("n_obs"))
         graft.api.Events.fillForward(
             hourly, keys = Seq("event_type"), gridCol = "hr",
@@ -202,12 +205,17 @@ object EventOps extends OpGroup {
                   coalesce(col("n_obs"), lit(0L)).as("n_obs"))
           .orderBy(col("event_type"), col("hr"))
       },
-      """WITH h AS (
+      """WITH h0 AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |          / COUNT(*), 4) AS v,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |      AS s4,
         |    COUNT(*) AS n_obs
         |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, hr,
+        |    CAST((2*s4 + n_obs) // (2*n_obs) AS DOUBLE) / 10000.0 AS v,
+        |    n_obs
+        |  FROM h0),
         |bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
         |spine AS (
         |  SELECT et.event_type, g.hr

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.io.Tables
+
+/** Composite multi-join analytics ("macro" queries) — the TPC-H-shaped
+  * reports a warehouse user actually runs, stressing what single-operator
+  * queries can't: join ORDER across 3–6 tables, dimension broadcast
+  * choices, semi-join reduction of fact scans, and top-k pushed through
+  * an aggregate.
+  *
+  * Scale notes (100 TB):
+  *  - Every fact-side filter (date range, returnflag, segment) sits
+  *    directly on the scan → parquet row-group pruning + PushedFilters.
+  *  - Dimension chains (region⋈nation, nation) are broadcast: the fact
+  *    table shuffles at most once, on the join key that feeds the final
+  *    aggregate.
+  *  - Customer acts as a FILTER, not a data source, in the Q3 shape →
+  *    LEFT SEMI join: no customer columns survive, so Spark never
+  *    carries them through the shuffle.
+  *  - Top-k goes through `orderBy().limit(k)` → TakeOrderedAndProject
+  *    (per-partition heaps + one k-row driver merge), never a full sort.
+  */
+object MacroOps extends OpGroup {
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // Q3 shape — shipping priority: revenue of undelivered-as-of-date
+      // orders for one market segment, top 10 by revenue.
+      "q_macro_ship_priority",
+      (s, d) => {
+        val cut = "1998-06-01"
+        // semi join: customers only gate orders, their columns are dead
+        val bld = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cut))
+          .join(bld, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderdate"),
+                  col("o_orderpriority"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit(cut))
+          .select(col("l_orderkey"), col("l_extendedprice"),
+                  col("l_discount"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"),
+                   col("o_orderpriority"))
+          .agg(asMoney(sum(money("l_extendedprice") *
+            (lit(1).cast(Money) - money("l_discount")))).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+                  date_format(col("o_orderdate"), "yyyy-MM-dd")
+                    .as("orderdate"),
+                  col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      """SELECT l_orderkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin),
+
+    Q(
+      // Q5 shape — local supplier volume: revenue per nation for one
+      // region/year where customer and supplier share the nation.
+      // region⋈nation (5 rows) broadcasts onto supplier AND customer;
+      // the c_nationkey = s_nationkey condition rides the orders join.
+      "q_macro_local_supplier",
+      (s, d) => {
+        val nat = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+                  .filter(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val o = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1997)
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+                  col("l_extendedprice"), col("l_discount"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+                      col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(asMoney(sum(money("l_extendedprice") *
+            (lit(1).cast(Money) - money("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin),
+
+    Q(
+      // Q10 shape — returned-item reporting: top 20 customers by lost
+      // revenue (returnflag R) in one quarter, with their nation.
+      "q_macro_returned_items",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                  col("o_orderdate") < lit("1997-04-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+                  col("l_discount"))
+        val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(asMoney(sum(money("l_extendedprice") *
+            (lit(1).cast(Money) - money("l_discount")))).as("revenue"))
+        rev.join(Tables.customer(s, d),
+                 col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+                col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+                  moneyOut("c_acctbal").as("acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders, lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue,
+        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE)
+        |    AS acctbal,
+        |  n_name
+        |FROM rev, customer, nation
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin)
+  )
+}

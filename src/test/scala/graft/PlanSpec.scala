@@ -193,4 +193,43 @@ class PlanSpec extends SparkSpec {
     assert(outerLine.contains("Broadcast"),
       s"hot-set mark join is not broadcast:\n$outerLine\n$plan")
   }
+
+  test("ship-priority gates orders with a SEMI join and heap-merges top-k") {
+    val df = SparkEntry.queries("q_macro_ship_priority")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // customer is a filter, not a data source: its columns must not
+    // survive past a LeftSemi join
+    assert(plan.contains("LeftSemi"),
+      s"customer gate is not a semi join:\n$plan")
+    // top-10 through the aggregate = per-partition heaps, no global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+    // both fact-side date filters reach the parquet readers
+    val fmt = formatted(df)
+    assert(fmt.linesIterator.filter(_.trim.startsWith("PushedFilters"))
+      .count(l => l.contains("l_shipdate") || l.contains("o_orderdate")) == 2,
+      s"date filters not pushed to both scans:\n$fmt")
+  }
+
+  test("local-supplier broadcasts the whole dim chain (one fact shuffle)") {
+    val df = SparkEntry.queries("q_macro_local_supplier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // region⋈nation onto supplier must stay broadcast end-to-end
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim chain is not broadcast:\n$plan")
+    // the 5-row nation aggregate must not sort-merge anything
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian crept into the star join:\n$plan")
+  }
+
+  test("scd2 plans ONE custkey exchange shared by both window passes") {
+    val df = SparkEntry.queries("q_etl_scd2")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // lag-filter-lead all share (custkey × date,orderkey): one exchange
+    // for the windows (+ one range exchange for the final ORDER BY)
+    val ex = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected one window exchange, got $ex:\n$plan")
+    assert(!plan.contains("Join"), s"scd2 should be join-free:\n$plan")
+  }
 }
