@@ -437,4 +437,43 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
   }
+
+  /** ASYMMETRIC n-gram containment pairs: score = |A∩B| / min(|A|,|B|)
+    * — how much of the SMALLER document's shingle set appears in the
+    * larger one. This is the quote/sub-document detector Jaccard
+    * structurally misses: a 50-shingle doc fully embedded in a
+    * 5000-shingle doc scores C=1.0 but J≈0.01, so no practical Jaccard
+    * threshold finds it without drowning in noise.
+    *
+    * Same scale shape as jaccardPairs (one inverted-index equi-join on
+    * the shingle, count-aggregate, never all-pairs); the pair row also
+    * says WHICH side is contained so the dedup policy can keep the
+    * superset doc. */
+  def containmentPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 7, minContainment: Double = 0.5): DataFrame = {
+    val sh = df.select(id.as("doc_id"), tokens(text).as("w"))
+      .filter(size(col("w")) >= n)
+      .withColumn("gs", expr(shingleExpr(n)))
+      .select(col("doc_id"), size(col("gs")).as("sz"),
+              explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+                      col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+                      col("g").as("g2"))
+    a.join(b.hint("MERGE"),
+           col("g") === col("g2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+           max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .withColumn("cont", round(col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")), 4))
+      .filter(col("cont") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("cont"),
+              // the contained (subset) side; ties -> the earlier id,
+              // deterministic because doc_a < doc_b
+              when(col("sz_a") <= col("sz_b"), col("doc_a"))
+                .otherwise(col("doc_b")).as("contained_doc"))
+  }
 }

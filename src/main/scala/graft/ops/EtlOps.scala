@@ -197,6 +197,79 @@ object EtlOps extends OpGroup {
         |FROM v
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate ASC, o_orderkey ASC)
-        |ORDER BY o_custkey, ver""".stripMargin)
+        |ORDER BY o_custkey, ver""".stripMargin),
+
+    Q(
+      // data-quality profile (ANALYZE-style): count / nulls / exact
+      // distinct / min / max for four orders columns, as narrow rows.
+      // ONE scan: a single multi-distinct aggregate row (Catalyst
+      // Expand handles the three distincts), exploded to a row per
+      // column — at 100 TB profiling must be scan-bound, never a
+      // pass per column. Min/max cross as canonical strings (R4/R9:
+      // money via DECIMAL(18,2), dates via yyyy-MM-dd).
+      "q_etl_profile",
+      (s, d) => {
+        val one = Tables.orders(s, d).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn1"),
+          countDistinct(col("o_custkey")).as("nd1"),
+          min(col("o_custkey")).cast("string").as("mn1"),
+          max(col("o_custkey")).cast("string").as("mx1"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+            .as("nn2"),
+          countDistinct(col("o_orderstatus")).as("nd2"),
+          min(col("o_orderstatus")).as("mn2"),
+          max(col("o_orderstatus")).as("mx2"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+            .as("nn3"),
+          countDistinct(col("o_totalprice")).as("nd3"),
+          min(money("o_totalprice")).cast("string").as("mn3"),
+          max(money("o_totalprice")).cast("string").as("mx3"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn4"),
+          countDistinct(col("o_orderdate")).as("nd4"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn4"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx4"))
+        def p(name: String, i: Int) =
+          struct(lit(name).as("col_name"), col(s"nn$i").as("n_null"),
+                 col(s"nd$i").as("n_distinct"), col(s"mn$i").as("min_s"),
+                 col(s"mx$i").as("max_s"))
+        one.select(col("n"), explode(array(
+            p("o_custkey", 1), p("o_orderstatus", 2),
+            p("o_totalprice", 3), p("o_orderdate", 4))).as("m"))
+          .select(col("m.col_name"), col("n"), col("m.n_null"),
+                  col("m.n_distinct"), col("m.min_s"), col("m.max_s"))
+          .orderBy(col("col_name"))
+      },
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn1,
+        |    COUNT(DISTINCT o_custkey) AS nd1,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn1,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS mx1,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn2,
+        |    COUNT(DISTINCT o_orderstatus) AS nd2,
+        |    MIN(o_orderstatus) AS mn2, MAX(o_orderstatus) AS mx2,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn3,
+        |    COUNT(DISTINCT o_totalprice) AS nd3,
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |      AS mn3,
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |      AS mx3,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn4,
+        |    COUNT(DISTINCT o_orderdate) AS nd4,
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn4,
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx4
+        |  FROM orders)
+        |SELECT col_name, n, n_null, n_distinct, min_s, max_s FROM (
+        |  SELECT 'o_custkey' AS col_name, n, nn1 AS n_null,
+        |    nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM s
+        |  UNION ALL SELECT 'o_orderstatus', n, nn2, nd2, mn2, mx2 FROM s
+        |  UNION ALL SELECT 'o_totalprice', n, nn3, nd3, mn3, mx3 FROM s
+        |  UNION ALL SELECT 'o_orderdate', n, nn4, nd4, mn4, mx4 FROM s)
+        |ORDER BY col_name""".stripMargin)
   )
 }

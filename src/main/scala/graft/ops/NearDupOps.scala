@@ -141,6 +141,39 @@ object NearDupOps extends OpGroup {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q(
+      // asymmetric containment (api.Dedup.containmentPairs): the
+      // quote/sub-document detector — |A∩B|/min(|A|,|B|), plus WHICH
+      // doc is the contained one. Same inverted-index join as jaccard;
+      // threshold 0.35 is non-vacuous on the fixture at every SF.
+      "q_dedup_containment",
+      (s, d) => graft.api.Dedup.containmentPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          n = 7, minContainment = 0.35)
+        .orderBy(col("doc_a"), col("doc_b")),
+      s"""WITH w AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents
+        |  WHERE len(${toksSql("text")}) >= 7),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 6)) AS i FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, inter,
+        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) + 0
+        |    AS cont,
+        |  CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END
+        |    AS contained_doc
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.35
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
       // embedding near-dup: 8-bit sign bucket (SRP-LSH) prunes to
       // same-bucket pairs (~500 of ~125k candidates at sf0.01), then
       // exact cosine >= 0.3 confirms. Parameters are tuned to the

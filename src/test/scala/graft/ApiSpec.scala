@@ -109,6 +109,29 @@ class ApiSpec extends SparkSpec {
     assert(strictPairs == Set((1L, 2L)))
   }
 
+  test("containmentPairs finds the embedded quote Jaccard misses") {
+    // doc 11's whole text appears inside doc 12's much longer text
+    val quote = "alpha beta gamma delta epsilon zeta eta"
+    val host = ("pad%d ".format(1) + (1 to 60).map(i => s"pad$i")
+      .mkString(" ") + " " + quote + " " + (61 to 120)
+      .map(i => s"pad$i").mkString(" "))
+    val qd = Seq(
+      Doc(11L, quote, "en"), Doc(12L, host, "en"),
+      Doc(13L, "unrelated words entirely other content here now", "en")
+    ).toDF()
+    val cont = Dedup.containmentPairs(qd, col("doc_id"), col("text"),
+      n = 5, minContainment = 0.9)
+    val rows = cont.select("doc_a", "doc_b", "contained_doc")
+      .as[(Long, Long, Long)].collect().toSet
+    // the quote is fully contained -> C = 1.0, and doc 11 is the subset
+    assert(rows == Set((11L, 12L, 11L)), s"got $rows")
+    // Jaccard on the same pair is diluted below any usable threshold
+    val jac = Dedup.jaccardPairs(qd, col("doc_id"), col("text"),
+      n = 5, minJaccard = 0.2)
+    assert(jac.filter(col("doc_a") === 11L && col("doc_b") === 12L)
+      .isEmpty, "jaccard should miss the sub-document pair")
+  }
+
   test("simhashHammingPairs: exact dups at distance 0; recall vs brute force") {
     val pairs = Dedup.simhashHammingPairs(
       docs, col("doc_id"), col("text"), maxHamming = 3)
