@@ -78,4 +78,42 @@ object Events {
       acc.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
   }
+
+  /** BANDED range join: all (a, b) pairs sharing a key with
+    * 0 < tsB − tsA ≤ maxGapUs, WITHOUT the per-key quadratic blowup of
+    * a plain equi-join + range residual. A residual-only range join
+    * compares every pair within each key group (a heavy user's events
+    * square); banding makes the TIME BUCKET part of the join key: with
+    * width = maxGapUs, a match's b-bucket is a's bucket or the next
+    * one, so the probe side explodes ×2 (buckets k, k+1) and the join
+    * is a plain equi-join on (key, bucket) whose residual only ever
+    * sees candidates ≤ 2·maxGapUs apart. Linear in true candidates —
+    * the standard interval-banding trick (cf. Spark's own
+    * spark.sql.join.preferSortMergeJoin range-join discussions and
+    * DBR/Sedona range-join binning).
+    *
+    * Inputs must expose ts columns as epoch-µs longs; output keeps
+    * every a and b column plus nothing else (callers project). */
+  def bandedRangeJoin(
+      a: DataFrame, b: DataFrame,
+      keyA: Column, keyB: Column,
+      tsA: Column, tsB: Column,
+      maxGapUs: Long): DataFrame = {
+    require(maxGapUs > 0, "maxGapUs must be positive")
+    // a probes its own bucket and the next: tsB ∈ (tsA, tsA+W] ⇒
+    // tsB div W ∈ {tsA div W, tsA div W + 1}
+    // exact integral bucket: (ts − ts mod W)/W is integral, < 2⁵³ for
+    // epoch-µs, so the IEEE division is exact (same Determinism
+    // argument as intRatio4) — Column has no `div` operator
+    def bucket(ts: Column): Column =
+      ((ts - pmod(ts, lit(maxGapUs))) / maxGapUs).cast("long")
+    val ap = a
+      .withColumn("__probe", explode(sequence(lit(0L), lit(1L))))
+      .withColumn("__bk_a", bucket(tsA) + col("__probe"))
+    val bp = b.withColumn("__bk_b", bucket(tsB))
+    ap.join(bp,
+        keyA === keyB && col("__bk_a") === col("__bk_b") &&
+        tsB > tsA && tsB <= tsA + maxGapUs)
+      .drop("__probe", "__bk_a", "__bk_b")
+  }
 }

@@ -167,8 +167,12 @@ object Joins extends OpGroup {
         |ORDER BY l_orderkey, l_linenumber, price, retail""".stripMargin),
 
     Q(
-      // event pairs per user within 60s — equi on user_id (shuffle key),
-      // range predicate evaluated within the partition
+      // event pairs per user within 60s, via api.Events.bandedRangeJoin:
+      // the 60s TIME BUCKET joins as an equi key next to user_id, so the
+      // range residual only sees candidates in adjacent buckets — a
+      // plain equi-join + range residual squares each heavy user's
+      // events at 100 TB. Oracle is the naive range join: the hash match
+      // proves banding is result-invisible.
       "q_join_range_interval",
       (s, d) => {
         val e = Tables.events(s, d)
@@ -176,9 +180,9 @@ object Joins extends OpGroup {
                          col("ts_us").as("a_us"))
         val b = e.select(col("event_id").as("b_id"),
                          col("user_id").as("b_user"), col("ts_us").as("b_us"))
-        a.join(b, col("user_id") === col("b_user") &&
-                  col("b_us") > col("a_us") &&
-                  col("b_us") <= col("a_us") + 60000000L)
+        graft.api.Events.bandedRangeJoin(
+            a, b, col("user_id"), col("b_user"),
+            col("a_us"), col("b_us"), maxGapUs = 60000000L)
           .select(col("a_id"), col("b_id"),
                   (col("b_us") - col("a_us")).as("delta_us"))
           .orderBy(col("a_id"), col("b_id"))

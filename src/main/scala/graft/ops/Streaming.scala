@@ -165,6 +165,47 @@ object Streaming extends OpGroup {
         |SELECT user_id, ts_us AS grid_us,
         |  COALESCE(ffill, CAST(-1 AS DOUBLE)) AS v_ffill
         |FROM f WHERE is_grid = 1
-        |ORDER BY user_id, grid_us""".stripMargin)
+        |ORDER BY user_id, grid_us""".stripMargin),
+
+    Q(
+      // OHLC bars: per (event_type × 6h bar) open/high/low/close of
+      // `value` — the financial-resample reduction. Open/close come
+      // from ONE hash-aggregate via lexicographic struct min/max over
+      // (ts, id, value) — never a per-group sort or window; (ts, id)
+      // is a total order so ties can't flap the hash. Money stays
+      // DECIMAL inside the aggregate (R2), widens to DOUBLE at the
+      // edge (R9).
+      "q_ts_ohlc",
+      (s, d) => {
+        val BarUs = 21600000000L // 6 h
+        def keyed = struct(col("ts_us").as("t"), col("event_id").as("i"),
+                           money("value").as("v"))
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+                   (col("ts_us") - pmod(col("ts_us"), lit(BarUs)))
+                     .as("bar_us"))
+          .agg(count(lit(1)).as("n"),
+               min(keyed).as("_o"), max(keyed).as("_c"),
+               min(money("value")).as("_lo"),
+               max(money("value")).as("_hi"))
+          .select(col("event_type"), col("bar_us"), col("n"),
+                  col("_o.v").cast("double").as("open"),
+                  col("_hi").cast("double").as("high"),
+                  col("_lo").cast("double").as("low"),
+                  col("_c.v").cast("double").as("close"))
+          .orderBy(col("event_type"), col("bar_us"))
+      },
+      """SELECT event_type,
+        |  epoch_us(ts) - epoch_us(ts) % 21600000000 AS bar_us,
+        |  COUNT(*) AS n,
+        |  CAST((min(struct_pack(t := epoch_us(ts), i := event_id,
+        |    v := CAST(value AS DECIMAL(18,2))))).v AS DOUBLE) AS open,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+        |  CAST((max(struct_pack(t := epoch_us(ts), i := event_id,
+        |    v := CAST(value AS DECIMAL(18,2))))).v AS DOUBLE) AS close
+        |FROM events
+        |GROUP BY event_type, bar_us
+        |ORDER BY event_type, bar_us""".stripMargin)
   )
 }

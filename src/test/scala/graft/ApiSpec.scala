@@ -109,6 +109,23 @@ class ApiSpec extends SparkSpec {
     assert(strictPairs == Set((1L, 2L)))
   }
 
+  test("bandedRangeJoin: boundary-exact, cross-bucket pairs survive") {
+    import spark.implicits._
+    val a = Seq((1L, "u", 100L), (2L, "u", 999L), (3L, "v", 100L))
+      .toDF("a_id", "ka", "a_us")
+    val b = Seq(
+      (10L, "u", 100L),   // gap 0 vs a1 -> excluded (strict lower bound)
+      (11L, "u", 160L),   // gap 60 vs a1 -> included (inclusive upper)
+      (12L, "u", 161L),   // gap 61 vs a1 -> excluded
+      (13L, "u", 1030L),  // gap 31 vs a2, CROSSES the 960/1020 bucket edge
+      (14L, "w", 130L)    // right key, wrong partition -> excluded
+    ).toDF("b_id", "kb", "b_us")
+    val got = graft.api.Events.bandedRangeJoin(
+        a, b, col("ka"), col("kb"), col("a_us"), col("b_us"), 60L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L), (2L, 13L)), s"got $got")
+  }
+
   test("containmentPairs finds the embedded quote Jaccard misses") {
     // doc 11's whole text appears inside doc 12's much longer text
     val quote = "alpha beta gamma delta epsilon zeta eta"
