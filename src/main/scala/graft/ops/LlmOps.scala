@@ -167,6 +167,59 @@ object LlmOps extends OpGroup {
         |FROM comp GROUP BY root ORDER BY root""".stripMargin),
 
     Q(
+      // THE end-to-end dedup pipeline as ONE declared query: near-dup
+      // pairs (minhash) → connected components → canonical-doc election
+      // per cluster (most tokens wins, ties to the smaller id) —
+      // including singletons, so the output is the full doc→canonical
+      // dedup map a training pipeline actually materializes. Election
+      // is a lexicographic struct max inside the same hash-agg that
+      // sizes the cluster (max(n_tok, −id) — the negation turns the
+      // tie rule into plain max), never a per-cluster sort.
+      "q_dedup_canonical",
+      (s, d) => {
+        val q = Tables.documents(s, d)
+          .select(col("doc_id"),
+                  size(graft.api.Dedup.tokens(col("text")))
+                    .cast("long").as("n_tok"))
+        val labels = graft.api.Dedup.connectedComponents(
+          minhashPairs(s, d), "doc_a", "doc_b")
+        q.join(labels, q("doc_id") === labels("doc"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("root"), col("doc_id")).as("root"),
+                  col("n_tok"))
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("cluster_size"),
+               max(struct(col("n_tok").as("q"),
+                          (-col("doc_id")).as("ni"))).as("_b"))
+          .select(col("root"), col("cluster_size"),
+                  (-col("_b.ni")).as("canon_id"),
+                  col("_b.q").as("canon_tok"))
+          .orderBy(col("root"))
+      },
+      s"""WITH RECURSIVE $minhashPairsSql,
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc, root) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_b, w.root FROM walk w
+        |  JOIN edges e ON e.doc_a = w.doc),
+        |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc),
+        |q AS (
+        |  SELECT doc_id, len(${toksSql("text")}) AS n_tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT q.doc_id, COALESCE(c.root, q.doc_id) AS root, q.n_tok
+        |  FROM q LEFT JOIN comp c ON c.doc = q.doc_id)
+        |SELECT root, COUNT(*) AS cluster_size,
+        |  CAST(-(max(struct_pack(q := n_tok, ni := -doc_id))).ni
+        |    AS BIGINT) AS canon_id,
+        |  CAST((max(struct_pack(q := n_tok, ni := -doc_id))).q
+        |    AS BIGINT) AS canon_tok
+        |FROM m GROUP BY root ORDER BY root""".stripMargin),
+
+    Q(
       // brute-force cosine top-3 for query vectors (vec_id < 10) against
       // the whole collection. Query side is tiny -> broadcast; dot product
       // and norms are sequential double folds over the float arrays

@@ -222,6 +222,24 @@ class PlanSpec extends SparkSpec {
       s"cartesian crept into the star join:\n$plan")
   }
 
+  test("profile is ONE scan: multi-distinct expands, never re-reads") {
+    val df = SparkEntry.queries("q_etl_profile")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profiling must be scan-bound, got $scans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct should rewrite via Expand:\n$plan")
+  }
+
+  test("ohlc is one hash-agg: no Window, no per-group sort") {
+    val df = SparkEntry.queries("q_ts_ohlc")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ohlc must not window:\n$plan")
+    // one agg exchange + the final ORDER BY range exchange only
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected one agg exchange, got $ex:\n$plan")
+  }
+
   test("scd2 plans ONE custkey exchange shared by both window passes") {
     val df = SparkEntry.queries("q_etl_scd2")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
