@@ -161,6 +161,26 @@ object Aggs extends OpGroup {
         |ORDER BY o_custkey""".stripMargin),
 
     Q(
+      // boolean aggregates: bool_and / bool_or / count_if per status —
+      // the predicate-rollup surface (data-quality assertions compile
+      // to exactly this). Plain hash-agg with map-side partials.
+      "q_agg_boolean",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+             bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+             count_if(col("o_totalprice") > 200000.0).as("n_over_200k"))
+        .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over_200k
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    Q(
       // deterministic mode: most frequent quantity per flag, ties broken
       // by smallest value — native mode() has engine-specific tie picks,
       // so both sides use the same count+rank formulation

@@ -123,6 +123,55 @@ object EventOps extends OpGroup {
         |ORDER BY prev, event_type""".stripMargin),
 
     Q(
+      // statistical outlier flagging: events whose value sits more than
+      // 2σ from their type's mean. TWO-PASS broadcast-stats shape — a
+      // 3-row (sum, sumsq, n) aggregate joins back broadcast, so the
+      // corpus is scanned twice but never windowed or shuffled on a
+      // non-key. Determinism: mean/σ derive from EXACT decimal sums via
+      // the identical double expression tree on both engines (never
+      // stddev_samp — Spark and DuckDB implement it with different
+      // numerics, and a near-boundary row would flap the row set).
+      "q_events_outliers",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), money("value").as("vd"))
+        val st = e.groupBy(col("event_type"))
+          .agg(sum(col("vd")).cast("double").as("sv"),
+               sum(col("vd") * col("vd")).cast("double").as("s2"),
+               count(lit(1)).as("n"))
+          .select(col("event_type").as("t2"),
+                  (col("sv") / col("n")).as("mean"),
+                  sqrt((col("s2") - col("sv") * col("sv") / col("n")) /
+                       (col("n") - 1)).as("sd"))
+        e.join(broadcast(st), col("event_type") === col("t2"))
+          .filter(abs(col("vd").cast("double") - col("mean")) >
+                  lit(2) * col("sd"))
+          .select(col("event_type"), col("event_id"),
+                  col("vd").cast("double").as("v"),
+                  when(col("vd").cast("double") > col("mean"), "hi")
+                    .otherwise("lo").as("side"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS vd
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(vd) AS DOUBLE) AS sv,
+        |    CAST(SUM(vd * vd) AS DOUBLE) AS s2, COUNT(*) AS n
+        |  FROM e GROUP BY event_type),
+        |st2 AS (
+        |  SELECT event_type, sv / n AS mean,
+        |    sqrt((s2 - sv * sv / n) / (n - 1)) AS sd
+        |  FROM st)
+        |SELECT e.event_type, event_id, CAST(vd AS DOUBLE) AS v,
+        |  CASE WHEN CAST(vd AS DOUBLE) > mean THEN 'hi' ELSE 'lo' END
+        |    AS side
+        |FROM e JOIN st2 USING (event_type)
+        |WHERE abs(CAST(vd AS DOUBLE) - mean) > 2 * sd
+        |ORDER BY event_type, event_id""".stripMargin),
+
+    Q(
       // batch sessionization (api.Events.sessionize): gap > 8h starts a
       // new session; per-user session-count / event / duration rollup.
       // The lag flag and the running sum share ONE (user, ts, id) sort —

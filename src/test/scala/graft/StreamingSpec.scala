@@ -257,6 +257,41 @@ class StreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("OHLC bars run incrementally: struct min/max agg on a stream") {
+    implicit val ctx = spark.sqlContext
+    // the q_ts_ohlc reduction — open/close via lexicographic struct
+    // min/max — is a plain hash-agg, so the SAME builder streams in
+    // update/complete mode with per-bar state and no sort anywhere
+    def ohlc(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user"),
+               window(col("ts"), "10 minutes").as("bar"))
+      .agg(min(struct(col("ts"), col("value"))).as("o"),
+           max(struct(col("ts"), col("value"))).as("c"),
+           min(col("value")).as("low"), max(col("value")).as("high"))
+      .select(col("user"), col("bar.start").as("bar_start"),
+              col("o.value").as("open"), col("high"), col("low"),
+              col("c.value").as("close"))
+    val in = MemoryStream[Ev]
+    val q = ohlc(in.toDF()).writeStream.format("memory").queryName("ohlc_t")
+      .outputMode(OutputMode.Complete()).start()
+    // two micro-batches: the open of bar 10:00 arrives in batch 1, a
+    // LOWER low and the true close arrive in batch 2 — state must merge
+    in.addData(Ev(ts(1), "a", 5.0), Ev(ts(4), "a", 9.0))
+    q.processAllAvailable()
+    in.addData(Ev(ts(2), "a", 3.0), Ev(ts(8), "a", 7.0))
+    q.processAllAvailable()
+    val data = Seq(Ev(ts(1), "a", 5.0), Ev(ts(4), "a", 9.0),
+                   Ev(ts(2), "a", 3.0), Ev(ts(8), "a", 7.0))
+    val streamed = spark.table("ohlc_t").orderBy("bar_start").collect()
+    val batch = ohlc(data.toDF()).orderBy("bar_start").collect()
+    q.stop()
+    assert(streamed.toSeq == batch.toSeq)
+    val r = streamed.head
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 9.0 &&
+           r.getDouble(4) == 3.0 && r.getDouble(5) == 7.0,
+      s"bad bar: $r")
+  }
+
   test("session_window groups events by 30-minute inactivity gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
