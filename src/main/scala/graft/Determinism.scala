@@ -71,13 +71,24 @@ object Determinism {
     * 1e-4 units. round-half-up(num/den) = ⌊(2·num+den)/(2·den)⌋,
     * computed exactly: (a − a mod b)/b is integral and < 2⁵³, so the
     * IEEE division is exact; the final /10⁴ is the SAME double op on
-    * both engines → bit-identical. Needs 2·num+den < 2⁵³, num ≥ 0.
-    * Oracle twin: `CAST((2*num + den) // (2*den) AS DOUBLE) / 10000.0`.
+    * both engines → bit-identical. Needs 2·|num|+den < 2⁵³, den > 0.
+    * Negative numerators round half-AWAY-from-zero (matching the
+    * round()/avg4 family this replaces) via the mirrored formula —
+    * a floor-division-only form would round negative halves toward
+    * +∞ on BOTH engines, an agreement the oracle gate could never
+    * catch. Oracle twin (num ≥ 0, the only shipped case):
+    * `CAST((2*num + den) // (2*den) AS DOUBLE) / 10000.0`; a negative
+    * domain needs the same CASE mirror as here.
     */
   def intRatio4(num: Column, den: Column): Column = {
-    val a = num.cast("long") * 2 + den
-    val b = den * 2
-    ((a - pmod(a, b)) / b).cast("long").cast("double") / 10000.0
+    def halfUp(n: Column): Column = {
+      val a = n * 2 + den
+      val b = den * 2
+      ((a - pmod(a, b)) / b).cast("long")
+    }
+    val n = num.cast("long")
+    when(n >= 0, halfUp(n)).otherwise(-halfUp(-n))
+      .cast("double") / 10000.0
   }
 
   /** avg4, boundary-exact: decimal sum → exact 1e-4-unit integer →

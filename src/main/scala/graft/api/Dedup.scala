@@ -402,6 +402,30 @@ object Dedup {
       n: Int = 7, minJaccard: Double = 0.2,
       maxShingleDocFreq: Option[Int] = None,
       maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    shingleIntersections(df, id, text, n,
+        maxShingleDocFreq, maxShingleDocFrac)
+      // boundary-exact score (Determinism.intRatio4): round(a/b, 4) on
+      // an integer ratio is the cross-engine x.xxxx5 pathology — and a
+      // boundary hit here would flap the ROW SET via the threshold
+      .withColumn("jac", graft.Determinism.intRatio4(
+        col("inter") * 10000,
+        col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+  }
+
+  /** The shared inverted-index intersection frame under jaccardPairs
+    * and containmentPairs — (doc_a, doc_b, inter, sz_a, sz_b), doc_a <
+    * doc_b, docs sharing ≥1 n-gram only. ONE definition so the pair
+    * family can't drift (the scoring seam is the ONLY difference
+    * between the two operators): map-side shingling, MERGE-hinted
+    * self-join (AQE would broadcast the "small" half of a self-join),
+    * count aggregate. Caps, when set, drop hot shingles before the
+    * candidate join and recount |doc| over the filtered index. */
+  private def shingleIntersections(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      maxShingleDocFreq: Option[Int],
+      maxShingleDocFrac: Option[Double]): DataFrame = {
     val sh =
       if (maxShingleDocFreq.isEmpty && maxShingleDocFrac.isEmpty)
         df.select(id.as("doc_id"), tokens(text).as("w"))
@@ -432,10 +456,6 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"),
            max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
   }
 
   /** ASYMMETRIC n-gram containment pairs: score = |A∩B| / min(|A|,|B|)
@@ -452,23 +472,10 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 7, minContainment: Double = 0.5): DataFrame = {
-    val sh = df.select(id.as("doc_id"), tokens(text).as("w"))
-      .filter(size(col("w")) >= n)
-      .withColumn("gs", expr(shingleExpr(n)))
-      .select(col("doc_id"), size(col("gs")).as("sz"),
-              explode_outer(col("gs")).as("g"))
-      .filter(col("g").isNotNull)
-    val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-                      col("g"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-                      col("g").as("g2"))
-    a.join(b.hint("MERGE"),
-           col("g") === col("g2") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-           max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
-      .withColumn("cont", round(col("inter").cast("double") /
-        least(col("sz_a"), col("sz_b")), 4))
+    shingleIntersections(df, id, text, n, None, None)
+      // boundary-exact, same reasoning as jaccardPairs' score
+      .withColumn("cont", graft.Determinism.intRatio4(
+        col("inter") * 10000, least(col("sz_a"), col("sz_b"))))
       .filter(col("cont") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("cont"),
               // the contained (subset) side; ties -> the earlier id,

@@ -100,6 +100,17 @@ object Events {
       tsA: Column, tsB: Column,
       maxGapUs: Long): DataFrame = {
     require(maxGapUs > 0, "maxGapUs must be positive")
+    // withColumn REPLACES same-named columns (silent data loss), and
+    // overlapping a/b names make the join condition ambiguous — fail
+    // loudly instead; callers rename first (as the declared query does)
+    val clash = (a.columns ++ b.columns)
+      .filter(Set("__probe", "__bk_a", "__bk_b"))
+    require(clash.isEmpty,
+      s"bandedRangeJoin reserves ${clash.mkString(", ")} — rename first")
+    val overlap = a.columns.toSet intersect b.columns.toSet
+    require(overlap.isEmpty,
+      s"a and b share columns ${overlap.mkString(", ")} — rename first " +
+      "(self-joins must alias both sides)")
     // a probes its own bucket and the next: tsB ∈ (tsA, tsA+W] ⇒
     // tsB div W ∈ {tsA div W, tsA div W + 1}
     // exact integral bucket: (ts − ts mod W)/W is integral, < 2⁵³ for

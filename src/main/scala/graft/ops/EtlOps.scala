@@ -203,7 +203,7 @@ object EtlOps extends OpGroup {
       // data-quality profile (ANALYZE-style): count / nulls / exact
       // distinct / min / max for four orders columns, as narrow rows.
       // ONE scan: a single multi-distinct aggregate row (Catalyst
-      // Expand handles the three distincts), exploded to a row per
+      // Expand handles the four distincts), exploded to a row per
       // column — at 100 TB profiling must be scan-bound, never a
       // pass per column. Min/max cross as canonical strings (R4/R9:
       // money via DECIMAL(18,2), dates via yyyy-MM-dd).

@@ -139,10 +139,17 @@ object EventOps extends OpGroup {
           .agg(sum(col("vd")).cast("double").as("sv"),
                sum(col("vd") * col("vd")).cast("double").as("s2"),
                count(lit(1)).as("n"))
+          // n >= 2: a single-row type has no sample variance — without
+          // the guard (n-1)=0 rides 0/0 -> NaN and the type silently
+          // vanishes from detection; greatest(...,0) clamps the tiny
+          // negative float residue of zero-variance groups that sqrt
+          // would also turn into NaN
+          .filter(col("n") >= 2)
           .select(col("event_type").as("t2"),
                   (col("sv") / col("n")).as("mean"),
-                  sqrt((col("s2") - col("sv") * col("sv") / col("n")) /
-                       (col("n") - 1)).as("sd"))
+                  sqrt(greatest(
+                    (col("s2") - col("sv") * col("sv") / col("n")) /
+                      (col("n") - 1), lit(0.0))).as("sd"))
         e.join(broadcast(st), col("event_type") === col("t2"))
           .filter(abs(col("vd").cast("double") - col("mean")) >
                   lit(2) * col("sd"))
@@ -162,8 +169,8 @@ object EventOps extends OpGroup {
         |  FROM e GROUP BY event_type),
         |st2 AS (
         |  SELECT event_type, sv / n AS mean,
-        |    sqrt((s2 - sv * sv / n) / (n - 1)) AS sd
-        |  FROM st)
+        |    sqrt(greatest((s2 - sv * sv / n) / (n - 1), 0.0)) AS sd
+        |  FROM st WHERE n >= 2)
         |SELECT e.event_type, event_id, CAST(vd AS DOUBLE) AS v,
         |  CASE WHEN CAST(vd AS DOUBLE) > mean THEN 'hi' ELSE 'lo' END
         |    AS side

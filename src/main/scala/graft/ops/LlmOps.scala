@@ -75,6 +75,21 @@ object LlmOps extends OpGroup {
 
   private[ops] val minhashPairsSql: String = minhashPairsSqlWith("")
 
+  /** THE recursive-CTE transitive closure over `pairs` — shared by
+    * q_dedup_cluster and q_dedup_canonical so the CC walk cannot drift
+    * between the two oracles (same rule as minhashPairsSql for the
+    * pair generation). Yields `comp(doc, root)`. */
+  private[ops] val ccCompSql: String =
+    """edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(doc, root) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM edges
+      |  UNION
+      |  SELECT e.doc_b, w.root FROM walk w
+      |  JOIN edges e ON e.doc_a = w.doc),
+      |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc)""".stripMargin
+
   /** Capped variant: shingles present in more than 5 docs are dropped
     * before hashing — mirrors maxShingleDocFreq = Some(5). */
   private[ops] val minhashPairsCappedSql: String = minhashPairsSqlWith(
@@ -153,15 +168,7 @@ object LlmOps extends OpGroup {
           .orderBy(col("root"))
       },
       s"""WITH RECURSIVE $minhashPairsSql,
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |walk(doc, root) AS (
-        |  SELECT DISTINCT doc_a, doc_a FROM edges
-        |  UNION
-        |  SELECT e.doc_b, w.root FROM walk w
-        |  JOIN edges e ON e.doc_a = w.doc),
-        |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc)
+        |$ccCompSql
         |SELECT root, COUNT(*) AS cluster_size,
         |  array_to_string(list_sort(list(doc)), ',') AS members
         |FROM comp GROUP BY root ORDER BY root""".stripMargin),
@@ -197,15 +204,7 @@ object LlmOps extends OpGroup {
           .orderBy(col("root"))
       },
       s"""WITH RECURSIVE $minhashPairsSql,
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |walk(doc, root) AS (
-        |  SELECT DISTINCT doc_a, doc_a FROM edges
-        |  UNION
-        |  SELECT e.doc_b, w.root FROM walk w
-        |  JOIN edges e ON e.doc_a = w.doc),
-        |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc),
+        |$ccCompSql,
         |q AS (
         |  SELECT doc_id, len(${toksSql("text")}) AS n_tok
         |  FROM documents),

@@ -89,13 +89,20 @@ object MacroOps extends OpGroup {
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"))
         val o = Tables.orders(s, d)
-          .filter(year(col("o_orderdate")) === 1997)
+          // a RANGE, not year(col)==1997: the function wrap is not a
+          // pushable predicate, so it would defeat row-group pruning —
+          // the canonical TPC-H Q5 formulation for the same reason
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                  col("o_orderdate") < lit("1998-01-01"))
           .select(col("o_orderkey"), col("o_custkey"))
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"),
                   col("l_extendedprice"), col("l_discount"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          // supplier (already region-gated) is a dim: broadcast it so
+          // the fact side never shuffles on l_suppkey — without the
+          // hint this planned as a sort-merge join at small SFs
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(cust, col("o_custkey") === col("c_custkey") &&
                       col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("n_name"))
@@ -112,7 +119,8 @@ object MacroOps extends OpGroup {
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
-        |  AND year(o_orderdate) = 1997
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin),
 

@@ -133,11 +133,13 @@ object NearDupOps extends OpGroup {
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, inter,
-        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) + 0 AS jac
+        |  CAST((2*(inter*10000) + (sa.sz + sb.sz - inter))
+        |       // (2*(sa.sz + sb.sz - inter)) AS DOUBLE) / 10000.0 AS jac
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.2
+        |WHERE CAST((2*(inter*10000) + (sa.sz + sb.sz - inter))
+        |       // (2*(sa.sz + sb.sz - inter)) AS DOUBLE) / 10000.0 >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q(
@@ -163,14 +165,15 @@ object NearDupOps extends OpGroup {
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, inter,
-        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) + 0
-        |    AS cont,
+        |  CAST((2*(inter*10000) + least(sa.sz, sb.sz))
+        |       // (2*least(sa.sz, sb.sz)) AS DOUBLE) / 10000.0 AS cont,
         |  CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END
         |    AS contained_doc
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.35
+        |WHERE CAST((2*(inter*10000) + least(sa.sz, sb.sz))
+        |       // (2*least(sa.sz, sb.sz)) AS DOUBLE) / 10000.0 >= 0.35
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q(

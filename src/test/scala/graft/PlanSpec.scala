@@ -211,13 +211,19 @@ class PlanSpec extends SparkSpec {
       s"date filters not pushed to both scans:\n$fmt")
   }
 
-  test("local-supplier broadcasts the whole dim chain (one fact shuffle)") {
+  test("local-supplier broadcasts the whole dim chain (no dim shuffle)") {
     val df = SparkEntry.queries("q_macro_local_supplier")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // region⋈nation onto supplier must stay broadcast end-to-end
-    assert(plan.contains("BroadcastHashJoin"),
-      s"dim chain is not broadcast:\n$plan")
-    // the 5-row nation aggregate must not sort-merge anything
+    // every dim join in the chain is a broadcast: region⋈nation,
+    // nation⋈supplier, lineitem⋈supplier, plus the customer join at
+    // this SF — a single contains() would pass with one
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"dim chain is not broadcast end-to-end:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dim join fell back to sort-merge:\n$plan")
+    // the fact side must never reshuffle on the supplier dim key
+    assert(!plan.contains("Exchange hashpartitioning(l_suppkey"),
+      s"fact side shuffled on the dim key:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"cartesian crept into the star join:\n$plan")
   }
