@@ -168,6 +168,89 @@ object MacroOps extends OpGroup {
         |FROM rev, customer, nation
         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
         |ORDER BY revenue DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin),
+
+    Q(
+      // Q8 shape — market share: of all revenue on ASIA-customer
+      // orders, the fraction supplied by NATION_2, per order year.
+      // Share-of-total WITHOUT a window or second pass: one
+      // conditional aggregate computes total and target in the same
+      // hash-agg, and the ratio goes through intRatio4 on cent-exact
+      // longs (a windowed share or double division would reintroduce
+      // the partition-order / rounding hazards). Customers gate via
+      // LEFT SEMI again; supplier broadcasts with a precomputed flag.
+      "q_macro_market_share",
+      (s, d) => {
+        val asiaKeys = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+                  .filter(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val asiaCust = Tables.customer(s, d)
+          .join(broadcast(asiaKeys),
+                col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, d)
+          .join(asiaCust, col("o_custkey") === col("c_custkey"),
+                "left_semi")
+          .select(col("o_orderkey"),
+                  year(col("o_orderdate")).as("yr"))
+        val targetKey = Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_2").select(col("n_nationkey"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(targetKey),
+                col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("s_suppkey").as("t_suppkey"))
+        val rev = money("l_extendedprice") *
+          (lit(1).cast(Money) - money("l_discount"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("t_suppkey"),
+                "left_outer")
+          .groupBy(col("yr"))
+          .agg(sum(col("rev")).as("_t"),
+               sum(when(col("t_suppkey").isNotNull, col("rev"))
+                 .otherwise(lit(0).cast(Money))).as("_m"))
+          .select(col("yr"), asMoney(col("_t")).as("revenue"),
+                  asMoney(col("_m")).as("nation_revenue"),
+                  // cent-exact longs keep 2·num+den < 2^53 (the
+                  // intRatio4 exactness bound) at any realistic SF
+                  graft.Determinism.intRatio4(
+                    (round(col("_m"), 2) * 100).cast("long") * 10000,
+                    (round(col("_t"), 2) * 100).cast("long")).as("share"))
+          .orderBy(col("yr"))
+      },
+      """WITH asia AS (
+        |  SELECT n_nationkey FROM nation, region
+        |  WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |o AS (
+        |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr
+        |  FROM orders
+        |  WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    WHERE c_nationkey IN (SELECT n_nationkey FROM asia))),
+        |tsup AS (
+        |  SELECT s_suppkey FROM supplier
+        |  WHERE s_nationkey IN (
+        |    SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')),
+        |g AS (
+        |  SELECT yr,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS t,
+        |    SUM(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM tsup)
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS m
+        |  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        |  GROUP BY yr)
+        |SELECT yr,
+        |  CAST(ROUND(t, 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(m, 2) AS DOUBLE) AS nation_revenue,
+        |  CAST((2*(CAST(ROUND(m, 2)*100 AS BIGINT)*10000)
+        |        + CAST(ROUND(t, 2)*100 AS BIGINT))
+        |       // (2*CAST(ROUND(t, 2)*100 AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS share
+        |FROM g ORDER BY yr""".stripMargin)
   )
 }

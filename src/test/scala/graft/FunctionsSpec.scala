@@ -95,6 +95,24 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("constant integer"), e.getMessage)
   }
 
+  test("intRatio4 rounds half-up ON the boundary and mirrors negatives") {
+    import graft.Determinism.{avgExact4, intRatio4, Money}
+    val df = Seq(1).toDF("x")
+    def one(c: org.apache.spark.sql.Column): Double =
+      df.select(c.as("v")).head().getDouble(0)
+    // the observed sf0.1 failure case: 378.03 / 8 = 47.25375 exactly —
+    // round(x, 4) on the double disagreed across engines; the integer
+    // formula must give half-up deterministically
+    assert(one(avgExact4(lit(378.03).cast(Money), lit(8))) == 47.2538)
+    // plain boundary in 1e-4 units: 15/10 = 1.5 -> 2 (half-up)
+    assert(one(intRatio4(lit(15), lit(10))) == 0.0002)
+    // negative numerator mirrors: -1.5 -> -2, never floor's -1
+    assert(one(intRatio4(lit(-15), lit(10))) == -0.0002)
+    // non-boundary sanity both signs
+    assert(one(intRatio4(lit(14), lit(10))) == 0.0001)
+    assert(one(intRatio4(lit(-14), lit(10))) == -0.0001)
+  }
+
   test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
     import org.apache.spark.sql.functions._
     val gm = udaf(graft.functions.GeoMean)
