@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotF32, WordNgrams}
-import graft.plans.AsOfJoinStrategy
+import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` wires the engine's custom
@@ -15,8 +15,11 @@ import graft.plans.AsOfJoinStrategy
   *  - `word_ngrams(text, n)`: generator (UDTF) for word n-grams
   *  - AsOfJoinStrategy: plans graft.plans.AsOfJoinPlan into the
   *    single-merge-pass AsOfJoinExec
+  *  - BandedRangeJoinRule: optimizer rewrite of naive bounded
+  *    time-range joins into the banded equi-join shape
   * (Programmatic alternatives exist too: DotF32.register /
-  * WordNgrams.register / AsOf.ensureRegistered.)
+  * WordNgrams.register / AsOf.ensureRegistered /
+  * `spark.experimental.extraOptimizations = Seq(BandedRangeJoinRule)`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -32,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // drift between this path and WordNgrams.register
       (exprs: Seq[Expression]) => WordNgrams.builder(exprs)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => BandedRangeJoinRule)
   }
 }

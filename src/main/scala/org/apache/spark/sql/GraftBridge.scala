@@ -33,4 +33,8 @@ object GraftBridge {
 
   def freshFunctionRegistry(): catalyst.analysis.FunctionRegistry =
     new catalyst.analysis.SimpleFunctionRegistry
+
+  def optimizerRules(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.BandedRangeJoinRule
+
+/** BandedRangeJoinRule behavior: the optimizer must turn a naive
+  * bounded time-range join into a banded EQUI join (killing the
+  * BroadcastNestedLoopJoin) without changing a single result row.
+  * Activated per-test via spark.experimental.extraOptimizations —
+  * the same rule object GraftExtensions injects. */
+class RuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations = Seq(BandedRangeJoinRule)
+    try body
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
+  private lazy val a = Seq(
+    (1L, 100L), (2L, 999L), (3L, 1020L), (4L, 5000L))
+    .toDF("a_id", "a_us")
+  private lazy val b = Seq(
+    (10L, 100L),  // gap 0 vs a1: excluded (strict lower)
+    (11L, 160L),  // gap 60 vs a1: included (inclusive upper)
+    (12L, 161L),  // gap 61 vs a1: excluded
+    (13L, 1030L), // gap 31 vs a2 ACROSS the 960/1020 band edge; gap 10 vs a3
+    (14L, 5059L)) // gap 59 vs a4
+    .toDF("b_id", "b_us")
+
+  private def naive(): DataFrame =
+    a.join(b, col("b_us") > col("a_us") &&
+              col("b_us") <= col("a_us") + 60L)
+      .select(col("a_id"), col("b_id"))
+
+  test("pure range join: BNLJ becomes a banded equi join, rows identical") {
+    // no equi conjunct at all -> Spark can only nested-loop this
+    val before = naive()
+    assert(before.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expect = before.as[(Long, Long)].collect().toSet
+    assert(expect == Set((1L, 11L), (2L, 13L), (3L, 13L), (4L, 14L)))
+
+    withRule {
+      val after = naive()
+      val plan = after.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rule did not fire:\n$plan")
+      assert(plan.contains("__graft_bk"), s"no band key in plan:\n$plan")
+      assert(after.as[(Long, Long)].collect().toSet == expect)
+    }
+  }
+
+  test("equi+range join keeps its keys and gains the band key") {
+    val ak = a.withColumn("k", (col("a_id") % 2).cast("string"))
+    val bk = b.withColumn("k2", (col("b_id") % 2).cast("string"))
+    def q() = ak.join(bk, col("k") === col("k2") &&
+        col("b_us") > col("a_us") && col("b_us") <= col("a_us") + 60L)
+      .select(col("a_id"), col("b_id"))
+    val expect = q().as[(Long, Long)].collect().toSet
+    withRule {
+      val after = q()
+      assert(after.as[(Long, Long)].collect().toSet == expect)
+      // the band bucket joins as an equi key beside k
+      assert(after.queryExecution.executedPlan.toString
+        .contains("__graft_bk"))
+    }
+  }
+
+  test("rule leaves non-matching joins untouched (no spurious rewrite)") {
+    withRule {
+      // unbounded range: no upper-bound conjunct -> must NOT band
+      val open = a.join(b, col("b_us") > col("a_us"))
+      assert(!open.queryExecution.executedPlan.toString
+        .contains("__graft_bk"))
+      // plain equi join: nothing to do
+      val eq = a.join(b, col("a_us") === col("b_us"))
+      assert(!eq.queryExecution.executedPlan.toString
+        .contains("__graft_bk"))
+    }
+  }
+
+  test("GraftExtensions injects the rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(org.apache.spark.sql.GraftBridge
+      .optimizerRules(ext, spark).contains(BandedRangeJoinRule))
+  }
+}
