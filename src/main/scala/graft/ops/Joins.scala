@@ -19,6 +19,17 @@ import graft.io.Tables
   */
 object Joins extends OpGroup {
 
+  /** ONE oracle for the hand-banded range join and its optimizer-rule
+    * twin — both must hash-match the NAIVE join. */
+  private val rangeIntervalSql: String =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+      |ORDER BY a_id, b_id""".stripMargin
+
   def qs: Seq[Q] = Seq(
     Q(
       "q_join_inner",
@@ -187,13 +198,33 @@ object Joins extends OpGroup {
                   (col("b_us") - col("a_us")).as("delta_us"))
           .orderBy(col("a_id"), col("b_id"))
       },
-      """SELECT a.event_id AS a_id, b.event_id AS b_id,
-        |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id
-        | AND epoch_us(b.ts) > epoch_us(a.ts)
-        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
-        |ORDER BY a_id, b_id""".stripMargin),
+      rangeIntervalSql),
+
+    Q(
+      // the SAME semantics written NAIVELY, banded by the OPTIMIZER:
+      // plans.BandedRangeJoinRule rewrites the raw range conjuncts into
+      // the bucket equi-join q_join_range_interval builds by hand — this
+      // query oracle-gates the rule end-to-end (identical hash to the
+      // naive DuckDB join). Runs in a child session so the injected
+      // rule can't leak into other declared queries' plans.
+      "q_join_range_optrule",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.experimental.extraOptimizations =
+          Seq(graft.plans.BandedRangeJoinRule)
+        val e = Tables.events(s2, d)
+        val a = e.select(col("event_id").as("a_id"), col("user_id"),
+                         col("ts_us").as("a_us"))
+        val b = e.select(col("event_id").as("b_id"),
+                         col("user_id").as("b_user"), col("ts_us").as("b_us"))
+        a.join(b, col("user_id") === col("b_user") &&
+                  col("b_us") > col("a_us") &&
+                  col("b_us") <= col("a_us") + 60000000L)
+          .select(col("a_id"), col("b_id"),
+                  (col("b_us") - col("a_us")).as("delta_us"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      rangeIntervalSql),
 
     Q(
       // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys

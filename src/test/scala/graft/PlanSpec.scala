@@ -228,6 +228,15 @@ class PlanSpec extends SparkSpec {
       s"cartesian crept into the star join:\n$plan")
   }
 
+  test("the optimizer-banded range join actually rewrote (band key in plan)") {
+    val df = SparkEntry.queries("q_join_range_optrule")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bk"),
+      s"BandedRangeJoinRule did not fire:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loops:\n$plan")
+  }
+
   test("profile is ONE scan: multi-distinct expands, never re-reads") {
     val df = SparkEntry.queries("q_etl_profile")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
