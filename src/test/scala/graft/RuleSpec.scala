@@ -82,6 +82,38 @@ class RuleSpec extends SparkSpec {
     }
   }
 
+  test("true self-join (deduplicated attribute ids) bands correctly") {
+    // one DataFrame on both sides: DeduplicateRelations re-ids the
+    // right side — the rule's sidedness check must still resolve
+    val e = Seq((1L, 100L), (2L, 150L), (3L, 300L)).toDF("id", "us")
+    def q() = e.as("x").join(e.as("y"),
+        col("y.us") > col("x.us") && col("y.us") <= col("x.us") + 60L)
+      .select(col("x.id").as("xa"), col("y.id").as("yb"))
+    val expect = q().as[(Long, Long)].collect().toSet
+    assert(expect == Set((1L, 2L)))
+    withRule {
+      val after = q()
+      assert(after.queryExecution.executedPlan.toString
+        .contains("__graft_bk"), "self-join did not band")
+      assert(after.as[(Long, Long)].collect().toSet == expect)
+    }
+  }
+
+  test("non-inner joins are never rewritten") {
+    withRule {
+      // add a left row with no partner so the null side is non-empty
+      val a2 = a.union(Seq((5L, 99999L)).toDF("a_id", "a_us"))
+      val left = a2.join(b, col("b_us") > col("a_us") &&
+          col("b_us") <= col("a_us") + 60L, "left_outer")
+      // an outer banded rewrite would need null-side handling the rule
+      // doesn't do — it must stay away entirely
+      assert(!left.queryExecution.executedPlan.toString
+        .contains("__graft_bk"))
+      assert(left.filter(col("b_id").isNull).count() > 0,
+        "outer semantics intact")
+    }
+  }
+
   test("GraftExtensions injects the rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
