@@ -55,4 +55,44 @@ object Writers {
     repart.sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(mode).parquet(path)
   }
+
+  /** Small-file compaction — the maintenance job every streaming sink
+    * and incremental append needs: micro-batches leave a long tail of
+    * tiny files, and at 100 TB the scan cost is dominated by file-open
+    * overhead, not bytes. Rewrites `path` into
+    * ceil(totalBytes / targetFileBytes) files (range-clustered when
+    * `sortCols` is given, so row-group min/max pruning survives the
+    * rewrite), then swaps directories: write to a temp sibling, rename
+    * the old dir away, rename the temp in, delete the old — readers
+    * never observe a half-written table for longer than the two
+    * renames. Returns (filesBefore, filesAfter). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(hPath, old), s"could not move $path aside")
+    require(fs.rename(tmp, hPath), s"could not move compacted dir in")
+    fs.delete(old, true)
+    val after = fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    (parts.length, after)
+  }
 }

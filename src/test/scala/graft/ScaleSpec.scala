@@ -193,6 +193,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses a small-file tail, preserving rows and order") {
+    val dir = tmpDir("scale") + "/compact_me"
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    // simulate a streaming sink's micro-batch litter: 40 tiny files
+    src.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = src.count()
+    val (nBefore, nAfter) = graft.io.Writers.compact(
+      spark, dir, targetFileBytes = 512L * 1024,
+      sortCols = Seq("o_orderkey"))
+    assert(nBefore == 40, s"expected 40 litter files, got $nBefore")
+    assert(nAfter < nBefore, s"no collapse: $nBefore -> $nAfter")
+    val rd = spark.read.parquet(dir)
+    assert(rd.count() == before)
+    // same multiset of keys survives the swap
+    assert(rd.agg(sum(col("o_orderkey"))).head().getLong(0) ==
+           src.agg(sum(col("o_orderkey"))).head().getLong(0))
+    // range clustering survives: files hold disjoint key ranges, so a
+    // point predicate's row-group stats can skip whole files
+    import org.apache.spark.sql.Row
+    val ranges = rd.select(col("o_orderkey"),
+        input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map { case Row(_, lo: Long, hi: Long) => (lo, hi) }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("AQE coalesces the post-shuffle partitions of a small aggregate") {
     val df = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
