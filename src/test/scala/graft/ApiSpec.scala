@@ -126,6 +126,23 @@ class ApiSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (2L, 13L)), s"got $got")
   }
 
+  test("bandedRangeJoin rejects ambiguous and reserved column names") {
+    import spark.implicits._
+    val x = Seq((1L, 10L)).toDF("id", "us")
+    // identical names on both sides -> ambiguous join, must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.api.Events.bandedRangeJoin(
+        x, x, col("id"), col("id"), col("us"), col("us"), 60L)
+    }
+    // reserved aux name would be silently clobbered -> must fail loudly
+    val bad = Seq((1L, 10L, 0L)).toDF("a_id", "a_us", "__probe")
+    val ok = Seq((2L, 20L)).toDF("b_id", "b_us")
+    intercept[IllegalArgumentException] {
+      graft.api.Events.bandedRangeJoin(
+        bad, ok, col("a_id"), col("b_id"), col("a_us"), col("b_us"), 60L)
+    }
+  }
+
   test("containmentPairs finds the embedded quote Jaccard misses") {
     // doc 11's whole text appears inside doc 12's much longer text
     val quote = "alpha beta gamma delta epsilon zeta eta"
