@@ -266,6 +266,53 @@ object Text {
       .drop("w")
   }
 
+  /** CCNet-style LINE-level dedup: drop every line that appears in
+    * more than `maxLineDocFreq` documents (license headers, nav bars,
+    * cookie banners — the boilerplate that survives doc-level dedup
+    * because its HOST documents differ), then reassemble each document
+    * from its surviving lines IN ORDER. Fixture text has no newlines,
+    * so a "line" is an aligned `lineWords`-word chunk; real corpora
+    * pass a newline-split instead — the mechanics (corpus-frequency
+    * filter + order-preserving rebuild) are identical.
+    *
+    * Scale shape: one explode to (doc, pos, line); the hot-line set is
+    * tiny by definition (lines in >N docs) → broadcast LEFT ANTI; the
+    * rebuild is one hash-agg whose sort is per-document array_sort
+    * over that doc's own lines, never a corpus-wide window. Returns
+    * (doc_id, n_lines, n_kept, clean_text); fully-boilerplate docs
+    * come back with clean_text = ''. */
+  def lineDedup(
+      df: DataFrame, id: Column, text: Column,
+      lineWords: Int = 10, maxLineDocFreq: Int = 1): DataFrame = {
+    require(lineWords >= 1 && maxLineDocFreq >= 1)
+    val base = df.select(id.as("doc_id"), Dedup.tokens(text).as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("n_lines",
+        ceil(size(col("w")) / lit(lineWords.toDouble)).cast("long"))
+    val lines = base.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(n_lines as int) - 1),
+             |  i -> concat_ws(' ', slice(w, i * $lineWords + 1,
+             |                            $lineWords)))""".stripMargin)))
+      .toDF("doc_id", "pos", "line")
+    val hot = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxLineDocFreq)
+      .select(col("line"))
+    val keep = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val rebuilt = keep.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("pos"),
+                                                      col("line")))),
+                       x => x.getField("line")), " ").as("clean_text"))
+    base.select(col("doc_id"), col("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Rolling-hash document fingerprint (md5-derived word values in
     * 0..255, position weights 31^(i mod 8), mod 2^31−1) — pure integer
     * math, identical in any engine. Equal fingerprints = exact (or

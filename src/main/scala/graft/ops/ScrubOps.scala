@@ -195,6 +195,50 @@ object ScrubOps extends OpGroup {
         |  round(AVG(ent), 4) + 0 AS avg_entropy,
         |  round(MIN(ent), 4) + 0 AS min_entropy,
         |  round(MAX(ent), 4) + 0 AS max_entropy
-        |FROM h GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // CCNet-style line dedup (api.Text.lineDedup): aligned 10-word
+      // chunk lines appearing in >1 doc are corpus boilerplate and get
+      // dropped; each doc is rebuilt from its surviving lines IN ORDER.
+      // Non-vacuous on the fixture (127 shared lines touch 96 docs at
+      // sf0.01). Output fingerprints the rebuilt text (length + md5 —
+      // both engines produce identical reassembly or the hash flips).
+      "q_text_line_dedup",
+      (s, d) => graft.api.Text.lineDedup(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          lineWords = 10, maxLineDocFreq = 1)
+        .select(col("doc_id"), col("n_lines"),
+                (col("n_lines") - col("n_kept")).as("n_dropped"),
+                length(col("clean_text")).cast("long").as("clean_len"),
+                md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id")),
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT)
+        |    AS n_lines
+        |  FROM tok WHERE len(w) > 0),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[i*10+1:i*10+10], ' ') AS line
+        |  FROM (SELECT doc_id, w, unnest(range(0, n_lines)) AS i
+        |        FROM base)),
+        |freq AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df
+        |  FROM lines GROUP BY line),
+        |keep AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l JOIN freq f ON l.line = f.line WHERE f.df <= 1),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY pos) AS clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_lines,
+        |  b.n_lines - COALESCE(r.n_kept, 0) AS n_dropped,
+        |  length(COALESCE(r.clean, '')) AS clean_len,
+        |  md5(COALESCE(r.clean, '')) AS clean_md5
+        |FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+        |ORDER BY b.doc_id""".stripMargin)
   )
 }

@@ -126,6 +126,25 @@ class ApiSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (2L, 13L)), s"got $got")
   }
 
+  test("lineDedup drops the shared banner, rebuilds in order") {
+    import graft.api.Text
+    // 2-word lines; "cookie banner" is in all three docs
+    val docs3 = Seq(
+      Doc(1L, "cookie banner unique one content here", "en"),
+      Doc(2L, "cookie banner other two words go", "en"),
+      Doc(3L, "cookie banner", "en") // nothing but boilerplate
+    ).toDF()
+    val out = Text.lineDedup(docs3, col("doc_id"), col("text"),
+        lineWords = 2, maxLineDocFreq = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "unique one content here"),
+      (2L, 3L, 2L, "other two words go"),
+      (3L, 1L, 0L, "")), s"got $out")
+  }
+
   test("bandedRangeJoin rejects ambiguous and reserved column names") {
     import spark.implicits._
     val x = Seq((1L, 10L)).toDF("id", "us")
