@@ -284,6 +284,57 @@ object PipelineOps extends OpGroup {
         |  round(least(1.0, 10000 * wt / toks), 4) + 0 AS rate,
         |  CAST(floor(toks * (round(least(1.0, 10000 * wt / toks), 4) + 0))
         |    AS BIGINT) AS kept_toks
-        |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin)
+        |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin),
+
+    Q(
+      // RAG-ingestion chunking: overlapping 30-token windows, stride
+      // 20 — the split every embedding/retrieval pipeline runs before
+      // vectorizing. Window count is EXACT integer math
+      // (⌈max(0, n−size)/stride⌉ + 1: every token covered, last chunk
+      // may be short, singleton doc = one chunk); chunk text crosses
+      // engines as md5 + bounds, so the hash certifies identical
+      // windowing. Pure map-side explode — no shuffle before the
+      // final ORDER BY.
+      "q_text_chunk",
+      (s, d) => {
+        val (size, stride) = (30, 20)
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 25)
+          .select(col("doc_id"),
+                  graft.api.Dedup.tokens(col("text")).as("w"))
+          .filter(org.apache.spark.sql.functions.size(col("w")) > 0)
+          .withColumn("n_chunks",
+            expr(s"(greatest(size(w) - $size, 0) + $stride - 1) " +
+                 s"div $stride + 1").cast("long"))
+          .select(col("doc_id"), col("n_chunks"),
+                  posexplode(expr(
+                    s"""transform(sequence(0, cast(n_chunks as int) - 1),
+                       |  i -> concat_ws(' ', slice(w, i * $stride + 1,
+                       |                            $size)))""".stripMargin)))
+          .toDF("doc_id", "n_chunks", "chunk_id", "chunk")
+          .select(col("doc_id"), col("n_chunks"),
+                  col("chunk_id").cast("long").as("chunk_id"),
+                  expr("size(split(chunk, ' '))").cast("long")
+                    .as("chunk_toks"),
+                  md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents
+        |  WHERE doc_id < 25),
+        |base AS (
+        |  SELECT doc_id, w,
+        |    (greatest(len(w) - 30, 0) + 19) // 20 + 1 AS n_chunks
+        |  FROM tok WHERE len(w) > 0),
+        |c AS (
+        |  SELECT doc_id, n_chunks, i AS chunk_id,
+        |    array_to_string(w[i*20+1:i*20+30], ' ') AS chunk
+        |  FROM (SELECT doc_id, n_chunks, w,
+        |          unnest(range(0, n_chunks)) AS i
+        |        FROM base))
+        |SELECT doc_id, n_chunks, chunk_id,
+        |  len(string_split(chunk, ' ')) AS chunk_toks,
+        |  md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
   )
 }
