@@ -103,6 +103,21 @@ class SourceFormatSpec extends SparkSpec {
     assert(csvBack.schema == src.schema && jsonBack.schema == src.schema)
   }
 
+  test("orc round-trips with predicate pushdown reaching the reader") {
+    val dir = tmpDir("fmt") + "/orc"
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+           src.orderBy("n_nationkey").collect().toSeq)
+    // ORC scans take pushed filters just like parquet (stripe stats)
+    val plan = back.filter(col("n_nationkey") > 10).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), " +
+        "GreaterThan(n_nationkey,10)]"),
+      s"orc filter not pushed:\n$plan")
+  }
+
   test("parquet schema evolution: mergeSchema unifies drifted batches") {
     // the long-running-recorder reality: a producer adds a column
     // mid-stream; old files must stay readable in the union view with
