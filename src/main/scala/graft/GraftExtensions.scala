@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF32, WordNgrams}
+import graft.functions.{DotF32, TopKByLong, WordNgrams}
 import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule}
 
 /** Session-extension entry point: `--conf
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // the ONE builder (WordNgrams.builder) — argument validation can't
       // drift between this path and WordNgrams.register
       (exprs: Seq[Expression]) => WordNgrams.builder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_long"),
+      new ExpressionInfo(classOf[TopKByLong].getName, "topk_by_long"),
+      (exprs: Seq[Expression]) => TopKByLong.builder(exprs)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
   }

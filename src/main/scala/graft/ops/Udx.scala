@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Determinism._
-import graft.functions.{GeoMean, WordNgrams}
+import graft.functions.{GeoMean, TopKByLong, WordNgrams}
 import graft.io.Tables
 
 /** SURVEY §2.8 — user-defined function surface: scalar UDF, typed UDAF
@@ -50,6 +50,41 @@ object Udx extends OpGroup {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      // native TypedImperativeAggregate: top-3 orders per customer via
+      // a k-capped min-heap with map-side partials (serialized state,
+      // the HLL/percentile-sketch API) — the window idiom this replaces
+      // sorts EVERY customer's full order list; the heap shuffles at
+      // most k pairs per (group × partition). Oracle is the sorted-list
+      // slice: the hash match proves heap and sort agree, ties included.
+      "q_agg_topk_by",
+      (s, d) => {
+        TopKByLong.register(s)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("o_custkey"))
+          .agg(expr("topk_by_long(o_orderkey, cents, 3)").as("_t"),
+               count(lit(1)).as("n_orders"))
+          // R5: arrays crash the driver comparator — CSV the ids
+          .select(col("o_custkey"),
+                  array_join(expr("transform(_t, x -> cast(x as string))"),
+                             ",").as("top3"),
+                  col("n_orders"))
+          .orderBy(col("o_custkey"))
+      },
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  array_to_string(list_transform(
+        |    (list(o_orderkey ORDER BY cents DESC, o_orderkey ASC))[1:3],
+        |    x -> CAST(x AS VARCHAR)), ',') AS top3,
+        |  COUNT(*) AS n_orders
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
 
     Q(
       "q_udtf_ngrams",

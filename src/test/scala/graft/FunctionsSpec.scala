@@ -113,6 +113,27 @@ class FunctionsSpec extends SparkSpec {
     assert(one(intRatio4(lit(-14), lit(10))) == -0.0001)
   }
 
+  test("topk_by_long: heap order, ties, k>n, and merged partials") {
+    graft.functions.TopKByLong.register(spark)
+    // 12 partitions force serialize/deserialize + merge of partial heaps
+    val df = Seq(
+      ("g", 1L, 50L), ("g", 2L, 90L), ("g", 3L, 90L), ("g", 4L, 10L),
+      ("g", 5L, 70L), ("h", 6L, 5L))
+      .toDF("g", "v", "o").repartition(12)
+    val got = df.groupBy("g")
+      .agg(expr("topk_by_long(v, o, 3)").as("t"))
+      .orderBy("g").as[(String, Seq[Long])].collect().toSeq
+    // ord desc; the 90-tie keeps the SMALLER value first; k>n yields n
+    assert(got == Seq(("g", Seq(2L, 3L, 5L)), ("h", Seq(6L))), s"$got")
+    // eviction respects the tie rule: a 4th item with ord=90 and a
+    // larger value must NOT displace the kept pair
+    val got2 = (df.union(Seq(("g", 9L, 90L)).toDF("g", "v", "o")))
+      .groupBy("g").agg(expr("topk_by_long(v, o, 3)").as("t"))
+      .filter(col("g") === "g")
+      .head().getSeq[Long](1)
+    assert(got2 == Seq(2L, 3L, 9L), s"$got2") // 9 beats ord-70, not the ties
+  }
+
   test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
     import org.apache.spark.sql.functions._
     val gm = udaf(graft.functions.GeoMean)
