@@ -69,9 +69,11 @@ object Determinism {
     *
     * Inputs: `num`/`den` integral Columns with num/den = the result in
     * 1e-4 units. round-half-up(num/den) = ⌊(2·num+den)/(2·den)⌋,
-    * computed exactly: (a − a mod b)/b is integral and < 2⁵³, so the
-    * IEEE division is exact; the final /10⁴ is the SAME double op on
-    * both engines → bit-identical. Needs 2·|num|+den < 2⁵³, den > 0.
+    * computed in TRUE long integral division (Catalyst IntegralDivide,
+    * the SQL `div`, via the bridge — Column algebra has no `div`), so
+    * exactness holds across the whole long range (only 2·|num|+den <
+    * 2⁶³ overflow remains; den > 0). The final /10⁴ is the SAME double
+    * op on both engines → bit-identical.
     * Negative numerators round half-AWAY-from-zero (matching the
     * round()/avg4 family this replaces) via the mirrored formula —
     * a floor-division-only form would round negative halves toward
@@ -81,11 +83,11 @@ object Determinism {
     * domain needs the same CASE mirror as here.
     */
   def intRatio4(num: Column, den: Column): Column = {
-    def halfUp(n: Column): Column = {
-      val a = n * 2 + den
-      val b = den * 2
-      ((a - pmod(a, b)) / b).cast("long")
-    }
+    import org.apache.spark.sql.GraftBridge
+    def halfUp(n: Column): Column = GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression(n * 2 + den),
+        GraftBridge.expression(den.cast("long") * 2)))
     val n = num.cast("long")
     when(n >= 0, halfUp(n)).otherwise(-halfUp(-n))
       .cast("double") / 10000.0

@@ -104,7 +104,7 @@ object Events {
     // overlapping a/b names make the join condition ambiguous — fail
     // loudly instead; callers rename first (as the declared query does)
     val clash = (a.columns ++ b.columns)
-      .filter(Set("__probe", "__bk_a", "__bk_b"))
+      .filter(Set("__graft_bk_probe", "__graft_bk_a", "__graft_bk_b"))
     require(clash.isEmpty,
       s"bandedRangeJoin reserves ${clash.mkString(", ")} — rename first")
     val overlap = a.columns.toSet intersect b.columns.toSet
@@ -119,12 +119,12 @@ object Events {
     def bucket(ts: Column): Column =
       ((ts - pmod(ts, lit(maxGapUs))) / maxGapUs).cast("long")
     val ap = a
-      .withColumn("__probe", explode(sequence(lit(0L), lit(1L))))
-      .withColumn("__bk_a", bucket(tsA) + col("__probe"))
-    val bp = b.withColumn("__bk_b", bucket(tsB))
+      .withColumn("__graft_bk_probe", explode(sequence(lit(0L), lit(1L))))
+      .withColumn("__graft_bk_a", bucket(tsA) + col("__graft_bk_probe"))
+    val bp = b.withColumn("__graft_bk_b", bucket(tsB))
     ap.join(bp,
-        keyA === keyB && col("__bk_a") === col("__bk_b") &&
+        keyA === keyB && col("__graft_bk_a") === col("__graft_bk_b") &&
         tsB > tsA && tsB <= tsA + maxGapUs)
-      .drop("__probe", "__bk_a", "__bk_b")
+      .drop("__graft_bk_probe", "__graft_bk_a", "__graft_bk_b")
   }
 }

@@ -275,12 +275,30 @@ object Text {
     * pass a newline-split instead — the mechanics (corpus-frequency
     * filter + order-preserving rebuild) are identical.
     *
-    * Scale shape: one explode to (doc, pos, line); the hot-line set is
-    * tiny by definition (lines in >N docs) → broadcast LEFT ANTI; the
+    * Scale shape: one explode to (doc, pos, line); the hot set joins
+    * LEFT ANTI with the strategy left to AQE — at a high boilerplate
+    * cap (lines in >N≫1 docs) it broadcasts, at the strict default
+    * (any line in 2 docs) it is corpus-sized and must shuffle; the
     * rebuild is one hash-agg whose sort is per-document array_sort
     * over that doc's own lines, never a corpus-wide window. Returns
     * (doc_id, n_lines, n_kept, clean_text); fully-boilerplate docs
     * come back with clean_text = ''. */
+  /** ONE definition of the aligned/overlapping token-window split,
+    * shared by lineDedup (stride == size) and the RAG chunker
+    * (overlapping): window count = ⌈max(0, n−size)/stride⌉ + 1 in
+    * exact integer math (every token covered, short tail kept,
+    * singleton docs get one window), windows from 1-based `slice` over
+    * a token column named `w`, counted by `countCol`. Oracle twin:
+    * `(greatest(len(w)-size,0) + stride-1) // stride + 1` and
+    * `w[i*stride+1 : i*stride+size]`. */
+  private[graft] def windowCountExpr(size: Int, stride: Int): String =
+    s"(greatest(size(w) - $size, 0) + $stride - 1) div $stride + 1"
+
+  private[graft] def windowSplitExpr(
+      size: Int, stride: Int, countCol: String): String =
+    s"""transform(sequence(0, cast($countCol as int) - 1),
+       |  i -> concat_ws(' ', slice(w, i * $stride + 1, $size)))""".stripMargin
+
   def lineDedup(
       df: DataFrame, id: Column, text: Column,
       lineWords: Int = 10, maxLineDocFreq: Int = 1): DataFrame = {
@@ -288,18 +306,20 @@ object Text {
     val base = df.select(id.as("doc_id"), Dedup.tokens(text).as("w"))
       .filter(size(col("w")) > 0)
       .withColumn("n_lines",
-        ceil(size(col("w")) / lit(lineWords.toDouble)).cast("long"))
+        expr(windowCountExpr(lineWords, lineWords)).cast("long"))
     val lines = base.select(col("doc_id"),
         posexplode(expr(
-          s"""transform(sequence(0, cast(n_lines as int) - 1),
-             |  i -> concat_ws(' ', slice(w, i * $lineWords + 1,
-             |                            $lineWords)))""".stripMargin)))
+          windowSplitExpr(lineWords, lineWords, "n_lines"))))
       .toDF("doc_id", "pos", "line")
     val hot = lines.select(col("doc_id"), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxLineDocFreq)
       .select(col("line"))
-    val keep = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    // NO broadcast hint: at a low doc-freq cap the hot set is
+    // corpus-sized (every line two pages share), not "tiny" — only a
+    // high-N boilerplate cap keeps it small. Let AQE pick the strategy
+    // from actual sizes.
+    val keep = lines.join(hot, Seq("line"), "left_anti")
     val rebuilt = keep.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
            array_join(

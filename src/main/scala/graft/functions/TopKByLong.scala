@@ -35,15 +35,21 @@ case class TopKByLong(
 
   require(k >= 1 && k <= 4096, s"topk_by_long: k=$k out of (0, 4096]")
 
-  // min-heap ordered worst-kept-first: lower ord is worse; equal ord →
-  // LARGER value is worse (ties keep the smaller value)
-  private def cmp: java.util.Comparator[Array[Long]] =
-    new java.util.Comparator[Array[Long]] {
-      override def compare(a: Array[Long], b: Array[Long]): Int = {
-        val c = java.lang.Long.compare(a(0), b(0))
-        if (c != 0) c else java.lang.Long.compare(b(1), a(1))
-      }
-    }
+  import TopKByLong.cmp
+
+  // analysis-time type safety: the two data arguments must be (or
+  // coerce to) longs — without this a non-long column passed analysis
+  // and ClassCastException'd on executors mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (valueExpr.dataType == LongType && ordExpr.dataType == LongType)
+      TypeCheckSuccess
+    else TypeCheckFailure(
+      s"topk_by_long expects (BIGINT value, BIGINT ord), got " +
+      s"(${valueExpr.dataType.catalogString}, " +
+      s"${ordExpr.dataType.catalogString})")
+  }
 
   override def createAggregationBuffer(): PriorityQueue[Array[Long]] =
     new PriorityQueue[Array[Long]](k + 1, cmp)
@@ -58,8 +64,21 @@ case class TopKByLong(
       : PriorityQueue[Array[Long]] = {
     val o = ordExpr.eval(input)
     val v = valueExpr.eval(input)
-    if (o != null && v != null)
-      add(buf, Array(o.asInstanceOf[Long], v.asInstanceOf[Long]))
+    if (o != null && v != null) {
+      val ol = o.asInstanceOf[Long]
+      val vl = v.asInstanceOf[Long]
+      if (buf.size < k) buf.add(Array(ol, vl))
+      else {
+        // allocation-free fast path: once the heap is full, most rows
+        // lose to the current worst — compare primitives before
+        // building the pair array
+        val worst = buf.peek()
+        val c = java.lang.Long.compare(worst(0), ol)
+        if (c < 0 || (c == 0 && worst(1) > vl)) {
+          buf.poll(); buf.add(Array(ol, vl))
+        }
+      }
+    }
     buf
   }
 
@@ -112,6 +131,18 @@ case class TopKByLong(
 }
 
 object TopKByLong {
+  /** min-heap order, worst-kept-first: lower ord is worse; equal ord →
+    * LARGER value is worse (ties keep the smaller value). One shared
+    * comparator object — a per-call allocation would churn the GC on
+    * the aggregate hot path. */
+  private[functions] val cmp: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+      }
+    }
+
   /** THE builder (same discipline as WordNgrams.builder): k must be a
     * foldable integral; the analyzer wraps the returned
     * AggregateFunction in an AggregateExpression itself. */

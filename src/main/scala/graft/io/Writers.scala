@@ -73,8 +73,16 @@ object Writers {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(hPath)
+    val entries = fs.listStatus(hPath)
+    // a Hive-partitioned layout (key=.../part-*) would be silently
+    // FLATTENED by this rewrite — refuse; compact each partition dir
+    require(!entries.exists(e => e.isDirectory &&
+        e.getPath.getName.contains("=")),
+      s"$path is partitioned — compact each partition directory, " +
+      "not the root (a root rewrite would destroy the layout)")
+    val parts = entries
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    require(parts.nonEmpty, s"no part-* files under $path")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -89,7 +97,13 @@ object Writers {
     fs.delete(tmp, true); fs.delete(old, true)
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     require(fs.rename(hPath, old), s"could not move $path aside")
-    require(fs.rename(tmp, hPath), s"could not move compacted dir in")
+    if (!fs.rename(tmp, hPath)) {
+      // roll the live table back before failing — without this the
+      // path is simply GONE until manual recovery
+      fs.rename(old, hPath)
+      throw new IllegalStateException(
+        s"could not move compacted dir into $path (original restored)")
+    }
     fs.delete(old, true)
     val after = fs.listStatus(hPath)
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))

@@ -214,8 +214,9 @@ object MacroOps extends OpGroup {
                  .otherwise(lit(0).cast(Money))).as("_m"))
           .select(col("yr"), asMoney(col("_t")).as("revenue"),
                   asMoney(col("_m")).as("nation_revenue"),
-                  // cent-exact longs keep 2·num+den < 2^53 (the
-                  // intRatio4 exactness bound) at any realistic SF
+                  // intRatio4 runs true long division, so exactness
+                  // holds to 2^63 — cent-exact longs never overflow
+                  // at any SF a single year-group can reach
                   graft.Determinism.intRatio4(
                     (round(col("_m"), 2) * 100).cast("long") * 10000,
                     (round(col("_t"), 2) * 100).cast("long")).as("share"))

@@ -303,14 +303,14 @@ object PipelineOps extends OpGroup {
           .select(col("doc_id"),
                   graft.api.Dedup.tokens(col("text")).as("w"))
           .filter(org.apache.spark.sql.functions.size(col("w")) > 0)
+          // ONE window-split definition shared with Text.lineDedup
+          // (which is the stride == size special case)
           .withColumn("n_chunks",
-            expr(s"(greatest(size(w) - $size, 0) + $stride - 1) " +
-                 s"div $stride + 1").cast("long"))
+            expr(graft.api.Text.windowCountExpr(size, stride))
+              .cast("long"))
           .select(col("doc_id"), col("n_chunks"),
-                  posexplode(expr(
-                    s"""transform(sequence(0, cast(n_chunks as int) - 1),
-                       |  i -> concat_ws(' ', slice(w, i * $stride + 1,
-                       |                            $size)))""".stripMargin)))
+                  posexplode(expr(graft.api.Text
+                    .windowSplitExpr(size, stride, "n_chunks"))))
           .toDF("doc_id", "n_chunks", "chunk_id", "chunk")
           .select(col("doc_id"), col("n_chunks"),
                   col("chunk_id").cast("long").as("chunk_id"),

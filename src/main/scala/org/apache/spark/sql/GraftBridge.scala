@@ -20,6 +20,12 @@ object GraftBridge {
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Reverse direction: wrap a Catalyst Expression as a Column (for
+    * operators the Column algebra doesn't expose, e.g. IntegralDivide
+    * in Determinism.intRatio4). */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Test access to the private[sql] extension build steps, so the
     * session-extension wiring can be asserted without tearing down the
     * shared test session. */

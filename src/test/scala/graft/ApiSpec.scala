@@ -154,7 +154,7 @@ class ApiSpec extends SparkSpec {
         x, x, col("id"), col("id"), col("us"), col("us"), 60L)
     }
     // reserved aux name would be silently clobbered -> must fail loudly
-    val bad = Seq((1L, 10L, 0L)).toDF("a_id", "a_us", "__probe")
+    val bad = Seq((1L, 10L, 0L)).toDF("a_id", "a_us", "__graft_bk_probe")
     val ok = Seq((2L, 20L)).toDF("b_id", "b_us")
     intercept[IllegalArgumentException] {
       graft.api.Events.bandedRangeJoin(

@@ -23,5 +23,9 @@ class ExtensionsSpec extends SparkSpec {
       ext, GraftBridge.freshFunctionRegistry())
     assert(reg.functionExists(new FunctionIdentifier("dot_f32")))
     assert(reg.functionExists(new FunctionIdentifier("word_ngrams")))
+    // the first AGGREGATE through injectFunction (the analyzer wraps
+    // the bare AggregateFunction) — regressions here would only hit
+    // spark.sql.extensions users, invisible to register()-path tests
+    assert(reg.functionExists(new FunctionIdentifier("topk_by_long")))
   }
 }
