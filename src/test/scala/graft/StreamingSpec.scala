@@ -292,6 +292,29 @@ class StreamingSpec extends SparkSpec {
       s"bad bar: $r")
   }
 
+  test("topk_by_long streams: serialized heap state merges across batches") {
+    implicit val ctx = spark.sqlContext
+    graft.functions.TopKByLong.register(spark)
+    // the custom TypedImperativeAggregate must behave like Spark's own
+    // sketches in a streaming agg: partial heaps serialize into the
+    // state store and merge on the next micro-batch
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("user", "cast(value as bigint) AS v",
+                  "cast(value * 10 as bigint) AS o")
+      .groupBy("user").agg(expr("topk_by_long(v, o, 2)").as("t"))
+    val in = MemoryStream[Ev]
+    val q = top(in.toDF()).writeStream.format("memory").queryName("topk_t")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData(Ev(ts(1), "a", 5.0), Ev(ts(2), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2 delivers a better item — stored heap state must evict
+    in.addData(Ev(ts(3), "a", 9.0))
+    q.processAllAvailable()
+    val got = spark.table("topk_t").head().getSeq[Long](1)
+    q.stop()
+    assert(got == Seq(9L, 5L), s"got $got")
+  }
+
   test("session_window groups events by 30-minute inactivity gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
