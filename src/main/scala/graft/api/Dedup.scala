@@ -63,6 +63,31 @@ object Dedup {
       .select(col("_latest.*"))
   }
 
+  /** CDC APPLY: merge a changelog (upserts + delete tombstones) into a
+    * base snapshot — the MERGE INTO every warehouse table needs,
+    * expressed as union + ONE keepLatest hash-agg + filter instead of
+    * a join: base rows carry an implicit upsert, the newest version
+    * per key wins regardless of which side it came from, and a key
+    * whose newest version is a tombstone leaves the snapshot entirely.
+    * Same single-shuffle shape as keepLatest (a full-outer merge join
+    * would shuffle BOTH sides AND need null-side case logic).
+    * `isDelete` is evaluated on `changes` rows; schemas must match. */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame,
+      keys: Seq[Column], version: Seq[Column],
+      isDelete: Column): DataFrame = {
+    require(base.columns.toSeq == changes.columns.toSeq,
+      "applyChanges: base and changes schemas must match " +
+      s"(${base.columns.mkString(",")} vs ${changes.columns.mkString(",")})")
+    require(!base.columns.contains("__graft_del"),
+      "applyChanges reserves __graft_del")
+    val u = base.withColumn("__graft_del", lit(false))
+      .unionByName(changes.withColumn("__graft_del", isDelete))
+    keepLatest(u, keys, version)
+      .filter(!col("__graft_del"))
+      .drop("__graft_del")
+  }
+
   /** THE tokenizer for the n-gram/shingle family (minhash, jaccard,
     * contamination, simhash, word_ngrams): whitespace-robust — any run
     * of ASCII whitespace is ONE separator and never yields empty

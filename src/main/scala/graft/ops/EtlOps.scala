@@ -47,6 +47,52 @@ object EtlOps extends OpGroup {
         |ORDER BY o_custkey""".stripMargin),
 
     Q(
+      // CDC APPLY (api.Dedup.applyChanges): pre-1999 orders are the
+      // base snapshot, 1999+ orders the changelog, every 11th change
+      // key a DELETE tombstone — the newest version per customer wins
+      // across both sides and a tombstone-latest customer leaves the
+      // snapshot. MERGE INTO semantics in union + one hash-agg +
+      // filter; the oracle's window/QUALIFY twin proves it.
+      "q_etl_cdc_apply",
+      (s, d) => {
+        def cols(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("o_custkey"), col("o_orderkey"),
+                    col("o_orderdate"), col("o_totalprice"))
+        val base = cols(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1999-01-01")))
+        val chg = cols(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01")))
+        graft.api.Dedup.applyChanges(
+            base, chg,
+            keys = Seq(col("o_custkey")),
+            version = Seq(col("o_orderdate"), col("o_orderkey")),
+            isDelete = pmod(col("o_orderkey"), lit(11)) === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  date_format(col("o_orderdate"), "yyyy-MM-dd")
+                    .as("latest_date"),
+                  moneyOut("o_totalprice").as("totalprice"))
+          .orderBy(col("o_custkey"))
+      },
+      """WITH u AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    FALSE AS del
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    (o_orderkey % 11 = 0) AS del
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        |latest AS (
+        |  SELECT * FROM u
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        |    AS totalprice
+        |FROM latest WHERE NOT del
+        |ORDER BY o_custkey""".stripMargin),
+
+    Q(
       // explicit skew salting (ops.Skew.saltedEquiJoin): the probe side
       // gets a deterministic content-hash salt in [0,8), the build side
       // replicates 8x, the join key becomes (key, salt) — one hot key
