@@ -117,6 +117,61 @@ class RoundtripSpec extends SparkSpec {
     }
   }
 
+  test("bandedRangeJoin equals the naive range join on random data (property)") {
+    import org.apache.spark.sql.functions.col
+    // random keys/timestamps cluster near bucket edges on purpose
+    // (small ts range vs W) — the regime where an off-by-one in the
+    // band math would show
+    val genRow = for {
+      k <- Gen.oneOf("u", "v", "w")
+      ts <- Gen.chooseNum(0L, 400L)
+    } yield (k, ts)
+    for (seed <- 1L to 5L) {
+      val rows = Gen.listOfN(60, genRow)
+        .apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail(s"generator exhausted at seed $seed"))
+        .zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      val w = 1L + seed * 13 // varied, deliberately not a divisor of 400
+      val a = rows.toDF("a_id", "ka", "a_us")
+      val b = rows.map { case (i, k, ts) => (i + 1000L, k, ts) }
+        .toDF("b_id", "kb", "b_us")
+      val naive = a.join(b, col("ka") === col("kb") &&
+          col("b_us") > col("a_us") && col("b_us") <= col("a_us") + w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val banded = graft.api.Events.bandedRangeJoin(
+          a, b, col("ka"), col("kb"), col("a_us"), col("b_us"), w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(banded == naive,
+        s"seed=$seed W=$w: banded diverged (missing=" +
+        s"${naive -- banded}, extra=${banded -- naive})")
+    }
+  }
+
+  test("intRatio4 equals BigDecimal HALF_UP on random ratios (property)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val genPair = for {
+      num <- Gen.chooseNum(-3000000L, 3000000L)
+      den <- Gen.chooseNum(1L, 5000L)
+    } yield (num, den)
+    for (seed <- 1L to 5L) {
+      val pairs = Gen.listOfN(200, genPair)
+        .apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail(s"generator exhausted at seed $seed"))
+      val got = pairs.toDF("num", "den")
+        .select(col("num"), col("den"),
+                graft.Determinism.intRatio4(col("num"), col("den"))
+                  .as("r"))
+        .as[(Long, Long, Double)].collect()
+      got.foreach { case (num, den, r) =>
+        val want = new java.math.BigDecimal(num)
+          .divide(new java.math.BigDecimal(den), 0,
+                  java.math.RoundingMode.HALF_UP)
+          .doubleValue() / 10000.0
+        assert(r == want, s"intRatio4($num, $den) = $r, want $want")
+      }
+    }
+  }
+
   test("ns stamps survive where TimestampType would truncate") {
     val m = Stamp(1700000000L, 123456789L)
     val dir = tmpDir("ns") + "/s"
