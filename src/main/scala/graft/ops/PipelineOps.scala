@@ -287,6 +287,47 @@ object PipelineOps extends OpGroup {
         |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin),
 
     Q(
+      // deterministic epoch shuffle + mixture interleave: the ORDER a
+      // training run consumes its mixture in, reproducible across
+      // restarts and cluster sizes — each stratum is shuffled by the
+      // content hash (no rand()), then strata interleave round-robin
+      // by per-stratum rank. The top-40 head is TakeOrderedAndProject
+      // (per-partition heaps); only those 40 rows see the final
+      // global-rank window, so the single-partition window hazard
+      // never touches the corpus.
+      "q_mix_interleave",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+                  graft.api.Pipeline.hash16(col("doc_id")).as("u"))
+        val rn = row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("u").asc, col("doc_id").asc))
+        val top = base.withColumn("rn", rn.cast("long"))
+          .orderBy(col("rn"), col("lang"), col("doc_id"))
+          .limit(40)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("rn"), col("lang"), col("doc_id")))
+            .cast("long"))
+          .select(col("rank"), col("lang"), col("doc_id"), col("rn"))
+          .orderBy(col("rank"))
+      },
+      s"""WITH h AS (
+        |  SELECT lang, doc_id, ${u16Sql("doc_id")} AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY u ASC, doc_id ASC) AS BIGINT) AS rn
+        |  FROM h),
+        |t AS (SELECT * FROM r ORDER BY rn, lang, doc_id LIMIT 40)
+        |SELECT CAST(row_number() OVER (ORDER BY rn, lang, doc_id)
+        |    AS BIGINT) AS rank,
+        |  lang, doc_id, rn
+        |FROM t ORDER BY rank""".stripMargin),
+
+    Q(
       // RAG-ingestion chunking: overlapping 30-token windows, stride
       // 20 — the split every embedding/retrieval pipeline runs before
       // vectorizing. Window count is EXACT integer math
