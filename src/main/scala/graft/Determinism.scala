@@ -81,7 +81,13 @@ object Determinism {
     * catch. Oracle twin (num ≥ 0, the only shipped case):
     * `CAST((2*num + den) // (2*den) AS DOUBLE) / 10000.0`; a negative
     * domain needs the same CASE mirror as here.
-    */
+    *
+    * den ≤ 0 RAISES (guarded `raise_error`): DuckDB's `//` raises on
+    * a zero divisor while Spark's IntegralDivide quietly returns NULL,
+    * so an unguarded den=0 would make the engines diverge silently
+    * instead of failing loudly on both. Overflow bound: exact while
+    * 2·|num| + den < 2⁶³ — callers whose scaled numerator can exceed
+    * that (ratios of 38-digit decimal sums) use [[intRatio4Wide]]. */
   def intRatio4(num: Column, den: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     def halfUp(n: Column): Column = GraftBridge.column(
@@ -89,8 +95,36 @@ object Determinism {
         GraftBridge.expression(n * 2 + den),
         GraftBridge.expression(den.cast("long") * 2)))
     val n = num.cast("long")
-    when(n >= 0, halfUp(n)).otherwise(-halfUp(-n))
-      .cast("double") / 10000.0
+    when(den > 0,
+      when(n >= 0, halfUp(n)).otherwise(-halfUp(-n))
+        .cast("double") / 10000.0)
+      .otherwise(raise_error(lit("intRatio4: den must be > 0")))
+  }
+
+  /** [[intRatio4]] over DECIMAL(38,0) operands — for scaled numerators
+    * that can leave the long range (e.g. a revenue share where
+    * num = cents·10⁴: int64 wraps SILENTLY in Spark once a group's
+    * revenue passes ~$4.6e12, while DuckDB BIGINT raises — the engines
+    * would diverge). IntegralDivide accepts decimal inputs and still
+    * returns LONG, and the quotient here is a scale-4 ratio (≤ 10⁴ for
+    * num ≤ den), so only the OPERANDS need widening. Exact while
+    * 2·|num| + den < 10³⁸ (den > 0 enforced as in intRatio4) — that is
+    * $10³² of cents-scaled revenue, unreachable at any physical SF.
+    * Oracle twin: the intRatio4 formula with `CAST(… AS HUGEINT)`
+    * operands (DuckDB's 128-bit `//` is exact over the same range). */
+  def intRatio4Wide(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val D = DecimalType(38, 0)
+    val d = den.cast(D)
+    def halfUp(n: Column): Column = GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression((n * 2 + d).cast(D)),
+        GraftBridge.expression((d * 2).cast(D))))
+    val n = num.cast(D)
+    when(d > 0,
+      when(n >= 0, halfUp(n)).otherwise(-halfUp(-n))
+        .cast("double") / 10000.0)
+      .otherwise(raise_error(lit("intRatio4Wide: den must be > 0")))
   }
 
   /** avg4, boundary-exact: decimal sum → exact 1e-4-unit integer →

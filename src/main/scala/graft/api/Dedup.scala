@@ -71,7 +71,11 @@ object Dedup {
     * whose newest version is a tombstone leaves the snapshot entirely.
     * Same single-shuffle shape as keepLatest (a full-outer merge join
     * would shuffle BOTH sides AND need null-side case logic).
-    * `isDelete` is evaluated on `changes` rows; schemas must match. */
+    * `isDelete` is evaluated on `changes` rows; schemas must match.
+    * A NULL `isDelete` is an UPSERT, not a tombstone (coalesce to
+    * false): the unguarded form let a NULL flag on the winning change
+    * row slip through `filter(!del)` and silently DROP the key —
+    * an unknown flag must never destroy data (ADVICE r3). */
   def applyChanges(
       base: DataFrame, changes: DataFrame,
       keys: Seq[Column], version: Seq[Column],
@@ -82,7 +86,8 @@ object Dedup {
     require(!base.columns.contains("__graft_del"),
       "applyChanges reserves __graft_del")
     val u = base.withColumn("__graft_del", lit(false))
-      .unionByName(changes.withColumn("__graft_del", isDelete))
+      .unionByName(changes.withColumn(
+        "__graft_del", coalesce(isDelete, lit(false))))
     keepLatest(u, keys, version)
       .filter(!col("__graft_del"))
       .drop("__graft_del")

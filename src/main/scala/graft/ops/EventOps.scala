@@ -124,20 +124,35 @@ object EventOps extends OpGroup {
 
     Q(
       // statistical outlier flagging: events whose value sits more than
-      // 2σ from their type's mean. TWO-PASS broadcast-stats shape — a
-      // 3-row (sum, sumsq, n) aggregate joins back broadcast, so the
-      // corpus is scanned twice but never windowed or shuffled on a
-      // non-key. Determinism: mean/σ derive from EXACT decimal sums via
-      // the identical double expression tree on both engines (never
-      // stddev_samp — Spark and DuckDB implement it with different
-      // numerics, and a near-boundary row would flap the row set).
+      // 2σ from their type's mean. Broadcast-stats shape — tiny per-type
+      // aggregates join back broadcast, so the corpus is never windowed
+      // or shuffled on a non-key. Determinism: mean/σ derive from EXACT
+      // integer sums via the identical double expression tree on both
+      // engines (never stddev_samp — Spark and DuckDB implement it with
+      // different numerics, and a near-boundary row would flap the row
+      // set). Accumulation is CENTERED (ADVICE r3): values go to exact
+      // cents, each type's MIN anchors them, and Σd / Σd² accumulate as
+      // DECIMAL(38,0) (HUGEINT twin). Uncentered DECIMAL(38,4) squares
+      // hit precision 38 once |value| is large — Spark then NULLs the
+      // sum (nullOnOverflow) and the type silently VANISHES from
+      // detection while DuckDB keeps going. Centered, the bound depends
+      // only on per-type SPREAD: at a $1M range (1e8 cents → d² ≤ 1e16)
+      // the 1e38 capacity holds past 1e22 rows. Cost: one extra 5-row
+      // anchor pass over the corpus — correctness over a scan.
       "q_events_outliers",
       (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val e = Tables.events(s, d)
-          .select(col("event_type"), col("event_id"), money("value").as("vd"))
-        val st = e.groupBy(col("event_type"))
-          .agg(sum(col("vd")).cast("double").as("sv"),
-               sum(col("vd") * col("vd")).cast("double").as("s2"),
+          .select(col("event_type"), col("event_id"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val anchors = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("event_type").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val st = e.join(broadcast(anchors), col("event_type") === col("t1"))
+          .groupBy(col("event_type"), col("a"))
+          .agg(sum(dd).cast("double").as("sv"),
+               sum(dd * dd).cast("double").as("s2"),
                count(lit(1)).as("n"))
           // n >= 2: a single-row type has no sample variance — without
           // the guard (n-1)=0 rides 0/0 -> NaN and the type silently
@@ -146,36 +161,41 @@ object EventOps extends OpGroup {
           // would also turn into NaN
           .filter(col("n") >= 2)
           .select(col("event_type").as("t2"),
-                  (col("sv") / col("n")).as("mean"),
+                  (col("a").cast("double") + col("sv") / col("n"))
+                    .as("mean_c"),
                   sqrt(greatest(
                     (col("s2") - col("sv") * col("sv") / col("n")) /
-                      (col("n") - 1), lit(0.0))).as("sd"))
+                      (col("n") - 1), lit(0.0))).as("sd_c"))
         e.join(broadcast(st), col("event_type") === col("t2"))
-          .filter(abs(col("vd").cast("double") - col("mean")) >
-                  lit(2) * col("sd"))
+          .filter(abs(col("vc").cast("double") - col("mean_c")) >
+                  lit(2) * col("sd_c"))
           .select(col("event_type"), col("event_id"),
-                  col("vd").cast("double").as("v"),
-                  when(col("vd").cast("double") > col("mean"), "hi")
+                  (col("vc").cast("double") / 100.0).as("v"),
+                  when(col("vc").cast("double") > col("mean_c"), "hi")
                     .otherwise("lo").as("side"))
           .orderBy(col("event_type"), col("event_id"))
       },
       """WITH e AS (
         |  SELECT event_type, event_id,
-        |    CAST(value AS DECIMAL(18,2)) AS vd
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
         |  FROM events),
+        |an AS (SELECT event_type, MIN(vc) AS a FROM e GROUP BY event_type),
         |st AS (
-        |  SELECT event_type, CAST(SUM(vd) AS DOUBLE) AS sv,
-        |    CAST(SUM(vd * vd) AS DOUBLE) AS s2, COUNT(*) AS n
-        |  FROM e GROUP BY event_type),
+        |  SELECT e.event_type, a,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * CAST(vc - a AS HUGEINT))
+        |         AS DOUBLE) AS s2,
+        |    COUNT(*) AS n
+        |  FROM e JOIN an USING (event_type) GROUP BY e.event_type, a),
         |st2 AS (
-        |  SELECT event_type, sv / n AS mean,
-        |    sqrt(greatest((s2 - sv * sv / n) / (n - 1), 0.0)) AS sd
+        |  SELECT event_type, CAST(a AS DOUBLE) + sv / n AS mean_c,
+        |    sqrt(greatest((s2 - sv * sv / n) / (n - 1), 0.0)) AS sd_c
         |  FROM st WHERE n >= 2)
-        |SELECT e.event_type, event_id, CAST(vd AS DOUBLE) AS v,
-        |  CASE WHEN CAST(vd AS DOUBLE) > mean THEN 'hi' ELSE 'lo' END
+        |SELECT e.event_type, event_id, CAST(vc AS DOUBLE) / 100.0 AS v,
+        |  CASE WHEN CAST(vc AS DOUBLE) > mean_c THEN 'hi' ELSE 'lo' END
         |    AS side
         |FROM e JOIN st2 USING (event_type)
-        |WHERE abs(CAST(vd AS DOUBLE) - mean) > 2 * sd
+        |WHERE abs(CAST(vc AS DOUBLE) - mean_c) > 2 * sd_c
         |ORDER BY event_type, event_id""".stripMargin),
 
     Q(

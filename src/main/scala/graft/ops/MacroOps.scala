@@ -175,9 +175,11 @@ object MacroOps extends OpGroup {
       // orders, the fraction supplied by NATION_2, per order year.
       // Share-of-total WITHOUT a window or second pass: one
       // conditional aggregate computes total and target in the same
-      // hash-agg, and the ratio goes through intRatio4 on cent-exact
-      // longs (a windowed share or double division would reintroduce
-      // the partition-order / rounding hazards). Customers gate via
+      // hash-agg, and the ratio goes through intRatio4Wide on
+      // cent-exact DECIMAL(38,0) (a windowed share or double division
+      // would reintroduce the partition-order / rounding hazards;
+      // plain intRatio4's long numerator would wrap silently past
+      // ~$4.6e12/year — ADVICE r3). Customers gate via
       // LEFT SEMI again; supplier broadcasts with a precomputed flag.
       "q_macro_market_share",
       (s, d) => {
@@ -214,12 +216,17 @@ object MacroOps extends OpGroup {
                  .otherwise(lit(0).cast(Money))).as("_m"))
           .select(col("yr"), asMoney(col("_t")).as("revenue"),
                   asMoney(col("_m")).as("nation_revenue"),
-                  // intRatio4 runs true long division, so exactness
-                  // holds to 2^63 — cent-exact longs never overflow
-                  // at any SF a single year-group can reach
-                  graft.Determinism.intRatio4(
-                    (round(col("_m"), 2) * 100).cast("long") * 10000,
-                    (round(col("_t"), 2) * 100).cast("long")).as("share"))
+                  // the 1e4-scaled cent numerator leaves int64 once a
+                  // year-group's revenue passes ~$4.6e12 (long wraps
+                  // silently, DuckDB raises → divergence), so the share
+                  // runs through the DECIMAL(38,0) form: exact to
+                  // ~$10^32 per group, still a single long quotient
+                  graft.Determinism.intRatio4Wide(
+                    (round(col("_m"), 2) * 1000000)
+                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+                    (round(col("_t"), 2) * 100)
+                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+                    .as("share"))
           .orderBy(col("yr"))
       },
       """WITH asia AS (
@@ -248,9 +255,9 @@ object MacroOps extends OpGroup {
         |SELECT yr,
         |  CAST(ROUND(t, 2) AS DOUBLE) AS revenue,
         |  CAST(ROUND(m, 2) AS DOUBLE) AS nation_revenue,
-        |  CAST((2*(CAST(ROUND(m, 2)*100 AS BIGINT)*10000)
-        |        + CAST(ROUND(t, 2)*100 AS BIGINT))
-        |       // (2*CAST(ROUND(t, 2)*100 AS BIGINT)) AS DOUBLE)
+        |  CAST((2*CAST(ROUND(m, 2)*1000000 AS HUGEINT)
+        |        + CAST(ROUND(t, 2)*100 AS HUGEINT))
+        |       // (2*CAST(ROUND(t, 2)*100 AS HUGEINT)) AS DOUBLE)
         |    / 10000.0 AS share
         |FROM g ORDER BY yr""".stripMargin)
   )

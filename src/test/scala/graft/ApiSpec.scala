@@ -563,6 +563,23 @@ class ApiSpec extends SparkSpec {
                        (2L, 20L, "2023-12-31", "only")))
   }
 
+  test("applyChanges: NULL tombstone flag is an upsert, never a delete") {
+    // ADVICE r3: with an unguarded isDelete, a NULL flag on the winning
+    // change row rode filter(!del) into silently DROPPING the key
+    val base = Seq((1L, 1L, "b1"), (2L, 1L, "b2"), (3L, 1L, "b3"))
+      .toDF("k", "v", "p")
+    val changes = Seq(
+      (1L, 2L, "up"),      // flag NULL -> upsert wins
+      (2L, 2L, "DEL"),     // real tombstone -> key leaves
+      (3L, 0L, "stale"))   // older than base -> base survives
+      .toDF("k", "v", "p")
+    val got = Dedup.applyChanges(
+        base, changes, keys = Seq(col("k")), version = Seq(col("v")),
+        isDelete = when(col("p") === "DEL", lit(true)) // NULL otherwise
+      ).orderBy("k").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "up"), (3L, 1L, "b3")), s"$got")
+  }
+
   test("redact: pattern order matters, global replacement, custom sets") {
     val df = Seq(
       "mail bob.smith+x@foo-bar.co.uk and carol@ex.io now",

@@ -113,6 +113,38 @@ class FunctionsSpec extends SparkSpec {
     assert(one(intRatio4(lit(-14), lit(10))) == -0.0001)
   }
 
+  test("intRatio4: den <= 0 raises (both engines fail identically)") {
+    import graft.Determinism.{intRatio4, intRatio4Wide}
+    val df = Seq(1).toDF("x")
+    // DuckDB's `//` raises on a zero divisor; an unguarded Spark
+    // IntegralDivide returns NULL — the guard makes misuse loud HERE too
+    val e = intercept[Exception](
+      df.select(intRatio4(lit(5), lit(0)).as("v")).collect())
+    assert(e.getMessage.contains("den must be > 0"), e.getMessage)
+    val e2 = intercept[Exception](
+      df.select(intRatio4Wide(lit(5), lit(-1)).as("v")).collect())
+    assert(e2.getMessage.contains("den must be > 0"), e2.getMessage)
+  }
+
+  test("intRatio4Wide matches intRatio4 in range and survives past 2^63") {
+    import graft.Determinism.{intRatio4, intRatio4Wide}
+    val df = Seq(1).toDF("x")
+    def one(c: org.apache.spark.sql.Column): Double =
+      df.select(c.as("v")).head().getDouble(0)
+    // agreement on the long-domain boundary cases
+    for ((n, d) <- Seq((15L, 10L), (-15L, 10L), (14L, 10L), (1L, 3L),
+                       (999999L, 7L)))
+      assert(one(intRatio4Wide(lit(n), lit(d))) ==
+             one(intRatio4(lit(n), lit(d))), s"($n, $d)")
+    // the ADVICE r3 overflow case: num = cents * 1e4 past 2^63.
+    // share = 0.5 of a $1.5e15 total — num = 7.5e20, silently wrapped
+    // as a long; exact through DECIMAL(38,0)
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = lit(BigDecimal("750000000000000000000")).cast(D)
+    val den = lit(BigDecimal("150000000000000000")).cast(D)
+    assert(one(intRatio4Wide(num, den)) == 0.5)
+  }
+
   test("topk_by_long: heap order, ties, k>n, and merged partials") {
     graft.functions.TopKByLong.register(spark)
     // 12 partitions force serialize/deserialize + merge of partial heaps
