@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the table-to-table reconciliation
+  * jobs every recorder deployment (the reference's domain: long-lived
+  * logged tables) eventually runs.
+  *
+  * Scale contract (same as the Dedup family): every operator is ONE
+  * key-partitioned hash-aggregate over a union — map-side partials,
+  * no full-outer joins, no windows over the corpus.
+  */
+object Etl {
+
+  /** Snapshot diff: classify every key across two versions of a table
+    * as added / removed / changed / unchanged. Returns the key columns
+    * plus a `change` string column.
+    *
+    * Shape: union-tag + ONE hash-agg (the applyChanges/keepLatest
+    * single-shuffle shape). Each side reduces to (key, fingerprint);
+    * per key the aggregate keeps both sides' fingerprints and the
+    * classifier reads the class off the pair. The textbook FULL OUTER
+    * join computes the same thing but shuffles two relations into join
+    * machinery and materializes wide null-padded rows; the union form
+    * map-side-combines and carries one 32-byte md5 per row — at 100 TB
+    * the difference is the job.
+    *
+    * `payload` columns are fingerprinted via md5 over a
+    * separator-joined canonical string; each value is null-protected
+    * individually (concat_ws SKIPS nulls — ("a", null) and (null, "a")
+    * would otherwise collide). Caller contract: keys are unique within
+    * each snapshot (duplicate keys fold into one fingerprint
+    * arbitrarily), and payload columns must stringify deterministically
+    * (cast dates/decimals upstream per the R4/R9 rules if the result
+    * is oracle-compared). */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: key columns required")
+    val reserved = Seq("__graft_fp", "__graft_side", "__graft_fp_old",
+                       "__graft_fp_new")
+    val clash = (oldDf.columns ++ newDf.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"snapshotDiff reserves ${clash.mkString(", ")} — rename first")
+    // \u0001 field separator + \u0002 null marker: concat_ws SKIPS
+    // null inputs, and an empty separator would let ("ab","c") and
+    // ("a","bc") collide. A payload value containing \u0001 could
+    // still craft a collision — fine for machine-generated columns,
+    // not a security boundary.
+    def fingered(df: DataFrame, side: Int): DataFrame = df.select(
+      keys.map(col) ++ Seq(
+        md5(concat_ws("\u0001", payload.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+          .as("__graft_fp"),
+        lit(side).as("__graft_side")): _*)
+    fingered(oldDf, 0).unionByName(fingered(newDf, 1))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("__graft_side") === 0, col("__graft_fp")))
+          .as("__graft_fp_old"),
+        max(when(col("__graft_side") === 1, col("__graft_fp")))
+          .as("__graft_fp_new"))
+      .withColumn("change",
+        when(col("__graft_fp_old").isNull, "added")
+          .when(col("__graft_fp_new").isNull, "removed")
+          .when(col("__graft_fp_old") =!= col("__graft_fp_new"), "changed")
+          .otherwise("unchanged"))
+      .drop("__graft_fp_old", "__graft_fp_new")
+  }
+}

@@ -127,4 +127,55 @@ object Events {
         tsB > tsA && tsB <= tsA + maxGapUs)
       .drop("__graft_bk_probe", "__graft_bk_a", "__graft_bk_b")
   }
+
+  /** INTERVAL × INTERVAL overlap join (the [[bandedRangeJoin]] family's
+    * two-sided sibling): emit (a, b) pairs with the same key whose
+    * CLOSED intervals [startA, endA] and [startB, endB] intersect
+    * (startA ≤ endB ∧ startB ≤ endA). The naive per-key self-join
+    * squares every heavy key; here each interval explodes to the
+    * `bandWidth`-sized buckets it covers and candidates meet through a
+    * plain EQUI join on (key, bucket), so a pair is compared only where
+    * it actually coexists. Each surviving pair is emitted EXACTLY once
+    * — no distinct shuffle: of all shared buckets the join keeps only
+    * the one containing max(startA, startB) (the overlap's first
+    * bucket, which both sides necessarily cover).
+    *
+    * `bandWidth` trades fan-out for selectivity like bandedRangeJoin's
+    * maxGapUs: each row replicates ceil(len/W)+1 times, a bucket holds
+    * intervals overlapping a W-window. Pick W near the MEDIAN interval
+    * length; at 100 TB a hot (key, bucket) is the usual salting
+    * escape. Times are any integral unit (µs, days); intervals must
+    * satisfy start ≤ end (enforce upstream). Output keeps every a and
+    * b column; callers project. */
+  def intervalOverlapJoin(
+      a: DataFrame, b: DataFrame,
+      keyA: Column, keyB: Column,
+      startA: Column, endA: Column,
+      startB: Column, endB: Column,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val clash = (a.columns ++ b.columns)
+      .filter(Set("__graft_ob_a", "__graft_ob_b"))
+    require(clash.isEmpty,
+      s"intervalOverlapJoin reserves ${clash.mkString(", ")} — rename first")
+    val overlap = a.columns.toSet intersect b.columns.toSet
+    require(overlap.isEmpty,
+      s"a and b share columns ${overlap.mkString(", ")} — rename first " +
+      "(self-joins must alias both sides)")
+    // exact integral bucket (same IEEE-exactness argument as
+    // bandedRangeJoin.bucket); pmod keeps pre-epoch times correct
+    def bucket(t: Column): Column =
+      ((t - pmod(t, lit(bandWidth))) / bandWidth).cast("long")
+    val ap = a.withColumn(
+      "__graft_ob_a",
+      explode(sequence(bucket(startA), bucket(endA))))
+    val bp = b.withColumn(
+      "__graft_ob_b",
+      explode(sequence(bucket(startB), bucket(endB))))
+    ap.join(bp,
+        keyA === keyB && col("__graft_ob_a") === col("__graft_ob_b") &&
+        startA <= endB && startB <= endA &&
+        col("__graft_ob_a") === bucket(greatest(startA, startB)))
+      .drop("__graft_ob_a", "__graft_ob_b")
+  }
 }

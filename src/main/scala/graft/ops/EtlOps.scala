@@ -316,6 +316,94 @@ object EtlOps extends OpGroup {
         |  UNION ALL SELECT 'o_orderstatus', n, nn2, nd2, mn2, mx2 FROM s
         |  UNION ALL SELECT 'o_totalprice', n, nn3, nd3, mn3, mx3 FROM s
         |  UNION ALL SELECT 'o_orderdate', n, nn4, nd4, mn4, mx4 FROM s)
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin),
+
+    Q(
+      // snapshot diff (api.Etl.snapshotDiff): classify every key across
+      // two table versions as added/removed/changed/unchanged — the
+      // reconciliation every recorder backfill runs. Spark side is the
+      // union-tag + ONE hash-agg fingerprint shape (never a full-outer
+      // join); the ORACLE runs the textbook FULL OUTER JOIN with direct
+      // column comparison — the hash match proves the md5-fingerprint
+      // aggregate computes exactly the join's semantics. Snapshots are
+      // derived deterministically from orders: the "old" version lacks
+      // keys %11==0 (added since), carries a $1.00-stale price on
+      // %7==0 (changed), and the "new" version dropped %13==0
+      // (removed). Output: per-class count + key checksum.
+      "q_etl_snapshot_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"))
+        val oldSnap = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+          .withColumn("cents",
+            when(pmod(col("o_orderkey"), lit(7)) === 0,
+                 col("cents") - 100).otherwise(col("cents")))
+        val newSnap = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        graft.api.Etl.snapshotDiff(
+            oldSnap, newSnap,
+            keys = Seq("o_orderkey"),
+            payload = Seq("o_orderstatus", "cents"))
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("change"))
+      },
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |olds AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents - 100 ELSE cents END
+        |      AS cents
+        |  FROM o WHERE o_orderkey % 11 <> 0),
+        |news AS (SELECT * FROM o WHERE o_orderkey % 13 <> 0),
+        |diff AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.o_orderstatus <> b.o_orderstatus
+        |              OR a.cents <> b.cents THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM olds a FULL OUTER JOIN news b
+        |    ON a.o_orderkey = b.o_orderkey)
+        |SELECT change, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM diff GROUP BY change ORDER BY change""".stripMargin),
+
+    Q(
+      // incremental re-aggregation (the materialized-rollup pattern):
+      // the yearly report computed FROM per-month partials — sum of
+      // sums, sum of counts, avg re-derived from the merged pair, never
+      // from averaging averages. The oracle aggregates the fact table
+      // directly; the hash match proves partial-merge ≡ direct — the
+      // algebraic property that lets a 100 TB warehouse maintain small
+      // per-partition partials and answer coarser rollups without ever
+      // rescanning facts. Decimal partials keep the merge exact; the
+      // average goes through avgExact4's integral half-up division.
+      "q_etl_incremental_agg",
+      (s, d) => {
+        val partials = Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"),
+                   month(col("o_orderdate")).as("mo"))
+          .agg(sum(money("o_totalprice")).as("psum"),
+               count(lit(1)).as("pn"))
+        partials.groupBy(col("yr"))
+          .agg(asMoney(sum(col("psum"))).as("revenue"),
+               sum(col("pn")).as("n_orders"),
+               avgExact4(sum(col("psum")), sum(col("pn")))
+                 .as("avg_price"))
+          .orderBy(col("yr"))
+      },
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST((2*CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*10000
+        |          AS BIGINT) + COUNT(*))
+        |       // (2*COUNT(*)) AS DOUBLE) / 10000.0 AS avg_price
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
   )
 }

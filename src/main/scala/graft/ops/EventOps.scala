@@ -308,6 +308,113 @@ object EventOps extends OpGroup {
         |  COALESCE(v, MAX(v) OVER (PARTITION BY event_type, grp)) + 0
         |    AS v_filled,
         |  COALESCE(n_obs, 0) AS n_obs
-        |FROM f ORDER BY event_type, hr""".stripMargin)
+        |FROM f ORDER BY event_type, hr""".stripMargin),
+
+    Q(
+      // gaps-and-islands: each user's LONGEST run of consecutive active
+      // days (and when it started) — the classic streak query. The
+      // island key is day − row_number() over the user's distinct days
+      // (constant within a run, jumps at a gap). Three hash-reduces on
+      // user_id sharing ONE partitioning: distinct days → island sizes
+      // → per-user max; the only window runs over DISTINCT DAYS (≤
+      // days-in-range per user), never over raw events. Longest-with-
+      // ties-to-earliest is a lexicographic struct max (len, −start) —
+      // the q_ts_ohlc trick — not a second sort. Day id = epoch-µs div
+      // 86400000000 via integral `div`: exact, never a double.
+      "q_events_streaks",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+                  expr("ts_us div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val isl = days
+          .withColumn("grp", col("day") - row_number().over(w))
+        val runs = isl.groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        runs.groupBy(col("user_id"))
+          .agg(max(struct(col("len"), (-col("start_day")).as("ns")))
+                 .as("_b"),
+               count(lit(1)).as("n_streaks"))
+          .select(col("user_id"),
+                  col("_b.len").as("streak_days"),
+                  (-col("_b.ns")).as("start_day"),
+                  col("n_streaks"))
+          .orderBy(col("user_id"))
+      },
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM isl GROUP BY user_id, grp),
+        |best AS (
+        |  SELECT user_id,
+        |    MAX(struct_pack(l := len, ns := -start_day)) AS b,
+        |    COUNT(*) AS n_streaks
+        |  FROM runs GROUP BY user_id)
+        |SELECT user_id, CAST(b.l AS BIGINT) AS streak_days,
+        |  CAST(-b.ns AS BIGINT) AS start_day, n_streaks
+        |FROM best ORDER BY user_id""".stripMargin),
+
+    Q(
+      // robust outliers via MAD (median absolute deviation): |v − med|
+      // > 3·MAD per event type. The 2σ z-score of q_events_outliers is
+      // itself dragged by the outliers it hunts; the median/MAD pair is
+      // breakdown-resistant. Same broadcast-stats shape (5-row medians
+      // join back broadcast; percentile is Spark's exact interpolated
+      // sort-agg — the q_agg_percentile-proven cross-engine pair of
+      // DuckDB's quantile_cont). All arithmetic on exact integer CENTS:
+      // interpolated medians land on x.0/x.5 and deviations on x.0/x.5
+      // — exactly representable doubles, so both engines compare
+      // identical values, and dev·10 re-enters integers for output.
+      "q_events_mad",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val med = e.groupBy(col("event_type"))
+          .agg(percentile(col("vc"), lit(0.5)).as("med"))
+          .select(col("event_type").as("t1"), col("med"))
+        val dev = e.join(broadcast(med), col("event_type") === col("t1"))
+          .withColumn("dev", abs(col("vc") - col("med")))
+        val mad = dev.groupBy(col("event_type"), col("med"))
+          .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+          .select(col("event_type").as("t2"), col("med").as("med2"),
+                  col("mad"))
+        e.join(broadcast(mad), col("event_type") === col("t2"))
+          .filter(abs(col("vc") - col("med2")) > lit(3) * col("mad"))
+          .select(col("event_type"), col("event_id"),
+                  (col("vc").cast("double") / 100.0).as("v"),
+                  (abs(col("vc") - col("med2")) * 10).cast("long")
+                    .as("dev_tenths"),
+                  when(col("vc") > col("med2"), "hi").otherwise("lo")
+                    .as("side"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(vc, 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, med,
+        |    quantile_cont(abs(vc - med), 0.5) AS mad
+        |  FROM e JOIN med USING (event_type)
+        |  GROUP BY e.event_type, med)
+        |SELECT e.event_type, event_id,
+        |  CAST(vc AS DOUBLE) / 100.0 AS v,
+        |  CAST(abs(vc - med) * 10 AS BIGINT) AS dev_tenths,
+        |  CASE WHEN vc > med THEN 'hi' ELSE 'lo' END AS side
+        |FROM e JOIN mad USING (event_type)
+        |WHERE abs(vc - med) > 3 * mad
+        |ORDER BY event_type, event_id""".stripMargin)
   )
 }

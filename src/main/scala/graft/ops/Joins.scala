@@ -398,6 +398,52 @@ object Joins extends OpGroup {
         |  CASE WHEN prev_click_us IS NOT NULL
         |         AND ts_us - prev_click_us <= 3600000000
         |       THEN prev_click_us ELSE -1 END AS prev_click_us
-        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin)
+        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin),
+
+    Q(
+      // interval × interval overlap join (api.Events.intervalOverlapJoin):
+      // per-customer order "activity windows" [orderdate, orderdate +
+      // 5..24 days] — which pairs overlap? The naive form squares every
+      // heavy customer; the operator explodes each interval to its
+      // covered 16-day buckets and candidates meet through an EQUI join
+      // on (custkey, bucket), each surviving pair emitted exactly once
+      // (kept only in max(start)'s bucket — no distinct). The oracle
+      // runs the NAIVE self-join: the hash match proves banding is
+      // result-invisible. a_key < b_key halves the symmetric pairs.
+      "q_join_interval_overlap",
+      (s, d) => {
+        def iv(pfx: String) = Tables.orders(s, d)
+          .select(col("o_custkey").as(s"${pfx}_cust"),
+                  col("o_orderkey").as(s"${pfx}_key"),
+                  expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
+                    .as(s"${pfx}_s"))
+          .withColumn(s"${pfx}_e",
+            col(s"${pfx}_s") + lit(5) + pmod(col(s"${pfx}_key"), lit(20)))
+        graft.api.Events.intervalOverlapJoin(
+            iv("a"), iv("b"),
+            col("a_cust"), col("b_cust"),
+            col("a_s"), col("a_e"), col("b_s"), col("b_e"),
+            bandWidth = 16L)
+          .filter(col("a_key") < col("b_key"))
+          .select(col("a_cust").as("custkey"), col("a_key"), col("b_key"),
+                  (least(col("a_e"), col("b_e")) -
+                   greatest(col("a_s"), col("b_s")) + 1)
+                    .as("overlap_days"))
+          .orderBy(col("custkey"), col("a_key"), col("b_key"))
+      },
+      """WITH iv AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS k,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      + 5 + (o_orderkey % 20) AS e
+        |  FROM orders)
+        |SELECT a.cust AS custkey, a.k AS a_key, b.k AS b_key,
+        |  least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.cust = b.cust AND a.k < b.k
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY custkey, a_key, b_key""".stripMargin)
   )
 }

@@ -259,6 +259,197 @@ object MacroOps extends OpGroup {
         |        + CAST(ROUND(t, 2)*100 AS HUGEINT))
         |       // (2*CAST(ROUND(t, 2)*100 AS HUGEINT)) AS DOUBLE)
         |    / 10000.0 AS share
-        |FROM g ORDER BY yr""".stripMargin)
+        |FROM g ORDER BY yr""".stripMargin),
+
+    Q(
+      // Q7 shape — volume shipping: bilateral revenue between two
+      // nations per ship year, BOTH directions (supp NATION_1 → cust
+      // NATION_2 and vice versa). Both dimension chains broadcast
+      // (supplier+nation is tiny; customer+nation is a dim): the fact
+      // table shuffles ONCE, on l_orderkey into orders — the only
+      // non-broadcastable side. The n1<>n2 residual rides the join.
+      "q_macro_volume_shipping",
+      (s, d) => {
+        val nat2 = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nat2.select(col("n_nationkey"),
+                                      col("n_name").as("supp_nation"))),
+                col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(nat2.select(col("n_nationkey").as("nk2"),
+                                      col("n_name").as("cust_nation"))),
+                col("c_nationkey") === col("nk2"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+                  year(col("l_shipdate")).as("yr"),
+                  (money("l_extendedprice") *
+                   (lit(1).cast(Money) - money("l_discount"))).as("rev"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+          .agg(asMoney(sum(col("rev"))).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      },
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem, orders, customer, supplier,
+        |     nation sn, nation cn
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = sn.n_nationkey
+        |  AND c_nationkey = cn.n_nationkey
+        |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin),
+
+    Q(
+      // Q14 shape — promo revenue share per ship month: what fraction
+      // of each month's revenue came from PROMO-type parts. The
+      // part⋈lineitem join broadcasts the dim; total and promo compute
+      // in ONE conditional hash-agg (the Q8 trick), and the share goes
+      // through intRatio4Wide — the same cent-exact integral division
+      // that survives any per-month revenue magnitude.
+      "q_macro_promo_share",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("promo"))
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+                  date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+                  (money("l_extendedprice") *
+                   (lit(1).cast(Money) - money("l_discount"))).as("rev"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("mon"))
+          .agg(sum(col("rev")).as("_t"),
+               sum(when(col("promo"), col("rev"))
+                 .otherwise(lit(0).cast(Money))).as("_m"))
+          .select(col("mon"),
+                  asMoney(col("_m")).as("promo_revenue"),
+                  asMoney(col("_t")).as("revenue"),
+                  graft.Determinism.intRatio4Wide(
+                    (round(col("_m"), 2) * 1000000)
+                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+                    (round(col("_t"), 2) * 100)
+                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+                    .as("promo_share"))
+          .orderBy(col("mon"))
+      },
+      """WITH g AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS t,
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS m
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |  GROUP BY mon)
+        |SELECT mon,
+        |  CAST(ROUND(m, 2) AS DOUBLE) AS promo_revenue,
+        |  CAST(ROUND(t, 2) AS DOUBLE) AS revenue,
+        |  CAST((2*CAST(ROUND(m, 2)*1000000 AS HUGEINT)
+        |        + CAST(ROUND(t, 2)*100 AS HUGEINT))
+        |       // (2*CAST(ROUND(t, 2)*100 AS HUGEINT)) AS DOUBLE)
+        |    / 10000.0 AS promo_share
+        |FROM g ORDER BY mon""".stripMargin),
+
+    Q(
+      // Q18 shape — large-volume orders: orders whose total quantity
+      // exceeds a threshold, decorated with their customer. AGG-THEN-
+      // JOIN: lineitem reduces to (orderkey, qty) and the HAVING
+      // filter drops ~95% of groups BEFORE any join — the surviving
+      // trickle joins orders, then broadcast customer. Joining first
+      // would shuffle the full fact table twice for rows destined to
+      // be discarded.
+      "q_macro_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(money("l_quantity")).as("_q"))
+          .filter(col("_q") > 150)
+        big.join(Tables.orders(s, d),
+                 col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+                  .select(col("c_custkey"), col("c_name"))),
+                col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+                  date_format(col("o_orderdate"), "yyyy-MM-dd")
+                    .as("orderdate"),
+                  moneyOut("o_totalprice").as("totalprice"),
+                  asMoney(col("_q")).as("qty"))
+          .orderBy(col("qty").desc, col("o_orderkey").asc)
+          .limit(50)
+      },
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        |    AS totalprice,
+        |  CAST(ROUND(q, 2) AS DOUBLE) AS qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY qty DESC, o_orderkey ASC
+        |LIMIT 50""".stripMargin),
+
+    Q(
+      // Q2 shape — minimum-cost supplier per part (no partsupp table in
+      // the fixture schema, so "cost" = the cheapest observed
+      // l_extendedprice for the part): for each size-10 part, WHICH
+      // supplier sold it cheapest. The per-part argmin is ONE hash-agg
+      // of min(struct(cents, suppkey)) — the correlated-min subquery
+      // TPC-H writes (and the oracle twin runs) without a second fact
+      // scan or a join back; ties break to the smaller suppkey inside
+      // the same struct comparison. part and supplier broadcast.
+      "q_macro_min_cost_supplier",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_size") === 10)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        val win = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+                  (money("l_extendedprice") * 100).cast("long").as("cents"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
+          .agg(min(struct(col("cents"), col("l_suppkey"))).as("_w"))
+        win.join(broadcast(Tables.supplier(s, d)
+                   .select(col("s_suppkey"), col("s_name"))),
+                 col("_w.l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+                  (col("_w.cents").cast("double") / 100.0).as("min_price"),
+                  col("s_suppkey"), col("s_name"))
+          .orderBy(col("p_partkey"))
+      },
+      """WITH w AS (
+        |  SELECT p_partkey, p_name, p_brand,
+        |    MIN(struct_pack(c := CAST(CAST(l_extendedprice
+        |          AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |        s := l_suppkey)) AS mw
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_size = 10
+        |  GROUP BY p_partkey, p_name, p_brand)
+        |SELECT p_partkey, p_name, p_brand,
+        |  CAST(mw.c AS DOUBLE) / 100.0 AS min_price,
+        |  mw.s AS s_suppkey, s_name
+        |FROM w, supplier
+        |WHERE mw.s = s_suppkey
+        |ORDER BY p_partkey""".stripMargin)
   )
 }

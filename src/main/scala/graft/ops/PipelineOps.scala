@@ -376,6 +376,42 @@ object PipelineOps extends OpGroup {
         |SELECT doc_id, n_chunks, chunk_id,
         |  len(string_split(chunk, ' ')) AS chunk_toks,
         |  md5(chunk) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    Q(
+      // deterministic k-per-group sample through the native HEAP
+      // aggregate: 3 docs per lang, chosen by content-hash order (the
+      // same no-rand() contract as sampleStratified — replayable on
+      // any cluster). The folk idiom is the row_number window, which
+      // SORTS every group; topk_by_long (functions.TopKByLong, the
+      // TypedImperativeAggregate) keeps a k-capped heap per partition
+      // and shuffles ≤ k·partitions pairs per lang. The ORACLE runs
+      // the window idiom — the hash match proves heap ≡ sort,
+      // including the hash16-collision tiebreak (ord ties keep the
+      // SMALLER doc_id on both paths).
+      "q_sample_pergroup",
+      (s, d) => {
+        graft.functions.TopKByLong.register(s)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+                  // DESCENDING heap order == ascending hash16 order via
+                  // negation: topk_by_long keeps LARGEST ord first
+                  (-graft.api.Pipeline.hash16(col("doc_id")).cast("long"))
+                    .as("nh"))
+          .groupBy(col("lang"))
+          .agg(expr("topk_by_long(doc_id, nh, 3)").as("_picks"))
+          .select(col("lang"), explode(col("_picks")).as("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      s"""WITH h AS (
+        |  SELECT lang, doc_id, ${u16Sql("doc_id")} AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY u ASC, doc_id ASC) AS rn
+        |  FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 3
+        |ORDER BY lang, doc_id""".stripMargin)
   )
 }
