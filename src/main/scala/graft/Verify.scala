@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Builder-side fast path: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
+    // The driver sets no such env var and always gets the full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      keep => SparkEntry.queries.filter(kv => keep(kv._1)))
+    selected.foreach { case (name, fn) =>
       // delete any previous run's output FIRST: if this query now fails,
       // stale parquet from an earlier round must not survive for the
       // comparator to silently PASS against

@@ -1,0 +1,499 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Determinism._
+import graft.io.Tables
+
+/** The rest of the TPC-H macro suite (MacroOps has Q2/Q3/Q5/Q7/Q8/Q10/
+  * Q14/Q18 shapes; q_agg_group is the Q1 shape). The fixture schema is a
+  * reduced TPC-H — no partsupp / l_shipmode / l_commitdate / l_receiptdate
+  * / c_phone — so each query keeps the SHAPE that makes the original
+  * interesting (the join topology, the subquery class, the agg trick) and
+  * adapts the predicate to columns that exist, exactly as
+  * q_macro_min_cost_supplier did for Q2.
+  *
+  * Scale notes (100 TB), per shape:
+  *  - EXISTS/NOT-EXISTS become LEFT SEMI / LEFT ANTI joins (never a
+  *    count-subquery): semi/anti carry no payload columns through the
+  *    shuffle and short-circuit on the first match.
+  *  - Correlated scalar aggregates (Q17's per-part avg) become one
+  *    hash-agg on the semi-reduced fact subset + a broadcast join back —
+  *    the fact table is scanned once for the stats and once for the
+  *    probe, both times pre-filtered by the broadcast part list.
+  *  - Global scalar aggregates (Q11's total, Q15's max, Q22's avg) are
+  *    one-row frames cross-joined as broadcasts: no second shuffle of the
+  *    grouped data, no window-over-everything.
+  *  - Ratio/threshold comparisons stay in exact integer/decimal
+  *    cross-multiplied form (qty·2·cnt < sum, val·1000 > total,
+  *    bal·cnt > sum) — no double division whose rounding could differ
+  *    between engines or between partition orders.
+  */
+object MacroOps2 extends OpGroup {
+
+  private val D38 = DecimalType(38, 0)
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // Q4 shape — order priority checking: orders in a half-year window
+      // with at least one badly late lineitem (shipped >60 days after
+      // the order date; the fixture has no commit/receipt dates). The
+      // EXISTS is a LEFT SEMI hash join on l_orderkey with the lateness
+      // residual evaluated IN the join — lineitem contributes no columns
+      // and each order passes on the first late match.
+      "q_macro_order_priority",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                  col("o_orderdate") < lit("1997-07-01"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+                  col("o_orderpriority"))
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+                  col("l_shipdate") >
+                    col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+               "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    Q(
+      // Q6 shape — revenue-change forecast: one tight scan-filter-agg,
+      // every predicate sitting directly on scan columns (PushedFilters
+      // + row-group pruning carry the whole query at 100 TB; no join at
+      // all). Revenue here is price×discount — what would be given up
+      // if the discount were dropped.
+      "q_macro_rev_forecast",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1998-01-01") &&
+                col("l_discount").between(0.04, 0.06) &&
+                col("l_quantity") < 24)
+        .agg(asMoney(sum(money("l_extendedprice") * money("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue")),
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin),
+
+    Q(
+      // Q9 shape — product-type profit by nation and year, for parts
+      // whose name matches a pattern. No partsupp ⇒ unit cost is the
+      // part's retail price (profit = discounted revenue − qty·retail,
+      // exact decimal end-to-end, no division). The name-filtered part
+      // list and supplier⋈nation both broadcast; the fact table shuffles
+      // exactly once, into the (nation, year) hash-agg.
+      "q_macro_product_profit",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val supN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+                col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+                  year(col("l_shipdate")).as("yr"),
+                  col("l_extendedprice"), col("l_discount"),
+                  col("l_quantity"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"), col("yr"))
+          .agg(asMoney(sum(
+            money("l_extendedprice") *
+              (lit(1).cast(Money) - money("l_discount")) -
+            money("l_quantity") * money("p_retailprice"))).as("profit"))
+          .orderBy(col("n_name"), col("yr").desc)
+      },
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS profit
+        |FROM lineitem, part, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+        |GROUP BY n_name, yr
+        |ORDER BY n_name, yr DESC""".stripMargin),
+
+    Q(
+      // Q11 shape — important stock: parts whose value (from one
+      // nation's suppliers) exceeds a fraction of the total. The
+      // correlated HAVING > (SELECT sum…) is a one-row broadcast
+      // cross-join; the threshold compares val·1000 > total in EXACT
+      // decimals — scale-invariant, no double epsilon.
+      "q_macro_important_stock",
+      (s, d) => {
+        val natSup = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+                  .filter(col("n_name") === "NATION_3")
+                  .select(col("n_nationkey"))),
+                col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("s_suppkey"))
+        val v = Tables.lineitem(s, d)
+          .join(broadcast(natSup),
+                col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(money("l_extendedprice") *
+            (lit(1).cast(Money) - money("l_discount"))).as("_v"))
+        val tot = v.agg(sum(col("_v")).as("_tot"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("_v") * 1000 > col("_tot"))
+          .select(col("l_partkey").as("partkey"),
+                  asMoney(col("_v")).as("part_value"))
+          .orderBy(col("part_value").desc, col("partkey"))
+      },
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier, nation
+        |    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS partkey,
+        |  CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+        |FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)
+        |ORDER BY part_value DESC, partkey""".stripMargin),
+
+    Q(
+      // Q12 shape — shipping-mode priority split. No l_shipmode ⇒ the
+      // "mode" is l_linestatus, and "late" is shipped >90 days after the
+      // order date. The priority split is ONE conditional hash-agg
+      // (count(CASE…)) after a single equi-join — the Q8/Q14 trick again,
+      // so high and low counts ride the same shuffle.
+      "q_macro_late_modes",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"),
+                  col("o_orderpriority"))
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                  col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+          .join(o, col("l_orderkey") === col("o_orderkey") &&
+                   col("l_shipdate") >
+                     col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy(col("l_linestatus"))
+          .agg(count(when(hi, 1)).as("high_count"),
+               count(when(!hi, 1)).as("low_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin),
+
+    Q(
+      // Q13 shape — customer order-count distribution: LEFT OUTER join
+      // so zero-order customers keep c_count = 0 (count(col) skips the
+      // join's NULLs), then a second hash-agg folds customers into a
+      // distribution. Two shuffles total, both on shrinking data.
+      "q_macro_cust_distribution",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        Tables.customer(s, d).select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    Q(
+      // Q15 shape — top supplier(s): quarterly revenue per supplier,
+      // keep the max. The scalar-max subquery is a one-row broadcast
+      // joined back on EXACT decimal equality (both engines sum the
+      // same cents exactly, so rev = max(rev) is well-defined — the
+      // double form of this query would be flaky in both).
+      "q_macro_top_supplier",
+      (s, d) => {
+        val r = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                  col("l_shipdate") < lit("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(money("l_extendedprice") *
+            (lit(1).cast(Money) - money("l_discount"))).as("_rev"))
+        val m = r.agg(max(col("_rev")).as("_mx"))
+        r.join(broadcast(m), col("_rev") === col("_mx"))
+          .join(broadcast(Tables.supplier(s, d)
+                  .select(col("s_suppkey"), col("s_name"))),
+                col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+                  asMoney(col("_rev")).as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue
+        |FROM r, supplier
+        |WHERE l_suppkey = s_suppkey AND rev = (SELECT max(rev) FROM r)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    Q(
+      // Q16 shape — supplier count per part attribute group. lineitem's
+      // (partkey, suppkey) pairs stand in for partsupp; the complaint
+      // NOT IN becomes a LEFT ANTI against the (tiny, broadcast)
+      // negative-balance supplier list BEFORE the part join, so excluded
+      // rows never reach the wider join or the distinct agg.
+      "q_macro_parts_supplier_cnt",
+      (s, d) => {
+        val badSup = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val p = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#5" &&
+                  col("p_type") =!= "PROMO" &&
+                  col("p_size").isin(1, 5, 10, 15, 20, 25))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+                  col("p_size"))
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(badSup),
+                col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+                   col("p_type"), col("p_size"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    Q(
+      // Q17 shape — small-quantity-order revenue: lineitems of one
+      // brand's parts whose quantity is under half that part's average.
+      // The correlated avg subquery: semi-reduce lineitem to the
+      // brand's parts FIRST (broadcast), compute per-part stats on that
+      // subset in one hash-agg, broadcast them back. The threshold is
+      // cross-multiplied (qty·2·cnt < Σqty) — exact integers/decimals,
+      // no avg division at all. avg_yearly derives from the exact cent
+      // sum via integral division (fixture spans 7 ship years).
+      "q_macro_small_qty_revenue",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+        val li3 = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"),
+                  col("l_extendedprice"))
+          .join(broadcast(p),
+                col("l_partkey") === col("p_partkey"), "left_semi")
+        val pa = li3.groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("cnt"), sum(money("l_quantity")).as("sq"))
+        li3.join(broadcast(pa), col("l_partkey") === col("pk"))
+          .filter(money("l_quantity") * 2 * col("cnt") < col("sq"))
+          .agg(sum(money("l_extendedprice")).as("_s"))
+          .select(asMoney(col("_s")).as("revenue"),
+                  intRatio4Wide((round(col("_s"), 2) * 10000).cast(D38),
+                                lit(7)).as("avg_yearly"))
+          .orderBy(col("revenue"))
+      },
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, count(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_partkey),
+        |s AS (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+        |  FROM lineitem, part, pa
+        |  WHERE l_partkey = p_partkey AND l_partkey = pk
+        |    AND p_brand = 'Brand#3'
+        |    AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sq)
+        |SELECT CAST(ROUND(s, 2) AS DOUBLE) AS revenue,
+        |  CAST((2*CAST(ROUND(s, 2)*10000 AS HUGEINT) + 7) // 14
+        |       AS DOUBLE) / 10000.0 AS avg_yearly
+        |FROM s""".stripMargin),
+
+    Q(
+      // Q19 shape — discounted revenue under a three-way disjunction of
+      // (brand, quantity-band, size-band) predicates. The equi-join on
+      // partkey broadcasts; the OR-of-ANDs stays a RESIDUAL on that one
+      // join (Catalyst cannot split it, but it also never becomes a
+      // nested loop) — the shape that proves disjunctions don't break
+      // the join planning.
+      "q_macro_disjunctive_rev",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"),
+                  col("l_extendedprice"), col("l_discount"))
+        val cond =
+          (col("p_brand") === "Brand#1" &&
+            col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(asMoney(sum(money("l_extendedprice") *
+            (lit(1).cast(Money) - money("l_discount")))).as("revenue"))
+          .orderBy(col("revenue"))
+      },
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+        |      AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+        |      AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+        |      AND p_size BETWEEN 1 AND 15))""".stripMargin),
+
+    Q(
+      // Q21 shape — suppliers who kept orders waiting: in 'F' orders
+      // with >1 distinct supplier, exactly one of which shipped late,
+      // count the orders each such supplier solely delayed. The
+      // original's EXISTS + NOT-EXISTS double self-join of lineitem
+      // collapses into ONE per-order hash-agg (distinct suppliers,
+      // distinct late suppliers, the lone late suppkey via max) — the
+      // fact table is scanned and shuffled once instead of three times,
+      // which is the difference between feasible and not at 100 TB.
+      "q_macro_waiting_suppliers",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")
+        val po = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"),
+               countDistinct(when(late, col("l_suppkey"))).as("nl"),
+               max(when(late, col("l_suppkey"))).as("lone"))
+        val natSup = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+                  .filter(col("n_name") === "NATION_1")
+                  .select(col("n_nationkey"))),
+                col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+        po.filter(col("ns") > 1 && col("nl") === 1)
+          .groupBy(col("lone"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(natSup), col("lone") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS ns,
+        |    count(DISTINCT CASE WHEN l_shipdate >
+        |        o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS nl,
+        |    max(CASE WHEN l_shipdate >
+        |        o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS lone
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po, supplier, nation
+        |WHERE ns > 1 AND nl = 1 AND lone = s_suppkey
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin),
+
+    Q(
+      // Q22 shape — sales opportunity: well-funded customers of three
+      // nations with no recent orders. The avg-balance scalar subquery
+      // is a one-row broadcast compared by cross-multiplication
+      // (bal·cnt > Σbal, exact decimals); the NOT EXISTS is a LEFT ANTI
+      // against the date-filtered orders projection (o_custkey only —
+      // nothing else crosses the shuffle).
+      "q_macro_sales_opportunity",
+      (s, d) => {
+        val pool = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)
+                  .filter(col("n_name")
+                    .isin("NATION_1", "NATION_4", "NATION_7"))
+                  .select(col("n_nationkey"), col("n_name"))),
+                col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_acctbal"), col("n_name"))
+        val stats = pool.filter(col("c_acctbal") > 0)
+          .agg(count(lit(1)).as("cnt"), sum(money("c_acctbal")).as("s"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-06-01"))
+          .select(col("o_custkey"))
+        pool.crossJoin(broadcast(stats))
+          .filter(money("c_acctbal") * col("cnt") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+               asMoney(sum(money("c_acctbal"))).as("totacctbal"))
+          .orderBy(col("n_name"))
+      },
+      """WITH pool AS (
+        |  SELECT c_custkey, c_acctbal, n_name
+        |  FROM customer, nation
+        |  WHERE c_nationkey = n_nationkey
+        |    AND n_name IN ('NATION_1', 'NATION_4', 'NATION_7')),
+        |avgbal AS (
+        |  SELECT count(*) AS cnt,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+        |  FROM pool WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM pool, avgbal
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  )
+}

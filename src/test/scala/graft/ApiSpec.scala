@@ -736,4 +736,22 @@ class ApiSpec extends SparkSpec {
     assert(batch == stream)
     q.stop()
   }
+
+  test("Graph.shortestHops: BFS distances, directedness, hop bound") {
+    // 1→2→3→4→5 chain plus a shortcut 1→4 and an unreachable island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+                    (9L, 10L)).toDF("src", "dst")
+    val got = graft.api.Graph.shortestHops(spark, edges, 1L, maxHops = 9)
+      .as[(Long, Int)].collect().toMap
+    // the shortcut wins: dist(4) = 1, dist(5) = 2; the island is absent
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), s"$got")
+    // hop bound truncates (and nothing beyond it leaks in)
+    val capped = graft.api.Graph.shortestHops(spark, edges, 1L, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 4L -> 1), s"$capped")
+    // directed: from 5 nothing is reachable
+    val sink = graft.api.Graph.shortestHops(spark, edges, 5L, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(sink == Map(5L -> 0), s"$sink")
+  }
 }

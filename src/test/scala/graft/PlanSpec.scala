@@ -347,4 +347,51 @@ class PlanSpec extends SparkSpec {
            plan.contains("SortAggregate"),
       s"typed-imperative heap agg expected:\n$plan")
   }
+
+  test("order-priority EXISTS is a LEFT SEMI (no payload, no count subq)") {
+    val df = SparkEntry.queries("q_macro_order_priority")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan semi:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("LeftOuter"),
+      s"no outer/window emulation expected:\n$plan")
+  }
+
+  test("rev-forecast pushes every predicate into the parquet reader") {
+    val df = SparkEntry.queries("q_macro_rev_forecast")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator
+      .find(_.trim.startsWith("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity") &&
+           pushed.contains("l_discount"),
+      s"filters not all pushed: $pushed")
+  }
+
+  test("waiting-suppliers scans+shuffles the fact ONCE (no triple EXISTS)") {
+    val df = SparkEntry.queries("q_macro_waiting_suppliers")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the classic Q21 needs lineitem × lineitem × lineitem; the
+    // aggregate formulation reads it exactly once
+    val scans = plan.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
+  test("important-stock total is a one-row broadcast (no window, no rescan)") {
+    val df = SparkEntry.queries("q_macro_important_stock")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"),
+      s"scalar total must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"threshold must not window:\n$plan")
+  }
+
+  test("small-qty-revenue broadcasts the per-part stats back (no window)") {
+    val df = SparkEntry.queries("q_macro_small_qty_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"correlated avg must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-part stats must broadcast:\n$plan")
+  }
 }
