@@ -37,7 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("topk_by_long"),
       new ExpressionInfo(classOf[TopKByLong].getName, "topk_by_long"),
-      (exprs: Seq[Expression]) => TopKByLong.builder(exprs)))
+      (exprs: Seq[Expression]) => TopKByLong.builder(pairs = false)(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs_by_long"),
+      new ExpressionInfo(classOf[TopKByLong].getName, "topk_pairs_by_long"),
+      (exprs: Seq[Expression]) => TopKByLong.builder(pairs = true)(exprs)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
   }

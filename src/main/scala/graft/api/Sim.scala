@@ -29,6 +29,40 @@ object Sim {
 
   private def dot(a: String, b: String) = expr(s"dot_f32($a, $b)")
 
+  /** Top-k per query WITHOUT the window idiom. `row_number() OVER
+    * (PARTITION BY q_id ORDER BY score)` shuffles EVERY scored pair
+    * into one partition per query and sorts it — at 100 TB that is
+    * |Q|·n rows through the exchange with guaranteed per-query skew.
+    * The bounded-heap aggregate (functions.TopKByLong, pairs form)
+    * keeps k candidates per (query × partition) MAP-SIDE, so at most
+    * |Q|·k·partitions pairs cross the wire and nothing is ever sorted
+    * but the final k.
+    *
+    * `ord` must be an exact-integer ranking encoding, higher = better
+    * (ties break to the smaller cand_id inside the aggregate — the
+    * same (score DESC, cand_id ASC) order the window form used).
+    * Cosine callers pass round(cos·10⁴) — the round-4 grid is already
+    * integral at scale 4, so the encoding is lossless and
+    * `_ord / 10000.0` reproduces the round(…,4) double bit-for-bit.
+    * Null ords (null embeddings) never enter the heap.
+    * Returns (q_id, cand_id, _ord, rn). */
+  private def heapRank(scored: DataFrame, ord: Column, k: Int): DataFrame = {
+    graft.functions.TopKByLong.register(scored.sparkSession)
+    scored.withColumn("_ord", ord)
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_pairs_by_long(cand_id, _ord, $k)").as("_t"))
+      .select(col("q_id"), posexplode(col("_t")).as(Seq("_p", "_pair")))
+      .select(col("q_id"), col("_pair.value").as("cand_id"),
+              col("_pair.ord").as("_ord"),
+              (col("_p") + 1).cast("int").as("rn"))
+  }
+
+  /** heapRank for round-4 cosine scores: encode → rank → decode. */
+  private def heapRankCos(scored: DataFrame, k: Int): DataFrame =
+    heapRank(scored, round(col("cos") * 10000).cast("long"), k)
+      .select(col("q_id"), col("cand_id"),
+              (col("_ord") / 10000.0).as("cos"), col("rn"))
+
   /** Canonical projection: (vec_id, embedding, nrm) plus the caller's
     * predicates evaluated BEFORE the rename as `_isq`/`_isc` flag
     * columns — so isQuery/isCentroid may reference any column of the
@@ -59,9 +93,7 @@ object Sim {
       .select(col("q_id"), col("cand_id"),
               round(dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")), 4)
                 .as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    heapRankCos(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: queries only scan their own
@@ -113,16 +145,12 @@ object Sim {
       }
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
                      col("bucket").as("bucket2"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    broadcast(q)
+    val scored = broadcast(q)
       .join(c, col("bucket") === col("bucket2") &&
                col("q_id") =!= col("cand_id"))
       .withColumn("cos",
         round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+    heapRankCos(scored, k)
   }
 
   /** IVF-style approximate top-k: every vector is assigned to its
@@ -177,15 +205,11 @@ object Sim {
     val c = assign.select(col("vec_id").as("cand_id"),
                           col("embedding").as("ce"),
                           col("nrm").as("cn"), col("cell").as("cell2"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    broadcast(q)
+    val scored = broadcast(q)
       .join(c, col("cell") === col("cell2") &&
                col("q_id") =!= col("cand_id"))
       .withColumn("cos", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+    heapRankCos(scored, k)
   }
 
   /** Symmetric int8 quantization with per-vector max-abs calibration:
@@ -198,17 +222,45 @@ object Sim {
     * divide, round-half-away-from-zero) is bit-reproducible across
     * engines, so quantized checksums are oracle-checkable.
     * Returns (vec_id, qvec array<int>, scale). */
-  def quantizeInt8(df: DataFrame, id: Column, emb: Column): DataFrame =
-    df.select(id.as("vec_id"), emb.as("embedding"))
+  def quantizeInt8(df: DataFrame, id: Column, emb: Column,
+      extra: Seq[(String, Column)] = Nil): DataFrame =
+    df.select(id.as("vec_id") +: emb.as("embedding") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .filter(col("embedding").isNotNull)
       .withColumn("_amax",
         array_max(transform(col("embedding"), x => abs(x))))
       .filter(col("_amax") > 0)
       .withColumn("scale", lit(127.0) / col("_amax"))
-      .select(col("vec_id"),
+      .select(col("vec_id") +:
               transform(col("embedding"),
-                x => round(x * col("scale")).cast("int")).as("qvec"),
-              col("scale"))
+                x => round(x * col("scale")).cast("int")).as("qvec") +:
+              col("scale") +: extra.map(e => col(e._1)): _*)
+
+  /** Exact top-k over [[quantizeInt8]]-compressed vectors: the serving
+    * path of a quantized ANN tier — queries and collection both live as
+    * int8 arrays, the score is the RAW INTEGER dot product (exact int64
+    * math, no floats anywhere in scoring), and the per-vector scales
+    * ride along for callers that want to dequantize afterwards. Same
+    * broadcast-query × one-collection-scan shape as [[cosineTopK]];
+    * the ranking is bit-deterministic by construction (ties break on
+    * cand_id), which float cosine can never fully promise.
+    * Returns (q_id, cand_id, qdot, rn). */
+  def quantizedTopK(
+      df: DataFrame, id: Column, emb: Column, isQuery: Column,
+      k: Int): DataFrame = {
+    val qz = quantizeInt8(df, id, emb, Seq("_isq" -> isQuery))
+    val q = qz.filter(col("_isq"))
+      .select(col("vec_id").as("q_id"), col("qvec").as("q_q"))
+    val c = qz.select(col("vec_id").as("cand_id"), col("qvec").as("c_q"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+              expr("""aggregate(
+                        zip_with(q_q, c_q, (a, b) -> CAST(a AS BIGINT) * b),
+                        0L, (acc, x) -> acc + x)""").as("qdot"))
+    heapRank(scored, col("qdot"), k)
+      .select(col("q_id"), col("cand_id"), col("_ord").as("qdot"),
+              col("rn"))
+  }
 
   /** Spherical k-means (Lloyd's) over an `array<float>` embedding
     * column — the trainer that turns `ivfTopK`'s "rows matching

@@ -190,6 +190,46 @@ object Text {
               (log(col("n_tokens").cast("double")) -
                col("_nlogn") / col("n_tokens")).as("entropy"))
 
+  /** Per-document fluency under a corpus-trained bigram language model
+    * with add-one smoothing — the cheap stand-in for the KenLM
+    * perplexity filter every corpus scrub runs (CCNet/Gopher lineage):
+    * nll = (1/n)·Σ [ln(C(w1)+V) − ln(C(w1,w2)+1)] over the doc's
+    * bigrams, where C() are corpus counts and V the corpus vocabulary.
+    * High nll = improbable word sequences (MT garbage, OCR noise,
+    * keyword stuffing); low = fluent or boilerplate-common text.
+    *
+    * Scale shape: the bigram explode happens ONCE; both count
+    * attachments are window counts over that same pass (the
+    * [[dupNgramStats]] trick — partition-by (w1,w2) then by w1), so the
+    * corpus shuffles twice on n-gram keys and once on doc_id, with no
+    * second scan and no count-table joins. V is a one-row broadcast.
+    * Integer counts everywhere; the ln/divide reduction happens once
+    * per doc (callers round corpus-level aggregates, R3).
+    * Returns (doc_id, n_bigrams, nll). */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), Dedup.tokens(text).as("w"))
+    val v = tok.select(explode_outer(col("w")).as("t"))
+      .filter(col("t").isNotNull)
+      .agg(countDistinct(col("t")).as("_v"))
+    tok.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+           i -> struct(element_at(w, i) AS w1,
+                       element_at(w, i + 1) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .withColumn("_c2",
+        count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("_c1",
+        count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(log(col("_c1").cast("double") + col("_v")) -
+               log(col("_c2").cast("double") + 1)).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+              (col("_s") / col("n_bigrams")).as("nll"))
+  }
+
   /** Cross-document duplicated-n-gram measurement (the RefinedWeb
     * "fraction of a document made of corpus-repeated n-grams" filter —
     * distinct from within-doc repetition, which [[qualityGate]]'s dup2

@@ -26,14 +26,18 @@ import org.apache.spark.sql.types._
   *
   * Long-typed value/ord keep the state fixed-width (16 bytes/pair);
   * callers compose richer orderings into one long (cents, epoch-µs)
-  * exactly as the declared query does. k ≤ 4096 bounds heap memory.
+  * exactly as the declared query does. k ≤ 65536 bounds heap memory.
   */
 case class TopKByLong(
     valueExpr: Expression, ordExpr: Expression, k: Int,
+    pairs: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PriorityQueue[Array[Long]]] {
 
-  require(k >= 1 && k <= 4096, s"topk_by_long: k=$k out of (0, 4096]")
+  // 16 B/pair ⇒ ≤ 1 MiB of heap state per group buffer at the cap —
+  // raised from 4096 when the ANN top-k paths (whose recall tests ask
+  // for k ≈ collection size) moved onto this aggregate
+  require(k >= 1 && k <= 65536, s"topk_by_long: k=$k out of (0, 65536]")
 
   import TopKByLong.cmp
 
@@ -96,7 +100,9 @@ case class TopKByLong(
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     // best first: ord DESC, value ASC
     java.util.Arrays.sort(arr, cmp.reversed())
-    new GenericArrayData(arr.map(_(1)))
+    if (!pairs) new GenericArrayData(arr.map(_(1)))
+    else new GenericArrayData(arr.map(p =>
+      InternalRow(p(1), p(0)): Any))
   }
 
   override def serialize(buf: PriorityQueue[Array[Long]]): Array[Byte] = {
@@ -116,10 +122,16 @@ case class TopKByLong(
     buf
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (!pairs) ArrayType(LongType, containsNull = false)
+    else ArrayType(StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("ord", LongType, nullable = false))),
+      containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(valueExpr, ordExpr)
-  override def prettyName: String = "topk_by_long"
+  override def prettyName: String =
+    if (pairs) "topk_pairs_by_long" else "topk_by_long"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByLong =
     copy(mutableAggBufferOffset = newOffset)
@@ -146,7 +158,7 @@ object TopKByLong {
   /** THE builder (same discipline as WordNgrams.builder): k must be a
     * foldable integral; the analyzer wraps the returned
     * AggregateFunction in an AggregateExpression itself. */
-  def builder(exprs: Seq[Expression]): Expression = {
+  def builder(pairs: Boolean)(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       "topk_by_long(value, ord, k) takes three arguments")
     val k = exprs(2) match {
@@ -159,10 +171,15 @@ object TopKByLong {
       case other => throw new IllegalArgumentException(
         s"topk_by_long: k must be a constant integer, got $other")
     }
-    TopKByLong(exprs.head, exprs(1), k)
+    TopKByLong(exprs.head, exprs(1), k, pairs)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_by_long", builder, "scala_udf")
+      "topk_by_long", builder(pairs = false), "scala_udf")
+    // the (value, ord) struct form, for top-k paths that must also
+    // OUTPUT the ordering score (ANN serving: cand_id + cosine)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs_by_long", builder(pairs = true), "scala_udf")
+  }
 }

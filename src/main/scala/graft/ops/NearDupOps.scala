@@ -373,6 +373,41 @@ object NearDupOps extends OpGroup {
         |    AS qmass,
         |  CAST(list_max(list_transform(qvec, x -> abs(x))) AS INT) AS qmax,
         |  round(scale, 4) + 0 AS scale4
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin),
+
+    Q(
+      // quantized serving path (api.Sim.quantizedTopK): top-3 neighbours
+      // by RAW int8×int8 integer dot product — the ranking a quantized
+      // ANN tier actually serves. Exact int64 math end-to-end, so the
+      // scores (not just the ranking) hash-match the oracle with no
+      // rounding step at all.
+      "q_sim_quantized_topk",
+      (s, d) => graft.api.Sim.quantizedTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, k = 3)
+        .orderBy(col("q_id"), col("rn")),
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * (127.0 / CAST(amax AS DOUBLE)))
+        |           AS INT)) AS qvec
+        |  FROM e WHERE amax > 0),
+        |scored AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> CAST(a.qvec[i] AS BIGINT) * b.qvec[i])) AS BIGINT)
+        |      AS qdot
+        |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, qdot,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY qdot DESC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, qdot, rn FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin)
   )
 }

@@ -239,6 +239,57 @@ object ScrubOps extends OpGroup {
         |  length(COALESCE(r.clean, '')) AS clean_len,
         |  md5(COALESCE(r.clean, '')) AS clean_md5
         |FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
-        |ORDER BY b.doc_id""".stripMargin)
+        |ORDER BY b.doc_id""".stripMargin),
+
+    Q(
+      // bigram-LM fluency (api.Text.bigramLmScore): per-doc avg
+      // negative log-likelihood under the corpus's own add-one-smoothed
+      // bigram model — the cheap perplexity filter. Aggregated per
+      // lang×source so the oracle row count stays small while every
+      // doc's score still feeds the hash.
+      "q_text_bigram_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sc = graft.api.Text.bigramLmScore(
+          docs, col("doc_id"), col("text"))
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(sc, "doc_id")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_bigrams")).as("n_bigrams"),
+               r4(avg(col("nll"))).as("avg_nll"),
+               r4(min(col("nll"))).as("min_nll"),
+               r4(max(col("nll"))).as("max_nll"))
+          .orderBy(col("lang"), col("source"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |v AS (
+        |  SELECT COUNT(DISTINCT t) AS v
+        |  FROM (SELECT unnest(w) AS t FROM tok)),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM tok WHERE len(w) >= 2)),
+        |cnt AS (
+        |  SELECT doc_id, w1, w2,
+        |    COUNT(*) OVER (PARTITION BY w1, w2) AS c2,
+        |    COUNT(*) OVER (PARTITION BY w1) AS c1
+        |  FROM bg),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(ln(CAST(c1 AS DOUBLE) + v) - ln(CAST(c2 AS DOUBLE) + 1))
+        |      / COUNT(*) AS nll
+        |  FROM cnt, v GROUP BY doc_id, v),
+        |j AS (
+        |  SELECT d.lang, d.source, sc.n_bigrams, sc.nll
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+        |  round(AVG(nll), 4) + 0 AS avg_nll,
+        |  round(MIN(nll), 4) + 0 AS min_nll,
+        |  round(MAX(nll), 4) + 0 AS max_nll
+        |FROM j GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)
   )
 }

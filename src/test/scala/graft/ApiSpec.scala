@@ -737,6 +737,47 @@ class ApiSpec extends SparkSpec {
     q.stop()
   }
 
+  test("Text.bigramLmScore: hand-computed nll on a planted corpus") {
+    // corpus: "a b a b" and "a b" → C(a,b)=3, C(b,a)=1, C1(a)=3,
+    // C1(b)=1, V=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.api.Text
+      .bigramLmScore(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, nll) => id -> ((n, nll)) }.toMap
+    // doc 2: one bigram (a,b): nll = ln(C1(a)+V) − ln(C(a,b)+1)
+    assert(got(2L)._1 == 1L)
+    assert(math.abs(got(2L)._2 - (math.log(5) - math.log(4))) < 1e-12)
+    // doc 1: (a,b), (b,a), (a,b):
+    //   2·[ln5 − ln4] + [ln(1+2) − ln(1+1)], averaged over 3
+    val exp1 = (2 * (math.log(5) - math.log(4)) +
+                (math.log(3) - math.log(2))) / 3
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - exp1) < 1e-12)
+    // single-token docs have no bigrams and drop out
+    val one = graft.api.Text.bigramLmScore(
+      Seq((9L, "solo")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(one.isEmpty)
+  }
+
+  test("Sim.quantizedTopK: exact integer ranking, ties, self-exclusion") {
+    // amax = 127 ⇒ scale = 1 ⇒ qvec == the int values themselves
+    val vs = Seq(
+      (1L, Array(127f, 0f)),     // query
+      (2L, Array(127f, 0f)),     // dot 127·127 = 16129
+      (3L, Array(0f, 127f)),     // dot 0
+      (4L, Array(64f, 127f)),    // dot 127·64 = 8128
+      (5L, Array(127f, 0f))      // dup of 2: same dot — id tiebreak
+    ).toDF("vec_id", "embedding")
+    val got = graft.api.Sim.quantizedTopK(
+        vs, col("vec_id"), col("embedding"), col("vec_id") === 1, k = 4)
+      .orderBy(col("rn"))
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.map(_._2).toSeq == Seq(2L, 5L, 4L, 3L), got.toSeq.toString)
+    assert(got.map(_._3).toSeq == Seq(16129L, 16129L, 8128L, 0L))
+    assert(!got.exists(_._2 == 1L), "query must not match itself")
+  }
+
   test("Graph.shortestHops: BFS distances, directedness, hop bound") {
     // 1→2→3→4→5 chain plus a shortcut 1→4 and an unreachable island 9→10
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),

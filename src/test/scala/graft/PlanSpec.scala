@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"))
   }
 
+  test("ANN top-k ranks via the map-side heap aggregate, never a window") {
+    // the window form shuffles |Q|·n scored pairs into |Q| partitions
+    // (guaranteed per-query skew at scale); the heap agg crosses ≤ k
+    // pairs per (query × partition)
+    for (q <- Seq("q_sim_cosine_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
+                  "q_sim_quantized_topk")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q ranks via a window:\n$plan")
+      assert(plan.contains("topk_pairs_by_long"),
+        s"$q must heap-rank:\n$plan")
+    }
+  }
+
   test("stratified sampling decides membership at the scan (map-side)") {
     val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
