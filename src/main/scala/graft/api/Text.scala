@@ -230,6 +230,91 @@ object Text {
               (col("_s") / col("n_bigrams")).as("nll"))
   }
 
+  /** Corpus-weighted adjacent-character-pair frequencies — the
+    * statistics a BPE tokenizer trainer consumes for its FIRST merge
+    * decision, and the oracle-checkable face of [[bpeTrain]].
+    *
+    * Scale shape: the raw corpus shuffles ONCE, into the word-frequency
+    * dict; the character-pair explode then runs over DISTINCT words
+    * only (a dict is orders of magnitude smaller than its corpus —
+    * this dict-first factoring is precisely why real BPE trainers
+    * scale). Returns (pair string-of-2, n = Σ word-freq). */
+  def bpePairStats(df: DataFrame, text: Column): DataFrame =
+    df.select(explode_outer(Dedup.tokens(text)).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+
+  /** Deterministic BPE tokenizer training: aggregate the corpus to a
+    * word-frequency dict (one shuffle), take the `topWords` most
+    * frequent words (ties to the lexicographically smaller — replayable
+    * on any cluster size), then run the classic merge loop on the
+    * driver: each word is a char sequence ending in "&lt;/w&gt;", each
+    * round merges the pair with the highest corpus-weighted frequency
+    * (ties to the lexicographically smaller (left, right)).
+    *
+    * The driver-side loop is NOT a scale compromise — it is how
+    * production trainers (sentencepiece, HF tokenizers) work: the
+    * merge loop's input is the bounded dict, never the corpus, and
+    * `topWords` caps its memory explicitly. The one distributed pass
+    * is the dict aggregation.
+    * Returns the merge table in order: (rank, left, right, freq). */
+  def bpeTrain(
+      df: DataFrame, text: Column,
+      merges: Int, topWords: Int = 65536): Seq[(Int, String, String, Long)] = {
+    require(merges >= 0, "bpeTrain: merges must be >= 0")
+    require(topWords >= 1, "bpeTrain: topWords must be >= 1")
+    val dict0 = df
+      .select(explode_outer(Dedup.tokens(text)).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(topWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val EOW = "</w>"
+    var dict: Array[(Vector[String], Long)] =
+      dict0.map { case (w, f) =>
+        (w.map(_.toString).toVector :+ EOW, f)
+      }
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, n))
+        val merged = l + r
+        dict = dict.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += merged; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
   /** Cross-document duplicated-n-gram measurement (the RefinedWeb
     * "fraction of a document made of corpus-repeated n-grams" filter —
     * distinct from within-doc repetition, which [[qualityGate]]'s dup2

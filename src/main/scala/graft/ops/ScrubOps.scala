@@ -290,6 +290,31 @@ object ScrubOps extends OpGroup {
         |  round(MIN(nll), 4) + 0 AS min_nll,
         |  round(MAX(nll), 4) + 0 AS max_nll
         |FROM j GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin)
+        |ORDER BY lang, source""".stripMargin),
+
+    Q(
+      // BPE first-merge statistics (api.Text.bpePairStats): the top-20
+      // corpus-weighted adjacent character pairs — what a tokenizer
+      // trainer's first merge decision reads. The raw corpus shuffles
+      // once (word-freq dict); the pair explode runs over DISTINCT
+      // words only. api.Text.bpeTrain runs the full deterministic
+      // merge loop on this dict (ApiSpec pins the classic example).
+      "q_text_bpe_pairs",
+      (s, d) => graft.api.Text
+        .bpePairStats(Tables.documents(s, d), col("text"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20),
+      s"""WITH tok AS (
+        |  SELECT unnest(${toksSql("text")}) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+        |pairs AS (
+        |  SELECT w[i:i+1] AS pair, f
+        |  FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+        |        FROM wf WHERE length(w) >= 2)),
+        |agg AS (
+        |  SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+        |  FROM pairs GROUP BY pair)
+        |SELECT pair, n FROM agg
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin)
   )
 }

@@ -737,6 +737,32 @@ class ApiSpec extends SparkSpec {
     q.stop()
   }
 
+  test("Text.bpeTrain: the classic merge sequence, deterministically") {
+    // the canonical BPE teaching corpus: low×5 lower×2 newest×6 widest×3
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.api.Text.bpeTrain(docs, col("text"), merges = 4)
+    // freq-9 three-way tie (e+s, s+t, t+</w>) resolves lexicographically
+    // smallest-first, then each merge re-counts on the MERGED symbols:
+    // after est</w>, "w e" survives only in lower (×2) — w pairs with
+    // est</w> in newest — so the 4th merge is (l,o) at 7, not (w,e)
+    assert(got == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L)), got.toString)
+    // merges > available pairs terminates early instead of looping
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val all = graft.api.Text.bpeTrain(tiny, col("text"), merges = 99)
+    // "ab</w>": (a,b) → (ab,</w>) → single symbol, nothing left
+    assert(all == Seq((1, "a", "b", 2L), (2, "ab", "</w>", 2L)),
+      all.toString)
+    // pair stats agree with the train loop's first-round counts
+    // (modulo the </w> marker, which the SQL-facing stats omit)
+    val stats = graft.api.Text.bpePairStats(docs, col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(stats("es") == 9L && stats("st") == 9L && stats("we") == 8L)
+  }
+
   test("Text.bigramLmScore: hand-computed nll on a planted corpus") {
     // corpus: "a b a b" and "a b" → C(a,b)=3, C(b,a)=1, C1(a)=3,
     // C1(b)=1, V=2

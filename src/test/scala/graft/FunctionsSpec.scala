@@ -166,6 +166,35 @@ class FunctionsSpec extends SparkSpec {
     assert(got2 == Seq(2L, 3L, 9L), s"$got2") // 9 beats ord-70, not the ties
   }
 
+  test("topk_pairs_by_long equals the window row_number form (property)") {
+    graft.functions.TopKByLong.register(spark)
+    val rnd = new scala.util.Random(42)
+    // 3 trials × random pair sets with heavy ord collisions (small ord
+    // range) — the regime where the tiebreak must decide everything
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(400)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong,
+         rnd.nextInt(7).toLong))
+        .distinct // (q, cand) duplicates would be ranked arbitrarily
+        .map { case (q, c, o) => (q, c, o) }
+      val df = rows.toDF("q_id", "cand_id", "ord").repartition(13)
+      val k = trial * 2
+      val heap = df.groupBy("q_id")
+        .agg(expr(s"topk_pairs_by_long(cand_id, ord, $k)").as("t"))
+        .select(col("q_id"), posexplode(col("t")).as(Seq("p", "pair")))
+        .select(col("q_id"), col("pair.value").as("cand_id"),
+                col("pair.ord").as("ord"), (col("p") + 1).as("rn"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      // reference: plain Scala sort per group
+      val ref = rows.groupBy(_._1).flatMap { case (q, g) =>
+        g.map(t => (t._3, t._2)).sortBy { case (o, c) => (-o, c) }
+          .take(k).zipWithIndex
+          .map { case ((o, c), i) => (q, c, o, i + 1) }
+      }.toSet
+      assert(heap == ref, s"trial $trial: ${heap.diff(ref)} vs ${ref.diff(heap)}")
+    }
+  }
+
   test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
     import org.apache.spark.sql.functions._
     val gm = udaf(graft.functions.GeoMean)
