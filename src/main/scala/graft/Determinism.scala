@@ -129,7 +129,19 @@ object Determinism {
 
   /** avg4, boundary-exact: decimal sum → exact 1e-4-unit integer →
     * intRatio4. Use for NEW money averages; avg4 stays for the round-1
-    * queries whose hashes are pinned and never hit the boundary. */
+    * queries whose hashes are pinned and never hit the boundary.
+    * OVERFLOW BOUND: the long numerator wraps once |sum|·10⁴ ≥ 2⁶³
+    * (≈ $9.2e14 per group) — groups that can reach that at the target
+    * SF use [[avgExact4Wide]]. */
   def avgExact4(sumDec: Column, cnt: Column): Column =
     intRatio4((sumDec * 10000).cast("long"), cnt)
+
+  /** [[avgExact4]] over DECIMAL(38,0) operands — for group sums that
+    * can leave the long range once 1e4-scaled (the intRatio4Wide
+    * rationale: Spark's decimal→long cast wraps/NULLs SILENTLY while
+    * DuckDB's raises, so the engines would diverge instead of failing
+    * loudly). Exact to 10³⁴ of summed units per group. Oracle twin:
+    * the avgExact4 formula with `CAST(… AS HUGEINT)` operands. */
+  def avgExact4Wide(sumDec: Column, cnt: Column): Column =
+    intRatio4Wide((sumDec * 10000).cast(DecimalType(38, 0)), cnt)
 }

@@ -33,11 +33,20 @@ object Etl {
     * each snapshot (duplicate keys fold into one fingerprint
     * arbitrarily), and payload columns must stringify deterministically
     * (cast dates/decimals upstream per the R4/R9 rules if the result
-    * is oracle-compared). */
+    * is oracle-compared).
+    *
+    * NULL keys follow the JOIN's semantics, not groupBy's: SQL equality
+    * never matches a null key, so a null-keyed row in the old snapshot
+    * is always `removed` and one in the new snapshot always `added` —
+    * they bypass the aggregate entirely (a plain groupBy would
+    * null-safely pair them into a bogus unchanged/changed row; review
+    * r4 finding). */
   def snapshotDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String], payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff: key columns required")
+    require(!keys.contains("change"),
+      "snapshotDiff: 'change' is the output column — rename the key")
     val reserved = Seq("__graft_fp", "__graft_side", "__graft_fp_old",
                        "__graft_fp_new")
     val clash = (oldDf.columns ++ newDf.columns).filter(reserved.contains)
@@ -54,7 +63,9 @@ object Etl {
           coalesce(col(c).cast("string"), lit("\u0002"))): _*))
           .as("__graft_fp"),
         lit(side).as("__graft_side")): _*)
-    fingered(oldDf, 0).unionByName(fingered(newDf, 1))
+    val tagged = fingered(oldDf, 0).unionByName(fingered(newDf, 1))
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val matched = tagged.filter(!anyNullKey)
       .groupBy(keys.map(col): _*)
       .agg(
         max(when(col("__graft_side") === 0, col("__graft_fp")))
@@ -66,6 +77,11 @@ object Etl {
           .when(col("__graft_fp_new").isNull, "removed")
           .when(col("__graft_fp_old") =!= col("__graft_fp_new"), "changed")
           .otherwise("unchanged"))
-      .drop("__graft_fp_old", "__graft_fp_new")
+      .select(keys.map(col) :+ col("change"): _*)
+    val unmatched = tagged.filter(anyNullKey)
+      .select(keys.map(col) :+
+        when(col("__graft_side") === 0, "removed").otherwise("added")
+          .as("change"): _*)
+    matched.unionByName(unmatched)
   }
 }

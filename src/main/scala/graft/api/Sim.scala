@@ -57,9 +57,17 @@ object Sim {
               (col("_p") + 1).cast("int").as("rn"))
   }
 
-  /** heapRank for round-4 cosine scores: encode → rank → decode. */
+  /** heapRank for round-4 cosine scores: encode → rank → decode.
+    * Undefined cosines (NaN from a zero-norm vector on either side)
+    * are EXCLUDED from the ranking — the long encoding would otherwise
+    * coerce NaN to ord 0 and fabricate cos = 0.0 mid-pack (and the old
+    * window form was no better: Spark sorts NaN above every double, so
+    * a degenerate vector ranked FIRST). No similarity is defined for a
+    * zero vector; it should appear in nobody's top-k (review r4
+    * finding). */
   private def heapRankCos(scored: DataFrame, k: Int): DataFrame =
-    heapRank(scored, round(col("cos") * 10000).cast("long"), k)
+    heapRank(scored.filter(!isnan(col("cos"))),
+             round(col("cos") * 10000).cast("long"), k)
       .select(col("q_id"), col("cand_id"),
               (col("_ord") / 10000.0).as("cos"), col("rn"))
 
@@ -82,7 +90,11 @@ object Sim {
   def cosineTopK(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
       k: Int): DataFrame = {
+    // zero-norm vectors have no defined cosine — and under ANSI mode
+    // (Spark 4 default) the division RAISES rather than yielding NaN,
+    // so they are excluded up front, exactly as kmeansFit does
     val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
     val q = e.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"))
@@ -119,6 +131,7 @@ object Sim {
       s"nprobe must be in [1, bits + 1 = ${bits + 1}]: own bucket plus " +
       "at most one flip per sign bit")
     val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
       .withColumn("bucket", signBits(col("embedding"), bits))
     val q0 = e.filter(col("_isq"))
     val q =
@@ -168,6 +181,7 @@ object Sim {
     require(nprobe >= 1, "nprobe must be >= 1")
     val e = withNorm(df, id, emb,
       Seq("_isq" -> isQuery, "_isc" -> isCentroid))
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
     val cent = e.filter(col("_isc"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
               col("nrm").as("cnrm"))
@@ -369,6 +383,7 @@ object Sim {
       df: DataFrame, id: Column, emb: Column,
       bits: Int = 16, minCos: Double = 0.9): DataFrame = {
     val e = withNorm(df, id, emb)
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
       .withColumn("bucket", signBits(col("embedding"), bits))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
                      col("bucket"), col("nrm").as("na"))

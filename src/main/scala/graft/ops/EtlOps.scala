@@ -393,7 +393,11 @@ object EtlOps extends OpGroup {
         partials.groupBy(col("yr"))
           .agg(asMoney(sum(col("psum"))).as("revenue"),
                sum(col("pn")).as("n_orders"),
-               avgExact4(sum(col("psum")), sum(col("pn")))
+               // Wide form: a YEAR of order revenue 1e4-scaled clears
+               // int64 at the 100 TB SF this file targets — the same
+               // silent-wrap divergence ADVICE r3 flagged for
+               // q_macro_market_share (review r4 finding)
+               avgExact4Wide(sum(col("psum")), sum(col("pn")))
                  .as("avg_price"))
           .orderBy(col("yr"))
       },
@@ -402,7 +406,7 @@ object EtlOps extends OpGroup {
         |    AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_orders,
         |  CAST((2*CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*10000
-        |          AS BIGINT) + COUNT(*))
+        |          AS HUGEINT) + COUNT(*))
         |       // (2*COUNT(*)) AS DOUBLE) / 10000.0 AS avg_price
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
   )

@@ -319,13 +319,20 @@ object EventOps extends OpGroup {
       // → per-user max; the only window runs over DISTINCT DAYS (≤
       // days-in-range per user), never over raw events. Longest-with-
       // ties-to-earliest is a lexicographic struct max (len, −start) —
-      // the q_ts_ohlc trick — not a second sort. Day id = epoch-µs div
-      // 86400000000 via integral `div`: exact, never a double.
+      // the q_ts_ohlc trick — not a second sort. Day id = FLOOR
+      // division of epoch-µs (exact integer math, never a double):
+      // Spark's `div` truncates toward zero while DuckDB's `//` floors,
+      // so a bare `div` would put a pre-epoch timestamp on a different
+      // day than the oracle (review r4 finding; the fixture is all
+      // post-epoch, but the operator shouldn't rely on that) — same
+      // rationale as intervalOverlapJoin's pmod bucketing.
       "q_events_streaks",
       (s, d) => {
         val days = Tables.events(s, d)
           .select(col("user_id"),
-                  expr("ts_us div 86400000000").as("day"))
+                  expr("""(ts_us div 86400000000) -
+                          (CASE WHEN ts_us % 86400000000 < 0
+                           THEN 1 ELSE 0 END)""").as("day"))
           .distinct()
         val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         val isl = days

@@ -494,6 +494,63 @@ object MacroOps2 extends OpGroup {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    Q(
+      // Q20 shape — potential part promotion: NATION_2 suppliers who
+      // DOMINATED the 1997 supply of a name-matched part (shipped more
+      // than half that part's year total; no partsupp ⇒ dominance
+      // stands in for availqty > ½·shipped). The original's
+      // triple-nested IN chain becomes: broadcast part list semi-gates
+      // lineitem → per-part totals broadcast back (the Q17 machinery)
+      // → the dominance HAVING → a distinct supplier set that
+      // LEFT-SEMI-gates the nation-filtered supplier dim. Thresholds
+      // cross-multiplied in exact decimals; every nesting level is a
+      // semi-join, never a count subquery.
+      "q_macro_excess_supply",
+      (s, d) => {
+        val wp = Tables.part(s, d)
+          .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                  col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_partkey"), col("l_suppkey"),
+                  money("l_quantity").as("q"))
+          .join(broadcast(wp),
+                col("l_partkey") === col("p_partkey"), "left_semi")
+        val tot = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("q")).as("tot"))
+        val dom = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("q")).as("sq"))
+          .join(broadcast(tot), col("l_partkey") === col("pk"))
+          .filter(col("sq") * 2 > col("tot"))
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+                  .filter(col("n_name") === "NATION_2")
+                  .select(col("n_nationkey"))),
+                col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      """WITH wp AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+        |li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM wp)),
+        |tot AS (SELECT l_partkey AS pk, SUM(q) AS tot FROM li
+        |        GROUP BY l_partkey),
+        |dom AS (
+        |  SELECT l_suppkey FROM li JOIN tot ON l_partkey = pk
+        |  GROUP BY l_partkey, l_suppkey, tot HAVING SUM(q)*2 > tot)
+        |SELECT s_suppkey, s_name FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin)
   )
 }

@@ -617,6 +617,44 @@ class ApiSpec extends SparkSpec {
            s"$got")
   }
 
+  test("snapshotDiff: NULL keys never match (join semantics, not groupBy)") {
+    import graft.api.Etl
+    // both snapshots hold a null-keyed row with the SAME payload: a
+    // plain groupBy would null-safely pair them into 'unchanged'; the
+    // FULL OUTER JOIN the docstring promises classifies removed+added
+    val old_ = Seq((Option(1L), "x"), (None: Option[Long], "same"))
+      .toDF("k", "p")
+    val new_ = Seq((Option(1L), "x"), (None: Option[Long], "same"))
+      .toDF("k", "p")
+    val got = Etl.snapshotDiff(old_, new_, keys = Seq("k"),
+        payload = Seq("p"))
+      .select("k", "change").as[(Option[Long], String)].collect()
+    assert(got.count(_ == (Some(1L), "unchanged")) == 1)
+    assert(got.count(_ == (None, "removed")) == 1, got.toSeq.toString)
+    assert(got.count(_ == (None, "added")) == 1, got.toSeq.toString)
+    assert(got.length == 3, got.toSeq.toString)
+    // a key named like the output column is refused loudly
+    assertThrows[IllegalArgumentException](
+      Etl.snapshotDiff(old_.withColumnRenamed("k", "change"),
+        new_.withColumnRenamed("k", "change"),
+        keys = Seq("change"), payload = Seq("p")))
+  }
+
+  test("cosineTopK excludes zero-norm vectors instead of faking cos") {
+    // vec 3 is all-zero: its cosine is undefined (NaN). The window form
+    // ranked it FIRST (NaN sorts above all doubles); the long encoding
+    // would fake cos 0.0. It must simply never appear.
+    val vs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.1f)),
+      (3L, Array(0f, 0f)), (4L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.api.Sim.cosineTopK(
+        vs, col("vec_id"), col("embedding"), col("vec_id") === 1, k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSet == Set(2L, 4L), got.toSeq.toString)
+    assert(got.forall(r => !r._3.isNaN))
+  }
+
   test("applyChanges: NULL tombstone flag is an upsert, never a delete") {
     // ADVICE r3: with an unguarded isDelete, a NULL flag on the winning
     // change row rode filter(!del) into silently DROPPING the key

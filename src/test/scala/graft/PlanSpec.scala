@@ -306,17 +306,20 @@ class PlanSpec extends SparkSpec {
   test("large-orders aggregates BEFORE joining (HAVING prunes pre-join)") {
     val df = SparkEntry.queries("q_macro_large_orders")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // the lineitem agg + its HAVING filter must sit BELOW the orders
-    // join: the first HashAggregate appears before any SortMergeJoin
+    // the lineitem agg + its HAVING filter must sit BELOW the join in
+    // the tree. executedPlan prints top-down, so "below" = a LARGER
+    // line index: the first join line must precede the first
+    // HashAggregate line (a regression that joined raw lineitem to
+    // orders first would print the agg ABOVE the join — smaller index;
+    // the previous exists-only asserts could never fail, review r4)
     val lines = plan.linesIterator.toSeq
     val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
     val joinIdx = lines.indexWhere(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
       l.contains("BroadcastHashJoin"))
-    assert(aggIdx >= 0 && joinIdx >= 0)
-    // executedPlan prints top-down: the JOIN is above the agg in the
-    // tree, but the agg must be on the lineitem (streamed) input —
-    // assert no join sits BELOW the agg subtree instead
+    assert(aggIdx >= 0 && joinIdx >= 0, s"agg/join missing:\n$plan")
+    assert(joinIdx < aggIdx,
+      s"agg (line $aggIdx) must sit under the join (line $joinIdx):\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must heap-merge:\n$plan")
   }

@@ -248,6 +248,11 @@ class ScaleSpec extends SparkSpec {
     val prev = Map(
       "spark.sql.autoBroadcastJoinThreshold" ->
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      // the enabled flag must restore too — leaking it true lets
+      // injected might_contain nodes flip later plan-shape asserts on
+      // the shared session (review r4 finding)
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
     try {
