@@ -144,4 +144,16 @@ object Determinism {
     * the avgExact4 formula with `CAST(… AS HUGEINT)` operands. */
   def avgExact4Wide(sumDec: Column, cnt: Column): Column =
     intRatio4Wide((sumDec * 10000).cast(DecimalType(38, 0)), cnt)
+
+  /** Scale-4 revenue share m/t of two money aggregates, cent-exact at
+    * any magnitude: both sides round to cents first, then num = m·10⁶
+    * and den = t·10² (num/den = the share in 1e-4 units) run through
+    * [[intRatio4Wide]]. THE one named home of the wide share encoding —
+    * previously copy-pasted at three call sites (review r4). Oracle
+    * twin: the intRatio4 formula with
+    * `CAST(ROUND(m,2)*1000000 AS HUGEINT)` / `CAST(ROUND(t,2)*100 AS
+    * HUGEINT)` operands. */
+  def shareRatio4Wide(m: Column, t: Column): Column =
+    intRatio4Wide((round(m, 2) * 1000000).cast(DecimalType(38, 0)),
+                  (round(t, 2) * 100).cast(DecimalType(38, 0)))
 }

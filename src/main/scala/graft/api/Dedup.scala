@@ -338,6 +338,10 @@ object Dedup {
       df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, "md5 provides 32 hex digits")
     df.select(id.as("doc_id"), tokens(text).as("_w"))
+      // token-less docs have no signature (the oracle's unnest drops
+      // them before the signature CTE; an unfiltered Spark side would
+      // fabricate an all-zero signature — review r4 full-repo pass)
+      .filter(size(col("_w")) > 0)
       .select(col("doc_id"),
               expr("transform(array_distinct(_w), t -> md5(t))")
                 .as("hs"))
@@ -358,6 +362,10 @@ object Dedup {
     * votes as simhashSignature, packed). Integer-exact, map-side. */
   def simhashSig32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), tokens(text).as("_w"))
+      // token-less docs have no signature (the oracle's unnest drops
+      // them before the signature CTE; an unfiltered Spark side would
+      // fabricate an all-zero signature — review r4 full-repo pass)
+      .filter(size(col("_w")) > 0)
       .select(col("doc_id"),
               expr("transform(array_distinct(_w), t -> md5(t))")
                 .as("hs"))

@@ -164,7 +164,11 @@ object TopKByLong {
     val k = exprs(2) match {
       case e if e.foldable => e.eval() match {
         case i: java.lang.Integer => i.intValue
-        case l: java.lang.Long    => l.intValue
+        // range-check BEFORE intValue: a silent Long truncation would
+        // wrap an out-of-range k to an arbitrary small k that passes
+        // the require (review r4 full-repo pass)
+        case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue =>
+          l.intValue
         case other => throw new IllegalArgumentException(
           s"topk_by_long: k must be a constant integer, got $other")
       }

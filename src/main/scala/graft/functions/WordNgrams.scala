@@ -71,7 +71,9 @@ object WordNgrams {
     val n = exprs(1) match {
       case e if e.foldable => e.eval() match {
         case i: java.lang.Integer => i.intValue
-        case l: java.lang.Long   => l.intValue
+        // range-check BEFORE intValue (same rule as TopKByLong.builder)
+        case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue =>
+          l.intValue
         case s: java.lang.Short  => s.intValue
         case b: java.lang.Byte   => b.intValue
         case other => throw new IllegalArgumentException(

@@ -229,15 +229,20 @@ object EventOps extends OpGroup {
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |n AS (
-        |  SELECT user_id, ts_us,
+        |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
         |           OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1
         |         ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id
         |                      ORDER BY ts_us ASC, event_id ASC)),
         |s AS (
+        |  -- the running sum MUST order by the same (ts, event_id) key
+        |  -- as the lag window: with ts-only ordering a timestamp tie
+        |  -- could number sessions differently than the Spark side
+        |  -- (review r4 full-repo pass)
         |  SELECT user_id, ts_us,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
         |      ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM n),
         |g AS (
@@ -264,11 +269,15 @@ object EventOps extends OpGroup {
       "q_ts_fill_forward",
       (s, d) => {
         val hourly = Tables.events(s, d)
-          // integral `div`, not `/`: Spark's `/` on longs is DOUBLE
-          // division (rounding near a boundary could cross it), DuckDB
-          // `//` is exact floor — both sides must do integer math
+          // integral FLOOR division, not `/` and not bare `div`:
+          // Spark's `/` on longs is DOUBLE division (rounding near a
+          // boundary could cross it) and `div` truncates toward zero
+          // while the oracle's `//` floors — the q_events_streaks
+          // pre-epoch guard applies here too (review r4 full-repo pass)
           .groupBy(col("event_type"),
-                   expr("ts_us div 3600000000").as("hr"))
+                   expr("""(ts_us div 3600000000) -
+                           (CASE WHEN ts_us % 3600000000 < 0
+                            THEN 1 ELSE 0 END)""").as("hr"))
           // boundary-exact avg (intRatio4): the plain avg4 double
           // division hit the x.xxxx5 rounding boundary at sf0.1
           .agg(avgExact4(sum(money("value")), count(lit(1))).as("v"),

@@ -229,11 +229,12 @@ object LlmOps extends OpGroup {
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 10, k = 3)
         .orderBy(col("q_id"), col("rn")),
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
         |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),

@@ -221,12 +221,7 @@ object MacroOps extends OpGroup {
                   // silently, DuckDB raises → divergence), so the share
                   // runs through the DECIMAL(38,0) form: exact to
                   // ~$10^32 per group, still a single long quotient
-                  graft.Determinism.intRatio4Wide(
-                    (round(col("_m"), 2) * 1000000)
-                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
-                    (round(col("_t"), 2) * 100)
-                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-                    .as("share"))
+                  shareRatio4Wide(col("_m"), col("_t")).as("share"))
           .orderBy(col("yr"))
       },
       """WITH asia AS (
@@ -339,11 +334,7 @@ object MacroOps extends OpGroup {
           .select(col("mon"),
                   asMoney(col("_m")).as("promo_revenue"),
                   asMoney(col("_t")).as("revenue"),
-                  graft.Determinism.intRatio4Wide(
-                    (round(col("_m"), 2) * 1000000)
-                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
-                    (round(col("_t"), 2) * 100)
-                      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+                  shareRatio4Wide(col("_m"), col("_t"))
                     .as("promo_share"))
           .orderBy(col("mon"))
       },

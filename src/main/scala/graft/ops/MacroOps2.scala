@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.Determinism._
 import graft.io.Tables
 
@@ -30,8 +29,6 @@ import graft.io.Tables
   *    between engines or between partition orders.
   */
 object MacroOps2 extends OpGroup {
-
-  private val D38 = DecimalType(38, 0)
 
   def qs: Seq[Q] = Seq(
     Q(
@@ -334,8 +331,8 @@ object MacroOps2 extends OpGroup {
           .filter(money("l_quantity") * 2 * col("cnt") < col("sq"))
           .agg(sum(money("l_extendedprice")).as("_s"))
           .select(asMoney(col("_s")).as("revenue"),
-                  intRatio4Wide((round(col("_s"), 2) * 10000).cast(D38),
-                                lit(7)).as("avg_yearly"))
+                  avgExact4Wide(round(col("_s"), 2), lit(7))
+                    .as("avg_yearly"))
           .orderBy(col("revenue"))
       },
       """WITH pa AS (

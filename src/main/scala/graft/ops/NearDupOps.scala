@@ -189,12 +189,13 @@ object NearDupOps extends OpGroup {
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           bits = 8, minCos = 0.3)
         .orderBy(col("a_id"), col("b_id")),
-      s"""WITH e AS (
+      s"""WITH e0 AS (
         |  SELECT vec_id, embedding,
         |    ${sqlBits("embedding", 8)} AS bucket,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
         |p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -215,12 +216,13 @@ object NearDupOps extends OpGroup {
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 10, bits = 8, k = 3)
         .orderBy(col("q_id"), col("rn")),
-      s"""WITH e AS (
+      s"""WITH e0 AS (
         |  SELECT vec_id, embedding,
         |    ${sqlBits("embedding", 8)} AS bucket,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
         |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
@@ -253,12 +255,13 @@ object NearDupOps extends OpGroup {
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 10, bits = 6, k = 3, nprobe = 3)
         .orderBy(col("q_id"), col("rn")),
-      s"""WITH e AS (
+      s"""WITH e0 AS (
         |  SELECT vec_id, embedding,
         |    ${sqlBits("embedding", 6)} AS bucket,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
         |probes AS (
         |  SELECT vec_id, unnest(
         |    [bucket] || list_transform(
@@ -302,11 +305,12 @@ object NearDupOps extends OpGroup {
           isQuery = col("vec_id") < 10,
           isCentroid = col("vec_id") % 200 === 0, k = 3)
         .orderBy(col("q_id"), col("rn")),
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
         |cent AS (
         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
         |  FROM e WHERE vec_id % 200 = 0),

@@ -196,7 +196,11 @@ object Streaming extends OpGroup {
           .orderBy(col("event_type"), col("bar_us"))
       },
       """SELECT event_type,
-        |  epoch_us(ts) - epoch_us(ts) % 21600000000 AS bar_us,
+        |  -- floor-mod, not %: the Spark side buckets with pmod (floor
+        |  -- semantics), and DuckDB's % truncates — a pre-epoch ts
+        |  -- would land in a different bar (review r4 full-repo pass)
+        |  epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+        |                  % 21600000000) AS bar_us,
         |  COUNT(*) AS n,
         |  CAST((min(struct_pack(t := epoch_us(ts), i := event_id,
         |    v := CAST(value AS DECIMAL(18,2))))).v AS DOUBLE) AS open,

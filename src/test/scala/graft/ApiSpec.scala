@@ -201,6 +201,21 @@ class ApiSpec extends SparkSpec {
     assert(m.keySet == brute.toSet)
   }
 
+  test("simhash: token-less docs have no signature (mirror the oracle)") {
+    // an empty/whitespace doc would otherwise get a fabricated all-zero
+    // signature while the oracle's unnest drops it before the CTE
+    val withEmpty = docs.union(
+      Seq(Doc(99L, "", "en"), Doc(98L, "   ", "en")).toDF())
+    val sigs = Dedup.simhashSignature(
+      withEmpty, col("doc_id"), col("text"), bits = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sigs.contains(99L) && !sigs.contains(98L), sigs.toString)
+    assert(sigs == Set(1L, 2L, 3L, 4L, 5L))
+    val sig32 = Dedup.simhashSig32(withEmpty, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sig32 == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("connectedComponents works on an arbitrary edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("x", "y")
     val comp = Dedup.connectedComponents(edges, "x", "y")
