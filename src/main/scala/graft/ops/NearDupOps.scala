@@ -341,6 +341,66 @@ object NearDupOps extends OpGroup {
         |ORDER BY q_id, rn""".stripMargin),
 
     Q(
+      // SEMANTIC dedup (the embedding-cluster flavor): assign every
+      // vector to its nearest centroid via api.Sim.kmeansAssign — the
+      // SAME assignCells the k-means trainer uses, here with fixed
+      // centroid rows (vec_id < 8) so the declared query is fully
+      // deterministic and oracle-checkable (kmeansFit-trained centroids
+      // are double-sum means, SURVEY §2.0 R-rules forbid them in a
+      // hash gate; the ⊘ kmeans tests cover the trainer itself) — then
+      // keep ONE representative per cell: best cosine, ties to the
+      // smaller vec_id. Everything after the broadcast assignment is
+      // one hash-agg; nothing is O(n²).
+      "q_dedup_semantic",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+        graft.api.Sim.kmeansAssign(
+            emb, col("vec_id"), col("embedding"), cents)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+               max(struct(col("cos"), (-col("vec_id")).as("nv"))).as("_b"))
+          .select(col("cell"), col("n_members"),
+                  (-col("_b.nv")).as("kept_id"),
+                  // round-4 cos never yields -0.0 on the Spark side
+                  // (BigDecimal round); the oracle carries the usual +0
+                  col("_b.cos").as("rep_cos"))
+          .orderBy(col("cell"))
+      },
+      """WITH e0 AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |cent AS (
+        |  SELECT vec_id AS cell, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, cell, cos FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |            i -> CAST(v.embedding[i] AS DOUBLE)
+        |               * CAST(c.cemb[i] AS DOUBLE)))
+        |          / (v.nrm * c.cnrm), 4) AS cos,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |              i -> CAST(v.embedding[i] AS DOUBLE)
+        |                 * CAST(c.cemb[i] AS DOUBLE)))
+        |            / (v.nrm * c.cnrm), 4) DESC, c.cell ASC) AS arn
+        |    FROM e v CROSS JOIN cent c)
+        |  WHERE arn = 1),
+        |rep AS (
+        |  SELECT cell, COUNT(*) AS n_members,
+        |    (min(struct_pack(negcos := -cos, v := vec_id))).v AS kept_id,
+        |    -(min(struct_pack(negcos := -cos, v := vec_id))).negcos + 0
+        |      AS rep_cos
+        |  FROM assign GROUP BY cell)
+        |SELECT cell, n_members, kept_id, rep_cos
+        |FROM rep ORDER BY cell""".stripMargin),
+
+    Q(
       // int8 quantization (api.Sim.quantizeInt8): per-vector max-abs
       // calibration, q = round(x·127/amax) — the 4× ANN-serving shrink.
       // Declared output is R5-safe scalars (checksums + bounds), never
