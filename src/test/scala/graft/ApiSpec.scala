@@ -65,14 +65,18 @@ class ApiSpec extends SparkSpec {
       Pipeline.packBins(df, col("g"), col("id"), col("tok"), budget = 1024)
     val bins = binned.groupBy("bin").agg(sum("tok").as("s"))
       .as[(Long, Long)].collect().toMap
-    // ids 1,2 → bin 0 (1200 > 1024 only after id2 STARTS inside budget:
-    // bin = offset div budget, so a row beginning before the boundary
-    // joins the earlier bin — document the offset-chunking semantics)
-    assert(binned.select("bin").distinct().count() == bins.size)
+    // the FULL assignment, from the offset-chunking contract
+    // (bin = running-offset div budget; a row STARTING inside the
+    // budget window joins that bin, an oversized row is assigned where
+    // it starts): offsets 0,600,1200,1800,2400,5400 → bins
+    // 0,0,1,1,2,5. The old structural asserts were tautologies
+    // (distinct-vs-groupBy count, input total) — review r4 test pass.
+    val got = binned.select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+                      5L -> 2L, 6L -> 5L), got.toString)
+    // and therefore: no bin's ROW-START ever crosses its budget window,
+    // the only overflow being the oversized 3000-token row itself
     assert(bins.values.sum == 5500)
-    // deterministic: bin of id=6 is fixed by the running total
-    val b6 = binned.filter(col("id") === 6).select("bin").as[Long].head()
-    assert(b6 == (600L * 4 + 3000L) / 1024)
   }
 
   test("contaminated: n-gram width dial and benchmark independence") {
@@ -275,9 +279,12 @@ class ApiSpec extends SparkSpec {
       val comp = Dedup.connectedComponents(edges, "x", "y")
         .as[(Long, Long)].collect()
       assert(comp.forall(_._2 == 0L))
-      // listener delivery is async — wait for the job-start events
-      val deadline = System.nanoTime() + 10e9.toLong
-      while (totalJobs == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      // listener delivery is async — drain the WHOLE event bus before
+      // asserting (first-event detection raced late-delivered events:
+      // a count() job's event arriving after the assert would pass
+      // vacuously — review r4 test pass)
+      org.apache.spark.GraftTestBus.waitUntilEmpty(
+        spark.sparkContext, 10000)
       assert(totalJobs > 0, "listener saw no jobs")
       assert(countJobs == 0,
         s"convergence still runs count() actions ($countJobs of $totalJobs jobs)")
@@ -445,18 +452,23 @@ class ApiSpec extends SparkSpec {
       assert(math.abs(qi / scale - x) <= 0.5 / scale + 1e-12) }
   }
 
-  test("kmeansFit recovers planted clusters; assign is deterministic") {
-    // 3 planted clusters around near-orthogonal directions; ids 0,1,2
-    // land one per cluster so the lowest-id init seeds each basin
+  /** 3 planted clusters around near-orthogonal directions; ids 0,1,2
+    * land one per cluster so the lowest-id init seeds each basin.
+    * Shared by both kmeans tests — two verbatim copies could drift
+    * (review r4 test pass). */
+  private def plantedVecs: Seq[Vec] = {
     def jitter(base: Array[Float], s: Float): Array[Float] =
       base.zipWithIndex.map { case (x, i) => x + s * (i % 3 - 1) * 0.05f }
     val bases = Seq(
       Array(1f, 0f, 0f, 0.1f), Array(0f, 1f, 0f, -0.1f),
       Array(0f, 0f, 1f, 0.2f))
-    val vecs = (0 until 30).map { i =>
+    (0 until 30).map { i =>
       Vec(i.toLong, jitter(bases(i % 3), (i / 3).toFloat))
     }
-    val df = vecs.toDF()
+  }
+
+  test("kmeansFit recovers planted clusters; assign is deterministic") {
+    val df = plantedVecs.toDF()
     val model = Sim.kmeansFit(df, col("vec_id"), col("embedding"),
                               k = 3, iters = 4)
     val m = model.orderBy("cell")
@@ -485,15 +497,7 @@ class ApiSpec extends SparkSpec {
   }
 
   test("kmeansFit centroids drive ivfTopK (the advertised wiring)") {
-    def jitter(base: Array[Float], s: Float): Array[Float] =
-      base.zipWithIndex.map { case (x, i) => x + s * (i % 3 - 1) * 0.05f }
-    val bases = Seq(
-      Array(1f, 0f, 0f, 0.1f), Array(0f, 1f, 0f, -0.1f),
-      Array(0f, 0f, 1f, 0.2f))
-    val vecs = (0 until 30).map { i =>
-      Vec(i.toLong, jitter(bases(i % 3), (i / 3).toFloat))
-    }
-    val df = vecs.toDF()
+    val df = plantedVecs.toDF()
     val cents = Sim.kmeansFit(df, col("vec_id"), col("embedding"),
         k = 3, iters = 4)
       .select(col("cell"), col("centroid")).as[(Int, Array[Float])]
@@ -775,19 +779,22 @@ class ApiSpec extends SparkSpec {
       col("doc_id"), buckets = 20, Map(0 -> "test", 1 -> "val"), "train")
     val q = sampled.writeStream.format("memory").queryName("api_stream")
       .outputMode(OutputMode.Append()).start()
-    in.addData(Seq(Doc(1L, "a b", "en"), Doc(2L, "c d", "fr")))
-    q.processAllAvailable()
-    val rows = spark.table("api_stream")
-    assert(rows.count() == 2 && rows.columns.contains("split"))
-    // identical decisions to the batch path (incremental equivalence)
-    val batch = Pipeline.splitAssign(
-      Seq(Doc(1L, "a b", "en"), Doc(2L, "c d", "fr")).toDF(),
-      col("doc_id"), buckets = 20, Map(0 -> "test", 1 -> "val"), "train")
-      .select("doc_id", "split").as[(Long, String)].collect().toMap
-    val stream = rows.select("doc_id", "split").as[(Long, String)]
-      .collect().toMap
-    assert(batch == stream)
-    q.stop()
+    // finally-stopped: a failing assert must not leak a running
+    // streaming query (and its temp table) into later suites
+    try {
+      in.addData(Seq(Doc(1L, "a b", "en"), Doc(2L, "c d", "fr")))
+      q.processAllAvailable()
+      val rows = spark.table("api_stream")
+      assert(rows.count() == 2 && rows.columns.contains("split"))
+      // identical decisions to the batch path (incremental equivalence)
+      val batch = Pipeline.splitAssign(
+        Seq(Doc(1L, "a b", "en"), Doc(2L, "c d", "fr")).toDF(),
+        col("doc_id"), buckets = 20, Map(0 -> "test", 1 -> "val"), "train")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      val stream = rows.select("doc_id", "split").as[(Long, String)]
+        .collect().toMap
+      assert(batch == stream)
+    } finally q.stop()
   }
 
   test("Text.bpeTrain: the classic merge sequence, deterministically") {

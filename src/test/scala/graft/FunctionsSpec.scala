@@ -40,9 +40,14 @@ class FunctionsSpec extends SparkSpec {
       .toDF("a", "b")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    val interp = df.selectExpr("dot_f32(a, b)").head().getDouble(0)
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    val interp =
+      try df.selectExpr("dot_f32(a, b)").head().getDouble(0)
+      finally {
+        // finally-restored: a throw must not leave the shared session
+        // codegen-less for every later suite
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
     val gen = df.selectExpr("dot_f32(a, b)").head().getDouble(0)
     assert(java.lang.Double.doubleToLongBits(interp) ==
       java.lang.Double.doubleToLongBits(gen))

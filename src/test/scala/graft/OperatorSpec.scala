@@ -155,13 +155,16 @@ class DeterminismSpec extends SparkSpec {
 
   test("all declared queries are partition-count invariant") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = Seq("4", "7").map { parts =>
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      names.map { n =>
-        n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq
-      }.toMap
-    }
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val results =
+      try Seq("4", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        names.map { n =>
+          n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+        }.toMap
+      }
+      // finally-restored: a throwing query must not leave the shared
+      // session at 7 shuffle partitions for later suites
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
     val diffs = names.filter(n => results(0)(n) != results(1)(n))
     assert(diffs.isEmpty, s"partition-sensitive queries: $diffs")
   }

@@ -70,12 +70,15 @@ class PlanSpec extends SparkSpec {
 
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE's placeholder plan reports 0 subtrees before execution —
-    // disable it for this static inspection only
+    // disable it for this static inspection only (finally-restored: a
+    // throw here must not leave the shared session AQE-less)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val plan =
+      try {
+        val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val found = "Found (\\d+) WholeStageCodegen".r
       .findFirstMatchIn(plan).map(_.group(1).toInt)
     assert(found.exists(_ >= 1), s"no codegen subtrees:\n${plan.take(500)}")

@@ -36,7 +36,15 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("dynamic partition pruning flows through a broadcast dim join") {
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    val reuseKey =
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    val prevReuse = spark.conf.get(reuseKey)
+    spark.conf.set(reuseKey, "false")
+    try dppBody()
+    finally spark.conf.set(reuseKey, prevReuse)
+  }
+
+  private def dppBody(): Unit = {
     import spark.implicits._
     // DPP requires a SELECTIVE FILTER over a scannable relation on the
     // build side — a bare in-memory literal doesn't qualify
@@ -167,8 +175,16 @@ class ScaleSpec extends SparkSpec {
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB this is the difference between scanning the whole fact
     // table and skipping most of it: a bloom filter built from the
-    // filtered dim side is injected into the fact scan
+    // filtered dim side is injected into the fact scan. Save/restore
+    // ALL four confs to their prior values (the old finally restored
+    // only two, to hard-coded literals — review r4 test pass)
     val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> conf.get(k)).toMap
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -187,10 +203,7 @@ class ScaleSpec extends SparkSpec {
       assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
         s"runtime bloom filter not injected:\n$plan")
       assert(joined.count() > 0)
-    } finally {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    }
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("compact collapses a small-file tail, preserving rows and order") {

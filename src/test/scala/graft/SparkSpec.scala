@@ -20,6 +20,25 @@ object SparkSpec {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  // deleteOnExit only removes EMPTY directories — every populated test
+  // dir would leak (review r4 test pass). One JVM shutdown hook deletes
+  // all registered temp trees recursively.
+  private val tmpRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpRoots.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(root.toFile)
+      }))
+  def cleanupOnExit(p: java.nio.file.Path): Unit = {
+    hookInstalled
+    tmpRoots.add(p): Unit
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {
@@ -27,7 +46,7 @@ trait SparkSpec extends AnyFunSuite {
   def sfDir: String = SparkSpec.sfDir
   def tmpDir(name: String): String = {
     val p = java.nio.file.Files.createTempDirectory(s"graft-$name")
-    p.toFile.deleteOnExit()
+    SparkSpec.cleanupOnExit(p)
     p.toString
   }
 }
