@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF32, TopKByLong, WordNgrams}
+import graft.functions.{DotF32, HeavyHitters, TopKByLong, WordNgrams}
 import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule}
 
 /** Session-extension entry point: `--conf
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("topk_pairs_by_long"),
       new ExpressionInfo(classOf[TopKByLong].getName, "topk_pairs_by_long"),
       (exprs: Seq[Expression]) => TopKByLong.builder(pairs = true)(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => HeavyHitters.builder(exprs)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
   }

@@ -108,6 +108,31 @@ object Udx extends OpGroup {
         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
         |        FROM tok WHERE len(w) >= 2))
         |SELECT bigram, COUNT(*) AS n FROM b
-        |GROUP BY bigram ORDER BY n DESC, bigram ASC""".stripMargin)
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC""".stripMargin),
+
+    Q(
+      // Misra–Gries heavy-hitters sketch (functions.HeavyHitters), run
+      // in its EXACT regime: per source, the language heavy hitters
+      // with k=16 ≥ the distinct-language count, so no counter is ever
+      // decremented and the sketch provably equals exact counts,
+      // deterministically — the oracle-gated face of the sketch. The
+      // approximate regime (billions of distinct items, where this is
+      // the only bounded-memory option) is property-tested in
+      // FunctionsSpec; the re-count pattern (sketch → exact recount of
+      // k survivors) is the documented production path.
+      "q_agg_heavy_hitters",
+      (s, d) => {
+        graft.functions.HeavyHitters.register(s)
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(expr("heavy_hitters(lang, 16)").as("_hh"))
+          .select(col("source"), explode(col("_hh")).as("h"))
+          .select(col("source"), col("h.item").as("lang"),
+                  col("h.est").as("n_docs"))
+          .orderBy(col("source"), col("lang"))
+      },
+      """SELECT source, lang, COUNT(*) AS n_docs
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin)
   )
 }

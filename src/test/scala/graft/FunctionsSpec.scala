@@ -200,6 +200,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("heavy_hitters: exact when distinct <= k; MG bounds when not") {
+    graft.functions.HeavyHitters.register(spark)
+    // exact regime: 3 distinct items, k=8 — no decrement can occur, so
+    // the sketch equals exact counts regardless of partitioning
+    val small = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c"))
+      .toDF("item").repartition(11)
+    val exact = small.agg(expr("heavy_hitters(item, 8)").as("h"))
+      .select(explode(col("h")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)]
+      .collect().toMap
+    assert(exact == Map("a" -> 50L, "b" -> 30L, "c" -> 5L), exact.toString)
+
+    // approximate regime: skewed stream, k=5, 13 partitions forcing
+    // serialize + merge. MG guarantees (n = 1000):
+    //   est is a lower bound within n/(k+1) of the truth, and every
+    //   item with true freq > n/(k+1) survives.
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(1000)(
+      if (rnd.nextInt(100) < 40) "hot1"
+      else if (rnd.nextInt(100) < 30) "hot2"
+      else s"tail${rnd.nextInt(300)}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 5
+    val bound = 1000L / (k + 1)
+    val got = items.toDF("item").repartition(13)
+      .agg(expr(s"heavy_hitters(item, $k)").as("h"))
+      .select(explode(col("h")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)]
+      .collect().toMap
+    assert(got.size <= k)
+    got.foreach { case (item, est) =>
+      assert(est <= truth(item), s"$item overestimated: $est > ${truth(item)}")
+      assert(est >= truth(item) - bound,
+        s"$item underestimated past the bound: $est < ${truth(item)} - $bound")
+    }
+    truth.filter(_._2 > bound).keys.foreach(it =>
+      assert(got.contains(it), s"guaranteed heavy hitter $it missing: $got"))
+    // nulls are skipped, not counted
+    val withNull = Seq(Some("x"), None, Some("x"), None).toDF("item")
+    val n = withNull.agg(expr("heavy_hitters(item, 4)").as("h"))
+      .select(explode(col("h")).as("e")).select(col("e.item"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+    assert(n == Map("x" -> 2L), n.toString)
+  }
+
   test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
     import org.apache.spark.sql.functions._
     val gm = udaf(graft.functions.GeoMean)
