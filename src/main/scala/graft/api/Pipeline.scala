@@ -184,16 +184,56 @@ object Pipeline {
   def contaminated(
       corpus: DataFrame, benchmark: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
-    def shingles(src: DataFrame) = src
-      .select(id.as("_id"), Dedup.tokens(text).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("_id"),
-              explode_outer(expr(Dedup.shingleExpr(n))).as("g"))
-      .filter(col("g").isNotNull)
-    val bench = shingles(benchmark).select(col("g"))
-    val ids = shingles(corpus)
+    val bench = idShingles(benchmark, id, text, n).select(col("g"))
+    val ids = idShingles(corpus, id, text, n)
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("_id")).distinct()
     corpus.join(ids, id === col("_id"), "left_semi")
+  }
+
+  /** (_id, g) word-`n`-gram shingles of `src` — the shared generator of
+    * [[contaminated]]/[[contaminatedBloom]] (explode_outer + null filter
+    * per the generator discipline above). */
+  private def idShingles(
+      src: DataFrame, id: Column, text: Column, n: Int): DataFrame = src
+    .select(id.as("_id"), Dedup.tokens(text).as("w"))
+    .filter(size(col("w")) >= n)
+    .select(col("_id"),
+            explode_outer(expr(Dedup.shingleExpr(n))).as("g"))
+    .filter(col("g").isNotNull)
+
+  /** [[contaminated]] with a bloom-filter prefilter — IDENTICAL output
+    * (the bloom has no false negatives and an exact confirm join removes
+    * its false positives), different 100 TB cost: the corpus's shingles
+    * are probed against one ~MB binary IN THE SCAN STAGE, so only the
+    * ~fpp false-positive fraction plus true hits ever reaches the
+    * confirm join — instead of every (id, shingle) row flowing into a
+    * join against the broadcast set. This is the same semi-join-pushdown
+    * shape Spark's runtime row-level filtering injects inside ONE query,
+    * applied explicitly so it works across pipeline stages (build the
+    * blob once, probe it in every ingest batch).
+    *
+    * `expectedItems` sizes the filter (Spark's default fpp 3%); the
+    * build side collects to ONE binary on the driver — the explicit twin
+    * of a runtime-filter subquery broadcast, fine at any corpus scale
+    * because it depends only on the BENCHMARK's shingle count. */
+  def contaminatedBloom(
+      corpus: DataFrame, benchmark: DataFrame, id: Column, text: Column,
+      n: Int, expectedItems: Long = 1000000L): DataFrame = {
+    graft.functions.Bloom.register(corpus.sparkSession)
+    val bench = idShingles(benchmark, id, text, n).select(col("g"))
+    val blob = bench
+      .agg(call_function("bloom_agg", xxhash64(col("g")),
+                         lit(expectedItems)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    if (blob == null) corpus.filter(lit(false)) // empty benchmark
+    else {
+      val ids = idShingles(corpus, id, text, n)
+        .filter(call_function("bloom_might_contain",
+                              lit(blob), xxhash64(col("g"))))
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select(col("_id")).distinct()
+      corpus.join(ids, id === col("_id"), "left_semi")
+    }
   }
 }

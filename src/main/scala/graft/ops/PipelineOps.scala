@@ -48,6 +48,60 @@ object PipelineOps extends OpGroup {
     s"${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)}"
   }
 
+  /** Shared reporting wrapper of the two contamination queries: run the
+    * given detector (corpus, benchmark, id, text, n) over the src0-vs-
+    * rest split of `documents`, then report per-lang counts — so
+    * q_contamination and q_contamination_bloom differ ONLY in the
+    * detection path and share one oracle. */
+  private def contaminationReport(
+      s: org.apache.spark.sql.SparkSession, d: String)(
+      detector: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                 org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+                 Int) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val hits = detector(corpus, bench, col("doc_id"), col("text"), 7)
+    corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(hits.groupBy(col("lang"))
+              .agg(count(lit(1)).as("n_contaminated"),
+                   min(col("doc_id")).as("first_doc")),
+            Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+              coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+              coalesce(col("first_doc"), lit(-1L)).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val contaminationSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, source, ${toksSql("text")} AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, source,
+      |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4], ' ',
+      |           w[i+5], ' ', w[i+6], ' ', w[i+7]) AS g
+      |  FROM (SELECT doc_id, lang, source, w,
+      |          unnest(range(0, len(w) - 6)) AS i
+      |        FROM tok WHERE len(w) >= 7)),
+      |contaminated AS (
+      |  SELECT DISTINCT c.doc_id, c.lang
+      |  FROM sh c WHERE c.source <> 'src0'
+      |    AND EXISTS (SELECT 1 FROM sh b
+      |                WHERE b.source = 'src0' AND b.g = c.g)),
+      |base AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents
+      |  WHERE source <> 'src0' GROUP BY lang),
+      |hit AS (
+      |  SELECT lang, COUNT(*) AS n_contaminated, MIN(doc_id) AS first_doc
+      |  FROM contaminated GROUP BY lang)
+      |SELECT base.lang, base.n_docs,
+      |  COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+      |  COALESCE(hit.first_doc, -1) AS first_doc
+      |FROM base LEFT JOIN hit ON base.lang = hit.lang
+      |ORDER BY base.lang""".stripMargin
+
   def qs: Seq[Q] = Seq(
     Q(
       // deterministic stratified sampling = data-mixing weights: keep
@@ -210,48 +264,22 @@ object PipelineOps extends OpGroup {
       // dial as q_dedup_ngram_jaccard (real decontamination runs use
       // 13-grams on web-scale docs).
       "q_contamination",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val corpus = docs.filter(col("source") =!= "src0")
-        val bench = docs.filter(col("source") === "src0")
-        val hits = Pipeline.contaminated(
-          corpus, bench, col("doc_id"), col("text"), n = 7)
-        corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-          .join(hits.groupBy(col("lang"))
-                  .agg(count(lit(1)).as("n_contaminated"),
-                       min(col("doc_id")).as("first_doc")),
-                Seq("lang"), "left")
-          .select(col("lang"), col("n_docs"),
-                  coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-                  coalesce(col("first_doc"), lit(-1L)).as("first_doc"))
-          .orderBy(col("lang"))
-      },
-      s"""WITH tok AS (
-        |  SELECT doc_id, lang, source, ${toksSql("text")} AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, lang, source,
-        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4], ' ',
-        |           w[i+5], ' ', w[i+6], ' ', w[i+7]) AS g
-        |  FROM (SELECT doc_id, lang, source, w,
-        |          unnest(range(0, len(w) - 6)) AS i
-        |        FROM tok WHERE len(w) >= 7)),
-        |contaminated AS (
-        |  SELECT DISTINCT c.doc_id, c.lang
-        |  FROM sh c WHERE c.source <> 'src0'
-        |    AND EXISTS (SELECT 1 FROM sh b
-        |                WHERE b.source = 'src0' AND b.g = c.g)),
-        |base AS (
-        |  SELECT lang, COUNT(*) AS n_docs FROM documents
-        |  WHERE source <> 'src0' GROUP BY lang),
-        |hit AS (
-        |  SELECT lang, COUNT(*) AS n_contaminated, MIN(doc_id) AS first_doc
-        |  FROM contaminated GROUP BY lang)
-        |SELECT base.lang, base.n_docs,
-        |  COALESCE(hit.n_contaminated, 0) AS n_contaminated,
-        |  COALESCE(hit.first_doc, -1) AS first_doc
-        |FROM base LEFT JOIN hit ON base.lang = hit.lang
-        |ORDER BY base.lang""".stripMargin),
+      (s, d) => contaminationReport(s, d)(Pipeline.contaminated(_, _, _, _, _)),
+      contaminationSql),
+
+    Q(
+      // the SAME contamination contract through the bloom-prefiltered
+      // path (api.Pipeline.contaminatedBloom): corpus shingles probe a
+      // ~1 MB bloom blob of the benchmark set in the SCAN stage, and
+      // only the survivors (true hits + ~fpp noise) reach the exact
+      // confirm join. No false negatives + exact confirm ⇒ provably the
+      // same rows as q_contamination — so both paths share ONE oracle,
+      // and the driver hash-compares the optimized plan's output against
+      // the naive plan's spec on every run.
+      "q_contamination_bloom",
+      (s, d) => contaminationReport(s, d)(
+        Pipeline.contaminatedBloom(_, _, _, _, _, expectedItems = 300000L)),
+      contaminationSql),
 
     Q(
       // token-budget mixture planning (api.Pipeline.mixRates): per-lang

@@ -98,6 +98,30 @@ class ApiSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("contaminatedBloom equals contaminated; prefilter sits in the scan stage") {
+    val bench = Seq(Doc(100L, "a b c d e f g h", "en")).toDF()
+    for (n <- Seq(7, 8)) {
+      val exact = Pipeline.contaminated(
+        docs, bench, col("doc_id"), col("text"), n)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val bloom = Pipeline.contaminatedBloom(
+        docs, bench, col("doc_id"), col("text"), n, expectedItems = 64L)
+      assert(bloom.select("doc_id").as[Long].collect().sorted.toSeq == exact)
+      // the bloom probe must run BEFORE the confirm join (scan-stage
+      // prune), not after it
+      val plan = bloom.queryExecution.executedPlan.toString
+      val probeAt = plan.indexOf("might_contain")
+      val joinAt = plan.indexOf("Join")
+      assert(probeAt >= 0, s"no bloom probe in plan:\n$plan")
+      assert(joinAt >= 0 && probeAt > joinAt, // child plans print BELOW parents
+        s"bloom probe not below (before) the confirm join:\n$plan")
+    }
+    // empty benchmark → empty result, schema preserved
+    val none = Pipeline.contaminatedBloom(
+      docs, bench.filter(lit(false)), col("doc_id"), col("text"), 7)
+    assert(none.columns.toSeq == docs.columns.toSeq && none.count() == 0)
+  }
+
   test("minhashPairs: wider shingles are stricter; threshold honored") {
     val loose = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
       shingle = 2, minMatch = 8)
