@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bloom, DotF32, HeavyHitters, TopKByLong, WordNgrams}
+import graft.functions.{Bloom, DotF32, HeavyHitters, KmvKth, TopKByLong, WordNgrams}
 import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule}
 
 /** Session-extension entry point: `--conf
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
       (exprs: Seq[Expression]) => HeavyHitters.builder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_kth"),
+      new ExpressionInfo(classOf[KmvKth].getName, "kmv_kth"),
+      (exprs: Seq[Expression]) => KmvKth.builder(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(Bloom.getClass.getName, "bloom_agg"),

@@ -35,6 +35,15 @@ object Pipeline {
     pmod(xxhash64(coalesce(c.cast("string"), lit(""))), lit(65536L))
       .cast("int")
 
+  /** 32-bit sibling of [[hash16]] (first 8 hex digits of md5) — the
+    * resolution [[approxDistinctKMV]] needs: with only 2^16 buckets,
+    * hash collisions would floor the measurable distinct count at 65536;
+    * 2^32 pushes the birthday bound past any per-group cardinality the
+    * estimator is pointed at. Same null contract as hash16. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(coalesce(c.cast("string"), lit(""))), 1, 8), 16, 10)
+      .cast("bigint")
+
   /** Deterministic stratified sampling: keep a row iff
     * hash16(id) < 65536 * weight(stratum). `weights` maps stratum value
     * → keep probability; unlisted strata use `default`. Map-side only —
@@ -189,6 +198,31 @@ object Pipeline {
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("_id")).distinct()
     corpus.join(ids, id === col("_id"), "left_semi")
+  }
+
+  /** Approximate distinct count per group via the KMV sketch
+    * (`functions.KmvKth`): one hash-agg whose per-group state is the
+    * ≤ `k` smallest distinct [[hash32]] values — duplicates dedup INSIDE
+    * the sketch, so raw rows stream in with NO distinct pre-shuffle, and
+    * only ≤ k longs per group cross the exchange. Returns
+    * (group, est_distinct DOUBLE): exact while a group has < k distinct
+    * values, else the classic (k−1)/u(k) estimate (rel. error ≈ 1/√(k−2)).
+    *
+    * Fully deterministic AND cross-engine checkable — the k smallest
+    * distinct hashes are a function of the input set, not the partition
+    * or merge order (contrast `approx_count_distinct`, whose HLL
+    * registers are engine-private). Estimate rounded to 4 dp (R3). */
+  def approxDistinctKMV(
+      df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    graft.functions.KmvKth.register(df.sparkSession)
+    df.groupBy(group.as("g"))
+      .agg(call_function("kmv_kth", hash32(value), lit(k)).as("s"))
+      .select(col("g"),
+        when(col("s.n") < k, col("s.n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+                           (col("s.kth").cast("double") / lit(4294967296.0)), 4)
+                     + lit(0.0))
+          .as("est_distinct"))
   }
 
   /** (_id, g) word-`n`-gram shingles of `src` — the shared generator of

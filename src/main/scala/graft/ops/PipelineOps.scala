@@ -48,6 +48,14 @@ object PipelineOps extends OpGroup {
     s"${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)}"
   }
 
+  /** DuckDB rendering of Pipeline.hash32 (first 8 md5 hex digits as a
+    * BIGINT) — same digit arithmetic as [[u16Sql]], four more digits. */
+  private def u32Sql(c: String): String = {
+    def d(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(COALESCE(CAST($c AS VARCHAR), '')), $i, 1)) - 1)"
+    (1 to 8).map(i => s"${d(i)} * ${1L << (4 * (8 - i))}").mkString(" + ")
+  }
+
   /** Shared reporting wrapper of the two contamination queries: run the
     * given detector (corpus, benchmark, id, text, n) over the src0-vs-
     * rest split of `documents`, then report per-lang counts — so
@@ -440,6 +448,46 @@ object PipelineOps extends OpGroup {
         |      ORDER BY u ASC, doc_id ASC) AS rn
         |  FROM h)
         |SELECT lang, doc_id FROM r WHERE rn <= 3
-        |ORDER BY lang, doc_id""".stripMargin)
+        |ORDER BY lang, doc_id""".stripMargin),
+
+    Q(
+      // KMV approximate-distinct (api.Pipeline.approxDistinctKMV,
+      // functions.KmvKth): distinct users per event type, k=64,
+      // reported NEXT TO the exact count so the error is visible in the
+      // output. The sketch's k smallest distinct hashes are a function
+      // of the input SET — partition/merge-order independent — so the
+      // estimate is oracle-gated exactly (DuckDB recomputes it from the
+      // same md5-slice hashes via a window), which engine-private HLL
+      // (`approx_count_distinct`) can never be. State: ≤ 64 longs per
+      // group; duplicates dedup inside the sketch, raw rows stream in
+      // with no distinct pre-shuffle. n_exact counts distinct HASHES on
+      // both engines (hash-consistent by construction; collisions are
+      // birthday-negligible at 2^32).
+      "q_distinct_kmv",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val est = Pipeline.approxDistinctKMV(
+          ev, col("event_type"), col("user_id"), k = 64)
+          .withColumnRenamed("g", "event_type")
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(Pipeline.hash32(col("user_id"))).as("n_exact"))
+        exact.join(est, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("est_distinct"))
+          .orderBy(col("event_type"))
+      },
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type, ${u32Sql("user_id")} AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT event_type, CAST(nd AS BIGINT) AS n_exact,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(63.0 / (CAST(hv AS DOUBLE) / 4294967296.0), 4) + 0
+        |  END AS est_distinct
+        |FROM r WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END
+        |ORDER BY event_type""".stripMargin)
   )
 }

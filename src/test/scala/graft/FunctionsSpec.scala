@@ -245,6 +245,54 @@ class FunctionsSpec extends SparkSpec {
     assert(n == Map("x" -> 2L), n.toString)
   }
 
+  test("kmv_kth: partition-independent, exact below k, bounded error above") {
+    graft.functions.KmvKth.register(spark)
+    import graft.api.Pipeline
+
+    // exact regime: fewer distinct values than k → n is the exact
+    // distinct count, kth defined, identical on any partitioning
+    val small = Seq("a", "b", "c", "a", "b", "a").toDF("v")
+    for (parts <- Seq(1, 7)) {
+      val r = small.repartition(parts)
+        .agg(expr("kmv_kth(cast(conv(substring(md5(v),1,8),16,10) as bigint), 64)").as("s"))
+        .select(col("s.n"), col("s.kth")).as[(Int, Long)].head()
+      assert(r._1 == 3)
+    }
+
+    // estimator regime: 5000 distinct ids, k=256 → rel error well
+    // within 5/sqrt(k-2) (a ~16-sigma bound; the test is deterministic
+    // since the hash is)
+    val big = (1 to 5000).map(_.toString).toDF("v")
+    val est = Pipeline.approxDistinctKMV(big, lit(1), col("v"), 256)
+      .select(col("est_distinct")).as[Double].head()
+    assert(math.abs(est - 5000) / 5000.0 < 5.0 / math.sqrt(254.0),
+      s"KMV estimate $est too far from 5000")
+
+    // partition independence of the SKETCH OUTPUT (n, kth), not just
+    // the estimate — the oracle-gateability claim itself
+    val outs = Seq(1, 3, 13).map { p =>
+      big.repartition(p)
+        .agg(expr("kmv_kth(cast(conv(substring(md5(v),1,8),16,10) as bigint), 256)").as("s"))
+        .select(col("s.n"), col("s.kth")).as[(Int, Long)].head()
+    }
+    assert(outs.distinct.size == 1, s"sketch varies with partitioning: $outs")
+
+    // duplicates dedup inside the sketch; nulls skipped
+    val dup = (Seq.fill(100)("x") ++ Seq.fill(50)("y")).toDF("v")
+    val rd = dup.agg(expr("kmv_kth(cast(conv(substring(md5(v),1,8),16,10) as bigint), 8)").as("s"))
+      .select(col("s.n")).as[Int].head()
+    assert(rd == 2)
+    val withNull = Seq(Some("x"), None, None).toDF("v")
+    val rawNull = withNull
+      .agg(expr("kmv_kth(cast(conv(substring(md5(v),1,8),16,10) as bigint), 8)").as("s"))
+      .select(col("s.n")).as[Int].head()
+    assert(rawNull == 1) // a null HASH is skipped by the aggregate
+    val viaHash32 = withNull
+      .agg(expr("kmv_kth(cast(conv(substring(md5(coalesce(v,'')),1,8),16,10) as bigint), 8)").as("s"))
+      .select(col("s.n")).as[Int].head()
+    assert(viaHash32 == 2) // hash32 maps null to '' — counted as one value
+  }
+
   test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
     import org.apache.spark.sql.functions._
     val gm = udaf(graft.functions.GeoMean)
