@@ -184,13 +184,38 @@ object Dedup {
       shingle: Int = 3, minMatch: Int = 8,
       maxShingleDocFreq: Option[Int] = None,
       maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    val sig = minhashSignatures(df, id, text, shingle,
+                                maxShingleDocFreq, maxShingleDocFrac)
+    val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
+    val b = sig.select(col("doc_id").as("doc_b"),
+                       col("k").as("k2"), col("mh").as("mh2"))
+    a.join(b, col("k") === col("k2") && col("mh") === col("mh2") &&
+              col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
+  /** The 16-slot MinHash signature of [[minhashPairs]] as a standalone,
+    * PERSISTABLE frame: (doc_id, k, mh) with k ∈ [0, 16) and mh the
+    * slot minimum. This is the incremental-dedup seam: at 100 TB the
+    * corpus's signatures are computed ONCE, written bucketed by
+    * (k, mh), and every ingest batch only computes ITS OWN signatures
+    * (batch-sized work) before matching — see [[minhashMatches]].
+    * Identical math to the self-join path (minhashPairs delegates
+    * here), so persisted signatures and ad-hoc runs can never drift. */
+  def minhashSignatures(
+      df: DataFrame, id: Column, text: Column,
+      shingle: Int = 3,
+      maxShingleDocFreq: Option[Int] = None,
+      maxShingleDocFrac: Option[Double] = None): DataFrame = {
     val exploded = df
       .select(id.as("doc_id"), tokens(text).as("w"))
       .filter(size(col("w")) >= shingle)
       .select(col("doc_id"),
               explode_outer(expr(shingleExpr(shingle))).as("s"))
       .filter(col("s").isNotNull)
-    val sig = capHotShingles(exploded, col("s"),
+    capHotShingles(exploded, col("s"),
         maxShingleDocFreq, maxShingleDocFrac,
         df.select(count(lit(1)).as("_n_docs")))
       .select(col("doc_id"), col("s"),
@@ -206,11 +231,24 @@ object Dedup {
       .select(col("doc_id"), expr(
         "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
         " j * 4 + 3, m3) AS (k, mh)"))
-    val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
-    val b = sig.select(col("doc_id").as("doc_b"),
-                       col("k").as("k2"), col("mh").as("mh2"))
-    a.join(b, col("k") === col("k2") && col("mh") === col("mh2") &&
-              col("doc_a") < col("doc_b"))
+  }
+
+  /** Cross-corpus MinHash matching: (doc_a from `sigA`, doc_b from
+    * `sigB`, n_match) for pairs agreeing on ≥ `minMatch` of the 16
+    * slots — both sides are [[minhashSignatures]] frames (either
+    * freshly computed or read back from a signature store). The
+    * incremental-ingest primitive: batch-vs-corpus matching joins
+    * batch signatures (small) against corpus signatures on the
+    * (k, mh) bucket key — corpus×corpus pairs are never generated,
+    * and with the corpus side pre-bucketed by (k, mh) the big side
+    * does not even shuffle. No doc_a < doc_b constraint: the sides
+    * are distinct id spaces (callers dedup ids that appear in both). */
+  def minhashMatches(
+      sigA: DataFrame, sigB: DataFrame, minMatch: Int = 8): DataFrame = {
+    val a = sigA.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
+    val b = sigB.select(col("doc_id").as("doc_b"),
+                        col("k").as("k2"), col("mh").as("mh2"))
+    a.join(b, col("k") === col("k2") && col("mh") === col("mh2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_match"))
       .filter(col("n_match") >= minMatch)

@@ -48,7 +48,11 @@ object LlmOps extends OpGroup {
     * n_match)` — embedded by the oracle strings. `capFilter` mirrors
     * Dedup.minhashPairs' maxShingleDocFreq (drop shingles with
     * df > cap before they touch signatures). */
-  private def minhashPairsSqlWith(capFilter: String): String =
+  /** The signature CTEs alone (tok..sig) — shared by the self-join
+    * pairs oracle and the cross-corpus incremental oracle, so the
+    * signature math cannot drift between them (it is ONE definition,
+    * exactly like Dedup.minhashSignatures on the Spark side). */
+  private def minhashSigSqlWith(capFilter: String): String =
     s"""tok AS (
       |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
       |sh0 AS (
@@ -65,7 +69,10 @@ object LlmOps extends OpGroup {
       |  SELECT doc_id, j * 4 + i AS k,
       |    MIN(substr(h, i * 8 + 1, 8)) AS mh
       |  FROM (SELECT doc_id, j, h, unnest(range(0, 4)) AS i FROM hj)
-      |  GROUP BY doc_id, j * 4 + i),
+      |  GROUP BY doc_id, j * 4 + i)""".stripMargin
+
+  private def minhashPairsSqlWith(capFilter: String): String =
+    s"""${minhashSigSqlWith(capFilter)},
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
       |  FROM sig a JOIN sig b
@@ -125,6 +132,37 @@ object LlmOps extends OpGroup {
       (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       s"""WITH $minhashPairsSql
         |SELECT doc_a, doc_b, n_match FROM pairs
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q(
+      // incremental (batch-vs-corpus) near-dedup: the held-out source
+      // plays the incoming ingest batch, everything else the standing
+      // corpus. Signatures are computed PER SIDE through the public
+      // persistable seam (Dedup.minhashSignatures — at 100 TB the
+      // corpus's are computed once, stored bucketed by (k, mh), and a
+      // daily batch only ever does batch-sized work), then matched on
+      // the (k, mh) bucket key (Dedup.minhashMatches) — corpus×corpus
+      // pairs are never generated. Same signature math as
+      // q_dedup_near_minhash on both engines (shared Spark seam,
+      // shared oracle CTEs).
+      "q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sigBatch = graft.api.Dedup.minhashSignatures(
+          docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+        val sigCorpus = graft.api.Dedup.minhashSignatures(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+        graft.api.Dedup.minhashMatches(sigBatch, sigCorpus, minMatch = K / 2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH ${minhashSigSqlWith("")}
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS n_match
+        |FROM sig a, sig b, documents da, documents db
+        |WHERE a.k = b.k AND a.mh = b.mh
+        |  AND da.doc_id = a.doc_id AND db.doc_id = b.doc_id
+        |  AND da.source = 'src0' AND db.source <> 'src0'
+        |GROUP BY doc_a, doc_b HAVING COUNT(*) >= ${K / 2}
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q(

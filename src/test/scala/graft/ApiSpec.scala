@@ -154,6 +154,36 @@ class ApiSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (2L, 13L)), s"got $got")
   }
 
+  test("minhashMatches (cross-corpus) agrees with the self-join path") {
+    // batch = ids 100+, corpus = the base docs; doc 101 is an exact
+    // copy of corpus doc 1, doc 102 is unrelated
+    val corpus = docs
+    val batch = Seq(
+      Doc(101L, "a b c d e f g h", "en"),
+      Doc(102L, "qq rr ss tt uu vv ww xx", "en")).toDF()
+    val sigB = Dedup.minhashSignatures(batch, col("doc_id"), col("text"))
+    val sigC = Dedup.minhashSignatures(corpus, col("doc_id"), col("text"))
+    // every doc has exactly 16 signature slots
+    val slots = sigB.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(slots.values.forall(_ == 16L), slots.toString)
+    val cross = Dedup.minhashMatches(sigB, sigC, minMatch = 8)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // the exact copy matches corpus docs 1 and 2 (themselves exact
+    // dups) on all 16 slots; near-dups may match on fewer (≥ 8); the
+    // unrelated doc matches nothing
+    assert(cross.filter(t => t._2 == 1L || t._2 == 2L)
+                .map(t => (t._1, t._3)).toSet == Set((101L, 16L)))
+    assert(cross.forall(_._3 >= 8L))
+    assert(!cross.exists(_._1 == 102L))
+    // ground truth: the union self-join restricted to cross pairs
+    val unioned = Dedup.minhashPairs(
+      corpus.union(batch), col("doc_id"), col("text"), minMatch = 8)
+      .filter(col("doc_b") >= 100L && col("doc_a") < 100L)
+      .select(col("doc_b"), col("doc_a"), col("n_match"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(cross == unioned, s"cross=$cross unioned=$unioned")
+  }
+
   test("lineDedup drops the shared banner, rebuilds in order") {
     import graft.api.Text
     // 2-word lines; "cookie banner" is in all three docs
