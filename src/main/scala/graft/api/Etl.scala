@@ -84,4 +84,46 @@ object Etl {
           .as("change"): _*)
     matched.unionByName(unmatched)
   }
+
+  /** Population-stability-index drift between two snapshots: PSI =
+    * Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) over the caller-supplied
+    * `bucket` column (a fixed-width `floor(x / w)` for numerics, the
+    * raw value for categoricals — the caller owns the binning). The
+    * data-quality gate run between ingest batches: PSI < 0.1 is the
+    * folklore "stable" bar, > 0.25 "shifted, investigate".
+    *
+    * Probabilities are add-one smoothed over the OBSERVED bucket set
+    * (p = (n+1)/(N+B)) so a bucket present in only one snapshot
+    * contributes a finite term — no ε constants, integer-derived and
+    * engine-portable. Returns one row per bucket:
+    * (bucket, n_ref, n_cur, psi_term, psi) with `psi` the total
+    * repeated on every row; psi_term rounded to 6 dp, psi = the
+    * rounded-term sum rounded to 4 (deterministic: the only
+    * double-order reduction runs over ≤ B already-rounded terms).
+    *
+    * Shape: union-tag + ONE corpus-sized hash-agg to (bucket,
+    * n_ref, n_cur) — the snapshotDiff discipline — then windows over
+    * the BUCKET-COUNT-sized frame only (never the corpus). */
+  def psi(ref: DataFrame, cur: DataFrame, bucket: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val counts = ref.select(bucket.as("bucket")).withColumn("_side", lit(0))
+      .unionByName(
+        cur.select(bucket.as("bucket")).withColumn("_side", lit(1)))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_side") === 0, 1)).as("n_ref"),
+           count(when(col("_side") === 1, 1)).as("n_cur"))
+    counts
+      .withColumn("_pr",
+        (col("n_ref") + 1).cast("double") /
+        (sum(col("n_ref")).over(w) + count(lit(1)).over(w)).cast("double"))
+      .withColumn("_pc",
+        (col("n_cur") + 1).cast("double") /
+        (sum(col("n_cur")).over(w) + count(lit(1)).over(w)).cast("double"))
+      .withColumn("psi_term",
+        round((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr")), 6)
+          + lit(0.0))
+      .withColumn("psi", round(sum(col("psi_term")).over(w), 4) + lit(0.0))
+      .drop("_pr", "_pc")
+  }
 }

@@ -145,6 +145,49 @@ object EtlOps extends OpGroup {
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin),
 
     Q(
+      // distribution-drift gate (api.Etl.psi): population stability
+      // index of the order-value distribution, pre-1998 orders as the
+      // reference snapshot vs the rest as current, 25k-wide buckets
+      // (the q_agg_histogram binning idiom). Add-one smoothing over
+      // the observed bucket set — no ε constants, integer-derived,
+      // engine-portable; the only double-order reduction sums ≤ B
+      // already-rounded terms. The between-ingest-batches check that
+      // catches upstream shifts before they poison a training mix.
+      "q_etl_drift_psi",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        graft.api.Etl.psi(
+          o.filter(col("o_orderdate") < lit("1998-01-01")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01")),
+          floor(col("o_totalprice") / 25000.0).cast("int"))
+          .orderBy(col("bucket"))
+      },
+      """WITH t AS (
+        |  SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bucket,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1
+        |    END AS side
+        |  FROM orders),
+        |c AS (
+        |  SELECT bucket,
+        |    COUNT(*) FILTER (WHERE side = 0) AS n_ref,
+        |    COUNT(*) FILTER (WHERE side = 1) AS n_cur
+        |  FROM t GROUP BY bucket),
+        |p AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    CAST(n_ref + 1 AS DOUBLE)
+        |      / (SUM(n_ref) OVER () + COUNT(*) OVER ()) AS pr,
+        |    CAST(n_cur + 1 AS DOUBLE)
+        |      / (SUM(n_cur) OVER () + COUNT(*) OVER ()) AS pc
+        |  FROM c),
+        |q AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    round((pc - pr) * ln(pc / pr), 6) + 0 AS psi_term
+        |  FROM p)
+        |SELECT bucket, n_ref, n_cur, psi_term,
+        |  round(SUM(psi_term) OVER (), 4) + 0 AS psi
+        |FROM q ORDER BY bucket""".stripMargin),
+
+    Q(
       // rolling 7-day distinct actives (DAU/WAU): reduce the stream to
       // distinct (day, user) FIRST (the only corpus-sized shuffle),
       // then each pair covers days d..d+6 via a 7-row explode — an

@@ -668,6 +668,35 @@ class ApiSpec extends SparkSpec {
     assert(wide == 1)
   }
 
+  test("psi: zero on identical snapshots, grows with shift, one-sided buckets finite") {
+    import graft.api.Etl
+    val ref = (Seq.fill(50)(1) ++ Seq.fill(30)(2) ++ Seq.fill(20)(3))
+      .toDF("b")
+    // identical distributions → every term 0, psi 0
+    val same = Etl.psi(ref, ref, col("b")).collect()
+    assert(same.forall(r => r.getAs[Double]("psi_term") == 0.0 &&
+                            r.getAs[Double]("psi") == 0.0))
+    // mild shift vs near-total shift: psi must order them
+    val mild = (Seq.fill(40)(1) ++ Seq.fill(40)(2) ++ Seq.fill(20)(3)).toDF("b")
+    val wild = (Seq.fill(5)(1) ++ Seq.fill(5)(2) ++ Seq.fill(90)(3)).toDF("b")
+    def psiOf(cur: org.apache.spark.sql.DataFrame): Double =
+      Etl.psi(ref, cur, col("b")).select("psi").as[Double].head()
+    assert(psiOf(mild) > 0.0 && psiOf(wild) > psiOf(mild) * 5,
+      s"mild=${psiOf(mild)} wild=${psiOf(wild)}")
+    // a bucket present only in `cur` yields a finite term (smoothing),
+    // and categorical (string) buckets work as-is
+    val catRef = Seq("a", "a", "b").toDF("b")
+    val catCur = Seq("a", "b", "c").toDF("b")
+    val rows = Etl.psi(catRef, catCur, col("b")).collect()
+    assert(rows.length == 3 &&
+      rows.forall(r => !r.getAs[Double]("psi_term").isNaN &&
+                       !r.getAs[Double]("psi_term").isInfinite))
+    // n_ref/n_cur are the raw counts (smoothing touches probabilities
+    // only, never the reported counts)
+    val c = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c == Set(("a", 2L, 1L), ("b", 1L, 1L), ("c", 0L, 1L)), c.toString)
+  }
+
   test("snapshotDiff: four classes, null payload distinct from 'null'") {
     import graft.api.Etl
     val old_ = Seq(
