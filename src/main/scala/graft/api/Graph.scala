@@ -62,4 +62,66 @@ object Graph {
       visited
     } finally { e.unpersist(); () }
   }
+
+  /** Bounded-iteration PageRank over a directed edge list, in FIXED-
+    * POINT integer arithmetic: ranks live in 1e-12 units (BIGINT), the
+    * per-edge contribution is `rank div outdeg` (integer floor div) and
+    * damping is `(c * 85) div 100` — so every intermediate is exact
+    * integer math, the per-dst aggregation is order-independent, and
+    * the whole iteration is bit-identical on any engine or
+    * partitioning (the house Determinism rule applied to an iterative
+    * algorithm; a floating-point PageRank's ranks depend on the
+    * reduction order of the incoming-contribution sums). The floor
+    * steps leak ≤1e-12·indegree of mass per node per round — both
+    * engines leak identically, and at 1e-12 granularity the ranking is
+    * unaffected. Dangling-node mass is dropped (the common simplified
+    * form), making ranks a per-node fixpoint rather than a strict
+    * probability distribution.
+    *
+    * Scale shape: edges pre-joined with out-degrees and hash-
+    * partitioned on `src` ONCE (cached) — each round reuses that
+    * partitioning for the rank join, then one hash-agg on `dst` and a
+    * left join back to the node set; rank frames are truncated with
+    * eager localCheckpoints like [[shortestHops]] (iterations are
+    * single-digit; borrow connectedComponents' reliable-checkpoint
+    * machinery for long runs on lossy clusters).
+    *
+    * Returns (node, rank_e12 BIGINT): rank in 1e-12 units,
+    * initial mass 1e12 per node, damping 0.85. */
+  def pageRank(
+      spark: SparkSession,
+      edges: DataFrame,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val unit = 1000000000000L // 1.0 in rank units
+    val base = unit * 15L / 100L // (1 - 0.85) · unit, exact
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("_odeg"))
+    val e = e0.join(outdeg, "src").repartition(col("src")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().persist()
+    try {
+      var ranks = nodes.withColumn("r", lit(unit))
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div _odeg").as("_c"))
+          .groupBy(col("dst")).agg(sum(col("_c")).as("_c"))
+        // floor(c·85/100) decomposed as 85·(c div 100) +
+        // (c mod 100)·85 div 100: exact, and never forms c·85 — which
+        // would wrap once total graph mass exceeds 2^63/85 (~10^5
+        // nodes); this form is safe at any node count whose total mass
+        // itself fits in int64 (~9·10^6 nodes·unit — raise `unit` down
+        // if you rank a larger graph)
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+                  (lit(base) +
+                   expr("(coalesce(_c, 0L) div 100) * 85 + " +
+                        "(coalesce(_c, 0L) % 100) * 85 div 100")).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node"), col("r").as("rank_e12"))
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
 }

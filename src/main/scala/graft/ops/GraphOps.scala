@@ -13,6 +13,38 @@ import graft.io.Tables
   */
 object GraphOps extends OpGroup {
 
+  /** The shared co-supply graph (suppliers linked iff they appear in
+    * the same order of the 1997-01-01 week): one Spark builder + one
+    * SQL CTE string, used by BOTH declared queries so the graph
+    * definition cannot drift between BFS and PageRank. */
+  private def coSupplyEdges(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val wk = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1997-01-08"))
+      .select(col("o_orderkey"))
+    val ls = Tables.lineitem(s, d)
+      .join(wk, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    ls.alias("a")
+      .join(ls.alias("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+  }
+
+  private val coSupplyEdgesSql: String =
+    """ls AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey IN (
+      |    SELECT o_orderkey FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |      AND o_orderdate <  TIMESTAMP '1997-01-08')),
+      |e AS (
+      |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      |  FROM ls a JOIN ls b USING (l_orderkey)
+      |  WHERE a.l_suppkey <> b.l_suppkey)""".stripMargin
+
   def qs: Seq[Q] = Seq(
     Q(
       // Co-supply reachability: edges link suppliers appearing in the
@@ -24,33 +56,12 @@ object GraphOps extends OpGroup {
       // the BFS joins hash on src each hop (api.Graph scale notes).
       "q_graph_reachability",
       (s, d) => {
-        val wk = Tables.orders(s, d)
-          .filter(col("o_orderdate") >= lit("1997-01-01") &&
-                  col("o_orderdate") < lit("1997-01-08"))
-          .select(col("o_orderkey"))
-        val ls = Tables.lineitem(s, d)
-          .join(wk, col("l_orderkey") === col("o_orderkey"), "left_semi")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val e = ls.alias("a")
-          .join(ls.alias("b"), col("a.l_orderkey") === col("b.l_orderkey"))
-          .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-          .select(col("a.l_suppkey").as("src"),
-                  col("b.l_suppkey").as("dst"))
-          .distinct()
-        graft.api.Graph.shortestHops(s, e, source = 1L, maxHops = 4)
+        graft.api.Graph.shortestHops(
+            s, coSupplyEdges(s, d), source = 1L, maxHops = 4)
           .select(col("node"), col("dist"))
           .orderBy(col("dist"), col("node"))
       },
-      """WITH RECURSIVE ls AS (
-        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-        |  WHERE l_orderkey IN (
-        |    SELECT o_orderkey FROM orders
-        |    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |      AND o_orderdate <  TIMESTAMP '1997-01-08')),
-        |e AS (
-        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-        |  FROM ls a JOIN ls b USING (l_orderkey)
-        |  WHERE a.l_suppkey <> b.l_suppkey),
+      s"""WITH RECURSIVE $coSupplyEdgesSql,
         |bfs(node, d) AS (
         |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
         |  UNION
@@ -58,6 +69,46 @@ object GraphOps extends OpGroup {
         |  FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.d < 4)
         |SELECT node, min(d) AS dist
         |FROM bfs GROUP BY node
-        |ORDER BY dist, node""".stripMargin)
+        |ORDER BY dist, node""".stripMargin),
+
+    Q(
+      // bounded PageRank (api.Graph.pageRank) over the same co-supply
+      // graph, 3 power iterations, damping 0.85 — in FIXED-POINT
+      // integer math (1e-12 rank units, floor-div contributions and
+      // damping) so the per-dst reduction is order-independent and the
+      // oracle can replay the iteration EXACTLY with `//`: a
+      // floating-point PageRank could never hash-match across engines
+      // (sum order), this one matches to the last unit. The oracle
+      // unrolls the three iterations as chained CTEs (recursive CTEs
+      // cannot aggregate per step).
+      "q_graph_pagerank",
+      (s, d) => {
+        graft.api.Graph.pageRank(s, coSupplyEdges(s, d), iterations = 3)
+          .orderBy(col("rank_e12").desc, col("node"))
+      },
+      {
+        def iter(prev: String, out: String): String =
+          s"""c$out AS (
+            |  SELECT e.dst AS node, SUM(r$prev.r // od.odeg) AS c
+            |  FROM e JOIN od ON od.src = e.src
+            |         JOIN r$prev ON r$prev.node = e.src
+            |  GROUP BY e.dst),
+            |r$out AS (
+            |  SELECT n.node, 150000000000 +
+            |    (COALESCE(c.c, 0) // 100) * 85 +
+            |    ((COALESCE(c.c, 0) % 100) * 85 // 100) AS r
+            |  FROM nodes n LEFT JOIN c$out c ON c.node = n.node)""".stripMargin
+        s"""WITH $coSupplyEdgesSql,
+          |nodes AS (
+          |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r
+          |       FROM nodes),
+          |${iter("0", "1")},
+          |${iter("1", "2")},
+          |${iter("2", "3")}
+          |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r3
+          |ORDER BY rank_e12 DESC, node""".stripMargin
+      })
   )
 }

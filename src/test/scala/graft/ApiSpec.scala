@@ -668,6 +668,32 @@ class ApiSpec extends SparkSpec {
     assert(wide == 1)
   }
 
+  test("pageRank: exact fixed-point match vs a reference loop, any partitioning") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 3L))
+    // reference: the same integer recurrence in plain Scala
+    val unit = 1000000000000L
+    val base = unit * 15 / 100
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var ref = nodes.map(_ -> unit).toMap
+    for (_ <- 1 to 3) {
+      val c = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ref(s) / odeg(s) }.sum).toMap
+      ref = nodes.map { n =>
+        val cc = c.getOrElse(n, 0L)
+        n -> (base + (cc / 100) * 85 + (cc % 100) * 85 / 100)
+      }.toMap
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = graft.api.Graph.pageRank(
+        spark, edges.toDF("src", "dst").repartition(parts), iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref, s"parts=$parts got=$got ref=$ref")
+    }
+    // the no-in-edge node holds exactly the base mass
+    assert(ref(4L) == base)
+  }
+
   test("psi: zero on identical snapshots, grows with shift, one-sided buckets finite") {
     import graft.api.Etl
     val ref = (Seq.fill(50)(1) ++ Seq.fill(30)(2) ++ Seq.fill(20)(3))
