@@ -36,6 +36,31 @@ object Scans extends OpGroup {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity < 5
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
+
+    Q(
+      // Z-order (Morton) curve value (io.Writers.zvalue — the key
+      // Writers.zordered clusters by so row-group stats prune on ANY
+      // interleaved dimension): 8-bit customer bucket × 8-bit
+      // order-value bucket. Pure integer shifts/masks, so the oracle
+      // replays the interleave bit-exactly with `>>`/`&`/`<<`; the
+      // LAYOUT effect (per-file locality on both dims vs a single-dim
+      // sort) is measured in ScaleSpec.
+      "q_layout_zvalue",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+                graft.io.Writers.zvalue(Seq(
+                  col("o_custkey") % 256,
+                  least(floor(col("o_totalprice") / 2000.0).cast("long"),
+                        lit(255L))), bits = 8).as("zv"))
+        .orderBy(col("o_orderkey")), {
+        val x = "(o_custkey % 256)"
+        val y = "LEAST(CAST(floor(o_totalprice / 2000.0) AS BIGINT), 255)"
+        val terms =
+          (0 until 8).map(i => s"((($x >> $i) & 1) << ${2 * i})") ++
+          (0 until 8).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})")
+        s"""SELECT o_orderkey, ${terms.mkString(" + ")} AS zv
+          |FROM orders ORDER BY o_orderkey""".stripMargin
+      })
   )
 }

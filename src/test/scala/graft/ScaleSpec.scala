@@ -172,6 +172,44 @@ class ScaleSpec extends SparkSpec {
     })
   }
 
+  test("zordered keeps EVERY dim local per file; a single-dim sort cannot") {
+    import graft.io.Writers
+    import spark.implicits._
+    val dir = tmpDir("zorder")
+    val bucketed = Tables.orders(spark, sfDir).select(
+      (col("o_custkey") % 64).as("bx"),
+      least(floor(col("o_totalprice") / 8000.0).cast("long"), lit(63L))
+        .as("by"))
+    Writers.zordered(bucketed, s"$dir/z",
+      Seq(col("bx"), col("by")), bits = 6, files = 8)
+    // baseline: same file count, range-clustered on bx ONLY (the
+    // proper single-sort-key layout — each file owns a bx slice)
+    bucketed.repartitionByRange(8, col("bx"))
+      .sortWithinPartitions(col("bx"))
+      .write.mode("overwrite").parquet(s"$dir/naive")
+    // per-file average span of each dimension = the width of the
+    // bucket-space window a row-group stat covers (what min/max
+    // pruning can exploit)
+    def spans(path: String): (Double, Double) = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("bx") - min("bx")).as("sx"),
+             (max("by") - min("by")).as("sy"))
+        .select(avg("sx"), avg("sy")).as[(Double, Double)].head()
+      per
+    }
+    val (zx, zy) = spans(s"$dir/z")
+    val (nx, ny) = spans(s"$dir/naive")
+    // the single-dim sort nails bx but leaves by at ~full range;
+    // z-order holds BOTH well under the full 0..63 span
+    assert(nx < 20, s"baseline bx span $nx — sort broken?")
+    assert(ny > 50, s"baseline by span $ny unexpectedly local")
+    assert(zx < 40 && zy < 40, s"z-order spans ($zx, $zy) not local")
+    assert(zy < ny * 0.7, s"z-order by-span $zy not better than naive $ny")
+    // row counts survive the layout
+    assert(spark.read.parquet(s"$dir/z").count() == bucketed.count())
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB this is the difference between scanning the whole fact
     // table and skipping most of it: a bloom filter built from the
