@@ -22,6 +22,24 @@ object SetOps extends OpGroup {
   private val sqlA = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
   private val sqlB = "SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'"
 
+  /** Bag inputs with real multiplicities (>1 per key on BOTH sides —
+    * setA/setB above are key-unique, which would make INTERSECT ALL
+    * degenerate to INTERSECT): one row per order, keyed by customer. */
+  private def bagA(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+
+  private def bagB(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey").as("c_custkey"))
+
+  private val bagSqlA =
+    "SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'"
+  private val bagSqlB =
+    "SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
   def qs: Seq[Q] = Seq(
     Q(
       "q_sort_multi_nulls",
@@ -89,6 +107,33 @@ object SetOps extends OpGroup {
       "q_set_except",
       (s, d) => setA(s, d).except(setB(s, d))
         .orderBy(col("c_custkey")),
-      s"$sqlA EXCEPT $sqlB ORDER BY c_custkey")
+      s"$sqlA EXCEPT $sqlB ORDER BY c_custkey"),
+
+    Q(
+      // TRUE bag intersection (multiplicity = min of the two sides,
+      // standard SQL INTERSECT ALL) — distinct from q_set_intersect
+      // because both inputs carry per-key multiplicities > 1. The
+      // result multiset is made hash-stable by folding to
+      // (key, multiplicity): Spark plans intersectAll as one
+      // count-per-side aggregate + generate, shuffling only keyed
+      // counts — never materializing duplicate rows wider than a key.
+      "q_set_intersect_all",
+      (s, d) => bagA(s, d).intersectAll(bagB(s, d))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_custkey")),
+      s"""SELECT c_custkey, COUNT(*) AS cnt
+         |FROM ($bagSqlA INTERSECT ALL $bagSqlB)
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    Q(
+      // bag difference (multiplicity = max(0, left - right)); same
+      // hash-stabilizing fold to (key, multiplicity)
+      "q_set_except_all",
+      (s, d) => bagA(s, d).exceptAll(bagB(s, d))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_custkey")),
+      s"""SELECT c_custkey, COUNT(*) AS cnt
+         |FROM ($bagSqlA EXCEPT ALL $bagSqlB)
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
   )
 }

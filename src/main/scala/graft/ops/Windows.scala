@@ -220,6 +220,36 @@ object Windows extends OpGroup {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate ASC, o_orderkey ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    Q(
+      // EXACT rolling median (an ORDER-STATISTIC aggregate over a moving
+      // frame — none of the other window queries exercise one): median
+      // extendedprice of the last 5 shipments per part. Prices go
+      // through exact integer cents so the only interpolation the
+      // median ever does is (a+b)/2 on two ints < 2^53 — bit-identical
+      // in both engines' doubles (sum ≤ 2^54 is exact, /2 is exact).
+      // Scale: ONE shuffle on l_partkey; the frame is 5 rows so the
+      // per-row median is O(frame log frame) regardless of corpus size.
+      "q_win_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-4, Window.currentRow)
+        Tables.lineitem(s, d)
+          .filter(col("l_partkey") < 200)
+          .withColumn("cents", (money("l_extendedprice") * 100).cast("long"))
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+                  percentile(col("cents"), lit(0.5)).over(w).as("med5"))
+          .orderBy(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        |  QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                     AS BIGINT), 0.5) OVER (
+        |    PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+        |FROM lineitem WHERE l_partkey < 200
+        |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin)
   )
 }
