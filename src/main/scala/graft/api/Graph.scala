@@ -124,4 +124,36 @@ object Graph {
       ranks.select(col("node"), col("r").as("rank_e12"))
     } finally { e.unpersist(); nodes.unpersist(); () }
   }
+
+  /** Per-node triangle counts with DEGREE-ORDERED edge orientation
+    * (Suri & Vassilvitskii's MapReduce formulation): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher, so each triangle materializes exactly once and the wedge
+    * join's per-key fanout is bounded by the oriented out-degree
+    * (≤ O(√m) for any graph) — a degree-10⁶ hub would generate 10¹²
+    * wedges under naive id-ordering but only ~√m here. The
+    * wedge→closing-edge confirm is a LEFT SEMI equi-join, so nothing
+    * wider than the wedge set ever shuffles.
+    *
+    * `edges` must carry both directions of each undirected edge in
+    * (src, dst), no self-loops. Returns (node, tri_cnt) for every node
+    * in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dv")), "dst")
+      .filter(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val wedges = oriented.select(col("u").as("a"), col("v").as("b"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
 }

@@ -59,6 +59,60 @@ object Pipeline {
     df.filter(hasher(id) < thr)
   }
 
+  /** Deterministic WEIGHT-PROPORTIONAL Bernoulli sampling: keep a row
+    * with probability weight/max(weight) — e.g. length-proportional
+    * document sampling, where the kept set's token mass tracks the
+    * corpus's. The keep test is the integer cross-multiplication
+    * `hash16(id) * wmax < 65536 * weight` (exact in int64 for any
+    * weight < 2^47), so decisions are replayable on any cluster size
+    * and an external engine can replay them bit-for-bit. The max is a
+    * one-row broadcast — the scan stays map-side, zero data shuffle. */
+  def sampleWeighted(
+      df: DataFrame, weight: Column, id: Column,
+      hasher: Column => Column = hash16): DataFrame = {
+    val wmax = df.agg(max(weight.cast("long")).as("__graft_wmax"))
+    df.crossJoin(broadcast(wmax))
+      .filter(hasher(id).cast("long") * col("__graft_wmax") <
+              lit(65536L) * weight.cast("long"))
+      .drop("__graft_wmax")
+  }
+
+  /** 2-D Pareto frontier (skyline): the points not dominated under
+    * (minimize x, maximize y) — multi-objective data selection (e.g.
+    * cheapest-per-capability, shortest-per-quality). Returns the
+    * frontier's distinct (x, y) points as columns ("x", "y").
+    *
+    * Distributed as a PREFIX-MAX SCAN, never the naive all-pairs
+    * dominance join: (1) group-reduce to one max-y point per x —
+    * cardinality drops to |x domain|; (2) bucket x by `bucketWidth`
+    * and run the running-max window PER BUCKET (parallel); (3) the
+    * cross-bucket prefix is carried by a cumulative max over the
+    * per-bucket maxima — a single-partition window over only
+    * |buckets| rows, broadcast back. A point survives iff its y beats
+    * both the in-bucket prefix and every lower bucket's max. The only
+    * sequential structure is the tiny bucket list: the 100 TB shape. */
+  def paretoFrontier2D(
+      df: DataFrame, x: Column, y: Column,
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth > 0, "paretoFrontier2D: bucketWidth must be > 0")
+    val pts = df.groupBy(x.cast("long").as("x"))
+      .agg(max(y.cast("long")).as("y"))
+      .withColumn("__b", floor(col("x") / lit(bucketWidth)).cast("long"))
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketMax = pts.groupBy(col("__b")).agg(max(col("y")).as("__bmax"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketMax.select(col("__b"),
+      max(col("__bmax")).over(wCum).as("__cmax"))
+    pts.withColumn("__lmax", max(col("y")).over(wLocal))
+      .join(broadcast(cum), Seq("__b"))
+      .filter(col("y") > greatest(
+        coalesce(col("__lmax"), lit(Long.MinValue)),
+        coalesce(col("__cmax"), lit(Long.MinValue))))
+      .select(col("x"), col("y"))
+  }
+
   /** Token-budget mixture planning — the data-mixing math run BEFORE
     * training: given per-row token counts, a target mixture weight per
     * stratum, and a total token budget, compute the per-stratum keep

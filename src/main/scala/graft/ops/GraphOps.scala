@@ -109,6 +109,40 @@ object GraphOps extends OpGroup {
           |${iter("2", "3")}
           |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r3
           |ORDER BY rank_e12 DESC, node""".stripMargin
-      })
+      }),
+
+    Q(
+      // Per-node triangle counts over the SAME co-supply graph, with
+      // DEGREE-ORDERED edge orientation — the distributed-triangle
+      // trick (Suri & Vassilvitskii's MapReduce formulation): orient
+      // every undirected edge from its lower-(degree, id) endpoint to
+      // the higher, so (a) each triangle materializes exactly once and
+      // (b) the wedge join's per-key fanout is bounded by the oriented
+      // out-degree ≤ O(√m) for any graph — a degree-10⁶ hub generates
+      // 10¹² wedges under naive id-ordering but only its ~√m
+      // higher-ranked neighbors' wedges here. The wedge→closing-edge
+      // confirm is a LEFT SEMI equi-join (no pair materialization
+      // beyond the wedge set). Oracle replays orientation + wedge +
+      // EXISTS literally.
+      "q_graph_triangles",
+      (s, d) => graft.api.Graph.triangleCounts(coSupplyEdges(s, d))
+        .select(col("node").as("s_suppkey"), col("tri_cnt"))
+        .orderBy(col("s_suppkey")),
+      s"""WITH $coSupplyEdgesSql,
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |o AS (
+        |  SELECT e.src AS u, e.dst AS v
+        |  FROM e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+        |  WHERE a.d < b.d OR (a.d = b.d AND e.src < e.dst)),
+        |tri AS (
+        |  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        |  FROM o o1 JOIN o o2 ON o2.u = o1.v
+        |  WHERE EXISTS (SELECT 1 FROM o o3
+        |                WHERE o3.u = o1.u AND o3.v = o2.v)),
+        |n AS (SELECT a AS s FROM tri UNION ALL
+        |      SELECT b FROM tri UNION ALL
+        |      SELECT c FROM tri)
+        |SELECT s AS s_suppkey, COUNT(*) AS tri_cnt
+        |FROM n GROUP BY s ORDER BY s""".stripMargin)
   )
 }

@@ -142,6 +142,78 @@ object PipelineOps extends OpGroup {
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin),
 
     Q(
+      // weight-proportional sampling (api.Pipeline.sampleWeighted):
+      // p(keep) = n_chars / max(n_chars) — the kept set's character
+      // mass tracks the corpus's long-document tail, the property
+      // uniform sampling destroys. Decision = one integer
+      // cross-multiply against a 1-row broadcast max; zero shuffle on
+      // the corpus side. Verified per-lang: totals AND kept char mass.
+      "q_sample_weighted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = Pipeline.sampleWeighted(docs, col("n_chars"),
+                                           col("doc_id"))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+               sum(col("n_chars")).as("chars_total"))
+          .join(kept.groupBy(col("lang"))
+                  .agg(count(lit(1)).as("n_kept"),
+                       sum(col("n_chars")).as("ck")),
+                Seq("lang"), "left")
+          .select(col("lang"), col("n_total"), col("chars_total"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  coalesce(col("ck"), lit(0L)).as("chars_kept"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH mx AS (SELECT MAX(n_chars) AS wmax FROM documents),
+        |h AS (SELECT lang, n_chars, ${u16Sql("doc_id")} AS u
+        |      FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  COUNT(CASE WHEN u * wmax < 65536 * n_chars THEN 1 END)
+        |    AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN u * wmax < 65536 * n_chars
+        |                         THEN n_chars END), 0) AS BIGINT)
+        |    AS chars_kept
+        |FROM h, mx GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // 2-D Pareto frontier (api.Pipeline.paretoFrontier2D): parts not
+      // dominated under (min price, max size). Spark side is the
+      // distributed prefix-max scan — group-reduce, per-bucket
+      // running-max windows, one tiny cumulative window over bucket
+      // maxima broadcast back; the ORACLE is the naive quadratic
+      // NOT-EXISTS dominance filter, so the hash match proves the
+      // scan reformulation exact (the banded-range-join pattern).
+      "q_skyline_pareto",
+      (s, d) => {
+        val pts = Tables.part(s, d)
+          .select((money("p_retailprice") * 100).cast("long")
+                    .as("price_cents"),
+                  col("p_size").cast("long").as("psize"))
+        val pairs = pts.groupBy(col("price_cents"), col("psize"))
+          .agg(count(lit(1)).as("n_parts"))
+        Pipeline.paretoFrontier2D(pts, col("price_cents"), col("psize"),
+                                  bucketWidth = 1000L)
+          .withColumnRenamed("x", "price_cents")
+          .withColumnRenamed("y", "psize")
+          .join(pairs, Seq("price_cents", "psize"))
+          .orderBy(col("price_cents"))
+      },
+      """WITH p AS (
+        |  SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS price_cents,
+        |         CAST(p_size AS BIGINT) AS psize, COUNT(*) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price_cents, psize, n_parts
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.psize >= a.psize
+        |    AND (b.price_cents < a.price_cents OR b.psize > a.psize))
+        |ORDER BY price_cents""".stripMargin),
+
+    Q(
       // hash-based train/val/test split (90/5/5): split id = content
       // hash mod 20 — docs never migrate between splits across reruns
       // or cluster sizes, the property rand()-splits lack.

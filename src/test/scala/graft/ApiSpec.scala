@@ -990,4 +990,69 @@ class ApiSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(sink == Map(5L -> 0), s"$sink")
   }
+
+  test("Graph.triangleCounts: planted triangles, hub orientation, no false positives") {
+    // triangle {1,2,3}, triangle {1,3,4} (sharing edge 1-3), a dangling
+    // path 4-5-6 (zero triangles), and an isolated edge 8-9
+    def undirected(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val edges = undirected((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+                           (1L, 4L), (4L, 5L), (5L, 6L), (8L, 9L))
+    val got = graft.api.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    // node 1 and 3 sit in both triangles; 2 and 4 in one each;
+    // 5/6/8/9 in none (absent, not zero-rows)
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L), s"$got")
+    // K4: every node in C(3,2)=3 triangles — the orientation emits each
+    // triangle exactly once even though all degrees tie
+    val k4 = undirected((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+                        (2L, 4L), (3L, 4L))
+    val gotK4 = graft.api.Graph.triangleCounts(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$gotK4")
+    // star K1,5: hub with 5 leaves — plenty of wedges, zero triangles
+    val star = undirected((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+    assert(graft.api.Graph.triangleCounts(star).isEmpty)
+  }
+
+  test("sampleWeighted: max-weight rows always kept, zero weight never, mass tracks weight") {
+    val df = Seq.tabulate(2000)(i =>
+      (i.toLong, if (i < 20) 1000L else if (i < 40) 0L else 10L))
+      .toDF("id", "w")
+    val kept = Pipeline.sampleWeighted(df, col("w"), col("id"))
+      .as[(Long, Long)].collect()
+    // p(keep | w = wmax) = 1 exactly: hash < 65536 always holds
+    assert(kept.count(_._2 == 1000L) == 20, "every max-weight row kept")
+    assert(kept.count(_._2 == 0L) == 0, "zero-weight rows never kept")
+    // w=10 rows keep at rate 10/1000 = 1%: ~20 of 1960 (hash-uniform,
+    // generous bound)
+    val small = kept.count(_._2 == 10L)
+    assert(small > 2 && small < 80, s"got $small")
+    // replayable
+    val again = Pipeline.sampleWeighted(df, col("w"), col("id"))
+      .as[(Long, Long)].collect()
+    assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("paretoFrontier2D: planted frontier, cross-bucket domination, bucket-width invariance") {
+    // minimize x, maximize y. Planted: (1,10) and (5,20) on the
+    // frontier; (3,10) dominated by (1,10) [same y, higher x]; (2,5)
+    // dominated by (1,10); (9,20) dominated by (5,20); duplicates of a
+    // frontier x collapse to its max y
+    val pts = Seq((1L, 10L), (3L, 10L), (2L, 5L), (5L, 20L), (9L, 20L),
+                  (1L, 4L), (700L, 21L)).toDF("x", "y")
+    val want = Set((1L, 10L), (5L, 20L), (700L, 21L))
+    val got = Pipeline.paretoFrontier2D(pts, col("x"), col("y"),
+                                        bucketWidth = 4L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"$got")
+    // the cross-bucket prefix must dominate: x=700 sits buckets away
+    // from x=9 yet (9,20) still can't sneak in at width 1024 (one
+    // bucket) or width 2 (many buckets) — frontier is width-invariant
+    for (w <- Seq(1L, 2L, 1024L)) {
+      val g = Pipeline.paretoFrontier2D(pts, col("x"), col("y"), w)
+        .as[(Long, Long)].collect().toSet
+      assert(g == want, s"width $w: $g")
+    }
+  }
 }
