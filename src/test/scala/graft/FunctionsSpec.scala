@@ -293,6 +293,55 @@ class FunctionsSpec extends SparkSpec {
     assert(viaHash32 == 2) // hash32 maps null to '' — counted as one value
   }
 
+  test("count_min: one-sided bounds vs exact, partition-invariant blob, probe seam") {
+    graft.functions.CountMin.register(spark)
+    // Zipf-ish planted corpus: item i appears 1000/i times, i in 1..50
+    // (N = sum ≈ 4500 rows, 50 distinct)
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
+    val df = rows.toDF("v")
+    val n = rows.size
+    val width = 512
+    val blob = df.agg(expr(s"count_min_agg(v, 5, $width)").as("s"))
+      .head().getAs[Array[Byte]]("s")
+
+    // probe every distinct item against its exact count: estimates
+    // never under-count, and overshoot is bounded by collision mass
+    // (deterministic here — the hashes are fixed)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = exact.keys.toSeq.sorted.toDF("v")
+      .withColumn("est", expr("count_min_estimate(" +
+        s"cast(unhex('${blob.map("%02x".format(_)).mkString}') as binary), v)"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (item, tru) =>
+      val est = probes(item)
+      assert(est >= tru, s"$item: CMS under-counted $est < $tru")
+      assert(est <= tru + 3L * n / width,
+        s"$item: est $est exceeds $tru + ${3L * n / width}")
+    }
+    // an absent item estimates at most the collision bound (usually 0)
+    val ghost = Seq("never_seen").toDF("v")
+      .withColumn("est", expr("count_min_estimate(" +
+        s"cast(unhex('${blob.map("%02x".format(_)).mkString}') as binary), v)"))
+      .as[(String, Long)].collect().head._2
+    assert(ghost <= 3L * n / width, s"ghost item estimated $ghost")
+
+    // the blob is partition-order INVARIANT (counters add
+    // componentwise) — bit-identical on any cluster size, unlike MG
+    val blobs = Seq(1, 7, 13).map { p =>
+      df.repartition(p).agg(expr(s"count_min_agg(v, 5, $width)").as("s"))
+        .head().getAs[Array[Byte]]("s").toSeq
+    }
+    assert(blobs.distinct.size == 1, "CMS blob varies with partitioning")
+
+    // nulls are skipped, not hashed: row 0 of the sketch holds exactly
+    // the 2 non-null increments
+    val nb = Seq(Some("x"), None, Some("x")).toDF("v")
+      .agg(expr("count_min_agg(v, 2, 8)").as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val bb = java.nio.ByteBuffer.wrap(nb)
+    assert((0 until 8).map(i => bb.getLong(8 + 8 * i)).sum == 2L)
+  }
+
   test("geomean skips non-positive inputs like exp(avg(ln(x)))") {
     import org.apache.spark.sql.functions._
     val gm = udaf(graft.functions.GeoMean)
