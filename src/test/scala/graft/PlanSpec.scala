@@ -414,4 +414,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"per-part stats must broadcast:\n$plan")
   }
+
+  test("triangle counting is all equi-joins (no nested loop, semi confirm)") {
+    val df = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // orientation, wedge, and closing-edge joins must all hash/merge on
+    // keys — a nested-loop anywhere means the O(√m) fanout bound is lost
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"triangle join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"closing-edge confirm must be a semi join:\n$plan")
+  }
+
+  test("pareto frontier: prefix attaches by broadcast, windows stay bucketed") {
+    val df = SparkEntry.queries("q_skyline_pareto")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cross-bucket prefix (bucket-maxima cummax) must come back as a
+    // broadcast, and the dominance test must never be a nested loop pair
+    // join (the naive quadratic skyline)
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket prefix must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"skyline degenerated to the all-pairs join:\n$plan")
+  }
+
+  test("weighted sampling never shuffles the corpus for the keep decision") {
+    val df = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the one-row max attaches via broadcast nested loop (1-row build);
+    // the corpus side must not sort-merge or hash-shuffle for it
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"),
+      s"wmax must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the keep decision:\n$plan")
+  }
 }
