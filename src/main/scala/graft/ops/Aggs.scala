@@ -161,6 +161,50 @@ object Aggs extends OpGroup {
         |ORDER BY o_custkey""".stripMargin),
 
     Q(
+      // ordered string aggregation (SQL:2016 LISTAGG … WITHIN GROUP):
+      // deterministic because the WITHIN GROUP order is total per group.
+      // Spark executes it as a sort-based aggregate; the string only
+      // materializes per GROUP, so the shuffle carries nation-sized
+      // rows, not the concatenation.
+      "q_agg_listagg",
+      (s, d) => Tables.nation(s, d)
+        .join(Tables.region(s, d),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+               .as("nations"),
+             count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name")),
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    Q(
+      // DISCRETE percentiles (PERCENTILE_DISC / quantile_disc): pick an
+      // ACTUAL input value (smallest with cume_dist ≥ p) — no
+      // interpolation arithmetic at all, so raw parquet doubles cross
+      // engines bit-exactly; the continuous twin (q_agg_percentile)
+      // needs the integer-cents detour this one doesn't.
+      "q_agg_percentile_disc",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile_disc(0.25) WITHIN GROUP " +
+                  "(ORDER BY l_extendedprice)").as("p25"),
+             expr("percentile_disc(0.5) WITHIN GROUP " +
+                  "(ORDER BY l_extendedprice)").as("p50"),
+             expr("percentile_disc(0.9) WITHIN GROUP " +
+                  "(ORDER BY l_extendedprice)").as("p90"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.25) AS p25,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    Q(
       // boolean aggregates: bool_and / bool_or / count_if per status —
       // the predicate-rollup surface (data-quality assertions compile
       // to exactly this). Plain hash-agg with map-side partials.

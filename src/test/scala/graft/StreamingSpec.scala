@@ -257,6 +257,28 @@ class StreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("stream-static join: per-batch dim enrichment, dim broadcast") {
+    // the enrichment shape: a live stream joined to a static dimension
+    // table — planned per micro-batch, so the dim broadcasts and the
+    // stream side never shuffles for it
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("A", "alpha"), ("B", "beta")).toDF("ad", "label")
+    val evs = MemoryStream[Imp]
+    val joined = evs.toDF().join(broadcast(dim), Seq("ad"), "left")
+      .select(col("ad"), col("label"))
+    val q = joined.writeStream.format("memory").queryName("ss_static")
+      .outputMode(OutputMode.Append()).start()
+    evs.addData(Imp(ts(0), "A"), Imp(ts(1), "X"))
+    q.processAllAvailable()
+    evs.addData(Imp(ts(2), "B"))
+    q.processAllAvailable()
+    val rows = spark.table("ss_static").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq.sorted
+    q.stop()
+    assert(rows == Seq(("A", Some("alpha")), ("B", Some("beta")),
+                       ("X", None)), s"got $rows")
+  }
+
   test("OHLC bars run incrementally: struct min/max agg on a stream") {
     implicit val ctx = spark.sqlContext
     // the q_ts_ohlc reduction — open/close via lexicographic struct
