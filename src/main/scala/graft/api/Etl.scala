@@ -126,4 +126,46 @@ object Etl {
       .withColumn("psi", round(sum(col("psi_term")).over(w), 4) + lit(0.0))
       .drop("_pr", "_pc")
   }
+
+  /** Declarative data-quality gate: every predicate check over one
+    * table runs in ONE scan (a single conditional aggregate — at
+    * 100 TB, a gate that re-scans per check is a non-starter), then
+    * unpivots to one (check, n_violations, pass) row each. A NULL
+    * predicate counts as a VIOLATION (three-valued logic must not let
+    * unknown rows slip through a gate). Check names become column
+    * aliases mid-flight and must be identifier-safe. */
+  def expect(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "expect: at least one check")
+    require(checks.forall(_._1.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      "expect: check names must be identifier-safe")
+    val aggs = checks.map { case (name, pred) =>
+      count_if(!coalesce(pred, lit(false))).as(name)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stack = s"stack(${checks.size}, " +
+      checks.map(c => s"'${c._1}', `${c._1}`").mkString(", ") +
+      ") as (check_name, n_violations)"
+    wide.selectExpr(stack)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Key-uniqueness check in [[expect]]'s row shape: n_violations =
+    * rows beyond the first per duplicate key (COUNT(*) − COUNT(DISTINCT
+    * key)). One hash-agg; the distinct count is exact. */
+  def expectUnique(df: DataFrame, name: String, key: Column): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(key)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"),
+              (col("n_violations") === 0L).as("pass"))
+
+  /** Referential-integrity check in [[expect]]'s row shape:
+    * n_violations = child rows whose FK has no parent — a LEFT ANTI
+    * equi-join (never a full outer), counting only. */
+  def expectRefIntegrity(
+      child: DataFrame, name: String, fk: Column,
+      parent: DataFrame, pk: Column): DataFrame =
+    child.join(parent.select(pk.as("__graft_pk")),
+               fk === col("__graft_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"),
+              (col("n_violations") === 0L).as("pass"))
 }

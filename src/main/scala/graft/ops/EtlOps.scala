@@ -451,6 +451,52 @@ object EtlOps extends OpGroup {
         |  CAST((2*CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*10000
         |          AS HUGEINT) + COUNT(*))
         |       // (2*COUNT(*)) AS DOUBLE) / 10000.0 AS avg_price
-        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin),
+
+    Q(
+      // declarative data-quality gate (api.Etl.expect + expectUnique +
+      // expectRefIntegrity): four predicate checks over orders fold
+      // into ONE conditional aggregate (one scan regardless of check
+      // count), uniqueness is one hash-agg, referential integrity one
+      // LEFT ANTI join count. Checks are chosen so the fixture
+      // produces BOTH outcomes — passing rows with 0 violations and
+      // failing rows with real counts — so the gate's detection is
+      // non-vacuous. NULL predicate = violation (unknowns never pass
+      // a gate).
+      "q_etl_expectations",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        graft.api.Etl.expect(orders, Seq(
+            "price_positive" -> (col("o_totalprice") > 0.0),
+            "price_under_300k" -> (col("o_totalprice") < 300000.0),
+            "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+            "priority_not_low" -> !col("o_orderpriority").startsWith("5")))
+          .unionByName(graft.api.Etl.expectUnique(
+            orders, "orderkey_unique", col("o_orderkey")))
+          .unionByName(graft.api.Etl.expectRefIntegrity(
+            Tables.lineitem(s, d), "lineitem_fk_orders",
+            col("l_orderkey"), orders, col("o_orderkey")))
+          .orderBy(col("check_name"))
+      },
+      """WITH g AS (
+        |  SELECT 'price_positive' AS check_name,
+        |    COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0.0, FALSE)
+        |          THEN 1 END) AS n FROM orders
+        |  UNION ALL SELECT 'price_under_300k',
+        |    COUNT(CASE WHEN NOT COALESCE(o_totalprice < 300000.0, FALSE)
+        |          THEN 1 END) FROM orders
+        |  UNION ALL SELECT 'status_known',
+        |    COUNT(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'),
+        |          FALSE) THEN 1 END) FROM orders
+        |  UNION ALL SELECT 'priority_not_low',
+        |    COUNT(CASE WHEN NOT COALESCE(o_orderpriority NOT LIKE '5%',
+        |          FALSE) THEN 1 END) FROM orders
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'lineitem_fk_orders',
+        |    (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)))
+        |SELECT check_name, n AS n_violations, n = 0 AS pass
+        |FROM g ORDER BY check_name""".stripMargin)
   )
 }

@@ -991,6 +991,37 @@ class ApiSpec extends SparkSpec {
     assert(sink == Map(5L -> 0), s"$sink")
   }
 
+  test("Etl.expect: null predicate fails the gate; unique/RI catch planted defects") {
+    import graft.api.Etl
+    val t = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None), (3L, Some(2.0)))
+      .toDF("k", "v")
+    // NULL v makes `v > 0` UNKNOWN — the gate must count it as a
+    // violation, not let it slip
+    val gate = Etl.expect(t, Seq("v_positive" -> (col("v") > 0.0)))
+      .as[(String, Long, Boolean)].collect().head
+    assert(gate == ("v_positive", 2L, false), s"$gate") // -1.0 and NULL
+    // planted duplicate key 3
+    val uniq = Etl.expectUnique(t, "k_unique", col("k"))
+      .as[(String, Long, Boolean)].collect().head
+    assert(uniq == ("k_unique", 1L, false), s"$uniq")
+    // planted orphan: child 9 has no parent
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 9L, 9L).toDF("fk")
+    val ri = Etl.expectRefIntegrity(child, "fk_ok", col("fk"),
+                                    parent, col("pk"))
+      .as[(String, Long, Boolean)].collect().head
+    assert(ri == ("fk_ok", 2L, false), s"$ri")
+    // a clean table passes everything
+    val clean = Etl.expect(t.filter(col("k") === 1L),
+        Seq("v_positive" -> (col("v") > 0.0)))
+      .as[(String, Long, Boolean)].collect().head
+    assert(clean == ("v_positive", 0L, true), s"$clean")
+    // unsafe check names are rejected, not silently quoted
+    intercept[IllegalArgumentException] {
+      Etl.expect(t, Seq("bad name'" -> (col("v") > 0.0)))
+    }
+  }
+
   test("Graph.triangleCounts: planted triangles, hub orientation, no false positives") {
     // triangle {1,2,3}, triangle {1,3,4} (sharing edge 1-3), a dangling
     // path 4-5-6 (zero triangles), and an isolated edge 8-9
