@@ -454,6 +454,51 @@ object EtlOps extends OpGroup {
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin),
 
     Q(
+      // CUMULATIVE DISTINCT users by day — the aggregate window
+      // functions cannot express (COUNT(DISTINCT) OVER is unsupported
+      // in Spark and quadratic anywhere): reformulated as
+      // first-occurrence counting — ONE hash-agg finds each user's
+      // first day, a second counts first-occurrences per day, and the
+      // running sum over the DAY GRID (bounded — ~30 rows here, ~10⁴
+      // at a decade of days; never the corpus) rebuilds the cumulative
+      // distinct count. The ORACLE is the naive correlated
+      // COUNT(DISTINCT) per day — the hash match proves the
+      // reformulation exact.
+      "q_events_cume_users",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select((col("ts_us") - col("ts_us") % DayUs).as("day_us"),
+                  col("user_id"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day_us")).as("day_us"))
+        val newPerDay = firstDay.groupBy(col("day_us"))
+          .agg(count(lit(1)).as("n_new_users"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("day_us"))
+          .rowsBetween(Long.MinValue, 0)
+        ev.select(col("day_us")).distinct()
+          .join(newPerDay, Seq("day_us"), "left")
+          .select(col("day_us"),
+                  coalesce(col("n_new_users"), lit(0L)).as("n_new_users"))
+          .withColumn("cume_users", sum(col("n_new_users")).over(w))
+          .orderBy(col("day_us"))
+      },
+      s"""WITH days AS (
+        |  SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $DayUs AS day_us
+        |  FROM events),
+        |c AS (
+        |  SELECT d.day_us,
+        |    (SELECT COUNT(DISTINCT e.user_id) FROM events e
+        |     WHERE epoch_us(e.ts) - epoch_us(e.ts) % $DayUs <= d.day_us)
+        |      AS cume_users
+        |  FROM days d)
+        |SELECT day_us,
+        |  cume_users - COALESCE(LAG(cume_users) OVER (ORDER BY day_us),
+        |                        0) AS n_new_users,
+        |  cume_users
+        |FROM c ORDER BY day_us""".stripMargin),
+
+    Q(
       // declarative data-quality gate (api.Etl.expect + expectUnique +
       // expectRefIntegrity): four predicate checks over orders fold
       // into ONE conditional aggregate (one scan regardless of check
