@@ -133,6 +133,31 @@ object Udx extends OpGroup {
       },
       """SELECT source, lang, COUNT(*) AS n_docs
         |FROM documents GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin)
+        |ORDER BY source, lang""".stripMargin),
+
+    Q(
+      // SQL-defined UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) —
+      // the DECLARATIVE userland extension point: unlike the JVM
+      // closure above, the body is a Catalyst expression, so it
+      // inlines into the plan, keeps codegen fusion and pushdown, and
+      // needs no JVM deployment. The oracle inlines the same
+      // expression (DuckDB macros can't ship in a single SELECT).
+      "q_udf_sql_macro",
+      (s, d) => {
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_margin_pct(" +
+              "price DOUBLE, cost DOUBLE) RETURNS DOUBLE RETURN " +
+              "round((price - cost) / price * 100, 4)")
+        Tables.part(s, d)
+          .filter(col("p_partkey") <= 500)
+          .select(col("p_partkey"),
+                  expr("graft_margin_pct(p_retailprice, " +
+                       "p_retailprice * 0.6)").as("margin_pct"))
+          .orderBy(col("p_partkey"))
+      },
+      """SELECT p_partkey,
+        |  round((p_retailprice - p_retailprice * 0.6)
+        |        / p_retailprice * 100, 4) + 0 AS margin_pct
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin)
   )
 }

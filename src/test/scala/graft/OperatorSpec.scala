@@ -58,6 +58,25 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
   }
 
+  test("observe attaches in-flight metrics without a second count job") {
+    // the pipeline-monitoring primitive at scale: row counts / null
+    // rates ride along inside the SAME job instead of separate count()
+    // actions re-scanning 100 TB
+    val obs = org.apache.spark.sql.Observation("gate")
+    val kept = Tables.orders(spark, sfDir)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+               count_if(col("o_totalprice") <= 0).as("bad_price"))
+      .filter(col("o_orderstatus") === "O")
+      .collect().length
+    // the metric sees EVERY scanned row (it sits below the filter);
+    // the action only the kept ones
+    val total = Tables.orders(spark, sfDir).count()
+    assert(obs.get("rows_seen") == total,
+      s"observed ${obs.get("rows_seen")} of $total")
+    assert(obs.get("bad_price") == 0L)
+    assert(kept < total)
+  }
+
   test("stratified sampleBy honors per-stratum fractions (seeded)") {
     val li = Tables.lineitem(spark, sfDir)
     val sampled = li.stat.sampleBy("l_returnflag",
