@@ -203,6 +203,38 @@ object Scalars extends OpGroup {
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     Q(
+      // STRUCTURED JSON round-trip: struct → to_json → from_json(schema)
+      // → fields. The oracle selects the RAW columns — the hash match
+      // proves the serialize/parse cycle lossless (types, nulls, and
+      // nesting all survive), which get_json_object's per-path string
+      // probing (q_fn_json) never demonstrates. from_json is the
+      // schema-full ingest path for JSON event feeds at scale: one
+      // parse per row into a typed struct, not one scan per field.
+      "q_fn_json_roundtrip",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+                to_json(struct(
+                  col("o_orderkey").as("k"),
+                  col("o_orderstatus").as("st"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"),
+                  nullif(col("o_orderpriority"), lit("5-LOW")).as("pri")))
+                  .as("js"))
+        .select(col("o_orderkey"),
+                expr("from_json(js, 'k BIGINT, st STRING, " +
+                     "cents BIGINT, pri STRING')").as("j"))
+        .select(col("o_orderkey"), col("j.k").as("k"),
+                col("j.st").as("st"), col("j.cents").as("cents"),
+                col("j.pri").as("pri"))
+        .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey, o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |  NULLIF(o_orderpriority, '5-LOW') AS pri
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q(
       // MapType used internally (map literal keyed by event_type), scalars
       // extracted for the output (R5 — no MAP columns cross the compare).
       "q_fn_map",
