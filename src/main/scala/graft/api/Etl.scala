@@ -162,10 +162,13 @@ object Etl {
     * equi-join (never a full outer), counting only. */
   def expectRefIntegrity(
       child: DataFrame, name: String, fk: Column,
-      parent: DataFrame, pk: Column): DataFrame =
+      parent: DataFrame, pk: Column): DataFrame = {
+    require(!child.columns.contains("__graft_pk"),
+      "expectRefIntegrity reserves __graft_pk — rename the child column")
     child.join(parent.select(pk.as("__graft_pk")),
                fk === col("__graft_pk"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"),
               (col("n_violations") === 0L).as("pass"))
+  }
 }

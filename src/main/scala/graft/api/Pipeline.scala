@@ -97,7 +97,11 @@ object Pipeline {
     require(bucketWidth > 0, "paretoFrontier2D: bucketWidth must be > 0")
     val pts = df.groupBy(x.cast("long").as("x"))
       .agg(max(y.cast("long")).as("y"))
-      .withColumn("__b", floor(col("x") / lit(bucketWidth)).cast("long"))
+      // integral `div`, not floor(x / w): double division drifts past
+      // 2^53. div truncates toward zero (≠ floor for negative x) but
+      // bucketing only needs a MONOTONE step function of x, which
+      // truncation is — the prefix logic is unaffected.
+      .withColumn("__b", expr(s"x div ${bucketWidth}L"))
     val wLocal = Window.partitionBy(col("__b")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketMax = pts.groupBy(col("__b")).agg(max(col("y")).as("__bmax"))

@@ -180,7 +180,13 @@ case class CountMinEstimate(sketch: Expression, item: Expression)
     else {
       val bytes = s.asInstanceOf[Array[Byte]]
       val bb = ByteBuffer.wrap(bytes)
+      require(bytes.length >= CountMin.HeaderBytes,
+        s"count_min_estimate: ${bytes.length}-byte blob has no header")
       val depth = bb.getInt; val width = bb.getInt
+      require(depth >= 1 && width >= 1 &&
+              bytes.length == CountMin.HeaderBytes + 8L * depth * width,
+        s"count_min_estimate: blob length ${bytes.length} does not match " +
+        s"declared ${depth}x$width sketch")
       val it = v.asInstanceOf[UTF8String]
       var min = Long.MaxValue
       var r = 0
