@@ -178,4 +178,32 @@ object Events {
         col("__graft_ob_a") === bucket(greatest(startA, startB)))
       .drop("__graft_ob_a", "__graft_ob_b")
   }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * entity's most recent PRECEDING touch event (strictly earlier in
+    * (time, tieBreak…) order); conversions with no prior touch get
+    * `noTouch`. Returns the conversion rows with a `channel` column.
+    *
+    * One window over one (key, time) shuffle — the same sort
+    * sessionize rides, so attribution composes with it at zero extra
+    * exchanges. `last(..., ignoreNulls)` over UNBOUNDED PRECEDING..-1
+    * is O(1) running state per row (Spark keeps the last non-null going
+    * forward), never a per-row rescan of history — at 100 TB a user's
+    * whole clickstream still streams through in one sorted pass.
+    * First-touch is the same shape with `first` over the same frame. */
+  def attributeLastTouch(
+      df: DataFrame, key: Column, time: Column, tieBreak: Seq[Column],
+      eventType: Column, touchTypes: Seq[String], conversion: String,
+      noTouch: String = "none"): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversion),
+      "conversion cannot also be a touch type")
+    val order = time.asc +: tieBreak.map(_.asc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ch = last(when(eventType.isin(touchTypes: _*), eventType),
+                  ignoreNulls = true).over(w)
+    df.withColumn("channel", coalesce(ch, lit(noTouch)))
+      .filter(eventType === conversion)
+  }
 }

@@ -328,4 +328,148 @@ object Pipeline {
       corpus.join(ids, id === col("_id"), "left_semi")
     }
   }
+
+  /** Temperature-scaled mixture shares (the multilingual-corpus
+    * rebalancing rule: sampling weight ∝ p^(1/T), T > 1 upsamples the
+    * tail — mT5/XLM-R style). Returns one row per group value:
+    * (grp, n, share, target) where share is the scale-4 exact mixture
+    * share and target = ⌊budget · w / Σw⌋ rows to draw.
+    *
+    * Determinism: only T = 2 is engine-exact — p^(1/2) routes through
+    * IEEE `sqrt` (correctly rounded everywhere), each weight is then
+    * FLOORED to an integer in 1e-6 units, and both the share and the
+    * target derive from integer ratios of those quantized weights
+    * (share via Determinism.intRatio4's half-up integral division, so
+    * Σshare deviates from 1 only by visible rounding). A general T
+    * would need `pow`, which is NOT correctly rounded and may differ in
+    * the last bit across engines — callers wanting other temperatures
+    * accept that (hence the fixed-T signature here).
+    *
+    * Scale: one hash-agg over the corpus, then arithmetic on a
+    * |groups|-row frame against two broadcast one-row totals. */
+  def temperatureMixT2(
+      df: DataFrame, group: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    // totals carry distinct names: Spark resolves case-INsensitively by
+    // default, so an `N` total next to the per-group `n` is ambiguous
+    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_tot"))
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("wq",
+        floor(sqrt(col("n").cast("double") / col("_tot")) * 1e6)
+          .cast("long"))
+    val wsum = weighted.agg(sum(col("wq")).as("_wtot"))
+    weighted.crossJoin(broadcast(wsum))
+      .select(col("grp"), col("n"),
+              graft.Determinism.intRatio4(col("wq") * 10000, col("_wtot"))
+                .as("share"),
+              expr(s"(${budget}L * wq) div _wtot").as("target"))
+  }
+
+  /** Deterministic exact-k-per-stratum sample: the k rows of each
+    * stratum with the smallest md5(id) — a fixed-SIZE eval set per
+    * group (vs [[sampleStratified]]'s fixed RATE). Adds `rn` (1..k
+    * within the stratum). Content-addressed: the same k rows are chosen
+    * on any cluster size, any partitioning, every rerun; growing the
+    * corpus only swaps rows whose hash order changes, it never
+    * reshuffles the whole selection (the reservoir-sampling guarantee,
+    * without coordination). One shuffle on `stratum`; the per-stratum
+    * sort is the standard top-k window (rank pushes down to a partial
+    * top-k per partition under AQE). */
+  def sampleExactK(
+      df: DataFrame, stratum: Column, id: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = md5(coalesce(id.cast("string"), lit("")))
+    val w = Window.partitionBy(stratum).orderBy(h.asc, id.asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Deterministic sharded epoch shuffle: assign every row to one of
+    * `shards` output shards and a position within its shard, ordered by
+    * md5(seed || ":" || id) — the reproducible global permutation a
+    * training run reads ("epoch 7" = seed "7" on any cluster, forever).
+    *
+    * This is the SCALABLE form of "ORDER BY random()": a single global
+    * row_number would serialize into one partition, so the permutation
+    * is materialized the way shuffled data is actually written — shard
+    * assignment is map-side, and each shard orders independently
+    * (Window per shard = |shards|-way parallel sort). Reading shards in
+    * index order, each in position order, replays one fixed permutation
+    * of the corpus. Adds (shard, pos). */
+  def epochShuffle(
+      df: DataFrame, id: Column, seed: String, shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val h = md5(concat(lit(seed), lit(":"),
+                       coalesce(id.cast("string"), lit(""))))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("int"),
+                     lit(shards))
+    val w = Window.partitionBy(col("shard")).orderBy(h.asc, id.asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** Per-group winsorized mean: clip `valueInt` (an INTEGRAL column —
+    * cents/chars/tokens) to the group's [loQ, hiQ] discrete quantiles,
+    * then average. The robust-mean step of corpus stats reporting (a
+    * single 2 GB document otherwise dominates a language's mean doc
+    * length). Returns (grp, lo, hi, n, mean) with mean exact to 1e-4
+    * (integer sum → Determinism.avgExact4's half-up integral division).
+    *
+    * Two hash-aggs over the corpus (quantile bounds, then clipped sum)
+    * with the tiny per-group bounds frame broadcast back between them —
+    * quantiles are percentile_disc (actual values, no interpolation),
+    * so every intermediate is integral and engine-exact. */
+  def winsorizedMean(
+      df: DataFrame, group: Column, valueInt: Column,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(0 <= loQ && loQ <= hiQ && hiQ <= 1, "need 0 <= loQ <= hiQ <= 1")
+    val v = df.select(group.as("grp"), valueInt.cast("long").as("_v"))
+    val bounds = v.groupBy(col("grp"))
+      .agg(expr(s"percentile_disc($loQ) WITHIN GROUP (ORDER BY _v)")
+             .cast("long").as("lo"),
+           expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY _v)")
+             .cast("long").as("hi"))
+      .select(col("grp").as("_bg"), col("lo"), col("hi"))
+    v.join(broadcast(bounds), col("grp") === col("_bg"))
+      .withColumn("_c", least(greatest(col("_v"), col("lo")), col("hi")))
+      .groupBy(col("grp"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+           graft.Determinism.avgExact4(
+             sum(col("_c")).cast(org.apache.spark.sql.types.DecimalType(18, 2)),
+             count(lit(1))).as("mean"))
+      .select(col("grp"), col("lo"), col("hi"), col("n"), col("mean"))
+  }
+
+  /** Equi-depth histogram of an integral column: `buckets` bins holding
+    * ~equal row counts (the selectivity-estimation / data-profiling
+    * histogram; equi-WIDTH q_agg_histogram is useless on skewed money).
+    * Returns (bucket, n, lo, hi) — bucket b covers values in
+    * (boundary_b, boundary_b+1].
+    *
+    * Scalable form: NO global sort / ntile (a global ntile window
+    * serializes the corpus into one partition). Instead one
+    * percentile_disc aggregate computes the buckets-1 boundaries, the
+    * one-row boundary frame broadcasts back, and bucket assignment is a
+    * map-side count-of-boundaries-below — two scans, zero wide shuffle.
+    * Boundaries are ACTUAL data values (discrete quantiles), so ties
+    * collapse deterministically on both engines: a value equal to a
+    * boundary always lands in the lower bucket. */
+  def equiDepthHistogram(
+      df: DataFrame, valueInt: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val v = df.select(valueInt.cast("long").as("_v"))
+    val qs = (1 until buckets).map { i =>
+      expr(s"percentile_disc(${i.toDouble / buckets}) WITHIN GROUP " +
+           "(ORDER BY _v)").cast("long").as(s"_b$i")
+    }
+    val bounds = v.agg(qs.head, qs.tail: _*)
+    val bucket = (1 until buckets)
+      .map(i => when(col("_v") > col(s"_b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    v.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"),
+           max(col("_v")).as("hi"))
+  }
 }

@@ -477,4 +477,75 @@ object Text {
             |  0L, (acc, x) -> acc + x)""".stripMargin)
           % 2147483647L)
       .drop("_w")
+
+  /** Edit-distance similarity join: all unordered pairs of DISTINCT
+    * values of `str` within Levenshtein distance `maxDist`, WITHOUT the
+    * quadratic cross join — the record-linkage / typo-clustering
+    * primitive (merge "anthropic.com" with "antropic.com" variants).
+    * Returns (name_a, name_b, dist) with name_a < name_b.
+    *
+    * Candidate generation is the Gravano-style q-gram COUNT FILTER:
+    * one edit destroys at most q of a string's positional q-grams, so
+    * ed(s,t) ≤ k ⇒ the q-gram BAGS share ≥ max(|s|,|t|)−q+1−k·q grams.
+    * Shape: explode per-string q-grams → (s, gram, mult) hash-agg →
+    * equi-join on gram (+ |len diff| ≤ k) → per-pair Σ min(mult) →
+    * bound filter → exact levenshtein confirm. Never all-pairs: a
+    * string meets only strings sharing a gram, and the confirm runs on
+    * the surviving candidates only.
+    *
+    * LOSSLESSNESS: pairs where the bound is vacuous (max(|s|,|t|) ≤
+    * q−1+k·q, so the theorem requires ≥ ≤0 shared grams) could evade
+    * the gram join entirely — those SHORT strings are all-paired
+    * directly (a set bounded by the alphabet: |Σ|^(q−1+kq) values at
+    * most, tiny in practice). The declared query's oracle is the naive
+    * quadratic join, so the driver hash-verifies that the filter drops
+    * no true pair.
+    *
+    * 100 TB notes: runs on DISTINCT values (dedupe first — name columns
+    * have ~√n distinct values); stop-gram skew (a gram shared by every
+    * string, e.g. "th") fans the candidate join — cap with the same
+    * hot-key discipline as Dedup.capHotShingles if a profile shows it;
+    * the bound filter runs BEFORE the confirm so levenshtein (O(l²)
+    * per pair) only touches survivors. */
+  def editDistancePairs(
+      df: DataFrame, str: Column, maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2 (q=1 grams carry no position info)")
+    val names = df.select(str.cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .withColumn("len", length(col("s")))
+    // positional q-gram bag → (s, gram, multiplicity). Strings shorter
+    // than q get one whole-string gram: harmless (they are covered by
+    // the short-pair path), and it keeps sequence() off the descending
+    // sequence(1, len-q+1 < 1) path, which would THROW, not no-op.
+    val grams = names
+      .withColumn("g", explode(
+        when(col("len") >= q,
+          expr(s"transform(sequence(1, length(s) - ${q - 1}), " +
+               s"i -> substring(s, i, $q))"))
+        .otherwise(array(col("s")))))
+      .groupBy(col("s"), col("len"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val a = grams.select(col("s").as("name_a"), col("len").as("la"),
+                         col("g"), col("c").as("ca"))
+    val b = grams.select(col("s").as("name_b"), col("len").as("lb"),
+                         col("g").as("gb"), col("c").as("cb"))
+    val cand = a.join(b,
+        col("g") === col("gb") && col("name_a") < col("name_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .groupBy(col("name_a"), col("name_b"), col("la"), col("lb"))
+      .agg(sum(least(col("ca"), col("cb"))).as("common"))
+      .filter(col("common") >=
+        greatest(col("la"), col("lb")) - lit(q - 1) - lit(maxDist * q))
+      .select(col("name_a"), col("name_b"))
+    val shortLen = q - 1 + maxDist * q
+    val sh = names.filter(col("len") <= shortLen)
+    val shortPairs = sh.select(col("s").as("name_a"))
+      .crossJoin(sh.select(col("s").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+    cand.union(shortPairs).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+                            .cast("int"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -1,0 +1,306 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.api.{Events, Pipeline, Text}
+import graft.io.Tables
+
+/** Corpus-curation operators (SURVEY §2.6 extension, round 4): the
+  * remaining steps a production training-data pipeline runs between
+  * "deduplicated corpus" and "shards on disk" — fuzzy record linkage,
+  * temperature-scaled language mixing, fixed-size eval-set sampling,
+  * robust (winsorized) corpus stats, equi-depth profiling histograms,
+  * deterministic epoch shuffling + shard planning — plus the two
+  * event-analytics staples this suite still lacked (marketing
+  * attribution and EWMA smoothing).
+  *
+  * Each query delegates to the public parameterized API
+  * (`graft.api.{Text, Events, Pipeline}`) where the operator is
+  * reusable, so the oracle gate verifies the library itself.
+  *
+  * Scale notes (100 TB):
+  *  - the fuzzy join is q-gram-count-filtered candidate generation +
+  *    confirm — never the quadratic cross join its oracle runs.
+  *  - mixing/sampling/sharding decisions are content-hash arithmetic:
+  *    map-side, replayable, cluster-size-independent.
+  *  - the histogram and winsorize compute tiny quantile frames that
+  *    broadcast back — no global sort, no ntile serialization.
+  *  - attribution and EWMA are single-(key,time)-sort window scans
+  *    with O(1) running state per row.
+  */
+object CurateOps extends OpGroup {
+
+  /** DuckDB integer value of hex digit `i` (1-based) of md5 expr `h`. */
+  private def hexd(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  /** DuckDB rendering of Pipeline.hash16 over an ALREADY-COMPUTED md5
+    * hex column `h` (the first 4 hex digits as an integer). */
+  private def u16OfHex(h: String): String =
+    s"(${hexd(h, 1)} * 4096 + ${hexd(h, 2)} * 256 + " +
+    s"${hexd(h, 3)} * 16 + ${hexd(h, 4)})"
+
+  def qs: Seq[Q] = Seq(
+
+    Q(
+      // fuzzy record linkage: all distinct part-name pairs within
+      // Levenshtein distance 2, via the q-gram count filter (candidates
+      // = pairs sharing enough positional bigrams, then exact confirm).
+      // The ORACLE is the naive quadratic join — the hash match is a
+      // machine proof that the prefilter dropped no true pair on this
+      // corpus. At 100 TB the filter is the whole point: strings only
+      // meet through shared grams (inverted-index join), never all-pairs.
+      "q_fuzzy_editdist_join",
+      (s, d) => Text.editDistancePairs(Tables.part(s, d), col("p_name"),
+                                       maxDist = 2)
+        .orderBy(col("name_a"), col("name_b")),
+      """WITH n AS (
+        |  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY name_a, name_b""".stripMargin),
+
+    Q(
+      // last-touch attribution: each purchase is credited to the user's
+      // most recent strictly-preceding click/view; purchases with no
+      // prior touch land in 'none'. One (user, time) window sort, O(1)
+      // carried state — the composable sessionization shape.
+      "q_events_attribution",
+      (s, d) => Events.attributeLastTouch(
+          Tables.events(s, d), col("user_id"), col("ts"),
+          Seq(col("event_id")), col("event_type"),
+          Seq("click", "view"), "purchase")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"),
+             asMoney(sum(money("value"))).as("revenue"))
+        .orderBy(col("channel")),
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    COALESCE(last_value(
+        |        CASE WHEN event_type IN ('click', 'view')
+        |             THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY epoch_us(ts) ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'none') AS channel
+        |  FROM events)
+        |SELECT channel, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin),
+
+    Q(
+      // equi-depth histogram of line revenue in cents: 8 buckets of
+      // ~equal count via percentile_disc boundaries (actual data
+      // values) broadcast back to a map-side bucket assignment — the
+      // scalable profiling histogram (global-sort ntile would
+      // serialize the corpus into one partition).
+      "q_agg_histogram_eqdepth",
+      (s, d) => Pipeline.equiDepthHistogram(
+          Tables.lineitem(s, d),
+          (money("l_extendedprice") * 100).cast("long"), buckets = 8)
+        .withColumn("bucket", col("bucket").cast("int"))
+        .orderBy(col("bucket")),
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS _v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT quantile_disc(_v, 0.125) AS b1,
+        |         quantile_disc(_v, 0.25)  AS b2,
+        |         quantile_disc(_v, 0.375) AS b3,
+        |         quantile_disc(_v, 0.5)   AS b4,
+        |         quantile_disc(_v, 0.625) AS b5,
+        |         quantile_disc(_v, 0.75)  AS b6,
+        |         quantile_disc(_v, 0.875) AS b7
+        |  FROM v)
+        |SELECT CAST(
+        |    (CASE WHEN _v > b1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN _v > b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN _v > b3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN _v > b4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN _v > b5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN _v > b6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN _v > b7 THEN 1 ELSE 0 END) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n, MIN(_v) AS lo, MAX(_v) AS hi
+        |FROM v, b GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    Q(
+      // temperature-scaled language mixing (T=2): weight ∝ sqrt(p_lang)
+      // upsamples tail languages; shares and per-language target doc
+      // counts out of a 100k budget, integer-exact (quantized weights +
+      // half-up integral division — sqrt is the one IEEE-exact power).
+      "q_mix_temperature",
+      (s, d) => Pipeline.temperatureMixT2(
+          Tables.documents(s, d), col("lang"), budget = 100000L)
+        .orderBy(col("grp")),
+      """WITH c AS (
+        |  SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |w AS (
+        |  SELECT grp, n,
+        |    CAST(FLOOR(SQRT(CAST(n AS DOUBLE) / tot) * 1000000) AS BIGINT)
+        |      AS wq
+        |  FROM c, t),
+        |s AS (SELECT SUM(wq) AS wtot FROM w)
+        |SELECT grp, n,
+        |  CAST((2 * (wq * 10000) + wtot) // (2 * wtot) AS DOUBLE) / 10000.0
+        |    AS share,
+        |  CAST((100000 * wq) // wtot AS BIGINT) AS target
+        |FROM w, s ORDER BY grp""".stripMargin),
+
+    Q(
+      // EWMA smoothing (α = 1/2) of event values per type: the bounded
+      // 8-term form Σ v_{t-j}·2^(7-j) / Σ 2^(7-j) — pure integer
+      // numerator/denominator over cents (missing leading terms drop
+      // out of BOTH sums), so the final double division is the one
+      // float op and is bit-identical cross-engine. One window sort,
+      // 8 lag taps pipelined on the sorted partition.
+      "q_ts_ewma",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val e = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val lags = (1 to 7).map(j => lag(col("vc"), j).over(w))
+        val weights = (1 to 7).map(j => 1L << (7 - j))
+        val num = lags.zip(weights)
+          .map { case (l, wt) => coalesce(l, lit(0L)) * wt }
+          .foldLeft(col("vc") * 128)(_ + _)
+        val den = lags.zip(weights)
+          .map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(0L) }
+          .foldLeft(lit(128L))(_ + _)
+        e.select(col("event_type"), col("event_id"),
+                 (num.cast("double") / den / 100.0).as("ewma"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tu,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, event_id, vc,
+        |    lag(vc, 1) OVER w AS v1, lag(vc, 2) OVER w AS v2,
+        |    lag(vc, 3) OVER w AS v3, lag(vc, 4) OVER w AS v4,
+        |    lag(vc, 5) OVER w AS v5, lag(vc, 6) OVER w AS v6,
+        |    lag(vc, 7) OVER w AS v7
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type
+        |               ORDER BY tu ASC, event_id ASC))
+        |SELECT event_type, event_id,
+        |  CAST(vc * 128 + COALESCE(v1, 0) * 64 + COALESCE(v2, 0) * 32
+        |       + COALESCE(v3, 0) * 16 + COALESCE(v4, 0) * 8
+        |       + COALESCE(v5, 0) * 4 + COALESCE(v6, 0) * 2
+        |       + COALESCE(v7, 0) AS DOUBLE)
+        |    / (128 + (CASE WHEN v1 IS NULL THEN 0 ELSE 64 END)
+        |           + (CASE WHEN v2 IS NULL THEN 0 ELSE 32 END)
+        |           + (CASE WHEN v3 IS NULL THEN 0 ELSE 16 END)
+        |           + (CASE WHEN v4 IS NULL THEN 0 ELSE 8 END)
+        |           + (CASE WHEN v5 IS NULL THEN 0 ELSE 4 END)
+        |           + (CASE WHEN v6 IS NULL THEN 0 ELSE 2 END)
+        |           + (CASE WHEN v7 IS NULL THEN 0 ELSE 1 END))
+        |    / 100.0 AS ewma
+        |FROM t ORDER BY event_type, event_id""".stripMargin),
+
+    Q(
+      // deterministic epoch shuffle, shard-materialized: seed "7"
+      // defines one fixed permutation — shard = hash16(seed:id) mod 8
+      // (map-side), position = rank within shard by the same hash
+      // (|shards|-way parallel sort; a single global row_number would
+      // serialize the corpus).
+      "q_shuffle_epoch",
+      (s, d) => Pipeline.epochShuffle(
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"), seed = "7", shards = 8)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos")),
+      s"""WITH h AS (
+        |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, hx,
+        |    CAST(${u16OfHex("hx")} % 8 AS INTEGER) AS shard
+        |  FROM h)
+        |SELECT shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |                          ORDER BY hx ASC, doc_id ASC)
+        |       AS INTEGER) AS pos,
+        |  doc_id
+        |FROM a ORDER BY shard, pos""".stripMargin),
+
+    Q(
+      // shard balance plan: content-hash assignment to 8 shards with
+      // per-shard row and byte-volume stats — the pre-write check that
+      // no data-loader worker gets a fat shard. Pure hash-agg; the
+      // per-shard char sums are what you'd rebalance on (rows are
+      // cheap, bytes are not).
+      "q_shard_plan",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(pmod(Pipeline.hash16(col("doc_id")), lit(8)).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars").cast("long")).as("chars"),
+             min(col("doc_id")).as("min_doc"),
+             max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard")),
+      s"""WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS hx
+        |  FROM documents)
+        |SELECT CAST(${u16OfHex("hx")} % 8 AS INTEGER) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    Q(
+      // fixed-SIZE eval sets: exactly 10 docs per language, selected by
+      // smallest md5(doc_id) — content-addressed (stable under
+      // re-partitioning and corpus growth), vs the fixed-RATE
+      // q_sample_stratified. Top-k window per stratum.
+      "q_sample_exact_k",
+      (s, d) => Pipeline.sampleExactK(
+          Tables.documents(s, d), col("lang"), col("doc_id"), k = 10)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn")),
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS INTEGER) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id FROM t
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin),
+
+    Q(
+      // robust per-language doc-length stats: winsorize n_chars at the
+      // [p05, p95] discrete quantiles, then the exact integer mean —
+      // the corpus-report number a single pathological document can't
+      // drag. Bounds frame broadcasts back between two hash-aggs.
+      "q_stats_winsorize",
+      (s, d) => Pipeline.winsorizedMean(
+          Tables.documents(s, d), col("lang"), col("n_chars"),
+          loQ = 0.05, hiQ = 0.95)
+        .orderBy(col("grp")),
+      """WITH v AS (
+        |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS _v
+        |  FROM documents),
+        |b AS (
+        |  SELECT grp, quantile_disc(_v, 0.05) AS lo,
+        |         quantile_disc(_v, 0.95) AS hi
+        |  FROM v GROUP BY grp),
+        |c AS (
+        |  SELECT v.grp, b.lo, b.hi,
+        |    LEAST(GREATEST(_v, lo), hi) AS _c
+        |  FROM v JOIN b ON v.grp = b.grp)
+        |SELECT grp, lo, hi, COUNT(*) AS n,
+        |  CAST((2 * (SUM(_c) * 10000) + COUNT(*)) // (2 * COUNT(*))
+        |       AS DOUBLE) / 10000.0 AS mean
+        |FROM c GROUP BY grp, lo, hi ORDER BY grp""".stripMargin)
+  )
+}

@@ -1086,4 +1086,151 @@ class ApiSpec extends SparkSpec {
       assert(g == want, s"width $w: $g")
     }
   }
+
+  test("Text.editDistancePairs: equals brute force, short-string path, q-invariance") {
+    // classic DP, the spec the filtered join must reproduce exactly
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // mixes: true near-pairs, a dup (distinct() must collapse it),
+    // and SHORT strings (len <= q-1+k*q) that the count bound cannot
+    // prune — they exercise the all-pair fallback path
+    val vocab = Seq("red widget", "red widgot", "red widgets", "blue bolt",
+                    "blu bolt", "zz top hats", "ab", "ac", "a", "abcd",
+                    "abcdefgh", "abcdefghij", "red widget")
+    val df = vocab.map(Tuple1(_)).toDF("s")
+    val want = (for {
+      a <- vocab.distinct; b <- vocab.distinct if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    val got = graft.api.Text.editDistancePairs(df, col("s"), maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == want, s"got $got\nwant $want")
+    // a different gram width changes the FILTER, never the RESULT
+    val got3 = graft.api.Text
+      .editDistancePairs(df, col("s"), maxDist = 2, q = 3)
+      .as[(String, String, Int)].collect().toSet
+    assert(got3 == want, s"q=3 diverged: $got3")
+    // k=1 is a strict subset at the tighter threshold
+    val got1 = graft.api.Text.editDistancePairs(df, col("s"), maxDist = 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(got1 == want.filter(_._3 <= 1), s"k=1: $got1")
+  }
+
+  test("Pipeline.temperatureMixT2: uniform exact, skew compressed, budget respected") {
+    // 90/10 skew: p = .9/.1 → w ∝ √p → shares ≈ .75/.25 (T=2 upsamples
+    // the tail at the expense of the head)
+    val df = (Seq.fill(90)("en") ++ Seq.fill(10)("fr")).map(Tuple1(_))
+      .toDF("lang")
+    val r = Pipeline.temperatureMixT2(df, col("lang"), budget = 1000L)
+      .as[(String, Long, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("en")._1 == 90 && r("fr")._1 == 10)
+    assert(math.abs(r("en")._2 - 0.75) < 0.01, s"${r("en")._2}")
+    assert(math.abs(r("fr")._2 - 0.25) < 0.01, s"${r("fr")._2}")
+    // floored targets never exceed the budget, and waste < |groups|+1
+    val t = r.values.map(_._3).sum
+    assert(t <= 1000 && t >= 997, s"targets sum $t")
+    // exact uniform: equal counts → share exactly 0.5 (integer ratio,
+    // no float residue)
+    val u = Pipeline.temperatureMixT2(
+      (Seq.fill(32)("a") ++ Seq.fill(32)("b")).map(Tuple1(_)).toDF("g"),
+      col("g"), budget = 100L)
+      .as[(String, Long, Double, Long)].collect()
+    assert(u.forall(_._3 == 0.5) && u.forall(_._4 == 50L), u.mkString(","))
+  }
+
+  test("Pipeline.sampleExactK: k per stratum, short strata whole, partition-invariant") {
+    val df = (Seq.tabulate(90)(i => (i.toLong, "big")) ++
+      Seq.tabulate(3)(i => (100L + i, "tiny"))).toDF("id", "s")
+    val got = Pipeline.sampleExactK(df, col("s"), col("id"), k = 5)
+      .as[(Long, String, Int)].collect()
+    val byS = got.groupBy(_._2)
+    assert(byS("big").length == 5 && byS("tiny").length == 3)
+    assert(byS("big").map(_._3).sorted.sameElements(1 to 5))
+    // content-addressed: identical selection on any partitioning
+    val again = Pipeline.sampleExactK(
+      df.repartition(7), col("s"), col("id"), k = 5)
+      .as[(Long, String, Int)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("Pipeline.epochShuffle: bijective sharded permutation, seed-sensitive, stable") {
+    val df = Seq.tabulate(256)(i => Tuple1(i.toLong)).toDF("id")
+    val r = Pipeline.epochShuffle(df, col("id"), seed = "1", shards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(r.length == 256 && r.map(_._1).distinct.length == 256)
+    assert(r.forall(t => t._2 >= 0 && t._2 < 4))
+    // positions within each shard are exactly 1..n (a real permutation,
+    // no gaps or dups)
+    for ((_, rows) <- r.groupBy(_._2))
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    // another epoch = another permutation (some row moves)
+    val r2 = Pipeline.epochShuffle(df, col("id"), seed = "2", shards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(r.sortBy(_._1).toSeq != r2.sortBy(_._1).toSeq)
+    // replayable on any partitioning
+    val again = Pipeline.epochShuffle(
+      df.repartition(9), col("id"), seed = "1", shards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(r.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("Pipeline.winsorizedMean: outliers clipped to the discrete quantiles") {
+    val df = (1 to 100).map(v => ("a", v.toLong)).toDF("g", "v")
+    val r = Pipeline.winsorizedMean(df, col("g"), col("v"), 0.05, 0.95)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r.length == 1)
+    val (_, lo, hi, n, mean) = r.head
+    assert(lo == 5L && hi == 95L && n == 100L)
+    // 1..4 → 5 (20) + Σ5..95 (4550) + 96..100 → 95 (475) = 5045 / 100
+    assert(mean == 50.45, s"mean $mean")
+  }
+
+  test("Pipeline.equiDepthHistogram: equal depths on distinct data, ties collapse") {
+    val df = (1 to 1000).map(v => Tuple1(v.toLong)).toDF("v")
+    val r = Pipeline.equiDepthHistogram(df, col("v"), buckets = 8)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._2).sum == 1000L)
+    assert(r.forall(_._2 == 125L), r.mkString(","))      // perfect depth
+    assert(r.head._3 == 1L && r.last._4 == 1000L)
+    // contiguous, non-overlapping coverage
+    for (Array(a, b) <- r.sliding(2).map(_.toArray))
+      assert(a._4 < b._3, s"overlap: $a $b")
+    // pathological ties: one value → every row in bucket 0
+    val ties = Seq.fill(64)(7L).map(Tuple1(_)).toDF("v")
+    val t = Pipeline.equiDepthHistogram(ties, col("v"), buckets = 8)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(t.length == 1 && t.head._1 == 0 && t.head._2 == 64L)
+  }
+
+  test("Events.attributeLastTouch: carry, none-fallback, same-timestamp tie order") {
+    val ev = Seq(
+      // u1: click, view, purchase (→ view), later purchase carries view
+      ("u1", 1L, "click", 1L), ("u1", 2L, "view", 2L),
+      ("u1", 3L, "purchase", 3L), ("u1", 5L, "purchase", 4L),
+      // u2: purchase BEFORE any touch → none; then click → purchase
+      ("u2", 1L, "purchase", 5L), ("u2", 2L, "click", 6L),
+      ("u2", 3L, "purchase", 7L),
+      // u3: touch and purchase share a timestamp — tieBreak id orders
+      // the touch first, so it IS strictly preceding
+      ("u3", 7L, "view", 8L), ("u3", 7L, "purchase", 9L),
+      // u4: purchase first at the tied timestamp → none
+      ("u4", 7L, "purchase", 10L), ("u4", 7L, "view", 11L)
+    ).toDF("user", "t", "typ", "id")
+    val got = graft.api.Events.attributeLastTouch(
+        ev, col("user"), col("t"), Seq(col("id")), col("typ"),
+        Seq("click", "view"), "purchase")
+      .select(col("id"), col("channel")).as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(3L -> "view", 4L -> "view", 5L -> "none",
+                      7L -> "click", 9L -> "view", 10L -> "none"), got)
+  }
 }

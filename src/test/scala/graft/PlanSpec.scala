@@ -451,4 +451,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not shuffle for the keep decision:\n$plan")
   }
+
+  test("fuzzy edit-distance join: gram candidates equi-join; only the bounded short set all-pairs") {
+    val df = SparkEntry.queries("q_fuzzy_editdist_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate path must be a real equi-join on the gram key —
+    // the oracle's quadratic cross join is exactly what this plan must
+    // NOT contain for the main path
+    assert(plan.contains("SortMergeJoin") ||
+           plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"gram candidate join missing:\n$plan")
+    // at most ONE non-equi pair join: the short-string fallback, whose
+    // input is alphabet-bounded (len <= q-1+k*q), never the corpus
+    val loops = plan.linesIterator.count(l =>
+      l.contains("CartesianProduct") ||
+      l.contains("BroadcastNestedLoopJoin"))
+    assert(loops <= 1, s"$loops nested-loop joins:\n$plan")
+  }
+
+  test("equi-depth histogram: no window, boundaries broadcast back") {
+    val df = SparkEntry.queries("q_agg_histogram_eqdepth")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the global-sort ntile formulation would serialize the corpus into
+    // one partition — the plan must carry NO window at all; bucket
+    // assignment attaches the one-row boundary frame by broadcast
+    assert(!plan.contains("Window"),
+      s"equi-depth histogram must not window:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"boundary frame must broadcast:\n$plan")
+  }
+
+  test("epoch shuffle: rank windows are per-shard, never global") {
+    val df = SparkEntry.queries("q_shuffle_epoch")(spark, sfDir)
+    // a global row_number (empty partition spec) would pull the whole
+    // corpus through one task — the permutation must materialize
+    // shard-by-shard. (String-matched: AQE hides WindowExec from
+    // .collect until execution; the plan string prints
+    // `Window [fns], [partitionSpec], [orderSpec]`.)
+    val winLines = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, "expected a rank window")
+    assert(winLines.forall(_.matches(""".*Window \[.*\], \[shard#\d+\], \[.*""")),
+      s"epoch shuffle planned a GLOBAL window:\n${winLines.mkString("\n")}")
+  }
 }
