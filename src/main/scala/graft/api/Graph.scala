@@ -156,4 +156,57 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
   }
+
+  /** k-core decomposition (one k): the maximal subgraph in which every
+    * vertex keeps degree ≥ k, found by iterative peeling — drop all
+    * vertices of degree < k, recompute, repeat until stable. The
+    * community-detection / spam-subgraph primitive: a dense crawl-farm
+    * clique survives high k while organically-linked pages fall away.
+    *
+    * Input `pairs` is an undirected edge list (either direction, self
+    * loops and duplicates tolerated — canonicalized here). Returns
+    * (node, deg) for the surviving core's vertices with their in-core
+    * degrees (empty frame if the k-core is empty).
+    *
+    * Scale design, mirroring [[Dedup.connectedComponents]]'s fixpoint
+    * discipline:
+    *  - each round is degree hash-agg + two LEFT SEMI equi-joins on the
+    *    vertex key — never anything wider than the edge list;
+    *  - lineage is cut per round with an eager localCheckpoint (peeling
+    *    depth is the graph's degeneracy ordering depth — typically tens
+    *    of rounds; borrow CC's rolling reliable-checkpoint machinery for
+    *    lossy clusters);
+    *  - the convergence count runs on the VERTEX-sized sub-k frame
+    *    (never edge-sized): `removed == 0` terminates. */
+  def kCore(pairs: DataFrame, a: String, b: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val canon = pairs
+      .select(col(a).cast("long").as("s"), col(b).cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("src"),
+              greatest(col("s"), col("t")).as("dst"))
+      .distinct()
+    var edges = canon.localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val deg = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val sub = deg.filter(col("d") < k)
+      if (sub.isEmpty) done = true
+      else {
+        // two distinctly-aliased copies: semi-joining the SAME frame
+        // twice would trip ambiguous-self-join resolution
+        val keepS = deg.filter(col("d") >= k).select(col("v").as("_ks"))
+        val keepT = deg.filter(col("d") >= k).select(col("v").as("_kt"))
+        edges = edges
+          .join(keepS, col("src") === col("_ks"), "left_semi")
+          .join(keepT, col("dst") === col("_kt"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -478,6 +478,59 @@ object Text {
           % 2147483647L)
       .drop("_w")
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]'s output) to a text
+    * column: adds `bpe` (the sub-word symbol array, `</w>`-terminated
+    * per word) and `n_bpe_tokens` — the tokenizer-accurate token count
+    * a packing/budget stage should use once a real vocabulary exists
+    * (vs the whitespace proxy in tokenCounts).
+    *
+    * Encoding is the standard greedy loop: repeatedly merge the
+    * ADJACENT pair with the lowest training rank until none applies —
+    * which reproduces exactly the symbol sequences training itself
+    * produced (training applies merges in rank order corpus-wide).
+    *
+    * Shape: the merge table (≤ vocab size, a few MB at 64k) broadcasts
+    * once; encoding is a pure per-row map — no shuffle, streams under
+    * Structured Streaming unchanged. A Scala UDF is the right tool
+    * here, not a Catalyst expression: the loop carries a mutable
+    * symbol buffer and a rank map, neither expressible in codegen'd
+    * Column algebra — this is the documented UDF-boundary exception
+    * (SURVEY §2.8), same as the multimodal decoder. Tokenization
+    * matches Dedup.tokens (the one tokenizer) byte-for-byte. */
+  def bpeEncode(
+      df: DataFrame, text: Column,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(ranks)
+    val enc = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val rk = bc.value
+        t.split("[ \\t\\n\\r\\f\\x0B]+").filter(_.nonEmpty).flatMap { w =>
+          var syms = w.map(_.toString).toVector :+ "</w>"
+          var go = true
+          while (go && syms.length > 1) {
+            var best = Int.MaxValue
+            var bi = -1
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < best) { best = r; bi = i }
+              i += 1
+            }
+            if (bi < 0) go = false
+            else syms = (syms.take(bi) :+ (syms(bi) + syms(bi + 1))) ++
+              syms.drop(bi + 2)
+          }
+          syms
+        }
+      }
+    }
+    df.withColumn("bpe", enc(text))
+      .withColumn("n_bpe_tokens", size(col("bpe")))
+  }
+
   /** Edit-distance similarity join: all unordered pairs of DISTINCT
     * values of `str` within Levenshtein distance `maxDist`, WITHOUT the
     * quadratic cross join — the record-linkage / typo-clustering

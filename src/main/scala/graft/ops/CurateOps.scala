@@ -278,6 +278,60 @@ object CurateOps extends OpGroup {
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin),
 
     Q(
+      // RFM segmentation: per-user Recency (last event time) /
+      // Frequency (event count) / Monetary (summed cents), each scored
+      // 0..2 against the user population's [p25, p75] DISCRETE quantile
+      // boundaries, then users counted per segment. Same no-ntile
+      // discipline as the equi-depth histogram: a global ntile window
+      // would serialize all users into one task; the 1-row boundary
+      // frame broadcasts into a map-side score instead. All integers
+      // (epoch-µs, counts, cents) — engine-exact.
+      "q_events_rfm",
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(col("ts_us")).as("r"),
+               count(lit(1)).as("f"),
+               (sum(money("value")) * 100).cast("long").as("m"))
+        val qd = (c: String, p: String) =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+            .cast("long")
+        val b = u.agg(qd("r", "0.25").as("r1"), qd("r", "0.75").as("r2"),
+                      qd("f", "0.25").as("f1"), qd("f", "0.75").as("f2"),
+                      qd("m", "0.25").as("m1"), qd("m", "0.75").as("m2"))
+        val sc = (v: String, b1: String, b2: String) =>
+          (when(col(v) > col(b1), 1).otherwise(0) +
+           when(col(v) > col(b2), 1).otherwise(0))
+        u.crossJoin(broadcast(b))
+          .select(sc("r", "r1", "r2").as("r_score"),
+                  sc("f", "f1", "f2").as("f_score"),
+                  sc("m", "m1", "m2").as("m_score"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS r, COUNT(*) AS f,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.75) AS r2,
+        |         CAST(quantile_disc(f, 0.25) AS BIGINT) AS f1,
+        |         CAST(quantile_disc(f, 0.75) AS BIGINT) AS f2,
+        |         quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.75) AS m2
+        |  FROM u)
+        |SELECT
+        |  CAST((CASE WHEN r > r1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN r > r2 THEN 1 ELSE 0 END) AS INTEGER) AS r_score,
+        |  CAST((CASE WHEN f > f1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN f > f2 THEN 1 ELSE 0 END) AS INTEGER) AS f_score,
+        |  CAST((CASE WHEN m > m1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN m > m2 THEN 1 ELSE 0 END) AS INTEGER) AS m_score,
+        |  COUNT(*) AS n_users
+        |FROM u, b GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin),
+
+    Q(
       // robust per-language doc-length stats: winsorize n_chars at the
       // [p05, p95] discrete quantiles, then the exact integer mean —
       // the corpus-report number a single pathological document can't

@@ -444,6 +444,58 @@ object Joins extends OpGroup {
         |FROM iv a JOIN iv b
         |  ON a.cust = b.cust AND a.k < b.k
         |  AND a.s <= b.e AND b.s <= a.e
-        |ORDER BY custkey, a_key, b_key""".stripMargin)
+        |ORDER BY custkey, a_key, b_key""".stripMargin),
+
+    Q(
+      // FORWARD as-of: each purchase matched to the user's NEXT click at
+      // ts >= the purchase's (pandas merge_asof direction='forward',
+      // inclusive like its backward default). Same one-sort interleaved
+      // window shape as q_join_asof, mirrored: purchases sort BEFORE
+      // same-timestamp clicks (kind asc), so a same-ts click sits in the
+      // 1-FOLLOWING..∞ frame and matches — `first(..., ignoreNulls)`
+      // forward is the same O(1)-state scan as `last` backward, just
+      // right-to-left. Still zero joins, one user_id exchange.
+      "q_join_asof_forward",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(
+            col("event_id"), col("user_id"), col("ts_us"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+            when(col("event_type") === "click", col("ts_us")).as("click_us"),
+            when(col("event_type") === "click", col("event_id")).as("click_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("kind").asc, col("event_id").asc)
+          .rowsBetween(1, Window.unboundedFollowing)
+        e.withColumn("next_click_id",
+                     first(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("next_click_us",
+                      first(col("click_us"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 0)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  col("ts_us"),
+                  coalesce(col("next_click_id"), lit(-1L)).as("next_click_id"),
+                  coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
+          .orderBy(col("purchase_id"))
+      },
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    first_value(click_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_id,
+        |    first_value(click_us IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_us
+        |  FROM t)
+        |SELECT event_id AS purchase_id, user_id, ts_us,
+        |  COALESCE(next_click_id, -1) AS next_click_id,
+        |  COALESCE(next_click_us, -1) AS next_click_us
+        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin)
   )
 }

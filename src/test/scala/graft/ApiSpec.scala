@@ -1233,4 +1233,64 @@ class ApiSpec extends SparkSpec {
     assert(got == Map(3L -> "view", 4L -> "view", 5L -> "none",
                       7L -> "click", 9L -> "view", 10L -> "none"), got)
   }
+
+  test("Graph.kCore: peeling keeps the dense core, cascades through chains") {
+    // K4 on 1..4 (every degree 3) + a 4-5-6 tail + a pendant 1-7.
+    // Peeling must CASCADE: removing 6 drops 5 to degree 1, which then
+    // falls too — a single-pass degree filter would keep 5 at k=2.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+                    (3L, 4L), (4L, 5L), (5L, 6L), (1L, 7L)).toDF("a", "b")
+    val c3 = graft.api.Graph.kCore(edges, "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(c3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), c3)
+    val c2 = graft.api.Graph.kCore(edges, "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(c2.keySet == Set(1L, 2L, 3L, 4L), c2)
+    assert(graft.api.Graph.kCore(edges, "a", "b", 4).isEmpty)
+    // reversed duplicates and self-loops canonicalize away
+    val messy = edges.union(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    assert(graft.api.Graph.kCore(messy, "a", "b", 3)
+      .as[(Long, Long)].collect().toMap == c3)
+  }
+
+  test("Text.bpeEncode: greedy lowest-rank equals in-rank-order application") {
+    import graft.api.Text
+    val corpus = Seq(
+      Tuple1(("low " * 5 + "lower " * 2 + "newest " * 6 +
+              "widest " * 3).trim)).toDF("text")
+    val merges = Text.bpeTrain(corpus, col("text"), merges = 10)
+    assert(merges.nonEmpty)
+    // reference semantics: each merge applied corpus-style, one
+    // left-to-right sweep per rank — the greedy encoder must reproduce
+    // it exactly (incl. on "lowest", unseen in training)
+    def applyInOrder(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (_, l, r, _) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms
+    }
+    val words = Seq("low", "lower", "newest", "widest", "lowest")
+    val got = Text.bpeEncode(words.map(Tuple1(_)).toDF("w"), col("w"), merges)
+      .select(col("w"), col("bpe"), col("n_bpe_tokens"))
+      .as[(String, Seq[String], Int)].collect()
+    got.foreach { case (w, bpe, n) =>
+      assert(bpe == applyInOrder(w), s"$w: $bpe vs ${applyInOrder(w)}")
+      assert(n == bpe.length)
+    }
+    // multi-word rows tokenize with the one tokenizer; nulls encode empty
+    val multi = Text.bpeEncode(
+      Seq(Tuple1("low\t\nlower"), Tuple1(null: String)).toDF("w"),
+      col("w"), merges).select(col("bpe"))
+      .as[Seq[String]].collect()
+    assert(multi(0) == applyInOrder("low") ++ applyInOrder("lower"))
+    assert(multi(1).isEmpty)
+  }
 }

@@ -470,16 +470,23 @@ class PlanSpec extends SparkSpec {
     assert(loops <= 1, s"$loops nested-loop joins:\n$plan")
   }
 
-  test("equi-depth histogram: no window, boundaries broadcast back") {
+  test("equi-depth histogram: counting-sort shape — windows only above the distinct-value collapse") {
     val df = SparkEntry.queries("q_agg_histogram_eqdepth")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // the global-sort ntile formulation would serialize the corpus into
-    // one partition — the plan must carry NO window at all; bucket
-    // assignment attaches the one-row boundary frame by broadcast
-    assert(!plan.contains("Window"),
-      s"equi-depth histogram must not window:\n$plan")
+    // neither failure mode may appear: a global ntile/rank over the raw
+    // corpus, or N percentile_disc buffers (ObjectHashAggregate) — the
+    // corpus's only wide pass is the (value, count) hash-agg; the
+    // running-count window is PARTITIONED by the prefix bucket, and the
+    // boundary/prefix frames come back as broadcasts
+    assert(!plan.contains("percentile_disc"),
+      s"single-reducer percentile buffers crept back:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"boundary frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"boundary attach degenerated:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.exists(_.matches(""".*Window \[.*\], \[_pb#\d+L?\], \[.*""")),
+      s"running count must stay prefix-bucket-partitioned:\n${winLines.mkString("\n")}")
   }
 
   test("epoch shuffle: rank windows are per-shard, never global") {
