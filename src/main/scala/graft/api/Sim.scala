@@ -376,6 +376,106 @@ object Sim {
       .select(col("vec_id"), col("cell"), col("ccos").as("cos"))
   }
 
+  /** Two-stage prefix rerank (the Matryoshka/two-tier serving shape):
+    * stage 1 ranks candidates by PREFIX cosine — only the first
+    * `prefixDims` dims, i.e. the truncated embedding a memory-resident
+    * coarse index would hold — and keeps the top `m` per query; stage 2
+    * re-fetches the survivors' FULL vectors by id and reranks the
+    * |Q|·m pairs by full-dim cosine to the final top `k`.
+    *
+    * Scale shape: the coarse scan touches prefixDims/dim of the vector
+    * bytes (a 64→16 prefix is a 4× bandwidth cut on the only
+    * corpus-sized pass); the rerank is survivor-sized — survivors
+    * broadcast and the full-vector side is ONE id-equi-join scan, so
+    * the expensive full-dim dot products run |Q|·m times, never |Q|·n.
+    * Both stages rank on round-4 cosines with candidate-id tiebreaks
+    * through the bounded-heap aggregate (no Window over pair sets).
+    * Vectors whose prefix is all-zero have no defined coarse cosine
+    * and sit out stage 1 (and therefore the result), like zero-norm
+    * vectors in [[cosineTopK]].
+    * Returns (q_id, cand_id, cos, rn) — cos is the FULL-dim cosine. */
+  def prefixRerankTopK(
+      df: DataFrame, id: Column, emb: Column, isQuery: Column,
+      prefixDims: Int, m: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1, "prefixRerankTopK: prefixDims must be >= 1")
+    require(m >= k, s"prefixRerankTopK: m ($m) must be >= k ($k) — " +
+      "the rerank can only return candidates the coarse stage kept")
+    val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
+      .withColumn("pemb", slice(col("embedding"), 1, prefixDims))
+      .withColumn("pnrm", sqrt(expr("dot_f32(pemb, pemb)")))
+      .filter(col("pnrm") > 0)
+    val q = e.filter(col("_isq"))
+      .select(col("vec_id").as("q_id"), col("pemb").as("qpe"),
+              col("pnrm").as("qpn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("pemb").as("cpe"),
+                     col("pnrm").as("cpn"))
+    val coarse = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+              round(dot("qpe", "cpe") / (col("qpn") * col("cpn")), 4)
+                .as("cos"))
+    val survivors = heapRankCos(coarse, m).select(col("q_id"), col("cand_id"))
+    val fq = e.select(col("vec_id").as("_qid"), col("embedding").as("qe"),
+                      col("nrm").as("qn"))
+    val fc = e.select(col("vec_id").as("_cid"), col("embedding").as("ce"),
+                      col("nrm").as("cn"))
+    val rescored = broadcast(
+        broadcast(survivors).join(fq, col("_qid") === col("q_id")))
+      .join(fc, col("_cid") === col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+              round(dot("qe", "ce") / (col("qn") * col("cn")), 4).as("cos"))
+    heapRankCos(rescored, k)
+  }
+
+  /** Per-label centroid coherence — the mislabeled-data detector: each
+    * label's centroid is the exact INTEGER sum of its members'
+    * 1e-6-quantized components (cosine is scale-invariant, so the sum
+    * vector IS the mean direction and no division ever happens), then
+    * every vector scores its cosine to its own label's centroid. Low
+    * coherence = the vector disagrees with its label's mass.
+    *
+    * Determinism: component sums are exact longs (order-independent
+    * hash-agg); the only double math is the per-vector fixed-order
+    * dot/norm fold, identical on both engines; per-label averages run
+    * through intRatio4 on round-4 integer units. Scale shape: ONE
+    * posexplode pass (n·d rows, map-side partial sums) builds
+    * |labels|·d centroid components which broadcast back; everything
+    * else is map-side per-vector work + one |labels|-sized agg.
+    * Returns (label, n_vecs, avg_coh, min_coh, worst_id). */
+  def labelCoherence(
+      df: DataFrame, id: Column, emb: Column, label: Column): DataFrame = {
+    val e = withNorm(df, id, emb, Seq("_lbl" -> label))
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
+    val cents = e
+      .select(col("_lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("_lbl"), col("pos"))
+      .agg(sum(round(col("x").cast("double") * 1000000).cast("long")).as("cs"))
+      .groupBy(col("_lbl"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cs")))).as("v"))
+      .select(col("_lbl").as("_clbl"), col("v.cs").as("cvec"))
+    val scored = e.join(broadcast(cents), col("_lbl") === col("_clbl"))
+      .withColumn("cdot", expr(
+        """aggregate(zip_with(embedding, cvec,
+          |            (x, c) -> CAST(x AS DOUBLE) * c),
+          |          CAST(0.0 AS DOUBLE), (a, y) -> a + y)""".stripMargin))
+      .withColumn("cnrm", sqrt(expr(
+        """aggregate(cvec, CAST(0.0 AS DOUBLE),
+          |          (a, c) -> a + CAST(c AS DOUBLE) * c)""".stripMargin)))
+      .withColumn("coh_e4",
+        round(col("cdot") / (col("nrm") * col("cnrm")) * 10000)
+          .cast("long"))
+    scored.groupBy(col("_lbl"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("coh_e4")).as("_se4"),
+           min(struct(col("coh_e4").as("c"), col("vec_id").as("i")))
+             .as("_w"))
+      .select(col("_lbl").as("label"), col("n_vecs"),
+              graft.Determinism.intRatio4(col("_se4"), col("n_vecs"))
+                .as("avg_coh"),
+              (col("_w.c") / 10000.0).as("min_coh"),
+              col("_w.i").as("worst_id"))
+  }
+
   /** SRP-LSH embedding near-duplicate pairs: `bits`-bit sign bucket
     * prunes ~2^bits×, exact cosine ≥ minCos confirms within buckets.
     * Returns (a_id, b_id, cos) with a_id < b_id. */

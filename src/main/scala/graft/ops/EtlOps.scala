@@ -542,6 +542,62 @@ object EtlOps extends OpGroup {
         |    (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
         |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)))
         |SELECT check_name, n AS n_violations, n = 0 AS pass
-        |FROM g ORDER BY check_name""".stripMargin)
+        |FROM g ORDER BY check_name""".stripMargin),
+
+    Q(
+      // key-distribution skew report over lineitem.l_suppkey — the
+      // pre-join diagnostic that decides whether ops.Skew.saltedEquiJoin
+      // (or AQE skew handling) is needed BEFORE a 100 TB join runs:
+      // per-key counts reduce map-side to a keys-sized frame, then ONE
+      // tiny agg computes the shape of the distribution — key count,
+      // max, exact discrete quantiles of per-key counts, the top-1
+      // key's share of all rows (boundary-exact intRatio4), and the
+      // three hottest keys (count desc, key asc) as a CSV. Every
+      // number is integer-exact; the only doubles are the final /1e4.
+      "q_etl_skew_report",
+      (s, d) => {
+        val cnts = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+        cnts.agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_cnt"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+              .cast("long").as("p50_cnt"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+              .cast("long").as("p99_cnt"),
+            concat_ws(",", transform(
+              slice(sort_array(collect_list(
+                struct((-col("cnt")).as("nc"), col("l_suppkey").as("k")))),
+                1, 3),
+              x => x.getField("k").cast("string"))).as("hot_keys"))
+          .withColumn("top1_share",
+            graft.Determinism.intRatio4(col("max_cnt") * 10000,
+                                        col("n_rows")))
+          .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+                  col("p50_cnt"), col("p99_cnt"), col("top1_share"),
+                  col("hot_keys"))
+      },
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |hot AS (
+        |  SELECT string_agg(CAST(l_suppkey AS VARCHAR), ','
+        |                    ORDER BY cnt DESC, l_suppkey) AS hot_keys
+        |  FROM (SELECT l_suppkey, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rn
+        |        FROM c) WHERE rn <= 3),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    MAX(cnt) AS max_cnt,
+        |    CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt,
+        |    CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt
+        |  FROM c)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+        |  CAST((2 * max_cnt * 10000 + n_rows) // (2 * n_rows) AS DOUBLE)
+        |    / 10000.0 AS top1_share,
+        |  hot.hot_keys
+        |FROM agg, hot ORDER BY n_keys""".stripMargin)
   )
 }

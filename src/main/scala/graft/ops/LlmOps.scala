@@ -257,6 +257,49 @@ object LlmOps extends OpGroup {
         |FROM m GROUP BY root ORDER BY root""".stripMargin),
 
     Q(
+      // SOFT dedup: instead of dropping near-duplicates, each doc gets
+      // weight 1/cluster_size (in exact 1e-4 integer units via integral
+      // division — no float sums anywhere), so a training mixture can
+      // downweight duplicated content without losing coverage — the
+      // "one vote per cluster" reweighting. Per lang: raw docs,
+      // distinct clusters represented, and the effective (weighted)
+      // doc mass. Scale shape: CC labels ⟕ corpus, ONE root-keyed
+      // hash-agg for sizes, one shuffle join back on root (sizes frame
+      // is cluster-count-sized), then a |langs|-row rollup.
+      "q_dedup_soft_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val labels = graft.api.Dedup.connectedComponents(
+          minhashPairs(s, d), "doc_a", "doc_b")
+        val rooted = docs.join(labels, docs("doc_id") === labels("doc"),
+                               "left")
+          .select(col("lang"), col("doc_id"),
+                  coalesce(col("root"), col("doc_id")).as("root"))
+        val sizes = rooted.groupBy(col("root"))
+          .agg(count(lit(1)).as("csz"))
+        rooted.join(sizes, "root")
+          .withColumn("w4", expr("CAST(10000 div csz AS BIGINT)"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("root")).as("n_clusters"),
+               (sum(col("w4")) / 10000.0).as("eff_docs"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH RECURSIVE $minhashPairsSql,
+        |$ccCompSql,
+        |rooted AS (
+        |  SELECT d.lang, d.doc_id, COALESCE(c.root, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+        |sz AS (SELECT root, COUNT(*) AS csz FROM rooted GROUP BY root),
+        |w AS (
+        |  SELECT r.lang, r.root, 10000 // s.csz AS w4
+        |  FROM rooted r JOIN sz s ON s.root = r.root)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT root) AS n_clusters,
+        |  CAST(SUM(w4) AS BIGINT) / 10000.0 AS eff_docs
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
       // brute-force cosine top-3 for query vectors (vec_id < 10) against
       // the whole collection. Query side is tiny -> broadcast; dot product
       // and norms are sequential double folds over the float arrays

@@ -472,6 +472,113 @@ object NearDupOps extends OpGroup {
         |                       ORDER BY qdot DESC, cand_id ASC) AS rn
         |  FROM scored)
         |SELECT q_id, cand_id, qdot, rn FROM ranked WHERE rn <= 3
-        |ORDER BY q_id, rn""".stripMargin)
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
+      // two-stage prefix rerank (api.Sim.prefixRerankTopK): coarse
+      // top-10 by 16-dim PREFIX cosine (the truncated-embedding tier a
+      // memory-resident index holds — 4× less vector bandwidth on the
+      // only corpus-sized scan), full-dim rerank of the |Q|·10
+      // survivors to top-3. The oracle replays both stages, so the
+      // hash match proves the two-tier plan returns exactly its
+      // declared semantics (rerank ⊆ coarse survivors, both rankings
+      // round-4 with cand-id tiebreaks).
+      "q_sim_prefix_rerank",
+      (s, d) => graft.api.Sim.prefixRerankTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, prefixDims = 16, m = 10, k = 3)
+        .orderBy(col("q_id"), col("rn")),
+      """WITH e0 AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |p0 AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    sqrt(list_sum(list_transform(embedding[1:16],
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pnrm
+        |  FROM e),
+        |p AS (SELECT * FROM p0 WHERE pnrm > 0),
+        |coarse AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, 17),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.pnrm * c.pnrm), 4) AS pcos
+        |  FROM p q JOIN p c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |surv AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY pcos DESC, cand_id ASC) AS rn
+        |    FROM coarse) WHERE rn <= 10),
+        |rer AS (
+        |  SELECT s.q_id, s.cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) + 0 AS cos
+        |  FROM surv s JOIN e q ON q.vec_id = s.q_id
+        |              JOIN e c ON c.vec_id = s.cand_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM rer)
+        |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
+      // per-label centroid coherence (api.Sim.labelCoherence) — the
+      // mislabeled-data detector: label centroid = exact INTEGER sum of
+      // 1e-6-quantized member components (cosine is scale-invariant, so
+      // the sum vector IS the mean direction — no division, no float
+      // accumulation anywhere order-dependent), then each vector's
+      // cosine to its own label's centroid; per label: count, avg/min
+      // coherence, and WHICH vector disagrees most with its label.
+      "q_embed_centroid_coherence",
+      (s, d) => graft.api.Sim.labelCoherence(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          col("label"))
+        .orderBy(col("label")),
+      """WITH e0 AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |comp AS (
+        |  SELECT label, i AS pos,
+        |    SUM(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+        |        AS BIGINT)) AS cs
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(0, len(embedding))) AS i FROM e)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(cs ORDER BY pos) AS cvec
+        |  FROM comp GROUP BY label),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+        |      / (e.nrm *
+        |         sqrt(list_sum(list_transform(c.cvec,
+        |              x -> CAST(x AS DOUBLE) * x))))
+        |      * 10000) AS BIGINT) AS ce4
+        |  FROM e JOIN cent c ON c.label = e.label),
+        |agg AS (
+        |  SELECT label, COUNT(*) AS n_vecs, SUM(ce4) AS se4,
+        |    min(struct_pack(c := ce4, i := vec_id)) AS w
+        |  FROM sc GROUP BY label)
+        |SELECT label, n_vecs,
+        |  CAST(CASE WHEN se4 >= 0
+        |       THEN (2 * se4 + n_vecs) // (2 * n_vecs)
+        |       ELSE -((2 * (-se4) + n_vecs) // (2 * n_vecs)) END
+        |    AS DOUBLE) / 10000.0 AS avg_coh,
+        |  CAST(w.c AS DOUBLE) / 10000.0 AS min_coh,
+        |  w.i AS worst_id
+        |FROM agg ORDER BY label""".stripMargin)
   )
 }
