@@ -560,6 +560,190 @@ object PipelineOps extends OpGroup {
         |       ELSE round(63.0 / (CAST(hv AS DOUBLE) / 4294967296.0), 4) + 0
         |  END AS est_distinct
         |FROM r WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    Q(
+      // LEAKAGE-SAFE train/val/test split: assignment hashes the
+      // near-dup CLUSTER root, not the doc id — so two near-duplicate
+      // documents can never straddle the train/eval boundary (the
+      // classic eval-leakage bug a plain per-doc hash split ships:
+      // q_split_train_holdout would happily put a doc in train and its
+      // 95%-identical twin in test). Per split: docs, distinct
+      // clusters, and the independently-recomputed count of clusters
+      // present in >1 split — the oracle derives it from scratch, so a
+      // regression that broke root-keyed assignment would surface as a
+      // nonzero n_straddle on BOTH engines, not as a silent pass.
+      // Scale shape: CC labels ⟕ corpus (label frame is pair-touched
+      // docs only), the hash decision is map-side, and both reporting
+      // aggs are split/cluster-cardinality sized.
+      "q_split_leakage_safe",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val roots = graft.api.Dedup.connectedComponents(
+          LlmOps.minhashPairs(s, d), "doc_a", "doc_b")
+        val rooted = docs.join(roots, docs("doc_id") === roots("doc"),
+                               "left")
+          .select(col("doc_id"),
+                  coalesce(col("root"), col("doc_id")).as("root"))
+        val sp = Pipeline.splitAssign(rooted, col("root"), buckets = 20,
+          assignments = Map(0 -> "test", 1 -> "val"),
+          defaultSplit = "train")
+        val strad = sp.groupBy(col("root"))
+          .agg(countDistinct(col("split")).as("_ns"))
+          .agg(coalesce(sum(when(col("_ns") > 1, 1L).otherwise(0L)),
+                        lit(0L)).as("n_straddle"))
+        sp.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("root")).as("n_clusters"),
+               min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(strad))
+          .orderBy(col("split"))
+      },
+      s"""WITH RECURSIVE ${LlmOps.minhashPairsSql},
+        |${LlmOps.ccCompSql},
+        |rooted AS (
+        |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id, root,
+        |    CASE WHEN m = 0 THEN 'test'
+        |         WHEN m = 1 THEN 'val' ELSE 'train' END AS split
+        |  FROM (SELECT doc_id, root, (${u16Sql("root")}) % 20 AS m
+        |        FROM rooted)),
+        |strad AS (
+        |  SELECT COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+        |      AS n_straddle
+        |  FROM (SELECT root, COUNT(DISTINCT split) AS ns
+        |        FROM sp GROUP BY root))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT root) AS n_clusters, MIN(doc_id) AS first_doc,
+        |  CAST(strad.n_straddle AS BIGINT) AS n_straddle
+        |FROM sp CROSS JOIN strad
+        |GROUP BY split, strad.n_straddle ORDER BY split""".stripMargin),
+
+    Q(
+      // the END-TO-END CURATION FUNNEL: raw → quality gate → exact
+      // dedup → near dedup → decontamination, reported as surviving
+      // docs + tokens per stage — the one-page artifact every corpus
+      // build publishes, and a single query that composes FIVE of the
+      // library's operators (Text.qualityGate, exact canonical pick,
+      // Dedup.minhashPairs + connectedComponents, Pipeline
+      // .contaminated) into one plan. Each doc gets its LAST surviving
+      // stage (0–4); funnel rows are then one broadcast-range join to a
+      // 5-row stage dimension — never five passes over the corpus.
+      // Stage semantics are cumulative: the exact-dedup canonical is
+      // the min doc_id among QUALITY survivors sharing the text; the
+      // near-dup canonical is the min doc_id among exact-canonical
+      // survivors sharing a CC root; decontamination drops 7-gram
+      // overlap with the src0 benchmark slice.
+      // Scale shape: one tokenize pass feeds the gate; dedup picks are
+      // key-sized aggs joined back; contamination is the semi-join
+      // from q_contamination; the corpus is scanned O(1) times, and
+      // every reduction is integer counts (no float anywhere).
+      "q_curate_funnel",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        val corpus = all.filter(col("source") =!= "src0")
+        val bench = all.filter(col("source") === "src0")
+        val g = graft.api.Text.qualityGate(
+            corpus.select(col("doc_id"), col("text")), col("text"))
+          .select(col("doc_id"), col("text"), col("n_words"), col("pass"))
+        val exmin = g.filter(col("pass")).groupBy(col("text"))
+          .agg(min(col("doc_id")).as("_exmin"))
+        val roots = graft.api.Dedup.connectedComponents(
+          LlmOps.minhashPairs(s, d), "doc_a", "doc_b")
+        val r = g.join(exmin, Seq("text"), "left")
+          .join(roots, g("doc_id") === roots("doc"), "left")
+          .select(g("doc_id").as("doc_id"), col("n_words"), col("pass"),
+                  coalesce(col("doc_id") === col("_exmin"), lit(false))
+                    .as("_exc"),
+                  coalesce(col("root"), g("doc_id")).as("root"))
+        val nearmin = r.filter(col("pass") && col("_exc"))
+          .groupBy(col("root")).agg(min(col("doc_id")).as("_nearmin"))
+        val contam = graft.api.Pipeline.contaminated(
+            corpus, bench, col("doc_id"), col("text"), 7)
+          .select(col("doc_id").as("_cid"))
+        val flagged = r.join(nearmin, Seq("root"), "left")
+          .join(contam, r("doc_id") === col("_cid"), "left")
+          .select(col("doc_id"), col("n_words"),
+                  when(!col("pass"), 0)
+                    .when(!col("_exc"), 1)
+                    .when(!coalesce(col("doc_id") === col("_nearmin"),
+                                    lit(false)), 2)
+                    .when(col("_cid").isNotNull, 3)
+                    .otherwise(4).as("last"))
+        val stages = s.createDataFrame(Seq(
+            (0, "raw"), (1, "quality"), (2, "exact_dedup"),
+            (3, "near_dedup"), (4, "decontaminated")))
+          .toDF("stage_no", "stage")
+        broadcast(stages)
+          .join(flagged, col("last") >= col("stage_no"), "left")
+          .groupBy(col("stage_no"), col("stage"))
+          .agg(count(col("doc_id")).as("n_docs"),
+               coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+          .orderBy(col("stage_no"))
+      },
+      s"""WITH RECURSIVE ${LlmOps.minhashPairsSql},
+        |${LlmOps.ccCompSql},
+        |corp AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |f AS (SELECT doc_id, text, ${toksSql("text")} AS w FROM corp),
+        |m AS (
+        |  SELECT doc_id, text, len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+        |      / len(w) AS mean_wl,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+        |      / len(w) AS stop_frac,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(
+        |        range(0, len(w) - 1), i -> concat(w[i+1], ' ', w[i+2]))))
+        |        AS DOUBLE) / (len(w) - 1)
+        |    ELSE 0.0 END AS dup2
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, text, CAST(n_words AS BIGINT) AS n_words,
+        |    ((n_words BETWEEN 20 AND 90) AND mean_wl >= 4.0
+        |     AND mean_wl <= 5.0 AND stop_frac >= 0.01 AND dup2 <= 0.06)
+        |      AS pass
+        |  FROM m),
+        |ex AS (SELECT text, MIN(doc_id) AS exmin
+        |       FROM q WHERE pass GROUP BY text),
+        |r AS (
+        |  SELECT q.doc_id, q.n_words, q.pass,
+        |    COALESCE(q.doc_id = ex.exmin, FALSE) AS exc,
+        |    COALESCE(c.root, q.doc_id) AS root
+        |  FROM q LEFT JOIN ex ON ex.text = q.text
+        |         LEFT JOIN comp c ON c.doc = q.doc_id),
+        |nm AS (SELECT root, MIN(doc_id) AS nearmin
+        |       FROM r WHERE pass AND exc GROUP BY root),
+        |ctok AS (
+        |  SELECT doc_id, source, ${toksSql("text")} AS w FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4], ' ',
+        |           w[i+5], ' ', w[i+6], ' ', w[i+7]) AS g
+        |  FROM (SELECT doc_id, source, w,
+        |          unnest(range(0, len(w) - 6)) AS i
+        |        FROM ctok WHERE len(w) >= 7)),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM csh c WHERE c.source <> 'src0'
+        |    AND EXISTS (SELECT 1 FROM csh b
+        |                WHERE b.source = 'src0' AND b.g = c.g)),
+        |fl AS (
+        |  SELECT r.doc_id, r.n_words,
+        |    CASE WHEN NOT r.pass THEN 0
+        |         WHEN NOT r.exc THEN 1
+        |         WHEN NOT COALESCE(r.doc_id = nm.nearmin, FALSE) THEN 2
+        |         WHEN r.doc_id IN (SELECT doc_id FROM contam) THEN 3
+        |         ELSE 4 END AS last
+        |  FROM r LEFT JOIN nm ON nm.root = r.root),
+        |st(stage_no, stage) AS (
+        |  VALUES (0, 'raw'), (1, 'quality'), (2, 'exact_dedup'),
+        |         (3, 'near_dedup'), (4, 'decontaminated'))
+        |SELECT st.stage_no, st.stage, COUNT(fl.doc_id) AS n_docs,
+        |  CAST(COALESCE(SUM(fl.n_words), 0) AS BIGINT) AS n_tokens
+        |FROM st LEFT JOIN fl ON fl.last >= st.stage_no
+        |GROUP BY st.stage_no, st.stage ORDER BY st.stage_no""".stripMargin)
   )
 }
