@@ -15,11 +15,27 @@ import org.apache.spark.sql.functions._
   * paths.
   */
 object Tables {
+  // One resolved DataFrame per (session, file): `spark.read.parquet`
+  // costs ~100 ms of file listing + footer/schema resolution PER CALL,
+  // and a 196-query Verify/Bench sweep re-reads the same nine tables
+  // hundreds of times — pure fixed overhead, ~tens of seconds per run.
+  // Caching the frame reuses the already-built FileIndex/schema exactly
+  // like a catalog table resolved once (the fixture dirs are immutable
+  // for a run, so the snapshot can never go stale). Keyed by session
+  // identity: frames are session-bound, and a stopped session's entries
+  // must not leak into its successor (ScalaTest suites cycle sessions).
+  // SparkSession has no value equality, so the tuple key compares the
+  // session by identity — no cross-session collisions; the strong ref
+  // retains at most a handful of tiny plan objects per test session.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Idempotent; must be set at runtime because Verify/Bench build their
     // sessions without extra configs (SURVEY §0.3).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
