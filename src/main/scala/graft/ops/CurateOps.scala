@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Determinism._
-import graft.api.{Events, Pipeline, Text}
+import graft.api.{Dedup, Events, Pipeline, Text}
 import graft.io.Tables
 
 /** Corpus-curation operators (SURVEY §2.6 extension, round 4): the
@@ -355,6 +355,72 @@ object CurateOps extends OpGroup {
         |SELECT grp, lo, hi, COUNT(*) AS n,
         |  CAST((2 * (SUM(_c) * 10000) + COUNT(*)) // (2 * COUNT(*))
         |       AS DOUBLE) / 10000.0 AS mean
-        |FROM c GROUP BY grp, lo, hi ORDER BY grp""".stripMargin)
+        |FROM c GROUP BY grp, lo, hi ORDER BY grp""".stripMargin),
+
+    Q(
+      // cross-SOURCE overlap matrix: distinct-3-gram Jaccard between
+      // every source pair — the corpus-composition diagnostic that
+      // tells you two feeds are re-crawls of each other BEFORE you pay
+      // for doc-level dedup between them. Zero-overlap pairs are kept
+      // (full |S|² pair frame from the sizes, intersections left-joined
+      // in), so "these two sources share nothing" is an asserted 0, not
+      // a missing row. Scale shape: ONE distinct (source, shingle)
+      // frame; the intersection is an inverted-index self-join on the
+      // shingle key — a shingle shared by k sources yields C(k,2) ≤
+      // |S|² rows, never doc-pair work; sizes are |S| rows and
+      // broadcast. Hot boilerplate shingles would ride the same
+      // frequency cap as minhash (capHotShingles).
+      "q_source_overlap",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("source"), Dedup.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("source"),
+                  explode(expr(Dedup.shingleExpr(3))).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairsAll = sizes
+          .select(col("source").as("src_a"), col("n").as("n_a"))
+          .crossJoin(sizes.select(col("source").as("src_b"),
+                                  col("n").as("n_b")))
+          .filter(col("src_a") < col("src_b"))
+        val inter = sh.select(col("source").as("sa"), col("sh"))
+          .join(sh.select(col("source").as("sb"), col("sh")), Seq("sh"))
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("_nb"))
+        broadcast(pairsAll)
+          .join(inter, col("sa") === col("src_a") &&
+                       col("sb") === col("src_b"), "left")
+          .withColumn("n_both", coalesce(col("_nb"), lit(0L)))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+                  col("n_both"),
+                  intRatio4(col("n_both") * 10000,
+                            col("n_a") + col("n_b") - col("n_both"))
+                    .as("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      s"""WITH tok AS (
+        |  SELECT source, ${toksSql("text")} AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS s
+        |  FROM (SELECT source, w, unnest(range(0, len(w) - 2)) AS i
+        |        FROM tok WHERE len(w) >= 3)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        |pp AS (SELECT a.source AS src_a, CAST(a.n AS BIGINT) AS n_a,
+        |              b.source AS src_b, CAST(b.n AS BIGINT) AS n_b
+        |       FROM sz a, sz b WHERE a.source < b.source),
+        |iv AS (SELECT x.source AS sa, y.source AS sb,
+        |              COUNT(*) AS n_both
+        |       FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  CAST(COALESCE(iv.n_both, 0) AS BIGINT) AS n_both,
+        |  CAST((2 * (COALESCE(iv.n_both, 0) * 10000)
+        |        + (n_a + n_b - COALESCE(iv.n_both, 0)))
+        |       // (2 * (n_a + n_b - COALESCE(iv.n_both, 0)))
+        |    AS DOUBLE) / 10000.0 AS jaccard
+        |FROM pp LEFT JOIN iv ON iv.sa = pp.src_a AND iv.sb = pp.src_b
+        |ORDER BY src_a, src_b""".stripMargin)
   )
 }

@@ -579,6 +579,57 @@ object NearDupOps extends OpGroup {
         |    AS DOUBLE) / 10000.0 AS avg_coh,
         |  CAST(w.c AS DOUBLE) / 10000.0 AS min_coh,
         |  w.i AS worst_id
-        |FROM agg ORDER BY label""".stripMargin)
+        |FROM agg ORDER BY label""".stripMargin),
+
+    Q(
+      // per-DIMENSION embedding health profile — the dead-dim /
+      // scale-drift detector an embedding pipeline runs before
+      // trusting cosine math: for every vector position, count, mean
+      // (exact 1e-6-quantized integer sums → half-up 1e-4 ratio; no
+      // order-dependent float accumulation), min/max, and the
+      // exactly-zero count (a column of n_zero = n is a dead dim; a
+      // dim whose |mean| drifts from 0 skews every dot product).
+      // Scale shape: ONE posexplode pass, map-side partial aggs, a
+      // dim-count-sized result — no shuffle wider than n·d rows.
+      "q_embed_dim_stats",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        e.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"),
+               sum(round(col("x").cast("double") * 1000000)
+                 .cast("long")).as("_sq"),
+               min(col("x")).as("_mn"),
+               max(col("x")).as("_mx"),
+               sum(when(col("x") === 0f, 1L).otherwise(0L)).as("n_zero"))
+          .select(col("pos"), col("n"),
+                  intRatio4(col("_sq"), col("n") * 100).as("avg_x"),
+                  round(col("_mn").cast("double"), 4).as("min_x"),
+                  round(col("_mx").cast("double"), 4).as("max_x"),
+                  col("n_zero"))
+          .orderBy(col("pos"))
+      },
+      """WITH e AS (
+        |  SELECT embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (
+        |  SELECT CAST(i AS INTEGER) AS pos, embedding[i + 1] AS x
+        |  FROM (SELECT embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM e)),
+        |a AS (
+        |  SELECT pos, COUNT(*) AS n,
+        |    SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS sq,
+        |    MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx,
+        |    SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS nz
+        |  FROM x GROUP BY pos)
+        |SELECT pos, n,
+        |  CAST(CASE WHEN sq >= 0
+        |       THEN (2 * sq + n * 100) // (2 * (n * 100))
+        |       ELSE -((2 * (-sq) + n * 100) // (2 * (n * 100))) END
+        |    AS DOUBLE) / 10000.0 AS avg_x,
+        |  round(mn, 4) + 0 AS min_x, round(mx, 4) + 0 AS max_x,
+        |  CAST(nz AS BIGINT) AS n_zero
+        |FROM a ORDER BY pos""".stripMargin)
   )
 }
