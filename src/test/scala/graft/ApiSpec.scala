@@ -1293,4 +1293,55 @@ class ApiSpec extends SparkSpec {
     assert(multi(0) == applyInOrder("low") ++ applyInOrder("lower"))
     assert(multi(1).isEmpty)
   }
+
+  test("Sim.prefixRerankTopK: full-dim rerank of coarse survivors only") {
+    // q0 = e1; c11's PREFIX is nearly parallel to q0 but its full
+    // vector points far away — coarse must keep it, rerank must demote
+    // it; c13's prefix is all-zero — it sits out stage 1 entirely.
+    val emb = Seq(
+      (0L,  Array(1f, 0f, 0f, 0f)),
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(1f, 0.01f, 5f, 5f)),
+      (12L, Array(0.9f, 0.1f, 0f, 0f)),
+      (13L, Array(0f, 0f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val r = Sim.prefixRerankTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 0L, prefixDims = 2, m = 3, k = 3)
+      .select(col("q_id"), col("cand_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // full-dim order among survivors: c10 (1.0) > c12 (~0.99) > c11
+    // (~0.14), even though c11 coarse-ranked second; c13 never appears
+    assert(r.map(_._2).toSeq == Seq(10L, 12L, 11L), r.toSeq.toString)
+    // with m = 2 the coarse stage keeps {c10, c11} — c12 can never be
+    // returned even though its FULL cosine beats c11 (the documented
+    // recall contract: rerank ⊆ coarse survivors)
+    val r2 = Sim.prefixRerankTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 0L, prefixDims = 2, m = 2, k = 2)
+      .select(col("cand_id")).as[Long].collect().toSet
+    assert(r2 == Set(10L, 11L))
+    intercept[IllegalArgumentException] {
+      Sim.prefixRerankTopK(emb, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 0L, prefixDims = 2, m = 2, k = 3)
+    }
+  }
+
+  test("Sim.labelCoherence: flipped vector is the worst member") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), "A"),
+      (2L, Array(1f, 0f), "A"),
+      (3L, Array(-1f, 0f), "A"),   // disagrees with A's mass
+      (4L, Array(0f, 2f), "B"),
+      (5L, Array(0f, 0f), "B")     // zero norm: excluded entirely
+    ).toDF("vec_id", "embedding", "label")
+    val r = Sim.labelCoherence(emb, col("vec_id"), col("embedding"),
+        col("label"))
+      .select(col("label"), col("n_vecs"), col("avg_coh"),
+              col("min_coh"), col("worst_id"))
+      .as[(String, Long, Double, Double, Long)].collect()
+      .sortBy(_._1).toSeq
+    // A: centroid direction (1,0); cosines 1, 1, −1 → avg half-up
+    // (10000·1 + 10000·1 − 10000)/3 e4 = 0.3333; worst is the flip
+    assert(r == Seq(("A", 3L, 0.3333, -1.0, 3L),
+                    ("B", 1L, 1.0, 1.0, 4L)), r.toString)
+  }
 }
