@@ -305,6 +305,68 @@ object TextOps extends OpGroup {
         |  CAST(SUM(CASE WHEN pass_wl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_wl,
         |  CAST(SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
         |  CAST(SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_rep
-        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // Flesch-style readability per source: syllables ≈ vowel groups
+      // ([aeiouy]+ runs, ≥1 per word — the classic heuristic), score =
+      // 206.835 − 1.015·(words/doc) − 84.6·(syllables/word). The three
+      // inputs are EXACT integer corpus sums (counts survive any
+      // partitioning); the score is one fixed-shape double expression
+      // over those longs — identical IEEE ops in identical order on
+      // both engines, rounded r4. Fixture text has no sentence
+      // punctuation, so the "sentence" unit is the document (documented
+      // dial — real corpora would split on [.!?]).
+      // Scale shape: pure map-side token math, ONE |sources|-row agg.
+      "q_text_readability",
+      (s, d) => {
+        val syl = expr(
+          """aggregate(transform(w,
+            |            t -> greatest(1L, size(regexp_extract_all(
+            |                   lower(t), '[aeiouy]+', 0)))),
+            |          0L, (a, x) -> a + x)""".stripMargin)
+        Tables.documents(s, d)
+          .select(col("source"),
+                  graft.api.Dedup.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(col("source"), size(col("w")).cast("long").as("nw"),
+                  syl.as("ns"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+               sum(col("ns")).as("n_syll"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+                  col("n_syll"),
+                  round(col("n_words").cast("double") / col("n_docs"), 4)
+                    .as("wpd"),
+                  round(col("n_syll").cast("double") / col("n_words"), 4)
+                    .as("spw"),
+                  round(lit(206.835)
+                    - lit(1.015) * (col("n_words").cast("double") /
+                                    col("n_docs"))
+                    - lit(84.6) * (col("n_syll").cast("double") /
+                                   col("n_words")), 4).as("flesch"))
+          .orderBy(col("source"))
+      },
+      s"""WITH f AS (
+        |  SELECT source, ${toksSql("text")} AS w FROM documents),
+        |m AS (
+        |  SELECT source, len(w) AS nw,
+        |    list_sum(list_transform(w,
+        |      t -> greatest(1, len(regexp_extract_all(
+        |             lower(t), '[aeiouy]+', 0))))) AS ns
+        |  FROM f WHERE len(w) > 0),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(nw) AS BIGINT) AS n_words,
+        |    CAST(SUM(ns) AS BIGINT) AS n_syll
+        |  FROM m GROUP BY source)
+        |SELECT source, n_docs, n_words, n_syll,
+        |  round(CAST(n_words AS DOUBLE) / n_docs, 4) + 0 AS wpd,
+        |  round(CAST(n_syll AS DOUBLE) / n_words, 4) + 0 AS spw,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_docs)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) + 0
+        |    AS flesch
+        |FROM a ORDER BY source""".stripMargin)
   )
 }
