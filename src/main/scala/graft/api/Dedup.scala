@@ -372,54 +372,53 @@ object Dedup {
     * (bits ≤ 32): bit k = majority vote over the doc's distinct tokens
     * of parity(hex digit k of md5(token)). Embarrassingly parallel —
     * one array fold per row, no shuffle. */
+  /** Shared per-bit majority votes for both SimHash entry points: one
+    * row per (doc, distinct token), md5 once, then `bits` conditional
+    * sums in ONE hash-agg — the relational explode+hash-agg shape,
+    * whole-stage-codegen'd end to end. The previous form folded nested
+    * `aggregate`/`zip_with` lambdas over a per-doc md5 array; Catalyst
+    * runs higher-order functions INTERPRETED, and the same 8× penalty
+    * measured on the minhash signatures (SCALE.md) applied here.
+    * Parity test: hex digit k of md5(token) is odd ⇔ digit ∈
+    * {1,3,5,7,9,b,d,f} — an IN over literals (codegen'd hash-set probe),
+    * byte-equal to the oracle's `(instr(...) - 1) % 2 = 1` formula.
+    * Token-less docs have no signature (the oracle's unnest drops them
+    * before the signature CTE; an unfiltered Spark side would fabricate
+    * an all-zero signature — review r4 full-repo pass): the explode of
+    * an empty array emits no rows, so the hash-agg never sees them. */
+  private def simhashVotes(
+      df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val votes = (1 to bits).map { k =>
+      sum(when(substring(col("_h"), k, 1).isin(oddHex: _*), 1)
+        .otherwise(-1)).as(s"_v$k")
+    }
+    df.select(id.as("doc_id"), tokens(text).as("_w"))
+      .select(col("doc_id"),
+              explode(expr("array_distinct(_w)")).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+  }
+
   def simhashSignature(
       df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, "md5 provides 32 hex digits")
-    df.select(id.as("doc_id"), tokens(text).as("_w"))
-      // token-less docs have no signature (the oracle's unnest drops
-      // them before the signature CTE; an unfiltered Spark side would
-      // fabricate an all-zero signature — review r4 full-repo pass)
-      .filter(size(col("_w")) > 0)
+    simhashVotes(df, id, text, bits)
       .select(col("doc_id"),
-              expr("transform(array_distinct(_w), t -> md5(t))")
-                .as("hs"))
-      .select(col("doc_id"),
-              expr(
-                s"""concat_ws('', transform(
-                  |  aggregate(hs, array_repeat(0, $bits),
-                  |    (acc, h) -> zip_with(acc, sequence(1, $bits),
-                  |      (a, k) -> a + CASE WHEN
-                  |        (instr('0123456789abcdef', substring(h, k, 1)) - 1) % 2 = 1
-                  |        THEN 1 ELSE -1 END)),
-                  |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))""".stripMargin)
-                .as("sig"))
+              concat((1 to bits).map(k =>
+                when(col(s"_v$k") > 0, "1").otherwise("0")): _*).as("sig"))
   }
 
   /** Per-document 32-bit SimHash signature as a BIGINT (bit k set iff
     * the majority vote for hex digit k+1's parity is positive — same
-    * votes as simhashSignature, packed). Integer-exact, map-side. */
+    * votes as simhashSignature, packed). Integer-exact, one hash-agg. */
   def simhashSig32(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), tokens(text).as("_w"))
-      // token-less docs have no signature (the oracle's unnest drops
-      // them before the signature CTE; an unfiltered Spark side would
-      // fabricate an all-zero signature — review r4 full-repo pass)
-      .filter(size(col("_w")) > 0)
+    simhashVotes(df, id, text, 32)
       .select(col("doc_id"),
-              expr("transform(array_distinct(_w), t -> md5(t))")
-                .as("hs"))
-      .select(col("doc_id"),
-              expr(
-                """aggregate(
-                  |  zip_with(
-                  |    aggregate(hs, array_repeat(0, 32),
-                  |      (acc, h) -> zip_with(acc, sequence(1, 32),
-                  |        (a, k) -> a + CASE WHEN
-                  |          (instr('0123456789abcdef', substring(h, k, 1)) - 1) % 2 = 1
-                  |          THEN 1 ELSE -1 END)),
-                  |    sequence(0, 31),
-                  |    (v, k) -> CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END),
-                  |  0L, (acc, x) -> acc + x)""".stripMargin)
-                .as("sig"))
+              (1 to 32).map(k =>
+                when(col(s"_v$k") > 0, lit(1L << (k - 1)))
+                  .otherwise(0L)).reduce(_ + _).as("sig"))
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips,
     * via BYTE BANDING (the pigeonhole trick): signatures within

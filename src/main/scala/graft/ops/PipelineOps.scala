@@ -676,11 +676,17 @@ object PipelineOps extends OpGroup {
             (0, "raw"), (1, "quality"), (2, "exact_dedup"),
             (3, "near_dedup"), (4, "decontaminated")))
           .toDF("stage_no", "stage")
-        broadcast(stages)
-          .join(flagged, col("last") >= col("stage_no"), "left")
+        // reduce the corpus to ≤5 (last, count, tokens) rows FIRST, so
+        // the non-equi stage range-join is tiny×tiny — a direct
+        // broadcast(stages) ⟕ corpus range-join cannot build the
+        // 5-row side (build-left is unsupported for LEFT OUTER) and
+        // would fall back to broadcasting the CORPUS side
+        val byLast = flagged.groupBy(col("last"))
+          .agg(count(lit(1)).as("_n"), sum(col("n_words")).as("_t"))
+        stages.join(byLast, col("last") >= col("stage_no"), "left")
           .groupBy(col("stage_no"), col("stage"))
-          .agg(count(col("doc_id")).as("n_docs"),
-               coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+          .agg(coalesce(sum(col("_n")), lit(0L)).as("n_docs"),
+               coalesce(sum(col("_t")), lit(0L)).as("n_tokens"))
           .orderBy(col("stage_no"))
       },
       s"""WITH RECURSIVE ${LlmOps.minhashPairsSql},
