@@ -421,6 +421,74 @@ object CurateOps extends OpGroup {
         |       // (2 * (n_a + n_b - COALESCE(iv.n_both, 0)))
         |    AS DOUBLE) / 10000.0 AS jaccard
         |FROM pp LEFT JOIN iv ON iv.sa = pp.src_a AND iv.sb = pp.src_b
-        |ORDER BY src_a, src_b""".stripMargin)
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    Q(
+      // Pearson chi-square independence test over the lang × source
+      // contingency table — "is the language mix the same across
+      // sources?", the statistical gate behind every mixture-drift
+      // alarm. EMPTY cells are included (full row×col grid left-joins
+      // the observed counts — a combo that never occurs still
+      // contributes (0−e)²/e; dropping them understates χ²).
+      // Determinism: observed/marginal counts are exact longs; each
+      // cell's term is ONE fixed-shape double expression quantized to
+      // 1e-6 integer units, and the cross-cell reduction sums those
+      // longs — order-independent. Scale shape: one corpus hash-agg to
+      // |cells| rows; the grid, marginals, and scalar N are all
+      // cell-count-sized and broadcast.
+      "q_stats_chisq",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("lang"), col("source"))
+        val o = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val r = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val c = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val grid = broadcast(r).crossJoin(broadcast(c))
+          .join(o, Seq("lang", "source"), "left")
+          .withColumn("obs", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(n))
+          .withColumn("e", col("r").cast("double") * col("c") / col("n"))
+          .withColumn("tq",
+            round((col("obs") - col("e")) * (col("obs") - col("e")) /
+                  col("e") * 1000000).cast("long"))
+        grid.agg(max(col("n")).as("n_docs"),
+                 countDistinct(col("lang")).as("n_lang"),
+                 countDistinct(col("source")).as("n_source"),
+                 sum(col("tq")).as("_sq"))
+          .select(col("n_docs"), col("n_lang"), col("n_source"),
+                  ((col("n_lang") - 1) * (col("n_source") - 1)).as("dof"),
+                  (col("_sq").cast("double") / 1000000.0).as("chi2"))
+      },
+      """WITH o AS (
+        |  SELECT lang, source, COUNT(*) AS o
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r
+        |      FROM o GROUP BY lang),
+        |c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+        |      FROM o GROUP BY source),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |x AS (
+        |  SELECT g.lang, g.source, COALESCE(o.o, 0) AS obs, g.r, g.c
+        |  FROM (SELECT r.lang, c.source, r.r, c.c
+        |        FROM r CROSS JOIN c) g
+        |  LEFT JOIN o ON o.lang = g.lang AND o.source = g.source),
+        |t AS (
+        |  SELECT obs,
+        |    CAST(r AS DOUBLE) * c / n.n AS e,
+        |    x.lang, x.source
+        |  FROM x CROSS JOIN n),
+        |q AS (
+        |  SELECT lang, source,
+        |    CAST(round((obs - e) * (obs - e) / e * 1000000) AS BIGINT)
+        |      AS tq
+        |  FROM t)
+        |SELECT (SELECT n FROM n) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_lang,
+        |  COUNT(DISTINCT source) AS n_source,
+        |  (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+        |    AS dof,
+        |  CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM q""".stripMargin)
   )
 }
