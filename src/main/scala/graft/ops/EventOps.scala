@@ -431,6 +431,79 @@ object EventOps extends OpGroup {
         |  CASE WHEN vc > med THEN 'hi' ELSE 'lo' END AS side
         |FROM e JOIN mad USING (event_type)
         |WHERE abs(vc - med) > 3 * mad
-        |ORDER BY event_type, event_id""".stripMargin)
+        |ORDER BY event_type, event_id""".stripMargin),
+
+    Q(
+      // Welch's two-sample t between 'click' and 'view' event values —
+      // the A/B-experimentation primitive (unequal variances, no
+      // pooled-σ assumption). Same exact-integer discipline as
+      // q_events_outliers: values to cents, per-group MIN anchors them,
+      // Σd / Σd² accumulate as DECIMAL(38,0) (HUGEINT twin) —
+      // partition-order-proof; means/variances/t are ONE fixed-shape
+      // double expression over those exact sums, identical on both
+      // engines, r4. Scale shape: one tiny anchor pass + one
+      // conditional-agg scan; output is a single row.
+      "q_events_ab_ttest",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val anchors = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("event_type").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val st = e.join(broadcast(anchors), col("event_type") === col("t1"))
+          .groupBy(col("event_type"), col("a"))
+          .agg(sum(dd).cast("double").as("sv"),
+               sum(dd * dd).cast("double").as("s2"),
+               count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+                  (col("a").cast("double") + col("sv") / col("n"))
+                    .as("mc"),
+                  greatest((col("s2") - col("sv") * col("sv") / col("n")) /
+                           (col("n") - 1), lit(0.0)).as("vc2"))
+        val g1 = st.filter(col("event_type") === "click")
+          .select(col("n").as("n_click"), col("mc").as("m1"),
+                  col("vc2").as("v1"))
+        val g2 = st.filter(col("event_type") === "view")
+          .select(col("n").as("n_view"), col("mc").as("m2"),
+                  col("vc2").as("v2"))
+        g1.crossJoin(g2)
+          .select(col("n_click"), col("n_view"),
+                  round(col("m1") / 100.0, 4).as("mean_click"),
+                  round(col("m2") / 100.0, 4).as("mean_view"),
+                  round((col("m1") - col("m2")) /
+                        sqrt(col("v1") / col("n_click") +
+                             col("v2") / col("n_view")), 4).as("t_stat"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |an AS (SELECT event_type, MIN(vc) AS a FROM e GROUP BY event_type),
+        |st AS (
+        |  SELECT e.event_type, COUNT(*) AS n,
+        |    CAST(a AS DOUBLE)
+        |      + CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE) / COUNT(*)
+        |      AS mc,
+        |    greatest(
+        |      (CAST(SUM(CAST(vc - a AS HUGEINT) * CAST(vc - a AS HUGEINT))
+        |            AS DOUBLE)
+        |       - CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |         * CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE) / COUNT(*))
+        |      / (COUNT(*) - 1), 0.0) AS vc2
+        |  FROM e JOIN an USING (event_type) GROUP BY e.event_type, a),
+        |g1 AS (SELECT n AS n_click, mc AS m1, vc2 AS v1 FROM st
+        |       WHERE event_type = 'click'),
+        |g2 AS (SELECT n AS n_view, mc AS m2, vc2 AS v2 FROM st
+        |       WHERE event_type = 'view')
+        |SELECT n_click, n_view,
+        |  round(m1 / 100.0, 4) + 0 AS mean_click,
+        |  round(m2 / 100.0, 4) + 0 AS mean_view,
+        |  round((m1 - m2) / sqrt(v1 / n_click + v2 / n_view), 4) + 0
+        |    AS t_stat
+        |FROM g1 CROSS JOIN g2""".stripMargin)
   )
 }
