@@ -502,4 +502,61 @@ class PlanSpec extends SparkSpec {
     assert(winLines.forall(_.matches(""".*Window \[.*\], \[shard#\d+\], \[.*""")),
       s"epoch shuffle planned a GLOBAL window:\n${winLines.mkString("\n")}")
   }
+
+  test("curate funnel: stage range-join sits ABOVE the per-last aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Join, LocalRelation, LogicalPlan}
+    val lp = SparkEntry.queries("q_curate_funnel")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the non-equi (last >= stage_no) join was the round-4 build-side
+    // trap: the 5-row stage dim can't build-left under LEFT OUTER, so
+    // a stages ⟕ corpus formulation silently broadcast the CORPUS.
+    // Pin the fix structurally: one side of the range join is the
+    // 5-row LocalRelation, and the other side's TOP operator (through
+    // unary projections) is an Aggregate — so at most |last| rows ever
+    // cross the join, no matter the corpus size.
+    val rangeJoins = lp.collect {
+      case j: Join if j.condition.exists(_.sql.contains(">=")) => j
+    }
+    assert(rangeJoins.nonEmpty, s"expected the stage range-join:\n$lp")
+    @annotation.tailrec
+    def throughUnary(p: LogicalPlan): LogicalPlan = p match {
+      case a: Aggregate => a
+      case u if u.children.size == 1 => throughUnary(u.children.head)
+      case x => x
+    }
+    rangeJoins.foreach { j =>
+      val sides = Seq(j.left, j.right)
+      assert(sides.exists(
+        _.collectLeaves().forall(_.isInstanceOf[LocalRelation])),
+        s"one side must be the local stage dim:\n$j")
+      val corpusSide = sides.find(
+        s => !s.collectLeaves().forall(_.isInstanceOf[LocalRelation])).get
+      assert(throughUnary(corpusSide).isInstanceOf[Aggregate],
+        s"corpus side must be pre-aggregated to <=5 rows:\n$corpusSide")
+    }
+  }
+
+  test("embed dim stats: one exchange, map-side partials below it") {
+    val df = SparkEntry.queries("q_embed_dim_stats")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val ex = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly one shuffle, got $ex:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "per-dimension aggregation must combine map-side")
+  }
+
+  test("source overlap: shingle intersection is an equi-join on the shingle key") {
+    val plan = SparkEntry.queries("q_source_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the intersection must be an equi-join keyed on the shingle (hash
+    // or merge — AQE picks by size), never a theta/nested-loop over
+    // (source, shingle) rows; the tree string prints join keys inline
+    val joins = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+      l.contains("BroadcastHashJoin")).toSeq
+    assert(joins.exists(_.contains("[sh#")),
+      s"shingle intersection should equi-join on the shingle key:\n$joins")
+  }
 }
