@@ -630,6 +630,85 @@ object NearDupOps extends OpGroup {
         |    AS DOUBLE) / 10000.0 AS avg_x,
         |  round(mn, 4) + 0 AS min_x, round(mx, 4) + 0 AS max_x,
         |  CAST(nz AS BIGINT) AS n_zero
-        |FROM a ORDER BY pos""".stripMargin)
+        |FROM a ORDER BY pos""".stripMargin),
+
+    Q(
+      // ANN recall report — "measure, don't guess" as a first-class
+      // operator: per query, recall@3 of the 8-bit LSH path against
+      // the exact cosine top-3, in ONE query that runs BOTH paths and
+      // left-joins approx onto exact. The oracle replays both paths,
+      // so the hash match certifies the recall numbers themselves —
+      // the eval harness an ANN deployment runs before trusting its
+      // index parameters (bits ↑ → cheaper scan, lower recall).
+      // Scale shape: both paths are the already-pinned topK shapes
+      // (broadcast query side; bucket-pruned candidates for LSH); the
+      // report join touches only |Q|·k rows.
+      "q_sim_recall_report",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val exact = graft.api.Sim.cosineTopK(
+            emb, col("vec_id"), col("embedding"),
+            isQuery = col("vec_id") < 10, k = 3)
+          .select(col("q_id"), col("cand_id"))
+        val approx = graft.api.Sim.lshTopK(
+            emb, col("vec_id"), col("embedding"),
+            isQuery = col("vec_id") < 10, bits = 8, k = 3)
+          .select(col("q_id").as("_q2"), col("cand_id").as("_c2"))
+        exact.join(approx, col("q_id") === col("_q2") &&
+                           col("cand_id") === col("_c2"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"),
+               sum(when(col("_c2").isNotNull, 1L).otherwise(0L))
+                 .as("n_hit"))
+          .select(col("q_id"), col("n_exact"), col("n_hit"),
+                  intRatio4(col("n_hit") * 10000, col("n_exact"))
+                    .as("recall"))
+          .orderBy(col("q_id"))
+      },
+      s"""WITH e0 AS (
+        |  SELECT vec_id, embedding,
+        |    ${sqlBits("embedding", 8)} AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |exsc AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |exact AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY cos DESC, cand_id ASC) AS rn
+        |    FROM exsc) WHERE rn <= 3),
+        |apsc AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) AS cos
+        |  FROM e q JOIN e c
+        |    ON q.bucket = c.bucket AND q.vec_id < 10
+        |   AND q.vec_id <> c.vec_id),
+        |approx AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY cos DESC, cand_id ASC) AS rn
+        |    FROM apsc) WHERE rn <= 3)
+        |SELECT x.q_id, COUNT(*) AS n_exact,
+        |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST((2 * (CAST(SUM(CASE WHEN a.cand_id IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+        |        + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0
+        |    AS recall
+        |FROM exact x LEFT JOIN approx a
+        |  ON a.q_id = x.q_id AND a.cand_id = x.cand_id
+        |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin)
   )
 }
