@@ -320,6 +320,119 @@ object EventOps extends OpGroup {
         |FROM f ORDER BY event_type, hr""".stripMargin),
 
     Q(
+      // hourly grid with LINEAR INTERPOLATION — the fill-forward
+      // complement for metrics that trend between observations: holes
+      // lerp between the last and next observed hour,
+      // v = pv + (nv−pv)·(hr−phr)/(nhr−phr), computed ENTIRELY in
+      // 1e-4-integer units with mirrored half-up integral division —
+      // no float accumulation, no engine-specific rounding. Boundary
+      // holes (before the first / after the last observation) stay
+      // NULL and are tagged 'edge' (a lerp needs both neighbours);
+      // observed cells tag 'obs', interpolated 'lerp'. Scale shape:
+      // the corpus reduces to the |types|×|hours| grid FIRST; both
+      // neighbour attachments are two pipelined window taps over that
+      // grid, sharing one (type, hr) sort.
+      "q_ts_interpolate",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+                   expr("""(ts_us div 3600000000) -
+                           (CASE WHEN ts_us % 3600000000 < 0
+                            THEN 1 ELSE 0 END)""").as("hr"))
+          .agg(avgExact4(sum(money("value")), count(lit(1))).as("v"))
+          .withColumn("v4", round(col("v") * 10000).cast("long"))
+        val bounds = hourly.agg(min(col("hr")).as("lo"),
+                                max(col("hr")).as("hi"))
+        val types = hourly.select(col("event_type")).distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+                  explode(sequence(col("lo"), col("hi"))).as("hr"))
+        val g = spine.join(hourly.select(col("event_type"), col("hr"),
+                                         col("v4")),
+                           Seq("event_type", "hr"), "left")
+        val wPrev = Window.partitionBy(col("event_type"))
+          .orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy(col("event_type"))
+          .orderBy(col("hr"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val lerp = g
+          .withColumn("pv", last(col("v4"), ignoreNulls = true).over(wPrev))
+          .withColumn("phr", last(when(col("v4").isNotNull, col("hr")),
+                                  ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v4"), ignoreNulls = true).over(wNext))
+          .withColumn("nhr", first(when(col("v4").isNotNull, col("hr")),
+                                   ignoreNulls = true).over(wNext))
+          .withColumn("l4", expr(
+            """pv + (CASE WHEN (nv - pv) * (hr - phr) >= 0
+              |  THEN (2 * ((nv - pv) * (hr - phr)) + (nhr - phr))
+              |       div (2 * (nhr - phr))
+              |  ELSE -((2 * (-((nv - pv) * (hr - phr))) + (nhr - phr))
+              |         div (2 * (nhr - phr))) END)""".stripMargin))
+        lerp.select(col("event_type"), col("hr"),
+            when(col("v4").isNotNull, col("v4").cast("double") / 10000.0)
+              .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+                              col("l4").cast("double") / 10000.0))
+              .as("v_interp"),
+            when(col("v4").isNotNull, "obs")
+              .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+                              "lerp").otherwise("edge")).as("src"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      """WITH h0 AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |      AS s4,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, hr,
+        |    CAST((2*s4 + n) // (2*n) AS BIGINT) AS v4
+        |  FROM h0),
+        |bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
+        |spine AS (
+        |  SELECT et.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM h) et
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS hr) g),
+        |j AS (
+        |  SELECT s.event_type, s.hr, h.v4
+        |  FROM spine s LEFT JOIN h
+        |    ON s.event_type = h.event_type AND s.hr = h.hr),
+        |w AS (
+        |  SELECT event_type, hr, v4,
+        |    last_value(v4 IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v4 IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS phr,
+        |    first_value(v4 IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v4 IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nhr
+        |  FROM j),
+        |l AS (
+        |  SELECT *,
+        |    pv + (CASE WHEN (nv - pv) * (hr - phr) >= 0
+        |      THEN (2 * ((nv - pv) * (hr - phr)) + (nhr - phr))
+        |           // (2 * (nhr - phr))
+        |      ELSE -((2 * (-((nv - pv) * (hr - phr))) + (nhr - phr))
+        |             // (2 * (nhr - phr))) END) AS l4
+        |  FROM w)
+        |SELECT event_type, hr,
+        |  CASE WHEN v4 IS NOT NULL THEN CAST(v4 AS DOUBLE) / 10000.0
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |       THEN CAST(l4 AS DOUBLE) / 10000.0
+        |       ELSE NULL END + 0 AS v_interp,
+        |  CASE WHEN v4 IS NOT NULL THEN 'obs'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'lerp'
+        |       ELSE 'edge' END AS src
+        |FROM l ORDER BY event_type, hr""".stripMargin),
+
+    Q(
       // gaps-and-islands: each user's LONGEST run of consecutive active
       // days (and when it started) — the classic streak query. The
       // island key is day − row_number() over the user's distinct days
