@@ -617,6 +617,91 @@ object EventOps extends OpGroup {
         |  round(m2 / 100.0, 4) + 0 AS mean_view,
         |  round((m1 - m2) / sqrt(v1 / n_click + v2 / n_view), 4) + 0
         |    AS t_stat
-        |FROM g1 CROSS JOIN g2""".stripMargin)
+        |FROM g1 CROSS JOIN g2""".stripMargin),
+
+    Q(
+      // Mann–Whitney U between 'click' and 'view' values — the
+      // rank-based nonparametric twin of q_events_ab_ttest (no
+      // normality assumption; robust to the heavy tails money values
+      // actually have). INTEGER-EXACT throughout: ranks live in 2×
+      // units so tie-averaged ranks stay integral (r×2 = 2·cum_before
+      // + tie_size + 1), the rank sum / U statistic are exact longs,
+      // and the normal approximation INCLUDES the exact tie
+      // correction T = Σ(t³−t) — z is one fixed-shape double
+      // expression over five exact integers. Scale shape: the corpus
+      // reduces to per-distinct-CENT counts first; every window runs
+      // over that values frame, whose size is bounded by the cent
+      // DOMAIN (≤ ~50k rows) — constant in SF, not corpus-sized.
+      "q_events_mannwhitney",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val byVal = e.groupBy(col("vc"))
+          .agg(sum(when(col("event_type") === "click", 1L)
+                 .otherwise(0L)).as("nc"),
+               sum(when(col("event_type") === "view", 1L)
+                 .otherwise(0L)).as("nv"))
+          .withColumn("nt", col("nc") + col("nv"))
+        val wCum = Window.orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = byVal
+          .withColumn("cum", coalesce(sum(col("nt")).over(wCum), lit(0L)))
+          .withColumn("r2", lit(2) * col("cum") + col("nt") + 1)
+        ranked.agg(
+            sum(col("nc")).as("n_click"),
+            sum(col("nv")).as("n_view"),
+            sum(col("nc") * col("r2")).as("_r1x2"),
+            sum(col("nt") * col("nt") * col("nt") - col("nt")).as("_t3"))
+          .select(col("n_click"), col("n_view"),
+                  (col("_r1x2") - col("n_click") * (col("n_click") + 1))
+                    .as("u_click_x2"), col("_t3"))
+          .select(col("n_click"), col("n_view"), col("u_click_x2"),
+                  round(
+                    (col("u_click_x2").cast("double") / 2.0 -
+                     col("n_click").cast("double") * col("n_view") / 2.0) /
+                    sqrt(col("n_click").cast("double") * col("n_view") / 12.0 *
+                         ((col("n_click") + col("n_view") + 1).cast("double") -
+                          col("_t3").cast("double") /
+                          ((col("n_click") + col("n_view")).cast("double") *
+                           (col("n_click") + col("n_view") - 1)))),
+                    4).as("z_stat"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |bv AS (
+        |  SELECT vc,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv
+        |  FROM e GROUP BY vc),
+        |r AS (
+        |  SELECT vc, nc, nv, nc + nv AS nt,
+        |    2 * COALESCE(SUM(nc + nv) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (nc + nv) + 1 AS r2
+        |  FROM bv),
+        |a AS (
+        |  SELECT CAST(SUM(nc) AS BIGINT) AS n_click,
+        |    CAST(SUM(nv) AS BIGINT) AS n_view,
+        |    CAST(SUM(nc * r2) AS BIGINT) AS r1x2,
+        |    CAST(SUM(nt * nt * nt - nt) AS BIGINT) AS t3
+        |  FROM r)
+        |SELECT n_click, n_view,
+        |  r1x2 - n_click * (n_click + 1) AS u_click_x2,
+        |  round(
+        |    (CAST(r1x2 - n_click * (n_click + 1) AS DOUBLE) / 2.0
+        |     - CAST(n_click AS DOUBLE) * n_view / 2.0)
+        |    / sqrt(CAST(n_click AS DOUBLE) * n_view / 12.0
+        |           * (CAST(n_click + n_view + 1 AS DOUBLE)
+        |              - CAST(t3 AS DOUBLE)
+        |                / (CAST(n_click + n_view AS DOUBLE)
+        |                   * (n_click + n_view - 1)))),
+        |    4) + 0 AS z_stat
+        |FROM a""".stripMargin)
   )
 }
