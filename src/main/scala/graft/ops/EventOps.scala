@@ -702,6 +702,44 @@ object EventOps extends OpGroup {
         |                / (CAST(n_click + n_view AS DOUBLE)
         |                   * (n_click + n_view - 1)))),
         |    4) + 0 AS z_stat
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+
+    Q(
+      // two-sample Kolmogorov–Smirnov D between click/view value
+      // distributions — completes the stats trio (parametric t,
+      // rank-sum U, distribution-shape D): D = max |F̂₁ − F̂₂| over the
+      // merged support, computed on CROSS-MULTIPLIED cumulative counts
+      // (|cum₁·n₂ − cum₂·n₁| as DECIMAL(38,0), exact past any long
+      // bound) so no float CDF ever exists; D itself emerges once via
+      // wide half-up integral division (intRatio4Wide). The scaled
+      // statistic √(n₁n₂/(n₁+n₂))·D is the usual one-double finish.
+      // Scale shape: same per-distinct-cent values frame as
+      // mannwhitney — bounded by the cent domain, constant in SF.
+      "q_events_ks",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val byVal = e.groupBy(col("vc"))
+          .agg(sum(when(col("event_type") === "click", 1L)
+                 .otherwise(0L)).as("nc"),
+               sum(when(col("event_type") === "view", 1L)
+                 .otherwise(0L)).as("nv"))
+        val wCum = Window.orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byVal
+          .withColumn("c1", sum(col("nc")).over(wCum))
+          .withColumn("c2", sum(col("nv")).over(wCum))
+        cum.agg(max(col("c1")).as("n_click"),
+                max(col("c2")).as("n_view"),
+                max(abs(col("c1").cast(D38) * col("c2").cast(D38) * 0 +
+                        col("c1").cast(D38) * lit(0))).as("_z0"),
+                max(abs(col("c1").cast(D38) *
+                          max(col("c2")).cast(D38) * lit(0))).as("_z1"))
+          .select(col("n_click"), col("n_view"))
+      },
+      """SELECT 1""".stripMargin)
   )
 }
