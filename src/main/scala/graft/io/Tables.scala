@@ -32,8 +32,11 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Idempotent; must be set at runtime because Verify/Bench build their
-    // sessions without extra configs (SURVEY §0.3).
+    // sessions without extra configs (SURVEY §0.3). UTC is part of the
+    // oracle contract (DuckDB epoch_us is tz-free), so pin it at the one
+    // seam every query reads through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       k => k._1.read.parquet(k._2))
   }
@@ -56,8 +59,21 @@ object Tables {
     *    (~1.7e18) exceeds double's 53-bit integer range.
     *  - `ts_utc`: µs TimestampType for window()/date functions.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      // Fixture v1 (rounds 1-3): parquet TIMESTAMP(NANOS) read as
+      // epoch-nanos LongType under nanosAsLong.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+           .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      // Fixture v2 (round 4 regen): parquet timestamp[us] arrives as
+      // TIMESTAMP_NTZ. Session tz is pinned UTC above, so the NTZ→LTZ
+      // cast is value-identity and unix_micros == DuckDB epoch_us(ts).
+      case _ =>
+        val utc = col("ts").cast("timestamp")
+        raw.withColumn("ts_us", unix_micros(utc))
+           .withColumn("ts_utc", utc)
+    }
+  }
 }

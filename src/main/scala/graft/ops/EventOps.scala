@@ -711,8 +711,7 @@ object EventOps extends OpGroup {
       // merged support, computed on CROSS-MULTIPLIED cumulative counts
       // (|cum₁·n₂ − cum₂·n₁| as DECIMAL(38,0), exact past any long
       // bound) so no float CDF ever exists; D itself emerges once via
-      // wide half-up integral division (intRatio4Wide). The scaled
-      // statistic √(n₁n₂/(n₁+n₂))·D is the usual one-double finish.
+      // wide half-up integral division (intRatio4Wide) at scale 4.
       // Scale shape: same per-distinct-cent values frame as
       // mannwhitney — bounded by the cent domain, constant in SF.
       "q_events_ks",
@@ -729,17 +728,54 @@ object EventOps extends OpGroup {
                  .otherwise(0L)).as("nv"))
         val wCum = Window.orderBy(col("vc"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // totals ride the same (small, distinct-cents) frame as a
+        // whole-frame window — no second scan, no nested aggregate
+        val wAll = Window.partitionBy()
         val cum = byVal
           .withColumn("c1", sum(col("nc")).over(wCum))
           .withColumn("c2", sum(col("nv")).over(wCum))
-        cum.agg(max(col("c1")).as("n_click"),
-                max(col("c2")).as("n_view"),
-                max(abs(col("c1").cast(D38) * col("c2").cast(D38) * 0 +
-                        col("c1").cast(D38) * lit(0))).as("_z0"),
-                max(abs(col("c1").cast(D38) *
-                          max(col("c2")).cast(D38) * lit(0))).as("_z1"))
-          .select(col("n_click"), col("n_view"))
+          .withColumn("n1", sum(col("nc")).over(wAll))
+          .withColumn("n2", sum(col("nv")).over(wAll))
+        val dnum = abs(col("c1").cast(D38) * col("n2").cast(D38) -
+                       col("c2").cast(D38) * col("n1").cast(D38))
+        cum.groupBy(col("n1"), col("n2"))
+          .agg(max(dnum).as("dnum"))
+          .select(col("n1").as("n_click"), col("n2").as("n_view"),
+                  intRatio4Wide(
+                    (col("dnum") * 10000).cast(D38),
+                    (col("n1").cast(D38) * col("n2").cast(D38))
+                      .cast(D38)).as("d_ks"))
       },
-      """SELECT 1""".stripMargin)
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |bv AS (
+        |  SELECT vc,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv
+        |  FROM e GROUP BY vc),
+        |c AS (
+        |  SELECT
+        |    SUM(nc) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    SUM(nv) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+        |    SUM(nc) OVER () AS n1, SUM(nv) OVER () AS n2
+        |  FROM bv),
+        |a AS (
+        |  SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+        |    CAST(MAX(n2) AS BIGINT) AS n2,
+        |    MAX(ABS(CAST(c1 AS HUGEINT) * n2
+        |            - CAST(c2 AS HUGEINT) * n1)) AS dnum
+        |  FROM c)
+        |SELECT n1 AS n_click, n2 AS n_view,
+        |  CAST((2 * CAST(dnum AS HUGEINT) * 10000
+        |        + CAST(n1 AS HUGEINT) * n2)
+        |       // (2 * CAST(n1 AS HUGEINT) * n2) AS DOUBLE)
+        |    / 10000.0 AS d_ks
+        |FROM a""".stripMargin)
   )
 }
