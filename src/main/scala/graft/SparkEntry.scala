@@ -14,7 +14,7 @@ object SparkEntry {
   private def groups: Seq[OpGroup] = Seq(
     Scans, Filters, Joins, Aggs, Windows, SetOps, SqlOps, Scalars, LlmOps,
     NearDupOps, TextOps, ScrubOps, PipelineOps, CurateOps, Streaming,
-    EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, Udx
+    EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, StatsOps, Udx
   )
 
   private def all: Seq[Q] = groups.flatMap(_.qs)

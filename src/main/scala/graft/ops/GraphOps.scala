@@ -143,6 +143,22 @@ object GraphOps extends OpGroup {
         |      SELECT b FROM tri UNION ALL
         |      SELECT c FROM tri)
         |SELECT s AS s_suppkey, COUNT(*) AS tri_cnt
-        |FROM n GROUP BY s ORDER BY s""".stripMargin)
+        |FROM n GROUP BY s ORDER BY s""".stripMargin),
+
+    Q(
+      // Degree distribution of the same co-supply graph: per-node
+      // degree (one hash-agg on src — the symmetric edge set makes
+      // out-degree = degree), then the degree histogram. The graph
+      // summary every topology report starts with; two shuffles total,
+      // both on already-collapsed frames.
+      "q_graph_degree_dist",
+      (s, d) => coSupplyEdges(s, d)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg")),
+      s"""WITH $coSupplyEdgesSql,
+        |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+        |SELECT deg, COUNT(*) AS n_nodes
+        |FROM dg GROUP BY deg ORDER BY deg""".stripMargin)
   )
 }

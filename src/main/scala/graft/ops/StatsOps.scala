@@ -1,0 +1,332 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY §2.6 extension — the inferential-stats / distribution family
+  * beyond the t/U/χ²/KS quartet: rank correlation, OLS regression,
+  * weighted median, inter-arrival percentiles, cohort accumulation and
+  * dispersion. Every query keeps all ACCUMULATION in exact integer /
+  * DECIMAL(38,0) math (partition-order independent, HUGEINT-replayable
+  * in DuckDB) and spends doubles only on the final, single-expression
+  * statistic — the same determinism posture as EventOps' test trio.
+  */
+object StatsOps extends OpGroup {
+
+  private val D38 = DecimalType(38, 0)
+
+  /** 2×average-rank per distinct value: ties share the mean of their
+    * rank block, doubled so it stays integral (the Mann-Whitney r2
+    * encoding: 2·cum_before + cnt + 1). */
+  private def rank2Map(df: org.apache.spark.sql.DataFrame, v: String) = {
+    val w = Window.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("r2", lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
+        + col("cnt") + 1)
+      .select(col(v), col("r2"))
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // Spearman rank correlation between quantity and extended price.
+      // Average ranks (tie blocks share their mean rank) are kept as
+      // the INTEGER 2×rank, so every moment Σr, Σr², Σrxry accumulates
+      // exactly in DECIMAL(38,0) (bounded by 4n³ < 10³⁸ to n ~ 10¹²)
+      // and ρ emerges from one double expression both engines evaluate
+      // identically. Scale shape: two distinct-value rank maps (window
+      // over the COLLAPSED value domain, not the corpus) equi-joined
+      // back to the pairs, then one hash-agg of six integer moments.
+      "q_stats_spearman",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .select((money("l_quantity") * 100).cast("long").as("xv"),
+                  (money("l_extendedprice") * 100).cast("long").as("yv"))
+        val rx = rank2Map(base, "xv").withColumnRenamed("r2", "r2x")
+        val ry = rank2Map(base, "yv").withColumnRenamed("r2", "r2y")
+        val j = base.join(rx, "xv").join(ry, "yv")
+        val m = j.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("r2x").cast(D38)).as("sx"),
+          sum(col("r2y").cast(D38)).as("sy"),
+          sum((col("r2x").cast(D38) * col("r2y").cast(D38)).cast(D38))
+            .as("sxy"),
+          sum((col("r2x").cast(D38) * col("r2x").cast(D38)).cast(D38))
+            .as("sxx"),
+          sum((col("r2y").cast(D38) * col("r2y").cast(D38)).cast(D38))
+            .as("syy"))
+        val nD = col("n").cast(D38)
+        m.select(col("n").as("n_pairs"),
+                 round((nD * col("sxy") - col("sx") * col("sy"))
+                         .cast("double") /
+                       sqrt((nD * col("sxx") - col("sx") * col("sx"))
+                              .cast("double") *
+                            (nD * col("syy") - col("sy") * col("sy"))
+                              .cast("double")), 4).as("rho"))
+      },
+      """WITH base AS (
+        |  SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xv,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS yv
+        |  FROM lineitem),
+        |rx AS (
+        |  SELECT xv, 2 * COALESCE(SUM(cnt) OVER (ORDER BY xv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2x
+        |  FROM (SELECT xv, COUNT(*) AS cnt FROM base GROUP BY xv)),
+        |ry AS (
+        |  SELECT yv, 2 * COALESCE(SUM(cnt) OVER (ORDER BY yv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2y
+        |  FROM (SELECT yv, COUNT(*) AS cnt FROM base GROUP BY yv)),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(r2x AS HUGEINT)) AS sx,
+        |    SUM(CAST(r2y AS HUGEINT)) AS sy,
+        |    SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+        |    SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |    SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+        |  FROM base JOIN rx USING (xv) JOIN ry USING (yv))
+        |SELECT n AS n_pairs,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |               * CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |                      AS DOUBLE)), 4) + 0 AS rho
+        |FROM m""".stripMargin),
+
+    Q(
+      // Per-group OLS: extended price (cents) regressed on quantity,
+      // per return flag. The four moments Σx, Σy, Σxy, Σx² accumulate
+      // as DECIMAL(38,0) in ONE hash-agg (map-side partials); slope
+      // and intercept are each a single double expression over the
+      // exact moments — identical on both engines, no per-row floats,
+      // no second pass. regr_slope/regr_intercept exist natively in
+      // both engines but sum DOUBLES in partition order — unusable
+      // under a hash gate; this shape is how a deterministic engine
+      // should implement them.
+      "q_stats_linreg",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+                  money("l_quantity").cast("long").as("x"),
+                  (money("l_extendedprice") * 100).cast("long").as("y"))
+        val m = base.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("x").cast(D38)).as("sx"),
+               sum(col("y").cast(D38)).as("sy"),
+               sum((col("x").cast(D38) * col("y").cast(D38)).cast(D38))
+                 .as("sxy"),
+               sum((col("x").cast(D38) * col("x").cast(D38)).cast(D38))
+                 .as("sxx"))
+        val nD = col("n").cast(D38)
+        val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+        m.select(col("l_returnflag"), col("n"),
+                 round(num / den, 4).as("slope_cents"),
+                 round((col("sy").cast("double") -
+                        (num / den) * col("sx").cast("double")) /
+                       col("n").cast("double"), 4).as("icept_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM base GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE),
+        |        4) + 0 AS slope_cents,
+        |  round((CAST(sy AS DOUBLE)
+        |         - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |            / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+        |           * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 4) + 0 AS icept_cents
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      // Exact weighted median: the price (cents) at which cumulative
+      // QUANTITY weight first reaches half the group total, per return
+      // flag. Pure integer comparison (2·cumw ≥ tot — no halves, no
+      // floats), computed on the per-distinct-price collapsed frame:
+      // the window runs over distinct prices WITHIN a 3-value flag
+      // partition, after a hash-agg has collapsed the corpus — the
+      // histogram_eqdepth counting-sort shape.
+      "q_stats_wmedian",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+                  (money("l_extendedprice") * 100).cast("long").as("vc"),
+                  money("l_quantity").cast("long").as("wq"))
+        val byVal = base.groupBy(col("l_returnflag"), col("vc"))
+          .agg(sum(col("wq")).as("w"))
+        val wCum = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        byVal
+          .withColumn("cumw", sum(col("w")).over(wCum))
+          .withColumn("tot", sum(col("w")).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(min(when(col("cumw") * 2 >= col("tot"), col("vc")))
+                 .as("wmedian_cents"),
+               max(col("tot")).as("total_weight"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS wq
+        |  FROM lineitem),
+        |bv AS (
+        |  SELECT l_returnflag, vc, CAST(SUM(wq) AS BIGINT) AS w
+        |  FROM base GROUP BY l_returnflag, vc),
+        |c AS (
+        |  SELECT l_returnflag, vc,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bv)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cumw * 2 >= tot THEN vc END) AS wmedian_cents,
+        |  CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      // Inter-arrival percentiles: per event type, the p50/p90/p99 of
+      // the gap (µs) between consecutive events under the total
+      // (ts, event_id) order. Gaps are exact BIGINT µs, so
+      // percentile_disc picks real data elements — discrete quantiles
+      // are hash-stable where interpolated ones are not. One window
+      // sort per type partition, then a hash-agg.
+      "q_ts_gap_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts_us"))
+          .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+               expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)")
+                 .cast("long").as("p50_us"),
+               expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)")
+                 .cast("long").as("p90_us"),
+               expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY gap)")
+                 .cast("long").as("p99_us"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_us,
+        |  CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_us,
+        |  CAST(quantile_disc(gap, 0.99) AS BIGINT) AS p99_us
+        |FROM e WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    Q(
+      // Daily cohort accumulation: per day, active users, FIRST-SEEN
+      // users and the running distinct-user total — the DAU/new-user
+      // curve every growth dashboard draws, without ever running a
+      // distinct over the full history per day: first-seen day is one
+      // hash-agg over users, the cumulative total is a window over the
+      // tiny day frame. All integers.
+      "q_events_new_users",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
+                  col("user_id"))
+        val daily = e.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_active"),
+               count(lit(1)).as("n_events"))
+        val firsts = e.groupBy(col("user_id"))
+          .agg(min(col("day")).as("fday"))
+          .groupBy(col("fday")).agg(count(lit(1)).as("n_new"))
+        val wCum = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(firsts, col("day") === col("fday"), "left")
+          .select(col("day"), col("n_active"), col("n_events"),
+                  coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(wCum))
+          .orderBy(col("day"))
+      },
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+        |daily AS (
+        |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+        |    COUNT(*) AS n_events
+        |  FROM e GROUP BY day),
+        |firsts AS (
+        |  SELECT fday, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM (SELECT user_id, MIN(day) AS fday FROM e GROUP BY user_id)
+        |  GROUP BY fday)
+        |SELECT day, n_active, n_events,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily LEFT JOIN firsts ON day = fday
+        |ORDER BY day""".stripMargin),
+
+    Q(
+      // Dispersion of the hourly arrival process: Fano factor
+      // (variance/mean of per-hour event counts, over observed hours)
+      // per event type — the burstiness test (≈1 Poisson, >1 bursty).
+      // Hour buckets are exact integer µs-division; count moments
+      // accumulate in DECIMAL(38,0); fano = (n·Σc² − (Σc)²)/(n·Σc) is
+      // the one double. Two hash-aggs, no window.
+      "q_events_fano",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"),
+                  expr("ts_us div 3600000000").as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("c"))
+        val m = hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("c").cast(D38)).as("sc"),
+               sum((col("c").cast(D38) * col("c").cast(D38)).cast(D38))
+                 .as("scc"))
+        val nD = col("n").cast(D38)
+        m.select(col("event_type"), col("n").as("n_hours"),
+                 col("sc").cast("long").as("n_events"),
+                 round((nD * col("scc") - col("sc") * col("sc"))
+                         .cast("double") /
+                       (nD * col("sc")).cast("double"), 4).as("fano"))
+          .orderBy(col("event_type"))
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS sc,
+        |    SUM(CAST(c AS HUGEINT) * c) AS scc
+        |  FROM hourly GROUP BY event_type)
+        |SELECT event_type, n AS n_hours, CAST(sc AS BIGINT) AS n_events,
+        |  round(CAST(CAST(n AS HUGEINT) * scc - sc * sc AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * sc AS DOUBLE), 4) + 0 AS fano
+        |FROM m ORDER BY event_type""".stripMargin)
+  )
+}
