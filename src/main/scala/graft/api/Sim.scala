@@ -108,6 +108,25 @@ object Sim {
     heapRankCos(scored, k)
   }
 
+  /** Mutual-kNN graph: undirected edges (a, b), a < b, where each
+    * endpoint sits in the other's EXACT top-k cosine neighbour list —
+    * the semantic-cluster backbone (mutual edges are far more
+    * dup-indicative than one-directional ones, which hub vectors
+    * accumulate for free). Exact O(n²) baseline shape: at corpus
+    * scale, swap `cosineTopK` for `lshTopK`/`ivfTopK` — the mutual
+    * semi-join composition is identical over any (q_id, cand_id, rn)
+    * neighbour frame. Returns (node_a, node_b, cos). */
+  def knnGraph(df: DataFrame, id: Column, emb: Column, k: Int)
+      : DataFrame = {
+    val top = cosineTopK(df, id, emb, isQuery = lit(true), k)
+    val rev = top.select(col("q_id").as("b_id"), col("cand_id").as("a_id"))
+    top.filter(col("q_id") < col("cand_id"))
+      .join(rev, col("q_id") === col("a_id") &&
+                 col("cand_id") === col("b_id"), "left_semi")
+      .select(col("q_id").as("node_a"), col("cand_id").as("node_b"),
+              col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: queries only scan their own
     * `bits`-bit sign bucket (~1/2^bits of the collection) — recall
     * traded for a bounded candidate set. Same output shape as

@@ -709,6 +709,46 @@ object NearDupOps extends OpGroup {
         |    AS recall
         |FROM exact x LEFT JOIN approx a
         |  ON a.q_id = x.q_id AND a.cand_id = x.cand_id
-        |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin)
+        |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin),
+
+    Q(
+      // Mutual-kNN graph (api.Sim.knnGraph): undirected edges where
+      // BOTH endpoints rank each other in their exact cosine top-3 —
+      // the backbone semantic-cluster structure (hub vectors collect
+      // one-directional edges; mutuality filters them out). Declared
+      // over the vec_id%5 slice so the oracle's all-pairs replay stays
+      // cheap at every SF; the Spark side is the pinned topK shape
+      // (query side broadcasts, one collection scan) + a pair-keyed
+      // LEFT SEMI for mutuality. Corpus-scale path: the identical
+      // composition over lshTopK/ivfTopK output (SCALE.md).
+      "q_embed_knn_graph",
+      (s, d) => graft.api.Sim.knnGraph(
+          Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), k = 3)
+        .orderBy(col("node_a"), col("node_b")),
+      """WITH e0 AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND vec_id % 5 = 0),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) + 0 AS cos
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT r1.q_id AS node_a, r1.cand_id AS node_b, r1.cos
+        |FROM ranked r1 JOIN ranked r2
+        |  ON r2.q_id = r1.cand_id AND r2.cand_id = r1.q_id
+        |WHERE r1.rn <= 3 AND r2.rn <= 3 AND r1.q_id < r1.cand_id
+        |ORDER BY node_a, node_b""".stripMargin)
   )
 }

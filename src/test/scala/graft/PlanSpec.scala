@@ -559,4 +559,31 @@ class PlanSpec extends SparkSpec {
     assert(joins.exists(_.contains("[sh#")),
       s"shingle intersection should equi-join on the shingle key:\n$joins")
   }
+
+  test("linreg/fano: moments fold in ONE hash-agg with map-side partials") {
+    for (q <- Seq("q_stats_linreg", "q_events_fano")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_sum"),
+        s"$q: moment aggregation must combine map-side:\n$plan")
+      // no window anywhere: the statistic is pure hash-agg
+      assert(!plan.contains("Window"),
+        s"$q: moments must not need a window sort:\n$plan")
+    }
+  }
+
+  test("spearman: windows run over the COLLAPSED rank maps, not the corpus") {
+    val df = SparkEntry.queries("q_stats_spearman")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    // every Window node must sit above an Aggregate (the distinct-value
+    // collapse) — a window directly over the scan would sort the corpus
+    def hasAggBelow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val wins = plan.collect { case w: LW => w }
+    assert(wins.nonEmpty, "expected rank-map windows")
+    wins.foreach(w => assert(hasAggBelow(w.child),
+      s"window must run above the distinct-value collapse:\n$w"))
+  }
 }
