@@ -55,6 +55,29 @@ object Aggs extends OpGroup {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     Q(
+      // EXACT distinct count via bitmap aggregation — the scale path
+      // countDistinct lacks: bitmap_construct_agg partials are
+      // fixed-size bitmaps that OR together map-side (one pass, no
+      // Expand, no per-value shuffle rows — the distinct values
+      // travel as BITS). Keys spread over 2³² buckets via
+      // bitmap_bucket_number, counts sum per group. The oracle proves
+      // the bitmap path equals plain COUNT(DISTINCT).
+      "q_agg_bitmap_distinct",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+                expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+                expr("bitmap_bit_position(o_custkey)").as("pos"))
+        .groupBy(col("o_orderpriority"), col("bkt"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("c"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("c")).as("n_cust"))
+        .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    Q(
       "q_agg_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

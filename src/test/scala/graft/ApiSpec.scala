@@ -408,6 +408,22 @@ class ApiSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.99))
   }
 
+  test("knnGraph: mutuality keeps the tight pair, drops one-directional edges") {
+    val vs = Seq(
+      Vec(1L, Array(1f, 0f)),
+      Vec(2L, Array(0.99f, 0.1f)),   // mutual nearest with 1 (cos ≈ .995)
+      Vec(3L, Array(0.5f, 0.8f)),    // its top-1 is 2, but 2's top-1 is 1
+      Vec(4L, Array(-1f, 0f))        // top-1 is 3; 3 doesn't reciprocate
+    ).toDF()
+    val k1 = Sim.knnGraph(vs, col("vec_id"), col("embedding"), k = 1)
+      .select("node_a", "node_b").as[(Long, Long)].collect().toSeq
+    assert(k1 == Seq((1L, 2L)), s"k=1 mutual edges: $k1")
+    // k = n−1: every neighbour list holds everyone → complete graph
+    val k3 = Sim.knnGraph(vs, col("vec_id"), col("embedding"), k = 3)
+      .select("node_a", "node_b").as[(Long, Long)].collect().toSet
+    assert(k3.size == 6, s"k=3 should yield all C(4,2) edges: $k3")
+  }
+
   test("lshTopK multi-probe: candidates grow monotonically, within the exact set") {
     val emb = graft.io.Tables.embeddings(spark, sfDir)
     def run(p: Int) = Sim.lshTopK(emb, col("vec_id"), col("embedding"),
