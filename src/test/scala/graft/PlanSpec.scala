@@ -560,6 +560,21 @@ class PlanSpec extends SparkSpec {
       s"shingle intersection should equi-join on the shingle key:\n$joins")
   }
 
+  test("bitmap distinct: no Expand, no per-value shuffle rows") {
+    // countDistinct plans an Expand + a value-keyed exchange; the bitmap
+    // path must shuffle only fixed-size bitmap partials
+    val bm = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!bm.contains("Expand"), s"bitmap path must not Expand:\n$bm")
+    assert(bm.contains("partial_bitmap_construct_agg") ||
+           bm.contains("bitmap_construct_agg"),
+      s"bitmap partials must combine map-side:\n$bm")
+    val cd = SparkEntry.queries("q_agg_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cd.contains("Expand"),
+      "sanity: the countDistinct twin does plan an Expand")
+  }
+
   test("linreg/fano: moments fold in ONE hash-agg with map-side partials") {
     for (q <- Seq("q_stats_linreg", "q_events_fano")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)

@@ -39,6 +39,53 @@ class RunningCountProcessor
   }
 }
 
+/** transformWithState processor with EVENT-TIME TIMERS: per-user session
+  * that emits (user, event_count) only when the watermark passes the last
+  * event + 10 min — the timeout-emission pattern (abandoned-cart alerts,
+  * session finalization) that needs explicit timers, not just state.
+  * Re-registration deletes the superseded timer so a key fires once per
+  * quiet period, not once per batch. */
+class SessionTimeoutProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, Ev, (String, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+
+  // (event count, registered expiry ms)
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)](
+      "sess", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    var maxTs = 0L
+    var n = 0L
+    rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+    val (prevN, prevExp) =
+      if (st.exists()) st.get() else (0L, -1L)
+    if (prevExp >= 0) getHandle.deleteTimer(prevExp)
+    val exp = maxTs + 600000L // last event + 10 min
+    getHandle.registerTimer(exp)
+    st.update((prevN + n, exp))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long)] = {
+    val out =
+      if (st.exists()) Iterator.single((key, st.get()._1))
+      else Iterator.empty
+    st.clear()
+    out
+  }
+}
+
 /** True-streaming semantics (SURVEY §2.7 ⊘ rows) — no SQL oracle exists
   * for these, so behavior is asserted directly: incremental equivalence
   * with the batch twin, watermark-driven late-data drops, streaming
@@ -185,6 +232,40 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       q.stop()
       assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
+  test("event-time timers: session emits ONLY when the watermark passes last+10min") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = in.toDS()
+        .withWatermark("ts", "1 minute")
+        .groupByKey(_.user)
+        .transformWithState(new SessionTimeoutProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val q = out.writeStream.format("memory").queryName("timer_t")
+        .outputMode(OutputMode.Append()).start()
+      // session a: two events ending 10:02 -> timer at 10:12
+      in.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("timer_t").isEmpty,
+        "session must not emit while the watermark is behind its expiry")
+      // b at 10:30 advances the watermark to 10:29 > 10:12 -> a's timer
+      // fires (the no-data microbatch picks it up); b's own timer (10:40)
+      // stays pending
+      in.addData(Ev(ts(30), "b", 1.0))
+      q.processAllAvailable()
+      val fired = spark.table("timer_t")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      q.stop()
+      assert(fired == Seq(("a", 2L)),
+        s"expected a's session (2 events) to time out, got $fired")
     } finally
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
