@@ -78,6 +78,29 @@ object Aggs extends OpGroup {
         |ORDER BY o_orderpriority""".stripMargin),
 
     Q(
+      // bitwise AGGREGATES (bit_and/bit_or/bit_xor) — the bitmask
+      // rollup surface (feature-flag intersections, permission-mask
+      // unions, parity checksums). Associative+commutative → map-side
+      // partials for free; exact integers, order-independent.
+      "q_agg_bitwise",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+                expr("o_custkey & 65535").as("m"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bit_and(m)").as("mask_and"),
+             expr("bit_or(m)").as("mask_or"),
+             expr("bit_xor(m)").as("mask_xor"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority,
+        |  bit_and(o_custkey & 65535) AS mask_and,
+        |  bit_or(o_custkey & 65535) AS mask_or,
+        |  bit_xor(o_custkey & 65535) AS mask_xor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    Q(
       "q_agg_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -250,6 +250,49 @@ object Windows extends OpGroup {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
         |FROM lineitem WHERE l_partkey < 200
-        |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin),
+
+    Q(
+      // RUNNING DISTINCT count — the window surface Spark (and SQL)
+      // lack natively (COUNT(DISTINCT) OVER is unsupported): distinct
+      // users seen so far per event type, via a first-occurrence flag
+      // summed cumulatively. The flag comes from lag(user) under the
+      // SAME (type) partitioning as the cumulative sum, ordered
+      // (user, ts): the first row of each user block is its earliest
+      // event — so the plan is ONE hash exchange on type and two
+      // in-partition sorts, instead of the naive (type,user)-keyed
+      // row_number that would force a second shuffle. No distinct
+      // state ever materializes beyond one bit per row.
+      "q_win_running_distinct",
+      (s, d) => {
+        val wUser = Window.partitionBy(col("event_type"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        val wCum = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+                  col("ts_us"))
+          .withColumn("fst",
+            when(lag(col("user_id"), 1).over(wUser) <=> col("user_id"), 0L)
+              .otherwise(1L))
+          .select(col("event_type"), col("event_id"), col("ts_us"),
+                  sum(col("fst")).over(wCum).as("run_distinct"))
+          .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+      },
+      """WITH f AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(user_id, 1) OVER (
+        |        PARTITION BY event_type
+        |        ORDER BY user_id, epoch_us(ts), event_id)
+        |        IS NOT DISTINCT FROM user_id
+        |      THEN 0 ELSE 1 END AS fst
+        |  FROM events)
+        |SELECT event_type, event_id, ts_us,
+        |  CAST(SUM(fst) OVER (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_distinct
+        |FROM f ORDER BY event_type, ts_us, event_id""".stripMargin)
   )
 }

@@ -560,6 +560,14 @@ class PlanSpec extends SparkSpec {
       s"shingle intersection should equi-join on the shingle key:\n$joins")
   }
 
+  test("running distinct: ONE type-keyed exchange feeds both window sorts") {
+    val plan = SparkEntry.queries("q_win_running_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1,
+      s"first-occurrence flag and cumsum must share one exchange, got $ex:\n$plan")
+  }
+
   test("bitmap distinct: no Expand, no per-value shuffle rows") {
     // countDistinct plans an Expand + a value-keyed exchange; the bitmap
     // path must shuffle only fixed-size bitmap partials
