@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{Bloom, DotF32, HeavyHitters, KmvKth, TopKByLong, WordNgrams}
-import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule}
+import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule, BitmapDistinctRule}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` wires the engine's custom
@@ -17,6 +17,9 @@ import graft.plans.{AsOfJoinStrategy, BandedRangeJoinRule}
   *    single-merge-pass AsOfJoinExec
   *  - BandedRangeJoinRule: optimizer rewrite of naive bounded
   *    time-range joins into the banded equi-join shape
+  *  - BitmapDistinctRule (opt-in via
+  *    spark.graft.bitmapDistinct.enabled): COUNT(DISTINCT intcol) →
+  *    bitmap-aggregation form, distinct values shuffled as bitmaps
   * (Programmatic alternatives exist too: DotF32.register /
   * WordNgrams.register / AsOf.ensureRegistered /
   * `spark.experimental.extraOptimizations = Seq(BandedRangeJoinRule)`.)
@@ -60,5 +63,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Bloom.probeBuilder(exprs)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
+    ext.injectOptimizerRule(_ => BitmapDistinctRule)
   }
 }

@@ -119,5 +119,76 @@ class RuleSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(org.apache.spark.sql.GraftBridge
       .optimizerRules(ext, spark).contains(BandedRangeJoinRule))
+    assert(org.apache.spark.sql.GraftBridge
+      .optimizerRules(ext, spark).contains(graft.plans.BitmapDistinctRule))
+  }
+
+  // ---- BitmapDistinctRule ----
+
+  private def withBitmapRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations = Seq(graft.plans.BitmapDistinctRule)
+    spark.conf.set("spark.graft.bitmapDistinct.enabled", "true")
+    try body
+    finally {
+      spark.conf.unset("spark.graft.bitmapDistinct.enabled")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  private lazy val cd = Seq[(String, java.lang.Long)](
+    ("a", 7L), ("a", 7L), ("a", 900000L),   // dup + far bucket
+    ("a", null),                            // null never counts
+    ("b", 1L), ("b", 2L), ("b", 3L),
+    ("c", null), ("c", null)                // all-null group -> 0
+  ).toDF("g", "v")
+
+  test("bitmap rule: grouped count(distinct) rewritten, results identical") {
+    // build the Dataset INSIDE each scope: QueryExecution caches the
+    // optimized plan per Dataset instance
+    def q = cd.groupBy(col("g")).agg(countDistinct(col("v")).as("cd"))
+      .orderBy(col("g"))
+    val plain = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    withBitmapRule {
+      val rq = q
+      val plan = rq.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bitmap_construct_agg") &&
+             plan.contains("__graft_bm"),
+        s"rule did not rewrite:\n$plan")
+      val got = rq.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == plain, s"rewrite changed results: $got vs $plain")
+      assert(got == Seq(("a", 2L), ("b", 3L), ("c", 0L)))
+    }
+  }
+
+  test("bitmap rule: global count(distinct) incl. empty input") {
+    withBitmapRule {
+      val q = cd.agg(countDistinct(col("v")).as("cd"))
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("bitmap_construct_agg"))
+      assert(q.collect().head.getLong(0) == 5L) // {7, 900000, 1, 2, 3}
+      val empty = cd.filter(col("g") === "zzz")
+        .agg(countDistinct(col("v")).as("cd"))
+      assert(empty.collect().head.getLong(0) == 0L,
+        "empty input must still yield one 0 row (Count contract)")
+    }
+  }
+
+  test("bitmap rule: out-of-scope shapes are left untouched") {
+    withBitmapRule {
+      // non-integral type
+      val str = cd.groupBy(col("g")).agg(countDistinct(col("g")).as("c"))
+      assert(!str.queryExecution.optimizedPlan.toString
+        .contains("bitmap_construct_agg"))
+      // a second aggregate function alongside
+      val multi = cd.groupBy(col("g"))
+        .agg(countDistinct(col("v")).as("c"), sum(col("v")).as("s"))
+      assert(!multi.queryExecution.optimizedPlan.toString
+        .contains("bitmap_construct_agg"))
+      // flag off: no rewrite even with the rule injected
+      spark.conf.set("spark.graft.bitmapDistinct.enabled", "false")
+      val q = cd.groupBy(col("g")).agg(countDistinct(col("v")).as("c"))
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("bitmap_construct_agg"))
+    }
   }
 }
