@@ -35,18 +35,8 @@ import graft.io.Tables
   */
 object PipelineOps extends OpGroup {
 
-  /** DuckDB rendering of Pipeline.hash16: integer value of the first 4
-    * hex digits of md5(str(c)) via digit arithmetic (DuckDB has no
-    * conv(); instr over the hex alphabet computes the same integer). */
-  private def u16Sql(c: String): String = {
-    // COALESCE mirrors Pipeline.hash16's documented null semantics (a
-    // null id hashes as '' and gets a deterministic decision) — without
-    // it DuckDB's md5(NULL) = NULL silently dropped null-id rows from
-    // the oracle side only (ADVICE r2; latent on the non-null fixture)
-    def d(i: Int) =
-      s"(instr('0123456789abcdef', substr(md5(COALESCE(CAST($c AS VARCHAR), '')), $i, 1)) - 1)"
-    s"${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)}"
-  }
+  // u16Sql (DuckDB twin of api.Pipeline.hash16) moved to the ops
+  // package object — shared with StatsOps' bootstrap.
 
   /** DuckDB rendering of Pipeline.hash32 (first 8 md5 hex digits as a
     * BIGINT) — same digit arithmetic as [[u16Sql]], four more digits. */

@@ -327,6 +327,169 @@ object StatsOps extends OpGroup {
         |SELECT event_type, n AS n_hours, CAST(sc AS BIGINT) AS n_events,
         |  round(CAST(CAST(n AS HUGEINT) * scc - sc * sc AS DOUBLE)
         |        / CAST(CAST(n AS HUGEINT) * sc AS DOUBLE), 4) + 0 AS fano
-        |FROM m ORDER BY event_type""".stripMargin)
+        |FROM m ORDER BY event_type""".stripMargin),
+
+    Q(
+      // Lag-1 autocorrelation of the hourly arrival series per event
+      // type — the seasonality/trend detector beside Fano's dispersion:
+      // Pearson r over (count, previous-hour count) pairs, CONSECUTIVE
+      // hours only (lag(hr) must equal hr−1 — a gap is not a pair, not
+      // a zero). Count moments exact in DECIMAL(38,0); r is one double.
+      "q_ts_autocorr",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        val pairs = hourly
+          .withColumn("ph", lag(col("hr"), 1).over(w))
+          .withColumn("pc", lag(col("c"), 1).over(w))
+          .filter(col("ph").isNotNull && col("hr") === col("ph") + 1)
+        val m = pairs.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("pc").cast(D38)).as("sx"),
+               sum(col("c").cast(D38)).as("sy"),
+               sum((col("pc").cast(D38) * col("c").cast(D38)).cast(D38))
+                 .as("sxy"),
+               sum((col("pc").cast(D38) * col("pc").cast(D38)).cast(D38))
+                 .as("sxx"),
+               sum((col("c").cast(D38) * col("c").cast(D38)).cast(D38))
+                 .as("syy"))
+        val nD = col("n").cast(D38)
+        m.select(col("event_type"), col("n").as("n_pairs"),
+                 round((nD * col("sxy") - col("sx") * col("sy"))
+                         .cast("double") /
+                       sqrt((nD * col("sxx") - col("sx") * col("sx"))
+                              .cast("double") *
+                            (nD * col("syy") - col("sy") * col("sy"))
+                              .cast("double")), 4).as("r1"))
+          .orderBy(col("event_type"))
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+        |p AS (
+        |  SELECT event_type, c,
+        |    lag(hr, 1) OVER (PARTITION BY event_type ORDER BY hr) AS ph,
+        |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS pc,
+        |    hr
+        |  FROM hourly),
+        |q AS (SELECT * FROM p WHERE ph IS NOT NULL AND hr = ph + 1),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(pc AS HUGEINT)) AS sx, SUM(CAST(c AS HUGEINT)) AS sy,
+        |    SUM(CAST(pc AS HUGEINT) * c) AS sxy,
+        |    SUM(CAST(pc AS HUGEINT) * pc) AS sxx,
+        |    SUM(CAST(c AS HUGEINT) * c) AS syy
+        |  FROM q GROUP BY event_type)
+        |SELECT event_type, n AS n_pairs,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |               * CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |                      AS DOUBLE)), 4) + 0 AS r1
+        |FROM m ORDER BY event_type""".stripMargin),
+
+    Q(
+      // Source freshness / staleness monitor: per event type, the last
+      // event time, the lag behind the freshest type, and the count in
+      // the final hour of the feed — the "is this stream stuck"
+      // dashboard row. The global max rides a broadcast 1-row cross
+      // join; everything is exact BIGINT µs.
+      "q_etl_freshness",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_type"), col("ts_us"))
+        val gm = e.agg(max(col("ts_us")).as("gm"))
+        e.crossJoin(broadcast(gm))
+          .groupBy(col("event_type"))
+          .agg(max(col("ts_us")).as("last_ts_us"),
+               count(lit(1)).as("n_total"),
+               sum(when(col("ts_us") > col("gm") - 3600000000L, 1L)
+                 .otherwise(0L)).as("n_last_hour"),
+               (max(col("gm")) - max(col("ts_us"))).as("lag_us"))
+          .orderBy(col("event_type"))
+      },
+      """WITH g AS (SELECT MAX(epoch_us(ts)) AS gm FROM events)
+        |SELECT event_type,
+        |  MAX(epoch_us(ts)) AS last_ts_us,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN epoch_us(ts) > g.gm - 3600000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_last_hour,
+        |  CAST(MAX(g.gm) - MAX(epoch_us(ts)) AS BIGINT) AS lag_us
+        |FROM events CROSS JOIN g
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    Q(
+      // Deterministic Poisson(1) bootstrap over per-doc char counts:
+      // every (doc, replicate) draws its weight from the md5 uniform
+      // (inverse CDF on the integer 2¹⁶ grid, capped at 5 — thresholds
+      // 24112/48225/60282/64291/65296 = floor(F(k)·65536)), so the
+      // resample is REPLAYABLE on any cluster at any partitioning —
+      // the property that makes bootstrap CIs auditable at 100 TB.
+      // Per-replicate means become half-up 1e-4-unit INTEGERS (the
+      // intRatio4 encoding) so the cross-replicate mean/sd moments stay
+      // exact; two doubles at the very end. Two scans total: explode
+      // ×R, one hash-agg, one 10-row finish.
+      "q_stats_bootstrap",
+      (s, d) => {
+        val reps = 10
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+          .withColumn("u", graft.api.Pipeline.hash16(
+            concat(col("doc_id").cast("string"), lit(":"),
+                   col("rep").cast("string"))))
+          .withColumn("w",
+            when(col("u") < 24112, 0L).when(col("u") < 48225, 1L)
+              .when(col("u") < 60282, 2L).when(col("u") < 64291, 3L)
+              .when(col("u") < 65296, 4L).otherwise(5L))
+        val perRep = base.groupBy(col("rep"))
+          .agg(sum(col("w")).as("ne"),
+               sum(col("w") * col("n_chars")).as("ts"))
+          .withColumn("a4", expr("(2 * ts * 10000 + ne) div (2 * ne)"))
+        val m = perRep.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("a4")).as("sa"),
+          sum((col("a4").cast(D38) * col("a4").cast(D38)).cast(D38))
+            .as("ssa"))
+        m.select(col("n").as("n_reps"),
+                 round(col("sa").cast("double") /
+                       (col("n") * 10000.0), 4).as("mean_avg_chars"),
+                 round(sqrt((col("n").cast(D38) * col("ssa") -
+                             col("sa").cast(D38) * col("sa").cast(D38))
+                              .cast("double") /
+                            (col("n").cast("double") * (col("n") - 1)))
+                       / 10000.0, 4).as("sd_avg_chars"))
+      },
+      s"""WITH r AS (SELECT range AS rep FROM range(0, 10)),
+        |b AS (
+        |  SELECT d.n_chars, r.rep,
+        |    ${u16Sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)")} AS u
+        |  FROM documents d CROSS JOIN r),
+        |w AS (
+        |  SELECT rep, n_chars,
+        |    CASE WHEN u < 24112 THEN 0 WHEN u < 48225 THEN 1
+        |         WHEN u < 60282 THEN 2 WHEN u < 64291 THEN 3
+        |         WHEN u < 65296 THEN 4 ELSE 5 END AS w
+        |  FROM b),
+        |p AS (
+        |  SELECT rep, CAST(SUM(w) AS BIGINT) AS ne,
+        |    CAST(SUM(w * n_chars) AS BIGINT) AS ts
+        |  FROM w GROUP BY rep),
+        |a AS (SELECT rep, (2 * ts * 10000 + ne) // (2 * ne) AS a4 FROM p),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a4) AS BIGINT) AS sa,
+        |    SUM(CAST(a4 AS HUGEINT) * a4) AS ssa
+        |  FROM a)
+        |SELECT n AS n_reps,
+        |  round(CAST(sa AS DOUBLE) / (n * 10000.0), 4) + 0
+        |    AS mean_avg_chars,
+        |  round(sqrt(CAST(CAST(n AS HUGEINT) * ssa
+        |                  - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * (n - 1))) / 10000.0, 4) + 0
+        |    AS sd_avg_chars
+        |FROM m""".stripMargin)
   )
 }
