@@ -106,6 +106,7 @@ class ApproxSpec extends SparkSpec {
   * explicit schemas (schema inference is banned at scale — a full-file
   * inference pass over 100 TB is a job in itself). */
 class SourceFormatSpec extends SparkSpec {
+  import spark.implicits._
 
   test("csv and json-lines round-trip with explicit schemas") {
     val dir = tmpDir("fmt")
@@ -135,6 +136,31 @@ class SourceFormatSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), " +
         "GreaterThan(n_nationkey,10)]"),
       s"orc filter not pushed:\n$plan")
+  }
+
+  test("Tables.events adapts to BOTH fixture ts layouts (int64-ns, timestamp-µs)") {
+    // the driver regenerated events.parquet mid-build (TIMESTAMP(NANOS)
+    // → timestamp[us]); the reader seam must derive identical
+    // ts_us/ts_utc from either layout so no query code ever changes
+    val dir = tmpDir("evts")
+    val usT = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:01.234567Z"))
+    // v2 layout: real timestamp column (micros)
+    Seq((1L, usT)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/v2/events.parquet")
+    // v1 layout: int64 epoch-NANOS under the same column name
+    Seq((1L, 1704067201234567891L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/v1/events.parquet")
+    val v2 = Tables.events(spark, s"$dir/v2")
+      .select("ts_us").as[Long].head()
+    val v1 = Tables.events(spark, s"$dir/v1")
+      .select("ts_us").as[Long].head()
+    assert(v2 == 1704067201234567L, s"v2 ts_us: $v2")
+    assert(v1 == 1704067201234567L, s"v1 ts_us: $v1 (ns div 1000)")
+    // ts_utc agrees too (µs precision on both paths)
+    val u2 = Tables.events(spark, s"$dir/v2").select("ts_utc").head().get(0)
+    val u1 = Tables.events(spark, s"$dir/v1").select("ts_utc").head().get(0)
+    assert(u1 == u2, s"ts_utc diverged: $u1 vs $u2")
   }
 
   test("parquet schema evolution: mergeSchema unifies drifted batches") {

@@ -173,16 +173,39 @@ class RuleSpec extends SparkSpec {
     }
   }
 
+  test("bitmap rule: splittable companions (count/sum/min/max) ride along") {
+    def q = cd.groupBy(col("g"))
+      .agg(countDistinct(col("v")).as("cd"), count(lit(1)).as("n"),
+           sum(col("v")).as("s"), min(col("v")).as("mn"),
+           max(col("v")).as("mx"))
+      .orderBy(col("g"))
+    val plain = q.collect().map(_.toSeq).toSeq
+    withBitmapRule {
+      val rq = q
+      val plan = rq.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bitmap_construct_agg"),
+        s"companioned count(distinct) must still rewrite:\n$plan")
+      assert(rq.collect().map(_.toSeq).toSeq == plain,
+        "companion aggregates must survive the two-level split intact")
+    }
+  }
+
   test("bitmap rule: out-of-scope shapes are left untouched") {
     withBitmapRule {
       // non-integral type
       val str = cd.groupBy(col("g")).agg(countDistinct(col("g")).as("c"))
       assert(!str.queryExecution.optimizedPlan.toString
         .contains("bitmap_construct_agg"))
-      // a second aggregate function alongside
-      val multi = cd.groupBy(col("g"))
-        .agg(countDistinct(col("v")).as("c"), sum(col("v")).as("s"))
-      assert(!multi.queryExecution.optimizedPlan.toString
+      // a non-splittable companion (avg)
+      val withAvg = cd.groupBy(col("g"))
+        .agg(countDistinct(col("v")).as("c"), avg(col("v")).as("a"))
+      assert(!withAvg.queryExecution.optimizedPlan.toString
+        .contains("bitmap_construct_agg"))
+      // two distinct aggregates
+      val twoD = cd.groupBy(col("g"))
+        .agg(countDistinct(col("v")).as("c1"),
+             countDistinct(col("v") + 1).as("c2"))
+      assert(!twoD.queryExecution.optimizedPlan.toString
         .contains("bitmap_construct_agg"))
       // flag off: no rewrite even with the rule injected
       spark.conf.set("spark.graft.bitmapDistinct.enabled", "false")
