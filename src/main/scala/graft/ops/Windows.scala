@@ -293,6 +293,47 @@ object Windows extends OpGroup {
         |    ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS run_distinct
-        |FROM f ORDER BY event_type, ts_us, event_id""".stripMargin)
+        |FROM f ORDER BY event_type, ts_us, event_id""".stripMargin),
+
+    Q(
+      // Trailing 7-day DISTINCT customers per order day — the sliding
+      // distinct no window frame can express (distinct doesn't
+      // decompose): per-day bitmap partials are built ONCE, each day's
+      // bitmap replays into the ≤7 windows it belongs to (explode of 7
+      // offsets — bitmaps, not rows), and bitmap_or_agg merges per
+      // window. Shuffle volume is |days|·7 fixed-size bitmaps instead
+      // of 7× the corpus rows; the oracle replays the semantics with a
+      // literal range-join COUNT(DISTINCT). Partial leading windows
+      // are included (both sides agree); windows are anchored on days
+      // that actually occur.
+      "q_win_rolling_distinct",
+      (s, d) => {
+        val od = Tables.orders(s, d)
+          .select(to_date(col("o_orderdate")).as("day"),
+                  expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+                  expr("bitmap_bit_position(o_custkey)").as("pos"))
+        val perDay = od.groupBy(col("day"), col("bkt"))
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        val days = perDay.select(col("day").as("wday")).distinct()
+        perDay
+          .withColumn("off", explode(sequence(lit(0), lit(6))))
+          .withColumn("wday", date_add(col("day"), col("off")))
+          .join(days, Seq("wday"), "left_semi")
+          .groupBy(col("wday"), col("bkt"))
+          .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+          .groupBy(col("wday"))
+          .agg(sum(col("c")).as("n_cust"))
+          .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+                  col("n_cust"))
+          .orderBy(col("day"))
+      },
+      """WITH od AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey
+        |  FROM orders),
+        |days AS (SELECT DISTINCT day FROM od)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT o.o_custkey) AS n_cust
+        |FROM days d JOIN od o ON o.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin)
   )
 }
