@@ -568,6 +568,22 @@ class PlanSpec extends SparkSpec {
       s"first-occurrence flag and cumsum must share one exchange, got $ex:\n$plan")
   }
 
+  test("rolling distinct: the offset explode runs over BITMAPS, not rows") {
+    val df = SparkEntry.queries("q_win_rolling_distinct")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    // every Generate (explode) must sit ABOVE the per-day Aggregate —
+    // exploding 7 offsets on raw order rows would be the 7× blowup the
+    // operator exists to avoid
+    def hasAggBelow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected the 7-offset explode")
+    gens.foreach(g => assert(hasAggBelow(g.child),
+      s"explode must run over per-day bitmaps, not order rows:\n$g"))
+  }
+
   test("bitmap distinct: no Expand, no per-value shuffle rows") {
     // countDistinct plans an Expand + a value-keyed exchange; the bitmap
     // path must shuffle only fixed-size bitmap partials
