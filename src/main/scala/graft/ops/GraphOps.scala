@@ -159,6 +159,60 @@ object GraphOps extends OpGroup {
       s"""WITH $coSupplyEdgesSql,
         |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
         |SELECT deg, COUNT(*) AS n_nodes
-        |FROM dg GROUP BY deg ORDER BY deg""".stripMargin)
+        |FROM dg GROUP BY deg ORDER BY deg""".stripMargin),
+
+    Q(
+      // Degree assortativity: Pearson r over (deg(src), deg(dst)) of
+      // every directed edge — do similar-degree suppliers co-supply
+      // (r>0, assortative) or do hubs attach to leaves (r<0)? Degree
+      // moments exact in DECIMAL(38,0), r is one double; the degree
+      // map joins back to the edge list twice on its equi key.
+      "q_graph_assortativity",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = coSupplyEdges(s, d)
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        val pairs = e
+          .join(deg.select(col("src").as("_s"), col("dg").as("dx")),
+                col("src") === col("_s"))
+          .join(deg.select(col("src").as("_t"), col("dg").as("dy")),
+                col("dst") === col("_t"))
+        val m = pairs.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("dx").cast(D38)).as("sx"),
+          sum(col("dy").cast(D38)).as("sy"),
+          sum((col("dx").cast(D38) * col("dy").cast(D38)).cast(D38))
+            .as("sxy"),
+          sum((col("dx").cast(D38) * col("dx").cast(D38)).cast(D38))
+            .as("sxx"),
+          sum((col("dy").cast(D38) * col("dy").cast(D38)).cast(D38))
+            .as("syy"))
+        val nD = col("n").cast(D38)
+        m.select(col("n").as("n_edges"),
+                 round((nD * col("sxy") - col("sx") * col("sy"))
+                         .cast("double") /
+                       sqrt((nD * col("sxx") - col("sx") * col("sx"))
+                              .cast("double") *
+                            (nD * col("syy") - col("sy") * col("sy"))
+                              .cast("double")), 4).as("r_assort"))
+      },
+      s"""WITH $coSupplyEdgesSql,
+        |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |p AS (
+        |  SELECT a.deg AS dx, b.deg AS dy
+        |  FROM e JOIN dg a ON a.src = e.src JOIN dg b ON b.src = e.dst),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+        |    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+        |  FROM p)
+        |SELECT n AS n_edges,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |               * CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |                      AS DOUBLE)), 4) + 0 AS r_assort
+        |FROM m""".stripMargin)
   )
 }

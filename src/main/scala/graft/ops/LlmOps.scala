@@ -212,6 +212,39 @@ object LlmOps extends OpGroup {
         |FROM comp GROUP BY root ORDER BY root""".stripMargin),
 
     Q(
+      // Dedup AUDIT report: the cluster-size histogram (how much of the
+      // corpus is duplicated, and how deeply) including the singleton
+      // mass — size 1 = docs in NO near-dup pair, counted by anti-join
+      // so the report always covers the whole corpus. The one-page
+      // number a dedup run is judged by (size-k clusters shed k−1 docs
+      // each).
+      "q_dedup_cluster_sizes",
+      (s, d) => {
+        val labels = graft.api.Dedup.connectedComponents(
+          minhashPairs(s, d), "doc_a", "doc_b")
+        val hist = labels.groupBy(col("root"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        val singles = Tables.documents(s, d)
+          .join(labels, col("doc_id") === col("doc"), "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit(1L).as("sz"), col("n_clusters"))
+        singles.unionByName(hist).orderBy(col("sz"))
+      },
+      s"""WITH RECURSIVE $minhashPairsSql,
+        |$ccCompSql,
+        |szs AS (SELECT root, COUNT(*) AS sz FROM comp GROUP BY root),
+        |h AS (SELECT CAST(sz AS BIGINT) AS sz,
+        |        CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |      FROM szs GROUP BY sz),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS sz,
+        |        (SELECT COUNT(*) FROM documents)
+        |          - (SELECT COUNT(*) FROM comp) AS n_clusters)
+        |SELECT sz, n_clusters FROM s1
+        |UNION ALL SELECT sz, n_clusters FROM h
+        |ORDER BY sz""".stripMargin),
+
+    Q(
       // THE end-to-end dedup pipeline as ONE declared query: near-dup
       // pairs (minhash) → connected components → canonical-doc election
       // per cluster (most tokens wins, ties to the smaller id) —

@@ -490,6 +490,84 @@ object StatsOps extends OpGroup {
         |                  - CAST(sa AS HUGEINT) * sa AS DOUBLE)
         |             / (CAST(n AS DOUBLE) * (n - 1))) / 10000.0, 4) + 0
         |    AS sd_avg_chars
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    Q(
+      // KL divergence of the observed language mix from the declared
+      // target mix (en 40 / zh 20 / de 15 / fr 15 / es 10 %) — the
+      // mixture-drift gate in nats, the scalar a mix-rebalancing run
+      // optimizes. ONE conditional hash-agg collapses the corpus to 5
+      // integer counts in a single row; KL is then a FIXED 5-term
+      // double expression (no aggregation of doubles ever happens, so
+      // the sum order is literal and identical cross-engine).
+      "q_mix_kl",
+      (s, d) => {
+        val langs = Seq("de" -> 1500, "en" -> 4000, "es" -> 1000,
+                        "fr" -> 1500, "zh" -> 2000)
+        val m = Tables.documents(s, d).agg(
+          count(lit(1)).cast("long").as("n"),
+          langs.map { case (l, _) =>
+            sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")
+          }: _*)
+        val n = col("n").cast("double")
+        val kl = langs.map { case (l, q4) =>
+          val c = col(s"c_$l")
+          when(c === 0, 0.0).otherwise(
+            (c.cast("double") / n) *
+            log((c.cast("double") * 10000.0) / (n * q4)))
+        }.reduce(_ + _)
+        m.select(col("n").as("n_docs"), round(kl, 4).as("kl_nats"))
+      },
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_de,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_en,
+        |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_es,
+        |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_fr,
+        |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_zh
+        |  FROM documents)
+        |SELECT n AS n_docs,
+        |  round(
+        |    (CASE WHEN c_de = 0 THEN 0 ELSE (CAST(c_de AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) * ln((CAST(c_de AS DOUBLE) * 10000.0)
+        |       / (CAST(n AS DOUBLE) * 1500)) END)
+        |    + (CASE WHEN c_en = 0 THEN 0 ELSE (CAST(c_en AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) * ln((CAST(c_en AS DOUBLE) * 10000.0)
+        |       / (CAST(n AS DOUBLE) * 4000)) END)
+        |    + (CASE WHEN c_es = 0 THEN 0 ELSE (CAST(c_es AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) * ln((CAST(c_es AS DOUBLE) * 10000.0)
+        |       / (CAST(n AS DOUBLE) * 1000)) END)
+        |    + (CASE WHEN c_fr = 0 THEN 0 ELSE (CAST(c_fr AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) * ln((CAST(c_fr AS DOUBLE) * 10000.0)
+        |       / (CAST(n AS DOUBLE) * 1500)) END)
+        |    + (CASE WHEN c_zh = 0 THEN 0 ELSE (CAST(c_zh AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) * ln((CAST(c_zh AS DOUBLE) * 10000.0)
+        |       / (CAST(n AS DOUBLE) * 2000)) END),
+        |  4) + 0 AS kl_nats
+        |FROM m""".stripMargin),
+
+    Q(
+      // Day-of-week × hour calendar heatmap of event volume — the
+      // traffic-shape report. Both axes derive from pure integer µs
+      // division ((days+4)%7 anchors 1970-01-01=Thursday with Sunday=0),
+      // so no engine calendar/locale semantics are in play; one
+      // hash-agg, 168 output cells max.
+      "q_events_heatmap",
+      (s, d) => Tables.events(s, d)
+        .select(expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+                expr("(ts_us div 3600000000) % 24").as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dow"), col("hr")),
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY dow, hr ORDER BY dow, hr""".stripMargin)
   )
 }
