@@ -568,6 +568,90 @@ object StatsOps extends OpGroup {
         |  (epoch_us(ts) // 3600000000) % 24 AS hr,
         |  COUNT(*) AS n
         |FROM events
-        |GROUP BY dow, hr ORDER BY dow, hr""".stripMargin)
+        |GROUP BY dow, hr ORDER BY dow, hr""".stripMargin),
+
+    Q(
+      // Gini coefficient of revenue concentration across customers —
+      // the inequality scalar behind every "top-N% of customers drive
+      // M% of revenue" statement: G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+      // over cent-exact per-customer revenue sorted ascending (ties
+      // broken by custkey — any total order over equal values yields
+      // the same G, the tiebreak just makes both engines sort
+      // identically). Rank·revenue products in DECIMAL(38,0); one
+      // double at the end. The window runs over the CUSTOMER frame
+      // (already collapsed from orders by a hash-agg).
+      "q_stats_gini",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg((sum(money("o_totalprice")) * 100).cast("long").as("rc"))
+        val w = Window.orderBy(col("rc").asc, col("o_custkey").asc)
+        val ranked = rev.withColumn("i", row_number().over(w))
+        val m = ranked.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("rc").cast(D38)).as("sx"),
+          sum((col("i").cast(D38) * col("rc").cast(D38)).cast(D38))
+            .as("six"))
+        val nD = col("n").cast(D38)
+        m.select(col("n").as("n_cust"),
+                 round((lit(2).cast(D38) * col("six") -
+                        (nD + 1) * col("sx")).cast("double") /
+                       (nD * col("sx")).cast("double"), 4).as("gini"))
+      },
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS rc
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT rc, row_number() OVER (ORDER BY rc, o_custkey) AS i
+        |  FROM rev),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(rc AS HUGEINT)) AS sx,
+        |    SUM(CAST(i AS HUGEINT) * rc) AS six
+        |  FROM r)
+        |SELECT n AS n_cust,
+        |  round(CAST(2 * six - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 4) + 0
+        |    AS gini
+        |FROM m""".stripMargin),
+
+    Q(
+      // Vocabulary richness per language: hapax legomena (terms seen
+      // exactly once) as a fraction of the vocabulary — the classic
+      // OCR-garbage / template-text detector (junk inflates hapax
+      // mass, boilerplate deflates it). One explode → term-count
+      // hash-agg → |vocab|-sized rollup; the ratio is boundary-exact
+      // via intRatio4.
+      "q_text_hapax",
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(col("lang"),
+                  explode(graft.api.Dedup.tokens(col("text"))).as("w"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        terms.groupBy(col("lang"))
+          .agg(count(lit(1)).as("vocab"),
+               sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+          .select(col("lang"), col("vocab"), col("hapax"),
+                  intRatio4(col("hapax") * 10000, col("vocab"))
+                    .as("hapax_ratio"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH t AS (
+        |  SELECT lang, w, COUNT(*) AS tf
+        |  FROM (SELECT lang, unnest(${toksSql("text")}) AS w
+        |        FROM documents)
+        |  GROUP BY lang, w),
+        |a AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax
+        |  FROM t GROUP BY lang)
+        |SELECT lang, vocab, hapax,
+        |  CAST((2 * hapax * 10000 + vocab) // (2 * vocab) AS DOUBLE)
+        |    / 10000.0 AS hapax_ratio
+        |FROM a ORDER BY lang""".stripMargin)
   )
 }
