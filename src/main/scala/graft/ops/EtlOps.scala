@@ -289,6 +289,111 @@ object EtlOps extends OpGroup {
         |ORDER BY o_custkey, ver""".stripMargin),
 
     Q(
+      // POINT-IN-TIME dimension join against the SCD2 history built
+      // above: every lineitem looks up its customer's priority AS OF
+      // ITS SHIP DATE (a genuinely different time than the version
+      // boundaries). The PIT shape: equi-join on the dimension key +
+      // the interval residual vf ≤ t < vt — versions partition
+      // [first, ∞) so every ship date matches EXACTLY one version.
+      // One custkey-keyed join; per-key fanout = that customer's
+      // version count (bounded by their change log).
+      "q_join_pit_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val hist = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                  col("o_orderpriority"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull ||
+                  col("prev") =!= col("o_orderpriority"))
+          .withColumn("vt", lead(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey").as("hk"),
+                  col("o_orderpriority").as("priority"),
+                  col("o_orderdate").as("vf"), col("vt"))
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d)
+                  .select(col("o_orderkey"), col("o_custkey")),
+                col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("ck"), col("l_shipdate").as("sd"))
+        fact.join(hist, col("ck") === col("hk") &&
+                        col("sd") >= col("vf") &&
+                        (col("vt").isNull || col("sd") < col("vt")))
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n_items"))
+          .orderBy(col("priority"))
+      },
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |h AS (
+        |  SELECT o_custkey AS hk, o_orderpriority AS priority,
+        |    o_orderdate AS vf, lead(o_orderdate) OVER w AS vt
+        |  FROM (SELECT * FROM chg
+        |        WHERE prev IS NULL OR prev <> o_orderpriority)
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |f AS (
+        |  SELECT o.o_custkey AS ck, l.l_shipdate AS sd
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT h.priority, COUNT(*) AS n_items
+        |FROM f JOIN h ON h.hk = f.ck AND f.sd >= h.vf
+        |               AND (h.vt IS NULL OR f.sd < h.vt)
+        |GROUP BY h.priority ORDER BY h.priority""".stripMargin),
+
+    Q(
+      // Day-over-day volume anomaly gate: days whose order count sits
+      // more than 3σ from the mean of the daily series. The FLAG is a
+      // pure integer inequality (c·n − s)² > 9·(n·ss − s²) — no float
+      // ever decides membership, so the flagged set is hash-stable by
+      // construction; z itself is the one reported double. Two
+      // hash-aggs + a broadcast 1-row moments join.
+      "q_etl_dq_anomaly",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("dy"))
+          .agg(count(lit(1)).as("c"))
+        val m = daily.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("c")).as("s"),
+          sum((col("c").cast(D38) * col("c").cast(D38)).cast(D38))
+            .as("ss"))
+        val dev = (col("c").cast(D38) * col("n") - col("s").cast(D38))
+        val varn = (col("n").cast(D38) * col("ss") -
+                    col("s").cast(D38) * col("s").cast(D38))
+        daily.crossJoin(broadcast(m))
+          .filter((dev * dev).cast(D38) > lit(9).cast(D38) * varn)
+          .select(date_format(col("dy"), "yyyy-MM-dd").as("day"),
+                  col("c").as("n_orders"),
+                  round(dev.cast("double") /
+                        sqrt(varn.cast("double")), 4).as("z"))
+          .orderBy(col("day"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dy, COUNT(*) AS c
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM d)
+        |SELECT strftime(dy, '%Y-%m-%d') AS day, c AS n_orders,
+        |  round(CAST(CAST(c AS HUGEINT) * n - s AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * ss
+        |                    - CAST(s AS HUGEINT) * s AS DOUBLE)), 4) + 0
+        |    AS z
+        |FROM d CROSS JOIN m
+        |WHERE (CAST(c AS HUGEINT) * n - s) * (CAST(c AS HUGEINT) * n - s)
+        |      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+        |ORDER BY day""".stripMargin),
+
+    Q(
       // data-quality profile (ANALYZE-style): count / nulls / exact
       // distinct / min / max for four orders columns, as narrow rows.
       // ONE scan: a single multi-distinct aggregate row (Catalyst
