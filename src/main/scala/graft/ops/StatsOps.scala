@@ -652,6 +652,71 @@ object StatsOps extends OpGroup {
         |SELECT lang, vocab, hapax,
         |  CAST((2 * hapax * 10000 + vocab) // (2 * vocab) AS DOUBLE)
         |    / 10000.0 AS hapax_ratio
-        |FROM a ORDER BY lang""".stripMargin)
+        |FROM a ORDER BY lang""".stripMargin),
+
+    Q(
+      // Jensen-Shannon divergence of each SOURCE's term distribution
+      // from the corpus-wide one — the bounded, symmetric drift gate
+      // (0 = same feed, ln2 = disjoint vocab). Only terms PRESENT in
+      // the source need rows: the absent-term mass folds into the
+      // closed form ½ln2 + ½Σ_present[p·ln(2p/(p+q)) + q·(ln(2q/(p+q))
+      // − ln2)]. Per-term contributions are one fixed double
+      // expression quantized to 1e-9 and summed as LONGS (the chisq
+      // trick — integer sums are partition-order independent where a
+      // double Σ over 10⁴ terms is not). Corpus totals attach by one
+      // term-keyed join; marginals broadcast.
+      "q_text_jsd",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"),
+                  explode(graft.api.Dedup.tokens(col("text"))).as("w"))
+        val byS = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c1"))
+        val tot = byS.groupBy(col("w")).agg(sum(col("c1")).as("ct"))
+        val ns = byS.groupBy(col("source")).agg(sum(col("c1")).as("n1"))
+        val nn = tok.agg(count(lit(1)).as("nn"))
+        val p = col("c1").cast("double") / col("n1")
+        val q = col("ct").cast("double") / col("nn")
+        val chi = p * log(lit(2.0) * p / (p + q)) +
+                  q * (log(lit(2.0) * q / (p + q)) - log(lit(2.0)))
+        byS.join(tot, "w")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(nn))
+          .withColumn("tq", round(chi * 1e9).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("tq")).as("_sq"))
+          .select(col("source"), col("n_terms"),
+                  round(lit(0.5) * log(lit(2.0)) +
+                        col("_sq").cast("double") / 2.0e9, 4)
+                    .as("jsd_nats"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tok AS (
+        |  SELECT source, unnest(${toksSql("text")}) AS w
+        |  FROM documents),
+        |bys AS (
+        |  SELECT source, w, COUNT(*) AS c1 FROM tok GROUP BY source, w),
+        |tot AS (SELECT w, CAST(SUM(c1) AS BIGINT) AS ct
+        |        FROM bys GROUP BY w),
+        |ns AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n1
+        |       FROM bys GROUP BY source),
+        |nn AS (SELECT COUNT(*) AS nn FROM tok),
+        |x AS (
+        |  SELECT bys.source,
+        |    CAST(round((CAST(c1 AS DOUBLE) / n1
+        |        * ln(2.0 * (CAST(c1 AS DOUBLE) / n1)
+        |             / (CAST(c1 AS DOUBLE) / n1 + CAST(ct AS DOUBLE) / nn))
+        |      + CAST(ct AS DOUBLE) / nn
+        |        * (ln(2.0 * (CAST(ct AS DOUBLE) / nn)
+        |              / (CAST(c1 AS DOUBLE) / n1
+        |                 + CAST(ct AS DOUBLE) / nn)) - ln(2.0)))
+        |      * 1000000000) AS BIGINT) AS tq
+        |  FROM bys JOIN tot USING (w) JOIN ns USING (source)
+        |       CROSS JOIN nn)
+        |SELECT source, COUNT(*) AS n_terms,
+        |  round(0.5 * ln(2.0)
+        |        + CAST(SUM(tq) AS DOUBLE) / 2000000000.0, 4) + 0
+        |    AS jsd_nats
+        |FROM x GROUP BY source ORDER BY source""".stripMargin)
   )
 }
