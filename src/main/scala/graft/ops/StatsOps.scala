@@ -717,6 +717,97 @@ object StatsOps extends OpGroup {
         |  round(0.5 * ln(2.0)
         |        + CAST(SUM(tq) AS DOUBLE) / 2000000000.0, 4) + 0
         |    AS jsd_nats
-        |FROM x GROUP BY source ORDER BY source""".stripMargin)
+        |FROM x GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // Benford first-digit gate over order totals — the fabricated-
+      // numbers detector: the leading digit comes from pure STRING
+      // arithmetic on exact cents (substr of the integer — no float
+      // log10 ever touches membership), shares via intRatio4, and the
+      // per-digit Benford expectation log10(1+1/d) is a fixed-shape
+      // double both engines evaluate identically.
+      "q_stats_benford",
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .select(substring((money("o_totalprice") * 100).cast("long")
+                    .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("t"))
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+                  intRatio4(col("n") * 10000, col("t")).as("share"),
+                  round(log10(lit(1.0) + lit(1.0) / col("digit")), 4)
+                    .as("benford"))
+          .orderBy(col("digit"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS
+        |      DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+        |SELECT digit, n,
+        |  CAST((2 * n * 10000 + t.t) // (2 * t.t) AS DOUBLE) / 10000.0
+        |    AS share,
+        |  round(log10(1.0 + 1.0 / digit), 4) + 0 AS benford
+        |FROM g CROSS JOIN t
+        |ORDER BY digit""".stripMargin),
+
+    Q(
+      // Conditional entropy of the user event stream: H(next | current)
+      // = −Σᵢⱼ (cᵢⱼ/N)·ln(cᵢⱼ/nᵢ) over the per-user transition counts —
+      // how predictable behavior is (0 = deterministic chains, ln|types|
+      // = uniform). Same (user, time) lag as q_events_transitions;
+      // per-cell contributions are one fixed double expression
+      // quantized 1e-9 and summed as longs (|types|² ≤ 36 cells, but
+      // the integer-sum discipline is uniform across the stats family).
+      "q_events_markov_entropy",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val cij = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+                  col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val ni = cij.groupBy(col("prev")).agg(sum(col("c")).as("ni"))
+        val nn = cij.agg(sum(col("c")).as("nn"))
+        val term = (col("c").cast("double") / col("nn")) *
+                   log(col("c").cast("double") / col("ni"))
+        cij.join(broadcast(ni), "prev")
+          .crossJoin(broadcast(nn))
+          .withColumn("tq", round(term * 1e9).cast("long"))
+          .agg(sum(col("c")).as("n_transitions"),
+               count(lit(1)).as("n_cells"),
+               sum(col("tq")).as("_sq"))
+          .select(col("n_transitions"), col("n_cells"),
+                  round(col("_sq").cast("double") / -1.0e9, 4)
+                    .as("cond_entropy_nats"))
+      },
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        |  FROM events),
+        |cij AS (
+        |  SELECT prev, event_type, COUNT(*) AS c
+        |  FROM t WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |ni AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS ni
+        |       FROM cij GROUP BY prev),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cij),
+        |x AS (
+        |  SELECT c,
+        |    CAST(round((CAST(c AS DOUBLE) / nn)
+        |      * ln(CAST(c AS DOUBLE) / ni) * 1000000000) AS BIGINT)
+        |      AS tq
+        |  FROM cij JOIN ni USING (prev) CROSS JOIN nn)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_transitions,
+        |  COUNT(*) AS n_cells,
+        |  round(CAST(SUM(tq) AS DOUBLE) / -1000000000.0, 4) + 0
+        |    AS cond_entropy_nats
+        |FROM x""".stripMargin)
   )
 }
