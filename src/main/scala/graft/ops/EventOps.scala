@@ -776,6 +776,157 @@ object EventOps extends OpGroup {
         |        + CAST(n1 AS HUGEINT) * n2)
         |       // (2 * CAST(n1 AS HUGEINT) * n2) AS DOUBLE)
         |    / 10000.0 AS d_ks
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+
+    Q(
+      // CUSUM changepoint per event type: S_i = Σ_{j≤i}(x_j − x̄) over
+      // the (ts, event_id) order, reported at its |S| maximum — the
+      // classic level-shift detector (where did the metric's mean
+      // move?). Scaled by n to stay integral: n·S_i = n·prefix_i −
+      // i·total, every term DECIMAL(38,0) (HUGEINT twin), so the
+      // argmax and the statistic are exact at any SF — a float CUSUM's
+      // prefix sums would drift with partition order. The argmax
+      // tie-breaks to the EARLIEST position (min-struct on (−|S|, i)),
+      // and the dollar-scale |S|max/n emerges once through wide
+      // half-up integral division. Scale shape: one exchange on
+      // event_type (window + hash-agg share it) plus a broadcast of
+      // the per-type totals — the same one-pass shape as q_events_mad.
+      "q_events_cusum",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts_us"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val tot = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("vc").cast(D38)).as("tot"))
+          .select(col("event_type").as("t1"), col("n"), col("tot"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val p = e
+          .withColumn("pre", sum(col("vc").cast(D38))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .join(broadcast(tot), col("event_type") === col("t1"))
+        val sv = (col("n").cast(D38) * col("pre") -
+                  col("pos").cast(D38) * col("tot")).cast(D38)
+        p.select(col("event_type"), col("n"), col("pos"),
+                 col("ts_us"), sv.as("sv"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(struct((-abs(col("sv"))).as("na"),
+                          col("pos").as("pos"),
+                          col("sv").as("sv"),
+                          col("ts_us").as("ts"))).as("b"))
+          .select(col("event_type"), col("n"),
+                  col("b.pos").as("cp_pos"),
+                  col("b.ts").as("cp_ts_us"),
+                  // |S|max/(100·n) dollars at scale 4: num/den must be
+                  // the result in 1e-4 units → num = |S|·100, den = n
+                  intRatio4Wide((abs(col("b.sv")) * 100).cast(D38),
+                                col("n")).as("cusum_abs"),
+                  when(col("b.sv") > 0, lit("hi")).otherwise(lit("lo"))
+                    .as("side"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(vc AS HUGEINT)) AS tot
+        |  FROM e GROUP BY event_type),
+        |p AS (
+        |  SELECT event_type, ts_us,
+        |    SUM(CAST(vc AS HUGEINT)) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS pre,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS pos
+        |  FROM e),
+        |sv AS (
+        |  SELECT p.event_type, t.n, p.pos, p.ts_us,
+        |    CAST(t.n AS HUGEINT) * p.pre - CAST(p.pos AS HUGEINT) * t.tot
+        |      AS sv
+        |  FROM p JOIN t USING (event_type)),
+        |m AS (
+        |  SELECT event_type, n,
+        |    min(struct_pack(na := -abs(sv), pos := pos, sv := sv,
+        |                    ts := ts_us)) AS b
+        |  FROM sv GROUP BY event_type, n)
+        |SELECT event_type, n, (b).pos AS cp_pos, (b).ts AS cp_ts_us,
+        |  CAST((2 * abs((b).sv) * 100 + CAST(n AS HUGEINT))
+        |       // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 10000.0
+        |    AS cusum_abs,
+        |  CASE WHEN (b).sv > 0 THEN 'hi' ELSE 'lo' END AS side
+        |FROM m ORDER BY event_type""".stripMargin),
+
+    Q(
+      // top-10 session paths: the first 4 events of every 8-hour-gap
+      // session (the same sessionizer as q_events_sessionize, so the
+      // session definition cannot drift), concatenated in (ts,
+      // event_id) order and counted corpus-wide — the clickstream
+      // pathing report behind every "how do users actually move
+      // through the product" question. Rank (count DESC, path ASC) is
+      // total, so the LIMIT 10 is deterministic; the truncated path
+      // string is the ONLY thing the final tiny agg shuffles, and the
+      // ordered concat rides the house sorted-collect idiom
+      // (array_sort over (rn, type) structs — partition-order-proof),
+      // never a non-deterministic collect_list order.
+      "q_events_paths",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+                  col("event_type"))
+        val sess = graft.api.Events.sessionize(
+          e, key = col("user_id"), timeUs = col("ts_us"),
+          tieBreak = Seq(col("event_id")), gapUs = 28800000000L)
+        val w = Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val firstK = sess.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+        firstK.groupBy(col("user_id"), col("sess"))
+          .agg(array_join(
+                 transform(
+                   array_sort(collect_list(
+                     struct(col("rn"), col("event_type")))),
+                   x => x.getField("event_type")),
+                 ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sess"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_sess").desc, col("path").asc)
+          .limit(10)
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM n),
+        |r AS (
+        |  SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts_us ASC, event_id ASC) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY user_id, sess)
+        |SELECT path, COUNT(*) AS n_sess,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_sess DESC, path ASC LIMIT 10""".stripMargin)
   )
 }
