@@ -808,6 +808,122 @@ object StatsOps extends OpGroup {
         |  COUNT(*) AS n_cells,
         |  round(CAST(SUM(tq) AS DOUBLE) / -1000000000.0, 4) + 0
         |    AS cond_entropy_nats
-        |FROM x""".stripMargin)
+        |FROM x""".stripMargin),
+
+    Q(
+      // MERGEABLE quantile sketch: p50/p95/p99 of event value (cents)
+      // per type estimated from a 256-fixed-bin histogram, reported
+      // NEXT TO the exact discrete percentile so the bin-width error
+      // is visible in the gate (the q_distinct_kmv posture applied to
+      // quantiles). The sketch state is |bins| integers whose counts
+      // are a pure function of the input SET — partials OR-merge
+      // map-side in any order on any cluster size, which is why a
+      // 100 TB deployment ships bin counts (KB) to the driver instead
+      // of sorting the corpus; the estimate is the upper edge of the
+      // first bin whose cumulative count reaches ⌈p·n/100⌉, clipped to
+      // the observed max. Everything is integer math end-to-end (bin
+      // width via integer div, targets via (p·n+99) div 100), so both
+      // the estimate AND its error vs exact hash-match across engines.
+      // Scale shape: one scan → tiny per-type stats broadcast → one
+      // hash-agg to ≤256-row bin frames; the windows run over the
+      // COLLAPSED bin/distinct-cent frames, never the corpus.
+      "q_stats_sketch_quantile",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val st = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("vc")).as("minc"),
+               max(col("vc")).as("maxc"))
+          .withColumn("width", expr("(maxc - minc) div 256 + 1"))
+          .select(col("event_type").as("t1"), col("n"), col("minc"),
+                  col("maxc"), col("width"))
+        val bins = e.join(broadcast(st), col("event_type") === col("t1"))
+          .select(col("event_type"), col("n"), col("minc"), col("maxc"),
+                  col("width"), expr("(vc - minc) div width").as("bin"))
+          .groupBy(col("event_type"), col("n"), col("minc"), col("maxc"),
+                   col("width"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy(col("event_type"))
+          .orderBy(col("bin").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cumB = bins.withColumn("cum", sum(col("c")).over(wb))
+          .withColumn("edge",
+            least(col("minc") + (col("bin") + 1) * col("width") - 1,
+                  col("maxc")))
+        def tgt(p: Int) = expr(s"($p * n + 99) div 100")
+        val est = cumB.groupBy(col("event_type"))
+          .agg(min(when(col("cum") >= tgt(50), col("edge"))).as("p50_est"),
+               min(when(col("cum") >= tgt(95), col("edge"))).as("p95_est"),
+               min(when(col("cum") >= tgt(99), col("edge"))).as("p99_est"))
+        val dv = e.groupBy(col("event_type"), col("vc"))
+          .agg(count(lit(1)).as("c"))
+          .join(broadcast(st.select(col("t1"), col("n"))),
+                col("event_type") === col("t1"))
+        val wv = Window.partitionBy(col("event_type"))
+          .orderBy(col("vc").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cumV = dv.withColumn("cum", sum(col("c")).over(wv))
+        val exact = cumV.groupBy(col("event_type"), col("n"))
+          .agg(min(when(col("cum") >= tgt(50), col("vc"))).as("p50_exact"),
+               min(when(col("cum") >= tgt(95), col("vc"))).as("p95_exact"),
+               min(when(col("cum") >= tgt(99), col("vc"))).as("p99_exact"))
+        exact.join(est, "event_type")
+          .select(col("event_type"), col("n"),
+                  col("p50_est"), col("p50_exact"),
+                  col("p95_est"), col("p95_exact"),
+                  col("p99_est"), col("p99_exact"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n, MIN(vc) AS minc,
+        |    MAX(vc) AS maxc, (MAX(vc) - MIN(vc)) // 256 + 1 AS width
+        |  FROM e GROUP BY event_type),
+        |b AS (
+        |  SELECT e.event_type, n, minc, maxc, width,
+        |    (vc - minc) // width AS bin, COUNT(*) AS c
+        |  FROM e JOIN st USING (event_type)
+        |  GROUP BY e.event_type, n, minc, maxc, width, (vc - minc) // width),
+        |cb AS (
+        |  SELECT event_type, n, minc, maxc, width, bin, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    least(minc + (bin + 1) * width - 1, maxc) AS edge
+        |  FROM b),
+        |est AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN edge END)
+        |      AS p50_est,
+        |    MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN edge END)
+        |      AS p95_est,
+        |    MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN edge END)
+        |      AS p99_est
+        |  FROM cb GROUP BY event_type),
+        |dv AS (
+        |  SELECT e.event_type, n, vc, COUNT(*) AS c
+        |  FROM e JOIN st USING (event_type)
+        |  GROUP BY e.event_type, n, vc),
+        |cv AS (
+        |  SELECT event_type, n, vc,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY vc ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM dv),
+        |ex AS (
+        |  SELECT event_type, n,
+        |    MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN vc END)
+        |      AS p50_exact,
+        |    MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN vc END)
+        |      AS p95_exact,
+        |    MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN vc END)
+        |      AS p99_exact
+        |  FROM cv GROUP BY event_type, n)
+        |SELECT ex.event_type, n, p50_est, p50_exact, p95_est, p95_exact,
+        |  p99_est, p99_exact
+        |FROM ex JOIN est ON est.event_type = ex.event_type
+        |ORDER BY ex.event_type""".stripMargin)
   )
 }
