@@ -157,6 +157,53 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
   }
 
+  /** Synchronous label propagation (LPA community detection), bounded
+    * iterations: labels start as node ids; each round every node adopts
+    * the most frequent label among its in-neighbours, ties broken to
+    * the SMALLEST label (min-struct on (−count, label)) — the
+    * deterministic variant of Raghavan et al.'s LPA (the random-order
+    * asynchronous original could never pass a cross-engine hash gate).
+    * Nodes with no in-edges keep their current label. `edges` must
+    * carry both directions for an undirected graph.
+    *
+    * Scale shape, mirroring [[pageRank]]: edges hash-partitioned on
+    * `src` ONCE and cached; each round is one equi-join of the (node,
+    * label) frame on `dst`, one (src, label) hash-agg with map-side
+    * partials, one per-src min-struct argmax, and a left join back to
+    * the label frame — all on the same key, lineage cut per round with
+    * an eager localCheckpoint. Nothing wider than the edge list ever
+    * shuffles, and the label frame is node-sized. Returns
+    * (node, label). */
+  def labelPropagation(
+      spark: SparkSession,
+      edges: DataFrame,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = e0.repartition(col("src")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().persist()
+    try {
+      var lab = nodes.withColumn("lab", col("node"))
+      for (_ <- 1 to iterations) {
+        val votes = e
+          .join(lab, col("dst") === col("node"))
+          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+        val winners = votes
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab")))
+            .as("b"))
+          .select(col("src").as("node"), col("b.lab").as("newlab"))
+        lab = lab
+          .join(winners, Seq("node"), "left")
+          .select(col("node"),
+                  coalesce(col("newlab"), col("lab")).as("lab"))
+          .localCheckpoint(true)
+      }
+      lab.select(col("node"), col("lab").as("label"))
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
+
   /** k-core decomposition (one k): the maximal subgraph in which every
     * vertex keeps degree ≥ k, found by iterative peeling — drop all
     * vertices of degree < k, recompute, repeat until stable. The

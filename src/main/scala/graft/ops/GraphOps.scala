@@ -213,6 +213,48 @@ object GraphOps extends OpGroup {
         |        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
         |               * CAST(CAST(n AS HUGEINT) * syy - sy * sy
         |                      AS DOUBLE)), 4) + 0 AS r_assort
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    Q(
+      // deterministic label-propagation communities (api.Graph
+      // .labelPropagation) over the same co-supply graph, 2 synchronous
+      // rounds: labels start as node ids, each round every supplier
+      // adopts its neighbours' most frequent label (ties → smallest
+      // label) — the LPA variant that is partition-order-proof and so
+      // hash-gateable, where the classic random-order asynchronous LPA
+      // is not. Per-node labels are declared (the strongest possible
+      // gate: every community assignment is checked); the oracle
+      // unrolls both rounds as chained CTEs with the argmax as a
+      // row_number over (count DESC, label ASC).
+      "q_graph_lpa",
+      (s, d) => {
+        graft.api.Graph.labelPropagation(
+            s, coSupplyEdges(s, d), iterations = 2)
+          .select(col("node").as("s_suppkey"), col("label").as("community"))
+          .orderBy(col("s_suppkey"))
+      },
+      {
+        def round(prev: String, out: String): String =
+          s"""v$out AS (
+            |  SELECT e.src, l.lab, COUNT(*) AS c
+            |  FROM e JOIN l$prev l ON l.node = e.dst
+            |  GROUP BY e.src, l.lab),
+            |w$out AS (
+            |  SELECT src AS node, lab FROM (
+            |    SELECT src, lab, row_number() OVER (PARTITION BY src
+            |      ORDER BY c DESC, lab ASC) AS rn FROM v$out)
+            |  WHERE rn = 1),
+            |l$out AS (
+            |  SELECT p.node, COALESCE(w.lab, p.lab) AS lab
+            |  FROM l$prev p LEFT JOIN w$out w ON w.node = p.node)""".stripMargin
+        s"""WITH $coSupplyEdgesSql,
+          |nodes AS (
+          |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |l0 AS (SELECT node, node AS lab FROM nodes),
+          |${round("0", "1")},
+          |${round("1", "2")}
+          |SELECT node AS s_suppkey, lab AS community
+          |FROM l2 ORDER BY node""".stripMargin
+      })
   )
 }

@@ -1062,6 +1062,41 @@ class ApiSpec extends SparkSpec {
     assert(graft.api.Graph.triangleCounts(star).isEmpty)
   }
 
+  test("Graph.labelPropagation: barbell communities, bridge holds, isolated edge") {
+    def undirected(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // two K4 cliques bridged by a single edge 4-10, plus an isolated
+    // edge 20-21: two rounds must collapse each clique to label 1 / 10
+    // without the bridge merging them. The isolated PAIR exhibits
+    // synchronous LPA's textbook bipartite oscillation — round 1 swaps
+    // 20↔21, round 2 swaps them back — so after an even round count
+    // each keeps its own id; the point of pinning it is that the
+    // oscillation too is deterministic (same labels on any partitioning)
+    val barbell = undirected(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+      (12L, 13L), (4L, 10L), (20L, 21L))
+    val got = graft.api.Graph.labelPropagation(spark, barbell, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 21L), s"$got")
+    // odd round count: the pair sits mid-swap
+    val one = graft.api.Graph.labelPropagation(spark, barbell, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(20L) == 21L && one(21L) == 20L, s"$one")
+    // determinism under adversarial partitioning: 1-partition and
+    // 7-partition runs agree label-for-label
+    val once = graft.api.Graph
+      .labelPropagation(spark, barbell.coalesce(1), 2)
+      .as[(Long, Long)].collect().toMap
+    val wide = graft.api.Graph
+      .labelPropagation(spark, barbell.repartition(7), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(once == got && wide == got)
+  }
+
   test("sampleWeighted: max-weight rows always kept, zero weight never, mass tracks weight") {
     val df = Seq.tabulate(2000)(i =>
       (i.toLong, if (i < 20) 1000L else if (i < 40) 0L else 10L))
