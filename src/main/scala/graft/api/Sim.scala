@@ -295,6 +295,79 @@ object Sim {
               col("rn"))
   }
 
+  /** Product-quantization top-k with asymmetric-distance computation
+    * (ADC) — the FAISS IVF-PQ memory tier expressed relationally. Each
+    * vector is cut into `m` subvectors; every subvector is encoded as
+    * the id of its nearest codebook entry (rows matching `isCodebook`
+    * donate their subvectors as the per-subspace codebooks), so a
+    * candidate is stored as m small codes instead of d floats — a d/m
+    * compression of the serving set. A query is NOT encoded
+    * (asymmetric): its exact distance to every codebook entry of every
+    * subspace becomes a lookup table (|Q|·m·ks rows, broadcast), and a
+    * candidate's ADC distance is the sum of m LUT hits — integer adds,
+    * never a d-dim float op per pair.
+    *
+    * Everything is exact int64 math on the 1e-4 grid
+    * (`round(x·10⁴)` per dim — the same cross-engine-reproducible
+    * quantization as [[quantizeInt8]]), so encode, LUT, and ranking
+    * hash-match any engine. Ties rank the smaller cand_id.
+    *
+    * Scale shape: the encode pass is the one O(n·ks·d) scan (done once
+    * at ingest in a real deployment; codes are what you'd persist),
+    * the LUT is query-sized and broadcast, and scoring shuffles only
+    * (q_id, cand_id, partial-sum) triples — map-side partials over the
+    * m code hits, then [[heapRank]]'s bounded-heap top-k, never a
+    * per-query global sort. Vector length must be divisible by m
+    * (enforced at runtime by the slice arithmetic producing equal
+    * subvectors). Returns (q_id, cand_id, adc_dist, rn). */
+  def pqTopK(
+      df: DataFrame, id: Column, emb: Column,
+      isQuery: Column, isCodebook: Column,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 1, "pqTopK: m must be >= 1")
+    val base = df
+      .select(id.as("vec_id"), emb.as("embedding"),
+              isQuery.as("_isq"), isCodebook.as("_iscb"))
+      .filter(col("embedding").isNotNull)
+      .withColumn("q64",
+        transform(col("embedding"), x => round(x * 10000).cast("long")))
+    // (vec_id, j, sv): the m equal-length integer subvectors
+    val sub = base.select(col("vec_id"), col("_isq"), col("_iscb"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+             |  j -> slice(q64, j * (size(q64) div $m) + 1,
+             |             size(q64) div $m))""".stripMargin))
+          .as(Seq("j", "sv")))
+    val cb = sub.filter(col("_iscb"))
+      .select(col("vec_id").as("code"), col("j").as("cj"),
+              col("sv").as("csv"))
+    def d2(a: String, b: String) = expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+         |          0L, (acc, v) -> acc + v)""".stripMargin)
+    // encode: nearest codebook entry per (vector, subspace)
+    val enc = sub
+      .join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("code"),
+              d2("sv", "csv").as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d").as("d"), col("code").as("code"))).as("b"))
+      .select(col("vec_id").as("cand_id"), col("j"),
+              col("b.code").as("code"))
+    // ADC lookup table: exact query-to-codebook subdistances
+    val lut = sub.filter(col("_isq"))
+      .join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id").as("q_id"), col("j"), col("code"),
+              d2("sv", "csv").as("d"))
+    val scored = enc
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    heapRank(scored, -col("adc"), k)
+      .select(col("q_id"), col("cand_id"),
+              (-col("_ord")).as("adc_dist"), col("rn"))
+  }
+
   /** Spherical k-means (Lloyd's) over an `array<float>` embedding
     * column — the trainer that turns `ivfTopK`'s "rows matching
     * isCentroid" from a caller-supplied guess into learned cell

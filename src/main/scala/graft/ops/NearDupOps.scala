@@ -475,6 +475,61 @@ object NearDupOps extends OpGroup {
         |ORDER BY q_id, rn""".stripMargin),
 
     Q(
+      // product-quantization ADC top-3 (api.Sim.pqTopK): 64 dims cut
+      // into m=8 subspaces, per-subspace codebooks donated by the
+      // vec_id<16 rows, candidates stored as 8 small codes (8× less
+      // serving memory than raw floats), queries scored through a
+      // broadcast lookup table of exact integer subdistances — the
+      // FAISS PQ/ADC memory tier, every step exact int64 on the 1e-4
+      // grid so encode + LUT + ranking hash-match the oracle, which
+      // replays all three stages literally.
+      "q_sim_ann_pq",
+      (s, d) => graft.api.Sim.pqTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, isCodebook = col("vec_id") < 16,
+          m = 8, k = 3)
+        .orderBy(col("q_id"), col("rn")),
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * 10000) AS BIGINT)) AS q64
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |sub AS (
+        |  SELECT vec_id, g.j,
+        |    list_slice(q64, g.j * (len(q64) // 8) + 1,
+        |               (g.j + 1) * (len(q64) // 8)) AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS j) g),
+        |cb AS (
+        |  SELECT vec_id AS code, j, sv AS csv FROM sub WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id AS cand_id, j, code FROM (
+        |    SELECT s.vec_id, s.j, c.code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.j
+        |        ORDER BY list_sum(list_transform(range(1, len(s.sv) + 1),
+        |          i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) ASC,
+        |          c.code ASC) AS rn
+        |    FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS q_id, s.j, c.code,
+        |    CAST(list_sum(list_transform(range(1, len(s.sv) + 1),
+        |      i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i])))
+        |      AS BIGINT) AS d
+        |  FROM sub s JOIN cb c USING (j) WHERE s.vec_id < 10),
+        |scored AS (
+        |  SELECT l.q_id, e2.cand_id, CAST(SUM(l.d) AS BIGINT) AS adc
+        |  FROM enc e2 JOIN lut l ON l.j = e2.j AND l.code = e2.code
+        |  WHERE e2.cand_id <> l.q_id
+        |  GROUP BY l.q_id, e2.cand_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, adc,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY adc ASC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, adc AS adc_dist, rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
       // two-stage prefix rerank (api.Sim.prefixRerankTopK): coarse
       // top-10 by 16-dim PREFIX cosine (the truncated-embedding tier a
       // memory-resident index holds — 4× less vector bandwidth on the

@@ -522,6 +522,46 @@ class ApiSpec extends SparkSpec {
       assert(math.abs(qi / scale - x) <= 0.5 / scale + 1e-12) }
   }
 
+  test("pqTopK: planted codebook copies rank by true distance, ADC 0 for encodable dups") {
+    // 4-dim vectors, m=2 → 2-dim subvectors. Codebook rows 0..3 are 4
+    // distinct patterns; 10 is pattern0 + tiny per-dim noise (encodes
+    // to pattern0's codes in both subspaces), 11 is an exact copy of
+    // pattern1. Query 20 IS pattern0: its LUT distance to code 0 is 0
+    // in both subspaces, so every candidate encoded as (0,0) scores
+    // ADC 0 — the dup tier — while pattern1/2/3 copies score the true
+    // inter-pattern distance on the 1e-4 grid.
+    val p0 = Array(1f, 0f, 0f, 0f)
+    val p1 = Array(0f, 1f, 0f, 0.5f)
+    val p2 = Array(0f, 0f, 1f, -0.5f)
+    val p3 = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val df = Seq(
+      Vec(0L, p0), Vec(1L, p1), Vec(2L, p2), Vec(3L, p3),
+      Vec(10L, Array(1.001f, 0.001f, -0.001f, 0.001f)),
+      Vec(11L, p1.clone()),
+      Vec(20L, p0.clone())
+    ).toDF()
+    val got = Sim.pqTopK(df, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 20L, isCodebook = col("vec_id") < 4L,
+        m = 2, k = 6)
+      .orderBy(col("rn"))
+      .as[(Long, Long, Long, Int)].collect()
+    // ADC-0 tier first (codebook row 0 and near-copy 10, id order);
+    // then p3 (1e8 = 2·5e7); then a THREE-way tie at 2.25e8 — p1, its
+    // copy 11, and p2 (1e8 + 1.25e8) — resolved by cand_id
+    assert(got.map(_._2).toSeq == Seq(0L, 10L, 3L, 1L, 2L, 11L),
+           s"${got.toSeq}")
+    assert(got.take(2).forall(_._3 == 0L), s"${got.toSeq}")
+    // ADC of an exact pattern copy equals the exact grid distance:
+    // p0 vs p1 = 10000² + 10000² + 0 + 5000² = 2.25e8
+    assert(got.find(_._2 == 11L).get._3 == 225000000L, s"${got.toSeq}")
+    // partitioning invariance: 1 vs 5 partitions, identical rows
+    val wide = Sim.pqTopK(df.repartition(5), col("vec_id"),
+        col("embedding"), isQuery = col("vec_id") === 20L,
+        isCodebook = col("vec_id") < 4L, m = 2, k = 6)
+      .orderBy(col("rn")).as[(Long, Long, Long, Int)].collect()
+    assert(wide.toSeq == got.toSeq)
+  }
+
   /** 3 planted clusters around near-orthogonal directions; ids 0,1,2
     * land one per cluster so the lowest-id init seeds each basin.
     * Shared by both kmeans tests — two verbatim copies could drift

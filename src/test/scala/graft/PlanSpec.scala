@@ -95,13 +95,26 @@ class PlanSpec extends SparkSpec {
     // (guaranteed per-query skew at scale); the heap agg crosses ≤ k
     // pairs per (query × partition)
     for (q <- Seq("q_sim_cosine_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
-                  "q_sim_quantized_topk")) {
+                  "q_sim_quantized_topk", "q_sim_ann_pq")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$q ranks via a window:\n$plan")
       assert(plan.contains("topk_pairs_by_long"),
         s"$q must heap-rank:\n$plan")
     }
+  }
+
+  test("PQ/ADC: codebook and LUT broadcast; scoring is a partial hash-agg") {
+    // the serving-scale contract: the only corpus-sized frames are the
+    // encode pass and the (cand, j, code) scoring join — codebook and
+    // query LUT ride broadcasts, the ADC sum has map-side partials,
+    // and nothing ever window-sorts per query
+    val plan = formatted(SparkEntry.queries("q_sim_ann_pq")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"PQ scoring must not sort-merge the corpus:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"ADC sum needs map-side partials:\n$plan")
   }
 
   test("stratified sampling decides membership at the scan (map-side)") {
