@@ -320,6 +320,52 @@ object Sim {
     * per-query global sort. Vector length must be divisible by m
     * (enforced at runtime by the slice arithmetic producing equal
     * subvectors). Returns (q_id, cand_id, adc_dist, rn). */
+  /** 1e-4-grid integer projection shared by the PQ family. */
+  private def grid64(emb: Column): Column =
+    transform(emb, x => round(x * 10000).cast("long"))
+
+  /** Exact integer squared L2 between two long arrays (fixed fold
+    * order; integer adds are order-independent anyway). */
+  private def d2(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+       |          0L, (acc, v) -> acc + v)""".stripMargin)
+
+  /** (…, j, sv): explode a `q64` long-array column into its m
+    * equal-length integer subvectors. */
+  private def subvectors(base: DataFrame, m: Int,
+                         keep: Seq[String]): DataFrame =
+    base.select(keep.map(col) :+
+        posexplode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+             |  j -> slice(q64, j * (size(q64) div $m) + 1,
+             |             size(q64) div $m))""".stripMargin))
+          .as(Seq("j", "sv")): _*)
+
+  /** Per-subspace codebooks from the flagged rows: (code, cj, csv). */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("_iscb"))
+      .select(col("vec_id").as("code"), col("j").as("cj"),
+              col("sv").as("csv"))
+
+  /** Encode every vector as its nearest codebook entry per subspace:
+    * (cand_id, j, code) — the persistable d/m-compressed form. */
+  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("code"),
+              d2("sv", "csv").as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d").as("d"), col("code").as("code"))).as("b"))
+      .select(col("vec_id").as("cand_id"), col("j"),
+              col("b.code").as("code"))
+
+  /** ADC lookup table: exact query-to-codebook subdistances
+    * (q_id, j, code, d) — |Q|·m·ks rows regardless of n. */
+  private def pqLut(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.filter(col("_isq"))
+      .join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id").as("q_id"), col("j"), col("code"),
+              d2("sv", "csv").as("d"))
+
   def pqTopK(
       df: DataFrame, id: Column, emb: Column,
       isQuery: Column, isCodebook: Column,
@@ -329,37 +375,74 @@ object Sim {
       .select(id.as("vec_id"), emb.as("embedding"),
               isQuery.as("_isq"), isCodebook.as("_iscb"))
       .filter(col("embedding").isNotNull)
-      .withColumn("q64",
-        transform(col("embedding"), x => round(x * 10000).cast("long")))
-    // (vec_id, j, sv): the m equal-length integer subvectors
-    val sub = base.select(col("vec_id"), col("_isq"), col("_iscb"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${m - 1}),
-             |  j -> slice(q64, j * (size(q64) div $m) + 1,
-             |             size(q64) div $m))""".stripMargin))
-          .as(Seq("j", "sv")))
-    val cb = sub.filter(col("_iscb"))
-      .select(col("vec_id").as("code"), col("j").as("cj"),
-              col("sv").as("csv"))
-    def d2(a: String, b: String) = expr(
-      s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-         |          0L, (acc, v) -> acc + v)""".stripMargin)
-    // encode: nearest codebook entry per (vector, subspace)
-    val enc = sub
-      .join(broadcast(cb), col("j") === col("cj"))
-      .select(col("vec_id"), col("j"), col("code"),
-              d2("sv", "csv").as("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d").as("d"), col("code").as("code"))).as("b"))
-      .select(col("vec_id").as("cand_id"), col("j"),
-              col("b.code").as("code"))
-    // ADC lookup table: exact query-to-codebook subdistances
-    val lut = sub.filter(col("_isq"))
-      .join(broadcast(cb), col("j") === col("cj"))
-      .select(col("vec_id").as("q_id"), col("j"), col("code"),
-              d2("sv", "csv").as("d"))
+      .withColumn("q64", grid64(col("embedding")))
+    val sub = subvectors(base, m, Seq("vec_id", "_isq", "_iscb"))
+    val cb = pqCodebook(sub)
+    val enc = pqEncode(sub, cb)
+    val lut = pqLut(sub, cb)
     val scored = enc
       .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    heapRank(scored, -col("adc"), k)
+      .select(col("q_id"), col("cand_id"),
+              (-col("_ord")).as("adc_dist"), col("rn"))
+  }
+
+  /** IVF-PQ: the complete FAISS serving architecture — a coarse
+    * inverted-file tier (every vector assigned to its nearest centroid
+    * cell by EXACT integer squared L2 on the 1e-4 grid; rows matching
+    * `isCentroid` donate the cells) prunes the candidate set to the
+    * query's `nprobe` closest cells, and only those candidates are
+    * scored through [[pqTopK]]'s broadcast-LUT ADC sum. Global (not
+    * per-cell-residual) codebooks — the residual refinement is the
+    * documented production delta, identical plumbing with
+    * `sv − cell_centroid_sv` subvectors.
+    *
+    * Scale: the scoring join gains the cell equi-key, so per query
+    * only ~nprobe/|cells| of the encoded corpus is touched — on top of
+    * PQ's d/m bandwidth shrink. Assignment and encode are the two
+    * ingest-time scans; both persist. Ties everywhere break to the
+    * smaller id, so the whole composition is hash-deterministic.
+    * Returns (q_id, cand_id, adc_dist, rn). */
+  def ivfPqTopK(
+      df: DataFrame, id: Column, emb: Column,
+      isQuery: Column, isCentroid: Column, isCodebook: Column,
+      m: Int, nprobe: Int, k: Int): DataFrame = {
+    require(m >= 1, "ivfPqTopK: m must be >= 1")
+    require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
+    val base = df
+      .select(id.as("vec_id"), emb.as("embedding"),
+              isQuery.as("_isq"), isCentroid.as("_isc"),
+              isCodebook.as("_iscb"))
+      .filter(col("embedding").isNotNull)
+      .withColumn("q64", grid64(col("embedding")))
+    val cents = base.filter(col("_isc"))
+      .select(col("vec_id").as("cent_id"), col("q64").as("c64"))
+    val cellDists = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("_isq"), col("cent_id"),
+              d2("q64", "c64").as("cd"))
+    // candidate → its one cell (argmin, ties to the smaller cent_id)
+    val assign = cellDists
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd").as("d"), col("cent_id").as("cell")))
+        .as("b"))
+      .select(col("vec_id").as("cand_id"), col("b.cell").as("cell"))
+    // query → its nprobe closest cells (tiny frame: |Q|·|cells|)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd").asc, col("cent_id").asc)
+    val probes = cellDists.filter(col("_isq"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val sub = subvectors(base, m, Seq("vec_id", "_isq", "_iscb"))
+    val cb = pqCodebook(sub)
+    val enc = pqEncode(sub, cb).join(assign, "cand_id")
+    val lut = pqLut(sub, cb)
+    val scored = enc
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
       .filter(col("cand_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(sum(col("d")).as("adc"))

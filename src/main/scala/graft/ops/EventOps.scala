@@ -927,6 +927,65 @@ object EventOps extends OpGroup {
         |SELECT path, COUNT(*) AS n_sess,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM p GROUP BY path
-        |ORDER BY n_sess DESC, path ASC LIMIT 10""".stripMargin)
+        |ORDER BY n_sess DESC, path ASC LIMIT 10""".stripMargin),
+
+    Q(
+      // strictly-consecutive sequence pattern (MATCH_RECOGNIZE-lite):
+      // view → click → purchase with NO intervening event, inside one
+      // 8h-gap session (shared sessionizer again) — the CEP primitive
+      // behind "did the user buy straight off the impression", stricter
+      // than q_events_funnel's anytime-after semantics. Two leads over
+      // the same (user, sess, ts, id) window (one sort serves both),
+      // then a per-user count with first/last match times. Sessions
+      // bound the leads, so a pattern can never straddle a session
+      // break.
+      "q_events_seq_pattern",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+                  col("event_type"))
+        val sess = graft.api.Events.sessionize(
+          e, key = col("user_id"), timeUs = col("ts_us"),
+          tieBreak = Seq(col("event_id")), gapUs = 28800000000L)
+        val w = Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        sess
+          .withColumn("n1", lead(col("event_type"), 1).over(w))
+          .withColumn("n2", lead(col("event_type"), 2).over(w))
+          .filter(col("event_type") === "view" &&
+                  col("n1") === "click" && col("n2") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_matches"),
+               min(col("ts_us")).as("first_us"),
+               max(col("ts_us")).as("last_us"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM n),
+        |m AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    lead(event_type, 1) OVER w2 AS n1,
+        |    lead(event_type, 2) OVER w2 AS n2
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, sess
+        |                       ORDER BY ts_us ASC, event_id ASC))
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+        |FROM m
+        |WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 }

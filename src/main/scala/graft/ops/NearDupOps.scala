@@ -530,6 +530,84 @@ object NearDupOps extends OpGroup {
         |ORDER BY q_id, rn""".stripMargin),
 
     Q(
+      // IVF-PQ (api.Sim.ivfPqTopK): the complete FAISS serving stack —
+      // coarse inverted-file cells (centroids = vec_id<8 rows, exact
+      // integer L2 assignment on the 1e-4 grid) prune candidates to
+      // the query's nprobe=2 closest cells; survivors are scored by
+      // the PQ broadcast-LUT ADC sum (codebooks = vec_id<16, m=8).
+      // Per query only ~nprobe/|cells| of the encoded corpus is
+      // touched, on top of PQ's d/m bandwidth shrink; every stage is
+      // exact int64 with smaller-id tie-breaks, so the two-tier
+      // composition hash-matches the oracle's literal replay.
+      "q_sim_ann_ivfpq",
+      (s, d) => graft.api.Sim.ivfPqTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, isCentroid = col("vec_id") < 8,
+          isCodebook = col("vec_id") < 16, m = 8, nprobe = 2, k = 3)
+        .orderBy(col("q_id"), col("rn")),
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * 10000) AS BIGINT)) AS q64
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cent_id, q64 AS c64
+        |         FROM e WHERE vec_id < 8),
+        |cd AS (
+        |  SELECT v.vec_id, c.cent_id,
+        |    CAST(list_sum(list_transform(range(1, len(v.q64) + 1),
+        |      i -> (v.q64[i] - c.c64[i]) * (v.q64[i] - c.c64[i])))
+        |      AS BIGINT) AS cd
+        |  FROM e v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id AS cand_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cd ASC, cent_id ASC) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cd ASC, cent_id ASC) AS rn
+        |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+        |sub AS (
+        |  SELECT vec_id, g.j,
+        |    list_slice(q64, g.j * (len(q64) // 8) + 1,
+        |               (g.j + 1) * (len(q64) // 8)) AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS j) g),
+        |cb AS (
+        |  SELECT vec_id AS code, j, sv AS csv FROM sub WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id AS cand_id, j, code FROM (
+        |    SELECT s.vec_id, s.j, c.code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.j
+        |        ORDER BY list_sum(list_transform(range(1, len(s.sv) + 1),
+        |          i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) ASC,
+        |          c.code ASC) AS rn
+        |    FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS q_id, s.j, c.code,
+        |    CAST(list_sum(list_transform(range(1, len(s.sv) + 1),
+        |      i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i])))
+        |      AS BIGINT) AS d
+        |  FROM sub s JOIN cb c USING (j) WHERE s.vec_id < 10),
+        |scored AS (
+        |  SELECT l.q_id, e2.cand_id, CAST(SUM(l.d) AS BIGINT) AS adc
+        |  FROM enc e2
+        |    JOIN assign a ON a.cand_id = e2.cand_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    JOIN lut l ON l.q_id = p.q_id AND l.j = e2.j
+        |              AND l.code = e2.code
+        |  WHERE e2.cand_id <> l.q_id
+        |  GROUP BY l.q_id, e2.cand_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, adc,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY adc ASC, cand_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, cand_id, adc AS adc_dist, rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin),
+
+    Q(
       // two-stage prefix rerank (api.Sim.prefixRerankTopK): coarse
       // top-10 by 16-dim PREFIX cosine (the truncated-embedding tier a
       // memory-resident index holds — 4× less vector bandwidth on the

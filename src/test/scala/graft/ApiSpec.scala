@@ -560,6 +560,23 @@ class ApiSpec extends SparkSpec {
         isCodebook = col("vec_id") < 4L, m = 2, k = 6)
       .orderBy(col("rn")).as[(Long, Long, Long, Int)].collect()
     assert(wide.toSeq == got.toSeq)
+
+    // IVF-PQ composition on the same frame (patterns double as cell
+    // centroids): probing ALL cells must reproduce plain PQ exactly…
+    val full = Sim.ivfPqTopK(df, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 20L, isCentroid = col("vec_id") < 4L,
+        isCodebook = col("vec_id") < 4L, m = 2, nprobe = 4, k = 6)
+      .orderBy(col("rn")).as[(Long, Long, Long, Int)].collect()
+    assert(full.toSeq == got.toSeq, s"${full.toSeq} vs ${got.toSeq}")
+    // …while nprobe=1 prunes to the query's own cell: query 20 IS
+    // pattern0, so only centroid 0 and near-copy 10 survive the
+    // inverted-file tier (the other patterns live in their own cells)
+    val one = Sim.ivfPqTopK(df, col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") === 20L, isCentroid = col("vec_id") < 4L,
+        isCodebook = col("vec_id") < 4L, m = 2, nprobe = 1, k = 6)
+      .orderBy(col("rn")).as[(Long, Long, Long, Int)].collect()
+    assert(one.map(_._2).toSeq == Seq(0L, 10L) &&
+           one.forall(_._3 == 0L), s"${one.toSeq}")
   }
 
   /** 3 planted clusters around near-orthogonal directions; ids 0,1,2
