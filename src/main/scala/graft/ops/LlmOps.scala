@@ -424,6 +424,40 @@ object LlmOps extends OpGroup {
       """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM documents
         |WHERE text LIKE '%spark%' AND text NOT LIKE '%slow%'
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // multimodal manifest on a BINARY column — the oracle-gated twin
+      // of the ⊘ graft.multimodal suite: docs ride as opaque UTF-8
+      // blobs (exactly how image/audio payloads ride at 100 TB), and
+      // the per-source manifest — blob count, total bytes, DISTINCT
+      // payload digests, duplicate-blob count — is the report every
+      // blob-lake ingest runs first. Proves binary payloads are
+      // ordinary relational data here: exact binary dedup is just a
+      // distinct-count on md5(blob), one hash-agg, and the blob bytes
+      // themselves never shuffle (only 16-byte digests do).
+      "q_multimodal_manifest",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), col("text").cast("binary").as("blob"))
+        .select(col("source"), col("blob"),
+                length(col("blob")).cast("long").as("nbytes"),
+                md5(col("blob")).as("digest"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_blobs"),
+             sum(col("nbytes")).as("total_bytes"),
+             countDistinct(col("digest")).as("n_distinct_blobs"),
+             min(col("digest")).as("min_digest"))
+        .withColumn("n_dup_blobs",
+                    col("n_blobs") - col("n_distinct_blobs"))
+        .orderBy(col("source")),
+      """WITH b AS (
+        |  SELECT source, encode(text) AS blob, md5(text) AS digest
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_blobs,
+        |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT digest) AS n_distinct_blobs,
+        |  MIN(digest) AS min_digest,
+        |  COUNT(*) - COUNT(DISTINCT digest) AS n_dup_blobs
+        |FROM b GROUP BY source ORDER BY source""".stripMargin)
   )
 }

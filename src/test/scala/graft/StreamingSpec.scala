@@ -480,4 +480,48 @@ class StreamingSpec extends SparkSpec {
     assert(readAll().count() == 3)
     assert(readAll().filter(col("user") === "c2").count() == 1)
   }
+
+  test("Trigger.AvailableNow: backfill drains all files then terminates; restart reads only new files") {
+    // the cron-backfill shape of a 100 TB topic lake: process
+    // everything currently landed, exit (no always-on cluster), and on
+    // the next invocation resume from the SAME checkpoint so only
+    // newly-landed files are read — exactly-once across restarts
+    val src = tmpDir("an-src")
+    val out = tmpDir("an-out")
+    val ck = tmpDir("an-ck")
+    def addFile(rows: Seq[Ev], name: String): Unit = {
+      val stage = tmpDir(s"an-stage-$name")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet")): Unit
+    }
+    val sch = Seq.empty[Ev].toDF().schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow queries STOP on their own once the snapshot of
+      // files at start time is drained — that self-termination IS the
+      // property under test
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    }
+    addFile(Seq(Ev(ts(1), "a", 1.0), Ev(ts(2), "b", 2.0)), "f1")
+    runOnce()
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() == 2, "first backfill must drain both seeded rows")
+    // second invocation, same checkpoint: only the new file lands
+    addFile(Seq(Ev(ts(3), "c", 3.0)), "f2")
+    runOnce()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 3, "restart must append ONLY the new file")
+    assert(r2.filter(col("user") === "a").count() == 1,
+      "no duplicate redelivery of already-committed files")
+  }
 }
