@@ -183,9 +183,11 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       shingle: Int = 3, minMatch: Int = 8,
       maxShingleDocFreq: Option[Int] = None,
-      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+      maxShingleDocFrac: Option[Double] = None,
+      fastHash: Boolean = false): DataFrame = {
     val sig = minhashSignatures(df, id, text, shingle,
-                                maxShingleDocFreq, maxShingleDocFrac)
+                                maxShingleDocFreq, maxShingleDocFrac,
+                                fastHash)
     val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
     val b = sig.select(col("doc_id").as("doc_b"),
                        col("k").as("k2"), col("mh").as("mh2"))
@@ -208,29 +210,53 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       shingle: Int = 3,
       maxShingleDocFreq: Option[Int] = None,
-      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+      maxShingleDocFrac: Option[Double] = None,
+      fastHash: Boolean = false): DataFrame = {
     val exploded = df
       .select(id.as("doc_id"), tokens(text).as("w"))
       .filter(size(col("w")) >= shingle)
       .select(col("doc_id"),
               explode_outer(expr(shingleExpr(shingle))).as("s"))
       .filter(col("s").isNotNull)
-    capHotShingles(exploded, col("s"),
+    val capped = capHotShingles(exploded, col("s"),
         maxShingleDocFreq, maxShingleDocFrac,
         df.select(count(lit(1)).as("_n_docs")))
-      .select(col("doc_id"), col("s"),
-              explode(expr("sequence(0, 3)")).as("j"))
-      .select(col("doc_id"), col("j"),
-              md5(concat(col("s"), lit("#"), col("j").cast("string")))
-                .as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(substring(col("h"), 1, 8)).as("m0"),
-           min(substring(col("h"), 9, 8)).as("m1"),
-           min(substring(col("h"), 17, 8)).as("m2"),
-           min(substring(col("h"), 25, 8)).as("m3"))
-      .select(col("doc_id"), expr(
-        "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
-        " j * 4 + 3, m3) AS (k, mh)"))
+    if (!fastHash)
+      capped
+        .select(col("doc_id"), col("s"),
+                explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("doc_id"), col("j"),
+                md5(concat(col("s"), lit("#"), col("j").cast("string")))
+                  .as("h"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(substring(col("h"), 1, 8)).as("m0"),
+             min(substring(col("h"), 9, 8)).as("m1"),
+             min(substring(col("h"), 17, 8)).as("m2"),
+             min(substring(col("h"), 25, 8)).as("m3"))
+        .select(col("doc_id"), expr(
+          "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
+          " j * 4 + 3, m3) AS (k, mh)"))
+    else
+      // PRODUCTION slot hash: one codegen'd xxhash64 per (shingle,
+      // salt) split into its two 32-bit windows — same 16 slots, same
+      // banding join, same recall math (identical docs get identical
+      // signatures under ANY hash; window independence is what the
+      // md5 slices relied on too). Signatures are (k, mh BIGINT) vs
+      // md5's (k, mh hex-string) — one corpus, one hasher: never mix
+      // frames from the two paths in minhashMatches. NOT cross-engine
+      // portable (xxhash64 differs per engine), which is the ONLY
+      // reason the declared oracle queries stay on md5. Measured at
+      // sf0.1 (BenchHashSwap): see SCALE.md.
+      capped
+        .select(col("doc_id"), col("s"),
+                explode(expr("sequence(0, 7)")).as("j"))
+        .select(col("doc_id"), col("j"),
+                xxhash64(col("s"), col("j")).as("h"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(expr("h >> 32")).as("m0"),
+             min(expr("h & 4294967295")).as("m1"))
+        .select(col("doc_id"), expr(
+          "stack(2, j * 2, m0, j * 2 + 1, m1) AS (k, mh)"))
   }
 
   /** Cross-corpus MinHash matching: (doc_a from `sigA`, doc_b from

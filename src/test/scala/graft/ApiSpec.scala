@@ -137,6 +137,30 @@ class ApiSpec extends SparkSpec {
     assert(strictPairs == Set((1L, 2L)))
   }
 
+  test("minhashPairs fastHash: same 16-slot contract under xxhash64") {
+    // the production hasher must preserve the signature CONTRACT even
+    // though the hash values differ: identical docs agree on all 16
+    // slots (exact dups always pair at minMatch=16), the near-dup of
+    // 1/2 still pairs at the default threshold, and unrelated docs
+    // never do; signatures are (k∈[0,16), mh BIGINT), one row per slot
+    val fast = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      shingle = 2, minMatch = 8, fastHash = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fast.contains((1L, 2L)), s"$fast")
+    assert(fast.contains((1L, 3L)) && fast.contains((2L, 3L)), s"$fast")
+    assert(!fast.exists(p => p._1 == 5L || p._2 == 5L), s"$fast")
+    val exact = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      shingle = 2, minMatch = 16, fastHash = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)), s"$exact")
+    val sig = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+      shingle = 2, fastHash = true)
+    assert(sig.schema("mh").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(sig.groupBy("doc_id").count().as[(Long, Long)]
+      .collect().forall(_._2 == 16))
+  }
+
   test("bandedRangeJoin: boundary-exact, cross-bucket pairs survive") {
     import spark.implicits._
     val a = Seq((1L, "u", 100L), (2L, "u", 999L), (3L, "v", 100L))
