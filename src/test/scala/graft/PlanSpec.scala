@@ -638,4 +638,47 @@ class PlanSpec extends SparkSpec {
     wins.foreach(w => assert(hasAggBelow(w.child),
       s"window must run above the distinct-value collapse:\n$w"))
   }
+
+  test("sketch quantile: windows run over collapsed bins, never the corpus") {
+    val df = SparkEntry.queries("q_stats_sketch_quantile")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    def hasAggBelow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val wins = plan.collect { case w: LW => w }
+    assert(wins.size >= 2, "expected the bin and distinct-cent cum windows")
+    wins.foreach(w => assert(hasAggBelow(w.child),
+      s"cumulative window must sit above the bin/value collapse:\n$w"))
+  }
+
+  test("cusum: ONE event_type exchange, totals broadcast back") {
+    val plan = SparkEntry.queries("q_events_cusum")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // prefix sum and row_number must fuse into ONE Window node (one
+    // per-type sort of the corpus, not one per function); the per-type
+    // totals frame — tiny, already aggregated — rides a broadcast, so
+    // its own exchange never touches corpus-sized data
+    val wins = plan.linesIterator.count(_.contains("- Window ["))
+    assert(wins == 1,
+      s"prefix+rank must share one Window node, got $wins:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"argmax agg needs map-side partials:\n$plan")
+  }
+
+  test("session paths/pattern: ONE session-window sort serves the leads") {
+    for (q <- Seq("q_events_paths", "q_events_seq_pattern")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    // sessionize's lag/cumsum and the per-session rank/leads all order
+    // by the same (user, ts, id) key — Spark must plan ONE user_id
+    // exchange (window group reuse), not one per window function
+      val ex = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") &&
+                    l.contains("user_id"))
+      assert(ex == 1, s"$q: expected one user_id exchange, got $ex:\n$plan")
+    }
+  }
+
 }
