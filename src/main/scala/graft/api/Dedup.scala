@@ -413,24 +413,33 @@ object Dedup {
     * an all-zero signature — review r4 full-repo pass): the explode of
     * an empty array emits no rows, so the hash-agg never sees them. */
   private def simhashVotes(
-      df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+      df: DataFrame, id: Column, text: Column, bits: Int,
+      fastHash: Boolean = false): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    // fastHash: bit k of one codegen'd xxhash64(token) replaces the
+    // parity of md5 hex digit k — same independent-fair-coin property
+    // per bit, same votes shape, not cross-engine portable (the
+    // minhash fastHash rationale; measured by BenchHashSwap)
     val votes = (1 to bits).map { k =>
-      sum(when(substring(col("_h"), k, 1).isin(oddHex: _*), 1)
-        .otherwise(-1)).as(s"_v$k")
+      val bitSet =
+        if (fastHash) expr(s"(_h >> ${k - 1}) & 1") === 1
+        else substring(col("_h"), k, 1).isin(oddHex: _*)
+      sum(when(bitSet, 1).otherwise(-1)).as(s"_v$k")
     }
     df.select(id.as("doc_id"), tokens(text).as("_w"))
       .select(col("doc_id"),
               explode(expr("array_distinct(_w)")).as("_t"))
-      .withColumn("_h", md5(col("_t")))
+      .withColumn("_h",
+        if (fastHash) xxhash64(col("_t")) else md5(col("_t")))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
   }
 
   def simhashSignature(
-      df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+      df: DataFrame, id: Column, text: Column, bits: Int = 32,
+      fastHash: Boolean = false): DataFrame = {
     require(bits >= 1 && bits <= 32, "md5 provides 32 hex digits")
-    simhashVotes(df, id, text, bits)
+    simhashVotes(df, id, text, bits, fastHash)
       .select(col("doc_id"),
               concat((1 to bits).map(k =>
                 when(col(s"_v$k") > 0, "1").otherwise("0")): _*).as("sig"))
@@ -439,8 +448,9 @@ object Dedup {
   /** Per-document 32-bit SimHash signature as a BIGINT (bit k set iff
     * the majority vote for hex digit k+1's parity is positive — same
     * votes as simhashSignature, packed). Integer-exact, one hash-agg. */
-  def simhashSig32(df: DataFrame, id: Column, text: Column): DataFrame =
-    simhashVotes(df, id, text, 32)
+  def simhashSig32(df: DataFrame, id: Column, text: Column,
+      fastHash: Boolean = false): DataFrame =
+    simhashVotes(df, id, text, 32, fastHash)
       .select(col("doc_id"),
               (1 to 32).map(k =>
                 when(col(s"_v$k") > 0, lit(1L << (k - 1)))
@@ -455,10 +465,10 @@ object Dedup {
     * (doc_a, doc_b, hamming), doc_a < doc_b. */
   def simhashHammingPairs(
       df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, fastHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole only guarantees recall for maxHamming <= 3")
-    val sig = simhashSig32(df, id, text)
+    val sig = simhashSig32(df, id, text, fastHash)
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("bv", expr("(sig div shiftleft(1L, 8 * b)) % 256"))

@@ -161,6 +161,19 @@ class ApiSpec extends SparkSpec {
       .collect().forall(_._2 == 16))
   }
 
+  test("simhash fastHash: exact dups at Hamming 0, banding contract intact") {
+    val pairs = Dedup.simhashHammingPairs(docs, col("doc_id"),
+        col("text"), maxHamming = 3, fastHash = true)
+      .as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 2L)).contains(0L), s"${pairs.toSeq}")
+    // signatures remain 32-bit longs under the fast hasher
+    val sig = Dedup.simhashSig32(docs, col("doc_id"), col("text"),
+      fastHash = true).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig.values.forall(s => s >= 0L && s <= 0xFFFFFFFFL))
+  }
+
   test("bandedRangeJoin: boundary-exact, cross-bucket pairs survive") {
     import spark.implicits._
     val a = Seq((1L, "u", 100L), (2L, "u", 999L), (3L, "v", 100L))

@@ -48,6 +48,13 @@ object BenchHashSwap {
             f"   (${tSigMd5 / tSigFast}%.2fx, median of $reps)")
     println(f"full pairs  md5: $tPairMd5%.3f s   xxhash64: $tPairFast%.3f s" +
             f"   (${tPairMd5 / tPairFast}%.2fx, median of $reps)")
+
+    def sh(fast: Boolean) = graft.api.Dedup.simhashHammingPairs(
+      docs, col("doc_id"), col("text"), maxHamming = 3, fastHash = fast)
+    val tShMd5 = median((1 to reps).map(_ => time(sh(fast = false))))
+    val tShFast = median((1 to reps).map(_ => time(sh(fast = true))))
+    println(f"simhash     md5: $tShMd5%.3f s   xxhash64: $tShFast%.3f s" +
+            f"   (${tShMd5 / tShFast}%.2fx, median of $reps)")
     spark.stop()
   }
 }
