@@ -177,6 +177,94 @@ object NearDupOps extends OpGroup {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q(
+      // dedup quality report: MinHash (16 slots, ≥8 matches) scored
+      // against EXACT Jaccard ≥ 0.5 ground truth, both at the SAME
+      // 7-gram shingle width (the corpus-safe width; at ≥8/16 slots
+      // the LSH s-curve centers on jac ≈ 0.5, so the truth threshold
+      // is the one the banding targets). TP/FP/FN via one full-outer
+      // join of the two pair sets, precision/recall boundary-exact
+      // through intRatio4 — the tuning artifact that turns "minhash
+      // found 25 pairs" into a measured quality claim, itself
+      // oracle-certified. Denominators are guarded by the fixture
+      // (exact dups exist at every SF → both pair sets non-empty).
+      "q_dedup_pr_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pred = graft.api.Dedup.minhashPairs(
+            docs, col("doc_id"), col("text"), shingle = 7, minMatch = 8)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("p"))
+        val truth = graft.api.Dedup.jaccardPairs(
+            docs, col("doc_id"), col("text"), n = 7, minJaccard = 0.5)
+          .select(col("doc_a").as("ta"), col("doc_b").as("tb"),
+                  lit(1).as("t"))
+        pred.join(truth,
+            col("doc_a") === col("ta") && col("doc_b") === col("tb"),
+            "full_outer")
+          .agg(sum(when(col("p").isNotNull && col("t").isNotNull, 1L)
+                 .otherwise(0L)).as("n_tp"),
+               sum(when(col("p").isNotNull && col("t").isNull, 1L)
+                 .otherwise(0L)).as("n_fp"),
+               sum(when(col("p").isNull && col("t").isNotNull, 1L)
+                 .otherwise(0L)).as("n_fn"))
+          .select(col("n_tp"), col("n_fp"), col("n_fn"),
+                  intRatio4(col("n_tp") * 10000,
+                            col("n_tp") + col("n_fp")).as("precision"),
+                  intRatio4(col("n_tp") * 10000,
+                            col("n_tp") + col("n_fn")).as("recall"))
+      },
+      s"""WITH w AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents
+        |  WHERE len(${toksSql("text")}) >= 7),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 6)) AS i FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |truth AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST((2*(inter*10000) + (sa.sz + sb.sz - inter))
+        |        // (2*(sa.sz + sb.sz - inter)) AS DOUBLE) / 10000.0
+        |        >= 0.5),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    md5(concat(g, '#', CAST(j AS VARCHAR))) AS h
+        |  FROM (SELECT doc_id, g, unnest(range(0, 4)) AS j FROM sh)),
+        |sig AS (
+        |  SELECT doc_id, j * 4 + i AS k,
+        |    MIN(substr(h, i * 8 + 1, 8)) AS mh
+        |  FROM (SELECT doc_id, j, h, unnest(range(0, 4)) AS i FROM hj)
+        |  GROUP BY doc_id, j * 4 + i),
+        |pred AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b
+        |    ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b HAVING COUNT(*) >= 8),
+        |cls AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p.doc_a IS NOT NULL
+        |                   AND t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tp,
+        |    CAST(SUM(CASE WHEN p.doc_a IS NOT NULL
+        |                   AND t.doc_a IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_fp,
+        |    CAST(SUM(CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_fn
+        |  FROM pred p FULL OUTER JOIN truth t
+        |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+        |SELECT n_tp, n_fp, n_fn,
+        |  CAST((2 * n_tp * 10000 + (n_tp + n_fp))
+        |       // (2 * (n_tp + n_fp)) AS DOUBLE) / 10000.0 AS precision,
+        |  CAST((2 * n_tp * 10000 + (n_tp + n_fn))
+        |       // (2 * (n_tp + n_fn)) AS DOUBLE) / 10000.0 AS recall
+        |FROM cls""".stripMargin),
+
+    Q(
       // embedding near-dup: 8-bit sign bucket (SRP-LSH) prunes to
       // same-bucket pairs (~500 of ~125k candidates at sf0.01), then
       // exact cosine >= 0.3 confirms. Parameters are tuned to the
