@@ -496,6 +496,82 @@ object Joins extends OpGroup {
         |SELECT event_id AS purchase_id, user_id, ts_us,
         |  COALESCE(next_click_id, -1) AS next_click_id,
         |  COALESCE(next_click_us, -1) AS next_click_us
-        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin)
+        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin),
+
+    Q(
+      // NEAREST as-of (pandas merge_asof direction='nearest') — the
+      // third and final direction: each purchase matched to whichever
+      // click is closer in time, backward (strictly earlier) or
+      // forward (ts ≥ its own, same-ts clicks count as Δ=0 exactly as
+      // the forward variant defines), ties → backward. BOTH carried
+      // window passes ride ONE (user, ts, kind, id) sort — the same
+      // interleaved-window trick as the single directions, so nearest
+      // costs the same one hash exchange, zero joins. A NULL side
+      // simply loses; no match at all reports -1/'none'.
+      "q_join_asof_nearest",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(
+            col("event_id"), col("user_id"), col("ts_us"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+            when(col("event_type") === "click", col("ts_us")).as("click_us"),
+            when(col("event_type") === "click", col("event_id")).as("click_id"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("kind").asc, col("event_id").asc)
+        val wb = ord.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)
+        val wf = ord.rowsBetween(1, Window.unboundedFollowing)
+        val both = e
+          .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wb))
+          .withColumn("b_us", last(col("click_us"), ignoreNulls = true).over(wb))
+          .withColumn("f_id", first(col("click_id"), ignoreNulls = true).over(wf))
+          .withColumn("f_us", first(col("click_us"), ignoreNulls = true).over(wf))
+          .filter(col("kind") === 0)
+        val useB = col("b_us").isNotNull &&
+          (col("f_us").isNull ||
+           col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"))
+        both.select(col("event_id").as("purchase_id"), col("user_id"),
+                    col("ts_us"),
+                    coalesce(when(useB, col("b_id")).otherwise(col("f_id")),
+                             lit(-1L)).as("near_click_id"),
+                    coalesce(when(useB, col("b_us")).otherwise(col("f_us")),
+                             lit(-1L)).as("near_click_us"),
+                    when(col("b_us").isNull && col("f_us").isNull, "none")
+                      .when(useB, "b").otherwise("f").as("dir"))
+          .orderBy(col("purchase_id"))
+      },
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER wb AS b_id,
+        |    last_value(click_us IGNORE NULLS) OVER wb AS b_us,
+        |    first_value(click_id IGNORE NULLS) OVER wf AS f_id,
+        |    first_value(click_us IGNORE NULLS) OVER wf AS f_us
+        |  FROM t
+        |  WINDOW wb AS (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, kind ASC, event_id ASC
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |n AS (
+        |  SELECT *,
+        |    (b_us IS NOT NULL AND
+        |     (f_us IS NULL OR ts_us - b_us <= f_us - ts_us)) AS use_b
+        |  FROM w WHERE kind = 0)
+        |SELECT event_id AS purchase_id, user_id, ts_us,
+        |  COALESCE(CASE WHEN use_b THEN b_id ELSE f_id END, -1)
+        |    AS near_click_id,
+        |  COALESCE(CASE WHEN use_b THEN b_us ELSE f_us END, -1)
+        |    AS near_click_us,
+        |  CASE WHEN b_us IS NULL AND f_us IS NULL THEN 'none'
+        |       WHEN use_b THEN 'b' ELSE 'f' END AS dir
+        |FROM n ORDER BY purchase_id""".stripMargin)
   )
 }
