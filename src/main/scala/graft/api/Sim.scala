@@ -324,11 +324,14 @@ object Sim {
   private def grid64(emb: Column): Column =
     transform(emb, x => round(x * 10000).cast("long"))
 
-  /** Exact integer squared L2 between two long arrays (fixed fold
-    * order; integer adds are order-independent anyway). */
-  private def d2(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-       |          0L, (acc, v) -> acc + v)""".stripMargin)
+  /** Exact integer squared L2 between two long arrays — the native
+    * codegen'd expression (functions.L2SqI64, DotF32's integer
+    * sibling): the `aggregate(zip_with(...))` form runs interpreted
+    * with an intermediate diffs array, and the PQ encode pass
+    * evaluates this O(n·ks·m) times at ingest. Integer adds are
+    * order-independent, so the value is identical either way. Callers
+    * (pqTopK/ivfPqTopK) register the function on their session. */
+  private def d2(a: String, b: String) = expr(s"l2sq_i64($a, $b)")
 
   /** (…, j, sv): explode a `q64` long-array column into its m
     * equal-length integer subvectors. */
@@ -371,6 +374,7 @@ object Sim {
       isQuery: Column, isCodebook: Column,
       m: Int, k: Int): DataFrame = {
     require(m >= 1, "pqTopK: m must be >= 1")
+    graft.functions.L2SqI64.register(df.sparkSession)
     val base = df
       .select(id.as("vec_id"), emb.as("embedding"),
               isQuery.as("_isq"), isCodebook.as("_iscb"))
@@ -412,6 +416,7 @@ object Sim {
       m: Int, nprobe: Int, k: Int): DataFrame = {
     require(m >= 1, "ivfPqTopK: m must be >= 1")
     require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
+    graft.functions.L2SqI64.register(df.sparkSession)
     val base = df
       .select(id.as("vec_id"), emb.as("embedding"),
               isQuery.as("_isq"), isCentroid.as("_isc"),

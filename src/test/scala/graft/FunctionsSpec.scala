@@ -63,6 +63,40 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 3.0) // min-length semantics
   }
 
+  test("l2sq_i64: exact integer distance, lambda agreement, null/len rules") {
+    graft.functions.L2SqI64.register(spark)
+    val df = Seq((Seq(3L, -4L, 10000L), Seq(0L, 0L, 9999L))).toDF("a", "b")
+    assert(df.selectExpr("l2sq_i64(a, b) AS d").head().getLong(0) == 26L)
+    // agreement with the higher-order formulation it replaces
+    val rnd = new scala.util.Random(7)
+    val arrs = Seq.fill(20)((Seq.fill(16)(rnd.nextInt(100000).toLong),
+                             Seq.fill(16)(rnd.nextInt(100000).toLong)))
+      .toDF("a", "b")
+    val pairs = arrs.selectExpr(
+      "l2sq_i64(a, b) AS fused",
+      """aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+        |          0L, (acc, v) -> acc + v) AS lambda""".stripMargin)
+      .collect()
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // interpreted eval matches codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try df.selectExpr("l2sq_i64(a, b)").head().getLong(0)
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(interp == 26L)
+    // null input -> null; mismatched lengths truncate to the shorter
+    val edge = Seq(
+      (Some(Seq(1L)), None: Option[Seq[Long]]),
+      (Some(Seq(1L, 2L)), Some(Seq(3L)))).toDF("a", "b")
+    val rows = edge.selectExpr("l2sq_i64(a, b) AS d").collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getLong(0) == 4L)
+  }
+
   test("word_ngrams generates n-grams, drops nulls and short docs") {
     WordNgrams.register(spark)
     val df = Seq(Some("a b c d"), Some("x"), None)
