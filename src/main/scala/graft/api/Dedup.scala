@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * is ever O(n²) in the corpus size.
   *
   * Portability note: hashing is md5-derived so an external engine can
-  * reproduce results byte-for-byte; a production 100 TB deployment
-  * would swap xxhash64 into `slotHash` once cross-engine verification
-  * is retired (one-line change, same plan shapes).
+  * reproduce results byte-for-byte; the production 100 TB swap is the
+  * WIRED `fastHash = true` flag on the minhash and simhash families
+  * (codegen'd xxhash64, same plan shapes and slot/banding contracts —
+  * measured 3.5×/2.5×/1.6× by BenchHashSwap, see SCALE.md), kept off
+  * in every declared query only because cross-engine oracle
+  * verification needs the portable hash.
   */
 object Dedup {
 

@@ -832,34 +832,21 @@ object StatsOps extends OpGroup {
         val e = Tables.events(s, d)
           .select(col("event_type"),
                   (money("value") * 100).cast("long").as("vc"))
-        val st = e.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), min(col("vc")).as("minc"),
-               max(col("vc")).as("maxc"))
-          .withColumn("width", expr("(maxc - minc) div 256 + 1"))
-          .select(col("event_type").as("t1"), col("n"), col("minc"),
-                  col("maxc"), col("width"))
-        val bins = e.join(broadcast(st), col("event_type") === col("t1"))
-          .select(col("event_type"), col("n"), col("minc"), col("maxc"),
-                  col("width"), expr("(vc - minc) div width").as("bin"))
-          .groupBy(col("event_type"), col("n"), col("minc"), col("maxc"),
-                   col("width"), col("bin"))
-          .agg(count(lit(1)).as("c"))
-        val wb = Window.partitionBy(col("event_type"))
-          .orderBy(col("bin").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cumB = bins.withColumn("cum", sum(col("c")).over(wb))
-          .withColumn("edge",
-            least(col("minc") + (col("bin") + 1) * col("width") - 1,
-                  col("maxc")))
+        // sketch side: the public mergeable-histogram API (api.Stats)
+        val est = graft.api.Stats.binnedQuantiles(
+            e, col("event_type"), col("vc"), bins = 256,
+            ps = Seq(50, 95, 99))
+          .select(col("key").as("event_type"),
+                  col("p50_est"), col("p95_est"), col("p99_est"))
+        // exact side (the gate's error reference): discrete percentile
+        // over the collapsed distinct-cent frame
         def tgt(p: Int) = expr(s"($p * n + 99) div 100")
-        val est = cumB.groupBy(col("event_type"))
-          .agg(min(when(col("cum") >= tgt(50), col("edge"))).as("p50_est"),
-               min(when(col("cum") >= tgt(95), col("edge"))).as("p95_est"),
-               min(when(col("cum") >= tgt(99), col("edge"))).as("p99_est"))
+        val tot = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type").as("t1"), col("n"))
         val dv = e.groupBy(col("event_type"), col("vc"))
           .agg(count(lit(1)).as("c"))
-          .join(broadcast(st.select(col("t1"), col("n"))),
-                col("event_type") === col("t1"))
+          .join(broadcast(tot), col("event_type") === col("t1"))
         val wv = Window.partitionBy(col("event_type"))
           .orderBy(col("vc").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1156,6 +1156,39 @@ class ApiSpec extends SparkSpec {
     assert(graft.api.Graph.triangleCounts(star).isEmpty)
   }
 
+  test("Stats.binnedQuantiles: planted distribution, bin-width error bound, merge-order proof") {
+    // 1000 values 0..999 in one key: p50 target = 500th value = 499;
+    // with 10 bins of width 100 the 500th value falls in bin 4 →
+    // estimate = its upper edge 499 EXACTLY (uniform data lands
+    // targets on edges); p99 → bin 9 edge 999
+    val df = (0L until 1000L).map(v => ("a", v)).toDF("k", "v")
+    val got = graft.api.Stats.binnedQuantiles(
+        df, col("k"), col("v"), bins = 10, ps = Seq(50, 99))
+      .select("key", "n", "p50_est", "p99_est")
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("a", 1000L, 499L, 999L)), s"$got")
+    // error bound: estimate within one bin width of the true discrete
+    // percentile for a skewed distribution
+    val skew = (0 until 1000).map(i => ("s", (i.toLong * i) / 100))
+      .toDF("k", "v")
+    val (_, n2, p50e, p99e) = graft.api.Stats.binnedQuantiles(
+        skew, col("k"), col("v"), bins = 10, ps = Seq(50, 99))
+      .select("key", "n", "p50_est", "p99_est")
+      .as[(String, Long, Long, Long)].head()
+    val vals = (0 until 1000).map(i => (i.toLong * i) / 100).sorted
+    val width = (vals.max - vals.min) / 10 + 1
+    assert(n2 == 1000L)
+    assert(math.abs(p50e - vals(499)) <= width, s"$p50e vs ${vals(499)}")
+    assert(math.abs(p99e - vals(989)) <= width, s"$p99e vs ${vals(989)}")
+    // merge-order proof: 1 vs 13 partitions, identical estimates
+    val wide = graft.api.Stats.binnedQuantiles(
+        skew.repartition(13), col("k"), col("v"), bins = 10,
+        ps = Seq(50, 99))
+      .select("key", "n", "p50_est", "p99_est")
+      .as[(String, Long, Long, Long)].head()
+    assert(wide == (("s", n2, p50e, p99e)))
+  }
+
   test("Graph.labelPropagation: barbell communities, bridge holds, isolated edge") {
     def undirected(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")

@@ -63,6 +63,31 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 3.0) // min-length semantics
   }
 
+  test("intRatio4/Wide: 500 random ratios equal BigDecimal HALF_UP exactly") {
+    import graft.Determinism.{intRatio4, intRatio4Wide}
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(500)((rnd.nextLong(2000001) - 1000000,
+                               rnd.nextLong(999999) + 1))
+    val df = cases.toDF("num", "den")
+    val got = df.select(intRatio4(col("num"), col("den")).as("r"),
+                        intRatio4Wide(col("num"), col("den")).as("rw"))
+      .collect()
+    cases.zip(got).foreach { case ((n, d), row) =>
+      // the contract: round-half-AWAY-FROM-ZERO(num/den) in 1e-4 units
+      // (java HALF_UP is half-away-from-zero), then ONE double divide
+      val expect = java.math.BigDecimal.valueOf(n)
+        .divide(java.math.BigDecimal.valueOf(d), 0,
+                java.math.RoundingMode.HALF_UP)
+        .doubleValue() / 10000.0
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(expect),
+        s"intRatio4($n, $d): ${row.getDouble(0)} != $expect")
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+             java.lang.Double.doubleToLongBits(expect),
+        s"intRatio4Wide($n, $d): ${row.getDouble(1)} != $expect")
+    }
+  }
+
   test("l2sq_i64: exact integer distance, lambda agreement, null/len rules") {
     graft.functions.L2SqI64.register(spark)
     val df = Seq((Seq(3L, -4L, 10000L), Seq(0L, 0L, 9999L))).toDF("a", "b")
