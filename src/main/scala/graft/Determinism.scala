@@ -156,4 +156,19 @@ object Determinism {
   def shareRatio4Wide(m: Column, t: Column): Column =
     intRatio4Wide((round(m, 2) * 1000000).cast(DecimalType(38, 0)),
                   (round(t, 2) * 100).cast(DecimalType(38, 0)))
+
+  /** TRUE long integral division `a div b` (Catalyst IntegralDivide —
+    * Column algebra has no `div`, and double `/`+floor misbins at
+    * quotient boundaries). CROSS-ENGINE CONTRACT: Spark truncates
+    * toward zero while DuckDB's `//` floors, so the two agree ONLY on
+    * the non-negative domain — callers banding a signed quantity shift
+    * it non-negative first (e.g. acctbal cents + 10⁷) instead of
+    * trusting either engine's negative convention. */
+  def ldiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression(a.cast("long")),
+        GraftBridge.expression(b.cast("long"))))
+  }
 }

@@ -13,8 +13,8 @@ object SparkEntry {
   /** All op groups, in SURVEY §2 order. */
   private def groups: Seq[OpGroup] = Seq(
     Scans, Filters, Joins, Aggs, Windows, SetOps, SqlOps, Scalars, LlmOps,
-    NearDupOps, TextOps, ScrubOps, PipelineOps, CurateOps, Streaming,
-    EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, StatsOps, Udx
+    NearDupOps, TextOps, ScrubOps, PrivacyOps, PipelineOps, CurateOps,
+    Streaming, EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, StatsOps, Udx
   )
 
   private def all: Seq[Q] = groups.flatMap(_.qs)

@@ -674,4 +674,59 @@ object Sim {
       .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Exact quantized Gram matrix of the first `dims` embedding
+    * dimensions: G[i][j] = Σ_rows q_i·q_j with q = round(x·10⁶) — the
+    * second-moment matrix PCA/whitening starts from. Integer-exact and
+    * partition-order independent (products ≤ ~10¹³ per row accumulate
+    * in DECIMAL(38,0)), so the result is a pure function of the input
+    * set on any cluster size. Plan shape: ONE map-side pass computing
+    * all dims·(dims+1)/2 partial sums (no explode — the d² blow-up
+    * stays inside a single projection), a single-row final aggregate,
+    * then a constant-size stack to (i, j, gram) rows with gram scaled
+    * back to value units (÷10¹²). At 100 TB this shuffles exactly
+    * d(d+1)/2 decimals per map partition and nothing else. */
+  def gramMatrix(df: DataFrame, emb: Column, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64,
+      s"gramMatrix: dims must be in [1, 64], got $dims")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(emb.isNotNull && size(emb) >= dims)
+      .select((0 until dims).map(i =>
+        round(element_at(emb, i + 1).cast("double") * 1000000)
+          .cast("long").as(s"q$i")): _*)
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      sum((col(s"q$i") * col(s"q$j")).cast(D38)).as(s"g_${i}_${j}") }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"$i, $j, CAST(g_${i}_$j AS DOUBLE) / 1e12" }.mkString(", ")
+    row.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (i, j, gram)")
+  }
+
+  /** Dominant eigenvector of a (small, collected) symmetric d×d matrix
+    * by fixed-count power iteration — the 1-component PCA direction of
+    * the cloud whose Gram [[gramMatrix]] computed. The DISTRIBUTED work
+    * is the one corpus pass in gramMatrix; this solve touches d²
+    * doubles on the driver, which no corpus scale changes (d is the
+    * embedding width, ≤ a few thousand). Deterministic: fixed start
+    * vector (1/√d, …), fixed iteration count, sign pinned so the
+    * largest-|component| coordinate is positive. */
+  def pca1(gram: Array[Array[Double]], iters: Int = 50): Array[Double] = {
+    val d = gram.length
+    require(d >= 1 && gram.forall(_.length == d),
+      "pca1: gram must be square and non-empty")
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => gram(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n == 0.0) return v // degenerate (zero matrix): keep start
+      v = w.map(_ / n)
+      it += 1
+    }
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v.map(-_) else v
+  }
 }

@@ -72,6 +72,44 @@ object GraphOps extends OpGroup {
         |ORDER BY dist, node""".stripMargin),
 
     Q(
+      // The same traversal as a NATIVE recursive CTE on BOTH engines:
+      // Spark 4.x executes WITH RECURSIVE via UnionLoopExec (each step
+      // is one planned join of the previous frontier against the edge
+      // table — the engine owns the loop, not the driver; contrast
+      // q_graph_reachability, whose Spark side is api.Graph's driver
+      // loop and whose recursion lives only in the ORACLE). UNION ALL
+      // semantics are made load-bearing: the result counts WALKS of
+      // length ≤ 3 per reached node (not just min hop distance), which
+      // a dedup'ing UNION recursion could not produce — so the gate
+      // proves the recursive execution itself, not a coincidence of
+      // frontier sets. Walk counts are integers → order-independent →
+      // hash-exact. Depth bound 3 keeps the walk fan-out (~degree³)
+      // bounded; PlanSpec pins the UnionLoop plan shape.
+      "q_graph_rcte",
+      (s, d) => {
+        coSupplyEdges(s, d).createOrReplaceTempView("rcte_edges")
+        s.sql(
+          """WITH RECURSIVE bfs(node, dd) AS (
+            |  SELECT CAST(1 AS BIGINT) AS node, 0 AS dd
+            |  UNION ALL
+            |  SELECT e.dst, bfs.dd + 1
+            |  FROM bfs JOIN rcte_edges e ON e.src = bfs.node
+            |  WHERE bfs.dd < 3)
+            |SELECT node, MIN(dd) AS dist, COUNT(*) AS n_walks
+            |FROM bfs GROUP BY node
+            |ORDER BY dist, n_walks, node""".stripMargin)
+      },
+      s"""WITH RECURSIVE $coSupplyEdgesSql,
+        |bfs(node, dd) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS dd
+        |  UNION ALL
+        |  SELECT e.dst, bfs.dd + 1
+        |  FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.dd < 3)
+        |SELECT node, MIN(dd) AS dist, CAST(COUNT(*) AS BIGINT) AS n_walks
+        |FROM bfs GROUP BY node
+        |ORDER BY dist, n_walks, node""".stripMargin),
+
+    Q(
       // bounded PageRank (api.Graph.pageRank) over the same co-supply
       // graph, 3 power iterations, damping 0.85 — in FIXED-POINT
       // integer math (1e-12 rank units, floor-div contributions and

@@ -854,6 +854,36 @@ object NearDupOps extends OpGroup {
         |FROM a ORDER BY pos""".stripMargin),
 
     Q(
+      // second-moment (Gram) matrix of the first 8 embedding dims —
+      // the one corpus pass PCA/whitening starts from (api.Sim.pca1
+      // power-iterates the collected d×d result; ApiSpec proves it
+      // finds a planted dominant direction). Quantized q = round(x·10⁶)
+      // products accumulate in DECIMAL(38,0): integer-exact, partition-
+      // order independent, HUGEINT-replayable. Plan shape: all 36
+      // partial sums ride ONE map-side projection (no explode — the d²
+      // blow-up never becomes rows), a single-row final agg, then a
+      // constant stack to (i, j, gram).
+      "q_embed_gram",
+      (s, d) => graft.api.Sim.gramMatrix(
+          Tables.embeddings(s, d), col("embedding"), dims = 8)
+        .orderBy(col("i"), col("j")),
+      {
+        val qCols = (0 until 8).map(i =>
+          s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) " +
+            s"AS BIGINT) AS q$i").mkString(", ")
+        val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
+        val sums = pairs.map { case (i, j) =>
+          s"SUM(CAST(q$i * q$j AS HUGEINT)) AS g_${i}_$j" }.mkString(", ")
+        val branches = pairs.map { case (i, j) =>
+          s"SELECT $i AS i, $j AS j, CAST(g_${i}_$j AS DOUBLE) / 1e12 " +
+            s"AS gram FROM g" }.mkString(" UNION ALL ")
+        s"WITH q AS (SELECT $qCols FROM embeddings " +
+          "WHERE embedding IS NOT NULL AND len(embedding) >= 8), " +
+          s"g AS (SELECT $sums FROM q) " +
+          s"SELECT i, j, gram FROM ($branches) ORDER BY i, j"
+      }),
+
+    Q(
       // ANN recall report — "measure, don't guess" as a first-class
       // operator: per query, recall@3 of the 8-bit LSH path against
       // the exact cosine top-3, in ONE query that runs BOTH paths and

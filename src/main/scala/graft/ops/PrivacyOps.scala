@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Determinism._
+import graft.api.Privacy
+import graft.io.Tables
+
+/** SURVEY §2.6 extension — privacy auditing before corpus release
+  * (the structured-data counterpart of ScrubOps' PII redaction):
+  * k-anonymity equivalence classes, l-diversity of a sensitive
+  * attribute, and the generalization ladder. All three are thin
+  * wrappers over the parameterized `graft.api.Privacy` so the oracle
+  * gate verifies the reusable library.
+  *
+  * Banding determinism: acctbal goes to exact cents via
+  * FLOOR(x·100 + 0.5) (identical IEEE ops both engines), is shifted
+  * non-negative (+10⁷ — min cents is −99 999), and bands via TRUE
+  * integral division (Determinism.ldiv; Spark truncates toward zero
+  * but DuckDB floors, so only the non-negative domain is portable).
+  */
+object PrivacyOps extends OpGroup {
+
+  /** Shifted, exact, non-negative account-balance cents. */
+  private def shiftedCents = (floor(col("c_acctbal") * 100 + 0.5)
+    .cast("long") + 10000000L)
+  private val shiftedCentsSql =
+    "(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 10000000)"
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // k-anonymity audit, k=5, QI = (nation, segment, $1000 balance
+      // band), rolled up per nation: how many equivalence classes, how
+      // many are re-identifiable (< k members), how many ROWS sit in
+      // them, and the risk share. One class-key hash-agg (the shuffle
+      // carries one row per class, bounded by the QI domain) + a tiny
+      // per-nation rollup — no windows, no self-joins, corpus-linear.
+      "q_privacy_kanon",
+      (s, d) => {
+        val qi = Seq(col("c_nationkey"), col("c_mktsegment"),
+                     ldiv(shiftedCents, lit(100000L)).as("band"))
+        Privacy.kAnonAudit(Tables.customer(s, d), qi, "c_nationkey", k = 5)
+          .select(col("c_nationkey"), col("n_classes"),
+                  col("n_risky_classes"), col("n_risky_rows"),
+                  col("n_rows"), col("min_class"),
+                  intRatio4(col("n_risky_rows") * 10000, col("n_rows"))
+                    .as("risk4"))
+          .orderBy(col("c_nationkey"))
+      },
+      s"""WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    $shiftedCentsSql // 100000 AS band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+        |  FROM c GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT c_nationkey,
+        |    COUNT(*) AS n_classes,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_risky_classes,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_risky_rows,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    MIN(n) AS min_class
+        |  FROM cls GROUP BY c_nationkey)
+        |SELECT c_nationkey, n_classes, n_risky_classes, n_risky_rows,
+        |  n_rows, min_class,
+        |  CAST((2 * n_risky_rows * 10000 + n_rows) // (2 * n_rows)
+        |       AS DOUBLE) / 10000.0 AS risk4
+        |FROM a ORDER BY c_nationkey""".stripMargin),
+
+    Q(
+      // distinct-l l-diversity of the market segment inside coarser
+      // (nation, band) classes, profiled by l: a class with l = 1
+      // leaks its segment to anyone who can place a customer in it
+      // even when the class passes k — the attack k-anonymity alone
+      // misses. Grouped distinct count (per-class domain, never
+      // global), then a 5-row profile.
+      "q_privacy_ldiversity",
+      (s, d) => {
+        val qi = Seq(col("c_nationkey"),
+                     ldiv(shiftedCents, lit(100000L)).as("band"))
+        Privacy.lDiversity(Tables.customer(s, d), qi, col("c_mktsegment"))
+          .groupBy(col("l"))
+          .agg(count(lit(1)).as("n_classes"),
+               sum(col("class_size")).as("n_rows"),
+               min(col("class_size")).as("min_class"),
+               max(col("class_size")).as("max_class"))
+          .orderBy(col("l"))
+      },
+      s"""WITH cls AS (
+        |  SELECT c_nationkey, $shiftedCentsSql // 100000 AS band,
+        |    COUNT(*) AS class_size,
+        |    COUNT(DISTINCT c_mktsegment) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l, COUNT(*) AS n_classes,
+        |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |  MIN(class_size) AS min_class, MAX(class_size) AS max_class
+        |FROM cls GROUP BY l ORDER BY l""".stripMargin),
+
+    Q(
+      // generalization ladder: how coarse must the balance band get
+      // before k=5 holds over (nation, segment, band)? One row per
+      // candidate width ($500/$1000/$2000/$4000) with the class count,
+      // smallest class, and rows still at risk. The corpus expands
+      // |widths|× MAP-SIDE (explode before the aggregate) and shuffles
+      // once on (width, class) — levels never rescan the input.
+      "q_privacy_generalize",
+      (s, d) => {
+        Privacy.generalizeLadder(
+            Tables.customer(s, d),
+            staticQi = Seq(col("c_nationkey"), col("c_mktsegment")),
+            units = shiftedCents,
+            widths = Seq(50000L, 100000L, 200000L, 400000L), k = 5)
+          .select(col("band_w"), col("n_classes"), col("min_class"),
+                  col("n_risky_rows"), col("n_rows"),
+                  intRatio4(col("n_risky_rows") * 10000, col("n_rows"))
+                    .as("risk4"))
+          .orderBy(col("band_w"))
+      },
+      s"""WITH w AS (SELECT * FROM (VALUES (50000), (100000), (200000),
+        |    (400000)) AS t(band_w)),
+        |cls AS (
+        |  SELECT w.band_w, c_nationkey, c_mktsegment,
+        |    $shiftedCentsSql // w.band_w AS band, COUNT(*) AS n
+        |  FROM customer CROSS JOIN w GROUP BY 1, 2, 3, 4),
+        |a AS (
+        |  SELECT band_w, COUNT(*) AS n_classes, MIN(n) AS min_class,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_risky_rows,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows
+        |  FROM cls GROUP BY band_w)
+        |SELECT CAST(band_w AS BIGINT) AS band_w, n_classes, min_class,
+        |  n_risky_rows, n_rows,
+        |  CAST((2 * n_risky_rows * 10000 + n_rows) // (2 * n_rows)
+        |       AS DOUBLE) / 10000.0 AS risk4
+        |FROM a ORDER BY band_w""".stripMargin)
+  )
+}

@@ -210,6 +210,66 @@ object Streaming extends OpGroup {
         |    v := CAST(value AS DECIMAL(18,2))))).v AS DOUBLE) AS close
         |FROM events
         |GROUP BY event_type, bar_us
-        |ORDER BY event_type, bar_us""".stripMargin)
+        |ORDER BY event_type, bar_us""".stripMargin),
+
+    Q(
+      // seasonal decomposition of hourly event volume: the hour-of-day
+      // profile is the SEASONAL expectation (mean hourly count over
+      // all observed days), and the top-20 |actual − expected| cells
+      // are the anomalies a volume monitor pages on — the seasonal
+      // counterpart of q_etl_dq_anomaly's global 3σ gate (a 9am spike
+      // is normal at 9am, anomalous at 3am; a global gate can't tell).
+      // All integer: counts, a global distinct-day scalar D, and the
+      // residual numerator n·D − tot, so the top-20 ORDER BY runs on
+      // exact integers and the scale-4 ratios emerge once through
+      // intRatio4 (negative residuals via its documented CASE mirror
+      // on the oracle side). Scale shape: one (day, hod) hash-agg over
+      // the corpus, then the 24-row profile and the 1-row day count
+      // broadcast back onto the ≤ 24·days cells — the corpus is
+      // touched once and never windowed.
+      "q_ts_seasonal",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("day"),
+                  expr("(ts_us div 3600000000) % 24").as("hod"))
+        val hh = ev.groupBy(col("day"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+        val prof = hh.groupBy(col("hod")).agg(sum(col("n")).as("tot"))
+          .select(col("hod").as("hod2"), col("tot"))
+        val days = ev.agg(countDistinct(col("day")).as("nd"))
+        hh.join(broadcast(prof), col("hod") === col("hod2"))
+          .crossJoin(broadcast(days))
+          .withColumn("rnum", col("n") * col("nd") - col("tot"))
+          .select(col("day"), col("hod"), col("n"),
+                  intRatio4(col("tot") * 10000, col("nd")).as("expected4"),
+                  intRatio4(col("rnum") * 10000, col("nd")).as("resid4"),
+                  abs(col("rnum")).as("_ord"))
+          .orderBy(col("_ord").desc, col("day"), col("hod"))
+          .limit(20)
+          .drop("_ord")
+          .orderBy(col("day"), col("hod"))
+      },
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events),
+        |hh AS (SELECT day, hod, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT hod, CAST(SUM(n) AS BIGINT) AS tot FROM hh GROUP BY hod),
+        |dd AS (SELECT COUNT(DISTINCT day) AS nd FROM ev),
+        |j AS (
+        |  SELECT hh.day, hh.hod, hh.n, prof.tot, dd.nd,
+        |    hh.n * dd.nd - prof.tot AS rnum
+        |  FROM hh JOIN prof ON prof.hod = hh.hod CROSS JOIN dd),
+        |top AS (
+        |  SELECT * FROM j ORDER BY abs(rnum) DESC, day, hod LIMIT 20)
+        |SELECT day, hod, n,
+        |  CAST((2 * tot * 10000 + nd) // (2 * nd) AS DOUBLE) / 10000.0
+        |    AS expected4,
+        |  CAST(CASE WHEN rnum >= 0
+        |       THEN (2 * rnum * 10000 + nd) // (2 * nd)
+        |       ELSE -((2 * (-rnum) * 10000 + nd) // (2 * nd)) END
+        |    AS DOUBLE) / 10000.0 AS resid4
+        |FROM top ORDER BY day, hod""".stripMargin)
   )
 }

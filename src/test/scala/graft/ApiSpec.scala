@@ -1522,4 +1522,61 @@ class ApiSpec extends SparkSpec {
     assert(r == Seq(("A", 3L, 0.3333, -1.0, 3L),
                     ("B", 1L, 1.0, 1.0, 4L)), r.toString)
   }
+
+  test("Sim.gramMatrix + pca1: recovers a planted dominant direction") {
+    // cloud = scalar multiples of u plus small orthogonal noise; the
+    // Gram matrix's dominant eigenvector must be ±u (pca1 pins the sign
+    // so the largest-|component| coordinate is positive, u's is +3)
+    val u0 = Array(3.0, 1.0, -2.0, 0.5)
+    val n0 = math.sqrt(u0.map(x => x * x).sum)
+    val u = u0.map(_ / n0)
+    val ortho = Array(1.0, -3.0, 0.0, 0.0) // ⟂ u0 (3·1 + 1·(−3) = 0)
+    val on = math.sqrt(ortho.map(x => x * x).sum)
+    val o = ortho.map(_ / on)
+    val rows = (1 to 40).map { i =>
+      val s = if (i % 2 == 0) i / 10.0 else -i / 10.0
+      val eps = (i % 5) * 0.01
+      (i.toLong, Array.tabulate(4)(k => (s * u(k) + eps * o(k)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val g = Sim.gramMatrix(df, col("embedding"), dims = 4)
+      .as[(Int, Int, Double)].collect()
+    assert(g.length == 10, s"expected 10 upper-triangle cells, got ${g.length}")
+    val m = Array.ofDim[Double](4, 4)
+    g.foreach { case (i, j, v) => m(i)(j) = v; m(j)(i) = v }
+    val v1 = Sim.pca1(m)
+    val cos = v1.zip(u).map { case (a, b) => a * b }.sum
+    assert(cos > 0.999, s"pca1 direction off: cos=$cos v=${v1.mkString(",")}")
+    // degenerate zero matrix: returns the (normalized) start vector
+    val z = Sim.pca1(Array.ofDim[Double](3, 3))
+    assert(math.abs(z.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("Privacy: kAnonAudit / lDiversity / generalizeLadder on planted classes") {
+    import graft.api.Privacy
+    // nation A: classes (x:4 rows, y:1 row); nation B: (x:5 rows)
+    val df = (Seq.fill(4)(("A", "x")) ++ Seq(("A", "y")) ++
+        Seq.fill(5)(("B", "x"))).toDF("nation", "seg")
+    val audit = Privacy.kAnonAudit(
+        df, Seq(col("nation"), col("seg")), "nation", k = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(audit == Seq(("A", 2L, 2L, 5L, 5L, 1L),
+                        ("B", 1L, 0L, 0L, 5L, 5L)), audit.toString)
+
+    val ld = Privacy.lDiversity(df, Seq(col("nation")), col("seg"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ld == Seq(("A", 5L, 2L), ("B", 5L, 1L)), ld.toString)
+
+    // 10 unit values 0..9, no static QI: width 1 → 10 singleton
+    // classes (all risky at k=3); width 5 → two classes of 5; width
+    // 10 → one class of 10
+    val vals = (0L until 10L).map(Tuple1(_)).toDF("v")
+    val ladder = Privacy.generalizeLadder(
+        vals, Seq.empty, col("v"), widths = Seq(1L, 5L, 10L), k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ladder == Seq((1L, 10L, 1L, 10L, 10L),
+                         (5L, 2L, 5L, 0L, 10L),
+                         (10L, 1L, 10L, 0L, 10L)), ladder.toString)
+  }
 }

@@ -681,4 +681,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_rcte executes as a NATIVE UnionLoop (engine-owned recursion)") {
+    val df = SparkEntry.queries("q_graph_rcte")(spark, sfDir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    val physical = df.queryExecution.executedPlan.toString
+    // the recursion must reach the engine as a loop operator — if the
+    // CTE were expanded or planned as anything else, the "Spark runs
+    // the recursion" claim would silently regress to a rewrite
+    assert(logical.contains("UnionLoop"),
+      s"optimized plan lost the recursive loop:\n$logical")
+    assert(physical.contains("UnionLoop"),
+      s"physical plan lost the recursive loop:\n$physical")
+  }
+
+  test("q_embed_gram: the d² blow-up stays in projections — no Generate") {
+    val df = SparkEntry.queries("q_embed_gram")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // all 36 partial sums must ride the map-side projection of ONE
+    // aggregate: an explode-based shape would multiply the corpus d²×
+    // into rows before the shuffle
+    assert(!plan.contains("Generate [posexplode") &&
+           !plan.contains("Generate [explode"),
+      s"gram matrix must not explode the corpus:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"gram sums need map-side partials:\n$plan")
+  }
+
 }
