@@ -56,6 +56,42 @@ object Privacy {
       .agg(count(lit(1)).as("class_size"),
            countDistinct(sensitive).as("l"))
 
+  /** t-closeness audit: total-variation distance between each QI
+    * class's sensitive-value distribution and the GLOBAL one — the
+    * refinement beyond [[lDiversity]] (a class can be l-diverse yet
+    * still skewed: 99% one disease in a class vs 10% globally leaks
+    * plenty). Exact rational arithmetic:
+    * TVD = ½·Σ_s |q_s − p_s| = Σ_s |cnt_s·N − g_s·n_c| / (2·n_c·N),
+    * accumulated in DECIMAL(38,0) (cnt·N reaches N² — past int64 at
+    * cluster scale) and emitted once as a half-up scale-4 ratio.
+    * Sensitive values ABSENT from a class still pay their global mass:
+    * the class×domain frame comes from a cross join with the (tiny,
+    * broadcast) global distribution, zero-filling missing cells.
+    * Returns (qi…, class_size, tvd4). One corpus aggregate to cells;
+    * everything after is class×domain-sized. */
+  def tCloseness(df: DataFrame, qi: Seq[Column],
+                 sensitive: Column): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = df.select((qi :+ sensitive.as("_s")): _*)
+    val qn = b.columns.dropRight(1).toSeq
+    val cells = b.groupBy((qn.map(col) :+ col("_s")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val csz = cells.groupBy(qn.map(col): _*).agg(sum(col("_c")).as("n_c"))
+    val g = b.groupBy(col("_s")).agg(count(lit(1)).as("_g"))
+    val tot = b.agg(count(lit(1)).as("_N"))
+    csz.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+      .join(cells, qn :+ "_s", "left")
+      .withColumn("_num", abs(coalesce(col("_c"), lit(0L)).cast(D38) *
+                                col("_N") -
+                              col("_g").cast(D38) * col("n_c")))
+      .groupBy((qn.map(col) :+ col("n_c") :+ col("_N")): _*)
+      .agg(sum(col("_num")).as("_tvd"))
+      .select(qn.map(col) :+ col("n_c").as("class_size") :+
+        graft.Determinism.intRatio4Wide(
+          col("_tvd") * 10000,
+          col("n_c").cast(D38) * col("_N") * 2).as("tvd4"): _*)
+  }
+
   /** Generalization ladder for one numeric QI held in non-negative
     * integer units (cents, days, …): for each band width w, profile the
     * classes formed by (staticQi…, units div w). Returns one row per

@@ -704,6 +704,72 @@ object Sim {
     row.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (i, j, gram)")
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists — the standard
+    * way to combine a lexical (BM25) and a semantic (dense-vector)
+    * ranking without score calibration. Each input frame carries
+    * (_id, rank) with rank ≥ 1; score(id) = Σ_lists ⌊10⁶/(k0+rank)⌋,
+    * kept in INTEGERS (the float 1/(k0+r) sums would be partition-
+    * order sensitive in the tail digits) so fused ranks are exact and
+    * engine-portable. Returns the top `k` ids by (score desc, id).
+    * Scale shape: inputs are already top-k lists (tiny); the fusion is
+    * a union + one hash-agg + TakeOrderedAndProject — never touches
+    * the corpora the rankings came from. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(k0 >= 1 && k >= 1, s"rrfFuse: k0/k must be >= 1, got $k0/$k")
+    rankings
+      .map(_.select(col("_id"),
+        expr(s"1000000 div ($k0 + rank)").as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("_id"))
+      .agg(sum(col("_c")).as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("_id"))
+      .limit(k)
+  }
+
+  /** Simplified (centroid-based) silhouette of a clustering, per cell:
+    * over exact integer SQUARED L2 distances on the 1e-4 grid
+    * (grid64 + the codegen'd l2sq_i64, as in the PQ family), each
+    * vector's a² = distance to its nearest centroid, b² = to the
+    * runner-up; s = (b²−a²)/b² ∈ [0,1] as a half-up scale-4 integer
+    * (b² ≥ a² by construction of the assignment, so no negative
+    * branch; b² = 0 — all coincident — scores 0). Returns
+    * (cell, n, avg_sil4): the per-cluster cohesion report a kmeansFit
+    * deployment gates on. Scale shape: centroids broadcast; ONE
+    * corpus-sized cross-score pass with an 8-struct sorted
+    * collect_list per vector (|centroids| is small by contract);
+    * everything after is cell-sized. */
+  def silhouette(
+      df: DataFrame, id: Column, emb: Column,
+      centroids: DataFrame): DataFrame = {
+    graft.functions.L2SqI64.register(df.sparkSession)
+    val e = df.filter(emb.isNotNull)
+      .select(id.as("vec_id"), grid64(emb).as("q64"))
+    val c = centroids.select(col("cell"), grid64(col("centroid")).as("c64"))
+    val arr = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), struct(d2("q64", "c64").as("d"),
+                                    col("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(col("dc"))).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("vec_id"), col("a")(0)("cell").as("cell"),
+              col("a")(0)("d").as("a2"), col("a")(1)("d").as("b2"))
+    import org.apache.spark.sql.GraftBridge
+    def halfUp(num: Column, den: Column): Column = GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression(num * 2 + den),
+        GraftBridge.expression(den * 2)))
+    arr
+      .withColumn("s_e4",
+        when(col("b2") > 0,
+             halfUp((col("b2") - col("a2")) * 10000L, col("b2")))
+          .otherwise(lit(0L)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+           graft.Determinism.intRatio4(sum(col("s_e4")), count(lit(1)))
+             .as("avg_sil4"))
+  }
+
   /** Dominant eigenvector of a (small, collected) symmetric d×d matrix
     * by fixed-count power iteration — the 1-component PCA direction of
     * the cloud whose Gram [[gramMatrix]] computed. The DISTRIBUTED work

@@ -72,4 +72,49 @@ object Stats {
     cum.groupBy(col("_k").as("key"), col("n"))
       .agg(ests.head, ests.tail: _*)
   }
+
+  /** Count-min sketch counters over a key column: `depth` independent
+    * hash rows × `width` buckets, each counter the number of input ROWS
+    * (multiset counts, not distinct) whose row-r hash lands in it.
+    * Returns (r, b, c). The 100 TB contract shared with [[histBins]]:
+    * counters are plain sums — partials combine map-side and merge in
+    * ANY order, the shuffled state is ≤ depth·width integers total
+    * regardless of corpus size, and the sketch is a pure function of
+    * the input multiset (md5-derived bucket hashes, so an external
+    * engine replays it exactly). */
+  def countMinCounters(
+      df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"countMinCounters: depth/width must be >= 1, got $depth/$width")
+    df.select(key.cast("string").as("_k"))
+      .select(col("_k"),
+              explode(array((0 until depth).map(lit(_)): _*)).as("r"))
+      .select(col("r"),
+              pmod(Pipeline.hash16(
+                concat(col("_k"), lit("#"), col("r").cast("string"))),
+                lit(width)).as("b"))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for `probes` (one row per key) from a
+    * [[countMinCounters]] frame: est(k) = min over rows r of
+    * counter[r][b_r(k)]. Never undercounts; collisions only inflate,
+    * and the min over `depth` independent rows is the classic CM bound
+    * (over ≤ 2·N/width with prob ≥ 1 − 2^−depth). The probe side is
+    * |probes|·depth rows joined against the ≤ depth·width counter
+    * frame — broadcast-sized on both sides no matter the corpus. */
+  def countMinEstimate(
+      counters: DataFrame, probes: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame =
+    probes.select(key.cast("string").as("_k"))
+      .select(col("_k"),
+              explode(array((0 until depth).map(lit(_)): _*)).as("r"))
+      .withColumn("b",
+        pmod(Pipeline.hash16(
+          concat(col("_k"), lit("#"), col("r").cast("string"))),
+          lit(width)))
+      .join(counters, Seq("r", "b"), "left")
+      .groupBy(col("_k").as("key"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 }

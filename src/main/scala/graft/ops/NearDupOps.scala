@@ -884,6 +884,147 @@ object NearDupOps extends OpGroup {
       }),
 
     Q(
+      // hybrid retrieval: reciprocal-rank fusion of a lexical (BM25,
+      // terms "spark query") and a semantic (cosine vs vec 0) top-20,
+      // fused as Σ⌊10⁶/(60+rank)⌋ in INTEGERS (api.Sim.rrfFuse) — the
+      // calibration-free way to combine the two signals every RAG
+      // stack ships, kept exact so the fused ranking hash-matches
+      // across engines. Both input rankings are the already-pinned
+      // top-k shapes (TakeOrdered BM25; broadcast-query-side heap
+      // cosine); the fusion itself touches 40 rows. doc_id and vec_id
+      // share the fixture id space (FIXTURES.md) — the alignment every
+      // dual-index deployment maintains.
+      "q_sim_rrf_fusion",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("_id"))
+        val lex = graft.api.Pipeline.bm25TopDocs(
+            Tables.documents(s, d), col("doc_id"), col("text"),
+            terms = Seq("spark", "query"), k = 20)
+          .select(col("_id"), row_number().over(w).as("rank"))
+        val sem = graft.api.Sim.cosineTopK(
+            Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+            isQuery = col("vec_id") === 0, k = 20)
+          .select(col("cand_id").as("_id"), col("rn").as("rank"))
+        graft.api.Sim.rrfFuse(Seq(lex, sem), k0 = 60, k = 10)
+          .join(lex.withColumnRenamed("rank", "lex_rank"), Seq("_id"),
+                "left")
+          .join(sem.withColumnRenamed("rank", "sem_rank"), Seq("_id"),
+                "left")
+          .select(col("_id").as("doc_id"), col("rrf_e6"),
+                  coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+                  coalesce(col("sem_rank"), lit(0)).as("sem_rank"))
+          .orderBy(col("rrf_e6").desc, col("doc_id"))
+      },
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+        |    (SELECT doc_id, dl, unnest(w) AS term FROM d)
+        |  WHERE term IN ('spark', 'query')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
+        |           / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+        |    ), 4) + 0 AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex AS (
+        |  SELECT doc_id AS id, CAST(row_number() OVER
+        |      (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        |e0 AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |cscore AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) + 0 AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND q.vec_id <> c.vec_id),
+        |sem AS (
+        |  SELECT cand_id AS id, CAST(rn AS INTEGER) AS rank FROM (
+        |    SELECT cand_id, row_number() OVER
+        |        (ORDER BY cos DESC, cand_id ASC) AS rn
+        |    FROM cscore) WHERE rn <= 20),
+        |u AS (
+        |  SELECT id, 1000000 // (60 + rank) AS c FROM lex
+        |  UNION ALL
+        |  SELECT id, 1000000 // (60 + rank) AS c FROM sem),
+        |f AS (
+        |  SELECT id, CAST(SUM(c) AS BIGINT) AS rrf_e6
+        |  FROM u GROUP BY id ORDER BY rrf_e6 DESC, id LIMIT 10)
+        |SELECT f.id AS doc_id, f.rrf_e6,
+        |  COALESCE(lex.rank, 0) AS lex_rank,
+        |  COALESCE(sem.rank, 0) AS sem_rank
+        |FROM f LEFT JOIN lex ON lex.id = f.id
+        |       LEFT JOIN sem ON sem.id = f.id
+        |ORDER BY f.rrf_e6 DESC, doc_id""".stripMargin),
+
+    Q(
+      // clustering-quality gate: simplified silhouette per cell over
+      // the 8 fixed coarse centroids (the q_sim_ann_ivf cells), on
+      // exact integer squared L2 (grid64 + codegen'd l2sq_i64, the PQ
+      // family's metric): s = (b²−a²)/b² per vector against nearest vs
+      // runner-up centroid, half-up scale-4, averaged per cell in
+      // integers. THE eval a kmeans/IVF deployment runs before
+      // trusting its partitioning — reported per cell so thin cells
+      // are visible next to their cohesion. One broadcast cross-score
+      // pass; everything after is cell-sized.
+      "q_embed_silhouette",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+        graft.api.Sim.silhouette(emb, col("vec_id"), col("embedding"),
+                                 cents)
+          .orderBy(col("cell"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * 10000) AS BIGINT)) AS q64
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT vec_id AS cell, q64 AS c64 FROM e WHERE vec_id < 8),
+        |p AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(e.q64) + 1),
+        |      i -> (e.q64[i] - c.c64[i]) * (e.q64[i] - c.c64[i]))) AS dd
+        |  FROM e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cell, dd,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY dd ASC, cell ASC) AS rn
+        |  FROM p),
+        |ab AS (
+        |  SELECT a.vec_id, a.cell, a.dd AS a2, bb.dd AS b2
+        |  FROM r a JOIN r bb ON bb.vec_id = a.vec_id AND bb.rn = 2
+        |  WHERE a.rn = 1),
+        |sv AS (
+        |  SELECT cell, CASE WHEN b2 > 0
+        |    THEN (2 * ((b2 - a2) * 10000) + b2) // (2 * b2)
+        |    ELSE 0 END AS s_e4
+        |  FROM ab),
+        |t AS (
+        |  SELECT cell, COUNT(*) AS n, CAST(SUM(s_e4) AS BIGINT) AS ss
+        |  FROM sv GROUP BY cell)
+        |SELECT cell, n, CAST((2 * ss + n) // (2 * n) AS DOUBLE) / 10000.0
+        |  AS avg_sil4
+        |FROM t ORDER BY cell""".stripMargin),
+
+    Q(
       // ANN recall report — "measure, don't guess" as a first-class
       // operator: per query, recall@3 of the 8-bit LSH path against
       // the exact cosine top-3, in ONE query that runs BOTH paths and

@@ -100,6 +100,54 @@ object PrivacyOps extends OpGroup {
         |FROM cls GROUP BY l ORDER BY l""".stripMargin),
 
     Q(
+      // t-closeness: TVD between each (nation, band) class's segment
+      // distribution and the global one — the leak l-diversity misses
+      // (a class can hold all 5 segments yet be 90% BUILDING vs 20%
+      // globally). Exact rational: Σ|cnt·N − g·n_c| accumulates in
+      // DECIMAL(38,0) (cnt·N reaches N², past int64 at cluster SF) and
+      // the scale-4 ratio emerges once through intRatio4Wide. Missing
+      // segments pay their global mass via the class×domain cross join
+      // (tiny, broadcast). One corpus aggregate; everything after is
+      // class-domain-sized.
+      "q_privacy_tcloseness",
+      (s, d) => {
+        Privacy.tCloseness(
+            Tables.customer(s, d),
+            qi = Seq(col("c_nationkey"),
+                     ldiv(shiftedCents, lit(100000L)).as("band")),
+            sensitive = col("c_mktsegment"))
+          .orderBy(col("c_nationkey"), col("band"))
+      },
+      s"""WITH b AS (
+        |  SELECT c_nationkey, $shiftedCentsSql // 100000 AS band,
+        |    c_mktsegment AS s
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, band, s, COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |csz AS (
+        |  SELECT c_nationkey, band, CAST(SUM(c) AS BIGINT) AS n_c
+        |  FROM cells GROUP BY 1, 2),
+        |g AS (SELECT s, COUNT(*) AS gc FROM b GROUP BY s),
+        |tot AS (SELECT COUNT(*) AS nn FROM b),
+        |f AS (
+        |  SELECT csz.c_nationkey, csz.band, csz.n_c, tot.nn, g.s,
+        |    COALESCE(cells.c, 0) AS c, g.gc
+        |  FROM csz CROSS JOIN g CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.c_nationkey = csz.c_nationkey
+        |    AND cells.band = csz.band AND cells.s = g.s),
+        |t AS (
+        |  SELECT c_nationkey, band, n_c, nn,
+        |    SUM(abs(CAST(c AS HUGEINT) * nn - CAST(gc AS HUGEINT) * n_c))
+        |      AS tvd
+        |  FROM f GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, band, n_c AS class_size,
+        |  CAST((2 * (tvd * 10000) + (2 * CAST(n_c AS HUGEINT) * nn))
+        |       // (2 * (2 * CAST(n_c AS HUGEINT) * nn)) AS DOUBLE)
+        |    / 10000.0 AS tvd4
+        |FROM t ORDER BY c_nationkey, band""".stripMargin),
+
+    Q(
       // generalization ladder: how coarse must the balance band get
       // before k=5 holds over (nation, segment, band)? One row per
       // candidate width ($500/$1000/$2000/$4000) with the class count,

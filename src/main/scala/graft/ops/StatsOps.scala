@@ -911,6 +911,60 @@ object StatsOps extends OpGroup {
         |SELECT ex.event_type, n, p50_est, p50_exact, p95_est, p95_exact,
         |  p99_est, p99_exact
         |FROM ex JOIN est ON est.event_type = ex.event_type
-        |ORDER BY ex.event_type""".stripMargin)
+        |ORDER BY ex.event_type""".stripMargin),
+
+    Q(
+      // count-min sketch (api.Stats.countMinCounters/Estimate): point
+      // frequencies of the top-10 corpus words from a 4×16 counter
+      // matrix, NEXT TO the exact counts so the one-sided error is
+      // visible in the gate (overcount ≥ 0 always; width 16 < the
+      // 31-word vocabulary forces real collisions, and the min over 4
+      // rows is what keeps them small — the same sketch-vs-exact
+      // posture as q_distinct_kmv and q_stats_sketch_quantile, for the
+      // THIRD mergeable-sketch family member: point counts, where KMV
+      // does distincts and histBins does quantiles). Scale shape: the
+      // sketch shuffles ≤ 64 counters regardless of corpus size; the
+      // probe join is broadcast-tiny on both sides.
+      "q_agg_countmin",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(graft.api.Dedup.tokens(col("text"))).as("w"))
+        val exact = words.groupBy(col("w"))
+          .agg(count(lit(1)).as("n_exact"))
+        val top = exact.orderBy(col("n_exact").desc, col("w")).limit(10)
+        val counters = graft.api.Stats.countMinCounters(
+          words, col("w"), depth = 4, width = 16)
+        val est = graft.api.Stats.countMinEstimate(
+          counters, top, col("w"), depth = 4, width = 16)
+        top.join(est, col("w") === col("key"))
+          .select(col("w"), col("n_exact"), col("cms_est"),
+                  (col("cms_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("n_exact").desc, col("w"))
+      },
+      {
+        val h = (k: String) =>  // parens: % binds tighter than u16's +
+          "(" + graft.ops.u16Sql(s"($k || '#' || CAST(r AS VARCHAR))") +
+            ") % 16"
+        s"""WITH w AS (
+          |  SELECT unnest(${toksSql("text")}) AS w FROM documents),
+          |ex AS (SELECT w, COUNT(*) AS n_exact FROM w GROUP BY w),
+          |top AS (SELECT * FROM ex ORDER BY n_exact DESC, w LIMIT 10),
+          |rr AS (SELECT unnest(range(0, 4)) AS r),
+          |cnt AS (
+          |  SELECT r, ${h("w.w")} AS b, COUNT(*) AS c
+          |  FROM w CROSS JOIN rr GROUP BY 1, 2),
+          |pe AS (
+          |  SELECT top.w, rr.r, ${h("top.w")} AS b
+          |  FROM top CROSS JOIN rr),
+          |est AS (
+          |  SELECT pe.w, MIN(COALESCE(cnt.c, 0)) AS cms_est
+          |  FROM pe LEFT JOIN cnt ON cnt.r = pe.r AND cnt.b = pe.b
+          |  GROUP BY pe.w)
+          |SELECT top.w, CAST(top.n_exact AS BIGINT) AS n_exact,
+          |  CAST(est.cms_est AS BIGINT) AS cms_est,
+          |  CAST(est.cms_est - top.n_exact AS BIGINT) AS overcount
+          |FROM top JOIN est ON est.w = top.w
+          |ORDER BY n_exact DESC, top.w""".stripMargin
+      })
   )
 }

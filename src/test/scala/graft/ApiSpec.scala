@@ -1552,6 +1552,75 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(z.map(x => x * x).sum - 1.0) < 1e-12)
   }
 
+  test("Privacy.tCloseness: skewed class scores its TVD, balanced class 0") {
+    import graft.api.Privacy
+    // global seg distribution: 6 x, 6 y (50/50). class A: 4x+0y →
+    // TVD = ½(|4/4−1/2| + |0−1/2|) = 0.5; class B: 2x+2y ... wait —
+    // B has 2x+6y? keep exact: A = 4x, B = 2x+6y → global 6x+6y.
+    // B's TVD = ½(|2/8−6/12| + |6/8−6/12|) = ½(0.25 + 0.25) = 0.25
+    val df = (Seq.fill(4)(("A", "x")) ++ Seq.fill(2)(("B", "x")) ++
+        Seq.fill(6)(("B", "y"))).toDF("k", "seg")
+    val r = Privacy.tCloseness(df, Seq(col("k")), col("seg"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(("A", 4L, 0.5), ("B", 8L, 0.25)), r.toString)
+  }
+
+  test("Sim.rrfFuse: doc in both lists outranks singles; integer scores") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("_id", "rank")
+    val l2 = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("_id", "rank")
+    val r = Sim.rrfFuse(Seq(l1, l2), k0 = 60, k = 4)
+      .as[(Long, Long)].collect().toSeq
+    // 10: ⌊1e6/61⌋+⌊1e6/63⌋ = 16393+15873 = 32266
+    // 20: ⌊1e6/62⌋+⌊1e6/61⌋ = 16129+16393 = 32522
+    // 30: 15873; 40: 16129
+    assert(r == Seq((20L, 32522L), (10L, 32266L), (40L, 16129L),
+                    (30L, 15873L)), r.toString)
+  }
+
+  test("Sim.silhouette: tight planted clusters score near 1, straddler drags") {
+    val cents = Seq((0L, Array(10f, 0f)), (1L, Array(0f, 10f)))
+      .toDF("cell", "centroid")
+    val emb = Seq(
+      (100L, Array(10f, 0f)),   // exactly on centroid 0 → s = 1
+      (101L, Array(9f, 0f)),    // near 0 → s close to 1
+      (102L, Array(0f, 10f)),   // exactly on centroid 1 → s = 1
+      (103L, Array(5f, 5f))     // equidistant → a²=b² → s = 0
+    ).toDF("vec_id", "embedding")
+    val r = Sim.silhouette(emb, col("vec_id"), col("embedding"), cents)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // straddler ties (a²=b²) break to the LOWER cell id → lands in 0
+    assert(r.map(t => (t._1, t._2)) == Seq((0L, 3L), (1L, 1L)), r.toString)
+    val c0 = r.head._3 // (1 + ~0.9876 + 0) / 3 — dominated by the two
+    assert(c0 > 0.6 && c0 < 0.7, s"cell0 avg: $c0")
+    assert(r(1)._3 == 1.0, r.toString)
+  }
+
+  test("Stats.countMin: never undercounts; row sums conserve; depth-min tightens") {
+    import graft.api.Stats
+    val keys = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+    val df = keys.map(Tuple1(_)).toDF("k")
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = keys.distinct.map(Tuple1(_)).toDF("k")
+    val c4 = Stats.countMinCounters(df, col("k"), depth = 4, width = 8)
+    val est4 = Stats.countMinEstimate(c4, probes, col("k"), 4, 8)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(est4(k) >= n, s"undercount at $k: ${est4(k)} < $n") }
+    // each hash row distributes every input row exactly once
+    val rowSums = c4.groupBy("r").agg(sum("c")).as[(Int, Long)].collect()
+    assert(rowSums.length == 4 && rowSums.forall(_._2 == keys.size),
+      rowSums.mkString(","))
+    // the min over 4 rows can only tighten the single-row estimate
+    // (row 0 is shared between the two sketches by construction)
+    val c1 = Stats.countMinCounters(df, col("k"), depth = 1, width = 8)
+    val est1 = Stats.countMinEstimate(c1, probes, col("k"), 1, 8)
+      .as[(String, Long)].collect().toMap
+    exact.keys.foreach { k => assert(est4(k) <= est1(k)) }
+    // width 8 << 50 keys: collisions must actually occur, or the
+    // tightening claim above was tested on nothing
+    assert(exact.exists { case (k, n) => est1(k) > n })
+  }
+
   test("Privacy: kAnonAudit / lDiversity / generalizeLadder on planted classes") {
     import graft.api.Privacy
     // nation A: classes (x:4 rows, y:1 row); nation B: (x:5 rows)
