@@ -149,6 +149,27 @@ object Etl {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** [[expect]]'s checks as FREE inline metrics: the counters attach
+    * to the frame via Spark's Observation API and materialize as a
+    * side effect of whatever action the caller already runs (the
+    * production write, a count) — ZERO extra scan, where expect() is
+    * its own aggregate job. The deployment shape for a 100 TB gate:
+    * audit the export in the export. Same NULL-is-violation semantics
+    * as expect. After the action, `observation.get` yields
+    * Map("viol_<name>" -> count); get BLOCKS until an action runs. */
+  def observeExpectations(
+      df: DataFrame, checks: Seq[(String, Column)])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "observeExpectations: at least one check")
+    require(checks.forall(_._1.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      "observeExpectations: check names must be identifier-safe")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = checks.map { case (name, pred) =>
+      count_if(!coalesce(pred, lit(false))).as(s"viol_$name")
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Key-uniqueness check in [[expect]]'s row shape: n_violations =
     * rows beyond the first per duplicate key (COUNT(*) − COUNT(DISTINCT
     * key)). One hash-agg; the distinct count is exact. */

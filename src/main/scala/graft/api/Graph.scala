@@ -88,6 +88,41 @@ object Graph {
     *
     * Returns (node, rank_e12 BIGINT): rank in 1e-12 units,
     * initial mass 1e12 per node, damping 0.85. */
+  /** Bounded Bellman-Ford single-source shortest paths over INTEGER
+    * edge weights (src, dst, w ≥ 0): `rounds` relaxation sweeps give
+    * the exact min total weight over paths of ≤ `rounds` hops. Each
+    * sweep is ONE dist⋈edges equi-join (edges pre-hashed on src, the
+    * [[shortestHops]] posture) + a min hash-agg; lineage truncates per
+    * sweep via localCheckpoint. Deterministic: integer weights, min
+    * aggregate — no float accumulation, no order sensitivity. With
+    * non-negative weights the ≤h-hop path minimum equals the ≤h-hop
+    * WALK minimum, which is what a recursive-SQL oracle replays. */
+  def ssspBounded(
+      spark: SparkSession,
+      edges: DataFrame,
+      source: Long,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+                         col("w").cast("long"))
+      .repartition(col("src")).persist()
+    try {
+      var dist = Seq((source, 0L)).toDF("node", "dist")
+      var r = 0
+      while (r < rounds) {
+        dist = dist
+          .union(e.join(dist, col("src") === col("node"))
+            .select(col("dst").as("node"),
+                    (col("dist") + col("w")).as("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        r += 1
+      }
+      dist
+    } finally { e.unpersist(); () }
+  }
+
   def pageRank(
       spark: SparkSession,
       edges: DataFrame,

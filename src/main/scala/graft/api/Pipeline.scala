@@ -309,6 +309,25 @@ object Pipeline {
     * build side collects to ONE binary on the driver — the explicit twin
     * of a runtime-filter subquery broadcast, fine at any corpus scale
     * because it depends only on the BENCHMARK's shingle count. */
+  /** Per-group KMV sketch as ROWS: the k smallest distinct 32-bit
+    * value hashes per group — the mergeable representation behind
+    * [[approxDistinctKMV]], exposed because sketch SET ALGEBRA needs
+    * it: the k-min set of A∪B is exactly recoverable from
+    * k-min(A) ∪ k-min(B) (k-min(A∪B) ⊆ the union of the two sets),
+    * so union/intersection estimates between groups touch ≤ k rows
+    * per group, never the corpora. Returns (g, hv, rn) with rn ≤ k.
+    * The oracle-replayable relational form; the engine-native
+    * single-pass form is `functions.KmvKth`. */
+  def kmvSketch(
+      df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("hv"))
+    df.select(group.as("g"), hash32(value).as("hv")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   def contaminatedBloom(
       corpus: DataFrame, benchmark: DataFrame, id: Column, text: Column,
       n: Int, expectedItems: Long = 1000000L): DataFrame = {

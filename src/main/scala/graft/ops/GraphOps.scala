@@ -110,6 +110,51 @@ object GraphOps extends OpGroup {
         |ORDER BY dist, n_walks, node""".stripMargin),
 
     Q(
+      // WEIGHTED shortest paths (bounded Bellman-Ford,
+      // api.Graph.ssspBounded): edge cost 11 − min(shared_orders, 10),
+      // so strongly co-supplying pairs are "close" — min total cost
+      // within ≤4 relaxation sweeps from supplier 1. Each sweep is one
+      // dist⋈edges join + a min hash-agg on INTEGER weights (no float
+      // path sums — order-independent, HUGEINT-replayable); with
+      // non-negative weights the ≤4-hop path minimum equals the walk
+      // minimum the oracle's recursive CTE computes.
+      "q_graph_sssp",
+      (s, d) => {
+        val wk = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                  col("o_orderdate") < lit("1997-01-08"))
+          .select(col("o_orderkey"))
+        val ls = Tables.lineitem(s, d)
+          .join(wk, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val ew = ls.alias("a")
+          .join(ls.alias("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+          .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("src"),
+                   col("b.l_suppkey").as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("src"), col("dst"),
+                  (lit(11) - least(col("c"), lit(10))).as("w"))
+        graft.api.Graph.ssspBounded(s, ew, source = 1L, rounds = 4)
+          .orderBy(col("dist"), col("node"))
+      },
+      s"""WITH RECURSIVE $coSupplyEdgesSql,
+        |ew AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    11 - LEAST(COUNT(*), 10) AS w
+        |  FROM ls a JOIN ls b USING (l_orderkey)
+        |  WHERE a.l_suppkey <> b.l_suppkey
+        |  GROUP BY 1, 2),
+        |p(node, dd, h) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dd,
+        |    0 AS h
+        |  UNION ALL
+        |  SELECT e.dst, p.dd + e.w, p.h + 1
+        |  FROM p JOIN ew e ON e.src = p.node WHERE p.h < 4)
+        |SELECT node, MIN(dd) AS dist FROM p GROUP BY node
+        |ORDER BY dist, node""".stripMargin),
+
+    Q(
       // bounded PageRank (api.Graph.pageRank) over the same co-supply
       // graph, 3 power iterations, damping 0.85 — in FIXED-POINT
       // integer math (1e-12 rank units, floor-div contributions and

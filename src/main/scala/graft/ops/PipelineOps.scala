@@ -553,6 +553,119 @@ object PipelineOps extends OpGroup {
         |ORDER BY event_type""".stripMargin),
 
     Q(
+      // KMV sketch SET ALGEBRA (api.Pipeline.kmvSketch): per event-type
+      // pair, distinct-user union and intersection ESTIMATES computed
+      // purely from the two k-min sets (k-min(A∪B) is recoverable from
+      // k-min(A) ∪ k-min(B) — the merge property that makes KMV a set
+      // sketch, not just a counter), reported NEXT TO the exact
+      // intersection so the inclusion–exclusion error is visible in
+      // the gate. Scale shape: pair operations touch ≤ k rows per
+      // group — the corpora are scanned once to build the 5 sketches;
+      // only the exact-baseline column pays a full hash self-join,
+      // and it exists purely to measure the sketch.
+      "q_distinct_kmv_setops",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 64
+        val ev = Tables.events(s, d)
+        val sk = Pipeline.kmvSketch(ev, col("event_type"),
+                                    col("user_id"), k = K)
+          .select(col("g"), col("hv"))
+        val per = sk.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_s"), max(col("hv")).as("kth"))
+        def est(n: org.apache.spark.sql.Column,
+                kth: org.apache.spark.sql.Column) =
+          when(n < K, n.cast("double"))
+            .otherwise(r4(lit((K - 1).toDouble) /
+              (kth.cast("double") / lit(4294967296.0))))
+        val types = per.select(col("g"))
+        val pairs = types.alias("x")
+          .join(types.alias("y"), col("x.g") < col("y.g"))
+          .select(col("x.g").as("ta"), col("y.g").as("tb"))
+        val m = pairs
+          .join(sk, col("g") === col("ta") || col("g") === col("tb"))
+          .select(col("ta"), col("tb"), col("hv")).distinct()
+        val wm = Window.partitionBy(col("ta"), col("tb"))
+          .orderBy(col("hv"))
+        val mk = m.withColumn("rn", row_number().over(wm))
+          .filter(col("rn") <= K)
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_m"), max(col("hv")).as("ukth"))
+        val h = ev.select(col("event_type").as("g"),
+                          Pipeline.hash32(col("user_id")).as("hv"))
+          .distinct()
+        val inter = h.alias("p")
+          .join(h.alias("q"),
+                col("p.hv") === col("q.hv") && col("p.g") < col("q.g"))
+          .groupBy(col("p.g").as("ia"), col("q.g").as("ib"))
+          .agg(count(lit(1)).as("n_ex"))
+        mk
+          .join(per.select(col("g").as("ta"), col("n_s").as("na"),
+                           col("kth").as("ka")), Seq("ta"))
+          .join(per.select(col("g").as("tb"), col("n_s").as("nb"),
+                           col("kth").as("kb")), Seq("tb"))
+          .join(inter, col("ta") === col("ia") && col("tb") === col("ib"),
+                "left")
+          .withColumn("ea", est(col("na"), col("ka")))
+          .withColumn("eb", est(col("nb"), col("kb")))
+          .withColumn("eu", est(col("n_m"), col("ukth")))
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+                  coalesce(col("n_ex"), lit(0L)).as("exact_inter"),
+                  col("ea").as("est_a4"), col("eb").as("est_b4"),
+                  col("eu").as("est_union4"),
+                  r4(col("ea") + col("eb") - col("eu")).as("est_inter4"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type AS g, ${u32Sql("user_id")} AS hv
+        |  FROM events),
+        |sk AS (
+        |  SELECT g, hv FROM (
+        |    SELECT g, hv,
+        |      row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |    FROM h) WHERE rn <= 64),
+        |per AS (SELECT g, COUNT(*) AS n_s, MAX(hv) AS kth
+        |        FROM sk GROUP BY g),
+        |pairs AS (SELECT x.g AS ta, y.g AS tb
+        |          FROM per x JOIN per y ON x.g < y.g),
+        |m AS (
+        |  SELECT DISTINCT ta, tb, hv
+        |  FROM pairs JOIN sk ON sk.g = ta OR sk.g = tb),
+        |mk AS (
+        |  SELECT ta, tb, COUNT(*) AS n_m, MAX(hv) AS ukth FROM (
+        |    SELECT ta, tb, hv,
+        |      row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        |    FROM m) WHERE rn <= 64 GROUP BY ta, tb),
+        |inter AS (
+        |  SELECT p.g AS ia, q.g AS ib, COUNT(*) AS n_ex
+        |  FROM h p JOIN h q ON p.hv = q.hv AND p.g < q.g
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT mk.ta, mk.tb, COALESCE(inter.n_ex, 0) AS exact_inter,
+        |    pa.n_s AS na, pa.kth AS ka, pb.n_s AS nb, pb.kth AS kb,
+        |    mk.n_m, mk.ukth
+        |  FROM mk JOIN per pa ON pa.g = mk.ta
+        |          JOIN per pb ON pb.g = mk.tb
+        |  LEFT JOIN inter ON inter.ia = mk.ta AND inter.ib = mk.tb),
+        |f AS (
+        |  SELECT ta, tb, exact_inter,
+        |    CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+        |      ELSE round(63.0 / (CAST(ka AS DOUBLE) / 4294967296.0), 4)
+        |        + 0 END AS ea,
+        |    CASE WHEN nb < 64 THEN CAST(nb AS DOUBLE)
+        |      ELSE round(63.0 / (CAST(kb AS DOUBLE) / 4294967296.0), 4)
+        |        + 0 END AS eb,
+        |    CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE)
+        |      ELSE round(63.0 / (CAST(ukth AS DOUBLE) / 4294967296.0), 4)
+        |        + 0 END AS eu
+        |  FROM j)
+        |SELECT ta AS type_a, tb AS type_b,
+        |  CAST(exact_inter AS BIGINT) AS exact_inter,
+        |  ea AS est_a4, eb AS est_b4, eu AS est_union4,
+        |  round(ea + eb - eu, 4) + 0 AS est_inter4
+        |FROM f ORDER BY type_a, type_b""".stripMargin),
+
+    Q(
       // LEAKAGE-SAFE train/val/test split: assignment hashes the
       // near-dup CLUSTER root, not the doc id — so two near-duplicate
       // documents can never straddle the train/eval boundary (the

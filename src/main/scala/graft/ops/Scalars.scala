@@ -203,6 +203,37 @@ object Scalars extends OpGroup {
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     Q(
+      // Spark 4 VARIANT ingestion: props parses ONCE into the binary
+      // semi-structured type (parse_json), then typed paths extract
+      // from the SAME variant value — the parse-once-extract-many
+      // shape that replaces get_json_object's string re-probing per
+      // field (q_fn_json) at scale: one decode per row, shredded
+      // binary storage, O(log n) path seeks. try_variant_get on an
+      // absent path yields NULL (counted, proving the miss semantics);
+      // the oracle twin replays with DuckDB's JSON extraction, so the
+      // hash match certifies the typed values, the filter, and the
+      // null behavior — not just that the API runs.
+      "q_fn_variant",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+                expr("variant_get(v, '$.k', 'int')").as("k"),
+                expr("try_variant_get(v, '$.missing', 'int')").as("miss"))
+        .filter(col("k") > 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+             sum(col("k")).as("sum_k"), count(col("miss")).as("n_miss"))
+        .orderBy(col("event_type")),
+      """SELECT event_type, COUNT(*) AS n, MIN(k) AS min_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  COUNT(json_extract(props, '$.missing')) AS n_miss
+        |FROM (SELECT event_type, props,
+        |        json_extract(props, '$.k')::INT AS k
+        |      FROM events)
+        |WHERE k > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    Q(
       // STRUCTURED JSON round-trip: struct → to_json → from_json(schema)
       // → fields. The oracle selects the RAW columns — the hash match
       // proves the serialize/parse cycle lossless (types, nulls, and

@@ -1552,6 +1552,60 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(z.map(x => x * x).sum - 1.0) < 1e-12)
   }
 
+  test("Graph.ssspBounded: cheap 2-hop path beats direct edge; rounds bound") {
+    import graft.api.Graph
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 20L),
+                    (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val d4 = Graph.ssspBounded(spark, edges, source = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d4 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 11L), d4.toString)
+    // one sweep can only use single-edge paths: 3 costs 20, 4 unreached
+    val d1 = Graph.ssspBounded(spark, edges, source = 1L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 5L, 3L -> 20L), d1.toString)
+  }
+
+  test("kmvSketch: merge property — k-min(A∪B) recoverable from the two sketches") {
+    val a = (1 to 40).map(i => ("A", s"u$i")).toDF("g", "v")
+    val b = (25 to 70).map(i => ("B", s"u$i")).toDF("g", "v")
+    val k = 8
+    val skA = Pipeline.kmvSketch(a, col("g"), col("v"), k)
+      .select("hv").as[Long].collect().toSet
+    val skB = Pipeline.kmvSketch(b, col("g"), col("v"), k)
+      .select("hv").as[Long].collect().toSet
+    assert(skA.size == k && skB.size == k)
+    val direct = Pipeline.kmvSketch(
+        a.unionByName(b).withColumn("g", lit("U")),
+        col("g"), col("v"), k)
+      .select("hv").as[Long].collect().toSet
+    val merged = (skA ++ skB).toSeq.sorted.take(k).toSet
+    assert(merged == direct,
+      s"merge property violated: $merged vs $direct")
+  }
+
+  test("Etl.observeExpectations: counters ride the caller's action for free") {
+    import graft.api.Etl
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 10.0), (4L, -2.0))
+      .toDF("id", "v")
+      .withColumn("v", when(col("id") === 4L, lit(null)
+        .cast("double")).otherwise(col("v")))
+    val (audited, obs) = Etl.observeExpectations(df, Seq(
+      "v_positive" -> (col("v") > 0),
+      "id_small" -> (col("id") < 100)))
+    // the metrics materialize as a side effect of THIS action —
+    // no separate aggregate job over the data
+    assert(audited.count() == 4)
+    val m = obs.get
+    // -1.0 fails, NULL counts as a violation (3-valued logic must not
+    // slip unknown rows through a gate)
+    assert(m("viol_v_positive") == 2L, m.toString)
+    assert(m("viol_id_small") == 0L, m.toString)
+    // matches the separate-scan expect() verdict exactly
+    val e = Etl.expect(df, Seq("v_positive" -> (col("v") > 0)))
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(e == Seq(("v_positive", 2L, false)), e.toString)
+  }
+
   test("Privacy.tCloseness: skewed class scores its TVD, balanced class 0") {
     import graft.api.Privacy
     // global seg distribution: 6 x, 6 y (50/50). class A: 4x+0y →
