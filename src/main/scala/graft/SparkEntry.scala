@@ -14,7 +14,8 @@ object SparkEntry {
   private def groups: Seq[OpGroup] = Seq(
     Scans, Filters, Joins, Aggs, Windows, SetOps, SqlOps, Scalars, LlmOps,
     NearDupOps, TextOps, ScrubOps, PrivacyOps, PipelineOps, CurateOps,
-    Streaming, EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, StatsOps, Udx
+    Streaming, EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, StatsOps,
+    EvalOps, Udx
   )
 
   private def all: Seq[Q] = groups.flatMap(_.qs)

@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Determinism._
+import graft.io.Tables
+
+/** SURVEY §2.6 extension — MODEL-EVALUATION operators: the metrics a
+  * retrieval/classification pipeline computes over its own outputs
+  * before shipping them (ranking quality of an ANN/BM25 tier,
+  * classifier quality of a langid/quality gate). Like the recall
+  * report, the evaluated SYSTEM is one of this repo's own declared
+  * operators, so the oracle hash certifies the metric values
+  * end-to-end — ranker + metric — not a toy fixture.
+  *
+  * Determinism posture: rankings come from the integer-exact quantized
+  * dot product (bit-deterministic, tie-broken on id); NDCG's 1/log2
+  * discounts are a FIXED literal table in integer micro-units (the
+  * only irrational ingredient, frozen identically into both engines —
+  * never computed via each engine's libm); average precision runs on
+  * the common denominator lcm(1..10)=2520 so P@i is an exact integer;
+  * every emitted ratio goes through intRatio4. Nothing depends on
+  * float summation order.
+  */
+object EvalOps extends OpGroup {
+
+  /** round(10⁶ / log2(i+1)) for i = 1..10 — the NDCG discount table. */
+  private val discW =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+  /** Prefix sums of [[discW]]: ideal DCG of r relevant docs at top. */
+  private val cumW =
+    Seq(1000000L, 1630930L, 2130930L, 2561607L, 2948460L,
+        3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
+  /** 2520 / i (lcm(1..10) = 2520) — exact-integer precision@i units. */
+  private val pFac =
+    Seq(2520L, 1260L, 840L, 630L, 504L, 420L, 360L, 315L, 280L, 252L)
+
+  private def valuesSql(name: String, cols: String,
+                        rows: Seq[String]): String =
+    s"$name($cols) AS (VALUES ${rows.mkString(", ")})"
+
+  private val discSql = valuesSql("w", "rn, disc, pfac",
+    (1 to 10).map(i => s"($i, ${discW(i - 1)}, ${pFac(i - 1)})"))
+  private val cumSql = valuesSql("cw", "r, cumw",
+    (1 to 10).map(i => s"($i, ${cumW(i - 1)})"))
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      // Ranking-quality report (P@10 / MAP@10 / NDCG@10) of the int8-
+      // quantized cosine ranker against label-match relevance: for each
+      // query vector, rank the collection by exact integer dot product
+      // (api.Sim.quantizedTopK, k=10), mark a candidate relevant iff
+      // its label equals the query's, and emit the three standard
+      // ranking metrics per query — the eval harness that decides
+      // whether a quantization/ANN tier is good enough to serve.
+      // n_rel is a CATALOG property (all same-label rows minus self,
+      // via a label-count agg + broadcast join — never a self-join).
+      // IDCG@10 = cumW[min(n_rel,10)]; AP@10 in exact 1/2520 units.
+      // Scale shape: the ranker is the pinned broadcast-query ×
+      // one-scan shape; everything after rank touches |Q|·k rows.
+      "q_eval_ranking",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ranked = graft.api.Sim.quantizedTopK(
+          emb, col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 10, k = 10)
+        val lbl = emb.select(col("vec_id").as("_lid"),
+                             col("label").as("_lbl"))
+        val rel = ranked
+          .join(broadcast(lbl.select(col("_lid").as("_qid"),
+                                     col("_lbl").as("_qlbl"))),
+                col("q_id") === col("_qid"))
+          .join(broadcast(lbl), col("cand_id") === col("_lid"))
+          .select(col("q_id"), col("rn").cast("int").as("rn"),
+                  coalesce((col("_lbl") === col("_qlbl")).cast("long"),
+                           lit(0L)).as("rel"))
+        val wCum = Window.partitionBy(col("q_id")).orderBy(col("rn"))
+        val g = rel
+          .withColumn("hits", sum(col("rel")).over(wCum))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") * element_at(typedLit(discW), col("rn")))
+                 .as("_dcg"),
+               sum(col("rel") * col("hits") *
+                   element_at(typedLit(pFac), col("rn"))).as("_apn"),
+               sum(col("rel")).as("n_hit"))
+        val labCnt = emb.groupBy(col("label"))
+          .agg(count(lit(1)).as("_lc"))
+        val nRel = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("_q2"), col("label"))
+          .join(broadcast(labCnt), "label")
+          .select(col("_q2"), (col("_lc") - 1).as("n_rel"))
+        g.join(nRel, col("q_id") === col("_q2"))
+          .filter(col("n_rel") > 0)
+          .select(col("q_id"), col("n_rel"), col("n_hit"),
+                  intRatio4(col("n_hit") * 10000L, lit(10L)).as("p_at_k"),
+                  intRatio4(col("_apn") * 10000L,
+                            lit(2520L) * least(col("n_rel"), lit(10L)))
+                    .as("ap"),
+                  intRatio4(col("_dcg") * 10000L,
+                            element_at(typedLit(cumW),
+                                       least(col("n_rel"), lit(10L))
+                                         .cast("int"))).as("ndcg"))
+          .orderBy(col("q_id"))
+      },
+      s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax,
+        |    embedding
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * (127.0 / CAST(amax AS DOUBLE)))
+        |           AS INT)) AS qvec
+        |  FROM e WHERE amax > 0),
+        |scored AS (
+        |  SELECT a.vec_id AS q_id, a.label AS q_lbl,
+        |    b.vec_id AS cand_id, b.label AS c_lbl,
+        |    CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> CAST(a.qvec[i] AS BIGINT) * b.qvec[i])) AS BIGINT)
+        |      AS qdot
+        |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT q_id, q_lbl, cand_id, c_lbl, qdot,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY qdot DESC, cand_id ASC) AS rn
+        |  FROM scored),
+        |$discSql,
+        |$cumSql,
+        |rel AS (
+        |  SELECT r.q_id, r.rn,
+        |    CASE WHEN r.c_lbl = r.q_lbl THEN 1 ELSE 0 END AS rel,
+        |    w.disc, w.pfac,
+        |    SUM(CASE WHEN r.c_lbl = r.q_lbl THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY r.q_id ORDER BY r.rn) AS hits
+        |  FROM ranked r JOIN w ON r.rn = w.rn
+        |  WHERE r.rn <= 10),
+        |g AS (
+        |  SELECT q_id, CAST(SUM(rel * disc) AS BIGINT) AS dcg,
+        |    CAST(SUM(rel * hits * pfac) AS BIGINT) AS apn,
+        |    CAST(SUM(rel) AS BIGINT) AS n_hit
+        |  FROM rel GROUP BY q_id),
+        |lc AS (SELECT label, COUNT(*) AS lc FROM embeddings
+        |       GROUP BY label),
+        |nr AS (
+        |  SELECT a.vec_id AS q_id, CAST(lc.lc - 1 AS BIGINT) AS n_rel
+        |  FROM embeddings a JOIN lc ON a.label = lc.label
+        |  WHERE a.vec_id < 10)
+        |SELECT g.q_id, nr.n_rel, g.n_hit,
+        |  CAST((2*(g.n_hit*10000) + 10) // 20 AS DOUBLE) / 10000.0
+        |    AS p_at_k,
+        |  CAST((2*(g.apn*10000) + 2520*least(nr.n_rel, 10))
+        |       // (2*2520*least(nr.n_rel, 10)) AS DOUBLE) / 10000.0
+        |    AS ap,
+        |  CAST((2*(g.dcg*10000) + cw.cumw) // (2*cw.cumw) AS DOUBLE)
+        |    / 10000.0 AS ndcg
+        |FROM g JOIN nr ON g.q_id = nr.q_id
+        |JOIN cw ON cw.r = least(nr.n_rel, 10)
+        |WHERE nr.n_rel > 0
+        |ORDER BY g.q_id""".stripMargin),
+
+    Q(
+      // Classifier-evaluation report: per-class precision / recall / F1
+      // of the unigram-profile langid (api.Text.languageId) against the
+      // labeled lang column — the metric layer a data-curation gate
+      // needs before trusting a classifier to route documents. Derived
+      // entirely from the (true, predicted) confusion counts (a ~25-row
+      // frame): tp per class, n_true = tp+fn (row margin), n_pred =
+      // tp+fp (column margin); docs the classifier abstains on (no
+      // profile hit ⇒ NULL predicted, LEFT join) count against recall
+      // but inflate no class's precision. F1 avoids fractions-of-
+      // fractions via the exact identity F1 = 2·tp/(n_true+n_pred);
+      // a never-predicted class reports precision 0 by convention
+      // (guarded — intRatio4 would raise on den=0). All ratios exact
+      // scale-4 integers; nothing floats until the final /10⁴.
+      "q_eval_prf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pred = graft.api.Text.languageId(
+          docs, col("doc_id"), col("text"), col("lang"), profileSize = 5)
+        val conf = docs.select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"), "left")
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val byTrue = conf.groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_true"),
+               sum(when(col("predicted") === col("lang"), col("n"))
+                 .otherwise(0L)).as("tp"))
+        val byPred = conf.filter(col("predicted").isNotNull)
+          .groupBy(col("predicted")).agg(sum(col("n")).as("_np"))
+        val np = coalesce(col("_np"), lit(0L))
+        byTrue.join(byPred, col("lang") === col("predicted"), "left")
+          .select(col("lang"), col("n_true"), np.as("n_pred"), col("tp"),
+                  when(np > 0, intRatio4(col("tp") * 10000L, np))
+                    .otherwise(lit(0.0)).as("precision4"),
+                  intRatio4(col("tp") * 10000L, col("n_true"))
+                    .as("recall4"),
+                  intRatio4(col("tp") * 20000L, col("n_true") + np)
+                    .as("f1_4"))
+          .orderBy(col("lang"))
+      },
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, term AS p_term FROM (
+        |    SELECT lang, term, COUNT(*) AS n,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY COUNT(*) DESC, term ASC) AS rn
+        |    FROM tokens GROUP BY lang, term)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+        |  FROM (SELECT DISTINCT doc_id, term FROM tokens) t
+        |  JOIN profile p ON t.term = p.p_term
+        |  GROUP BY t.doc_id, p.p_lang),
+        |predicted AS (
+        |  SELECT doc_id, p_lang AS predicted FROM (
+        |    SELECT doc_id, p_lang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY hits DESC, p_lang ASC) AS rn
+        |    FROM hits)
+        |  WHERE rn = 1),
+        |conf AS (
+        |  SELECT d.lang, p.predicted, COUNT(*) AS n
+        |  FROM documents d LEFT JOIN predicted p ON d.doc_id = p.doc_id
+        |  GROUP BY d.lang, p.predicted),
+        |bt AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true,
+        |    CAST(SUM(CASE WHEN predicted = lang THEN n ELSE 0 END)
+        |      AS BIGINT) AS tp
+        |  FROM conf GROUP BY lang),
+        |bp AS (
+        |  SELECT predicted, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM conf WHERE predicted IS NOT NULL GROUP BY predicted)
+        |SELECT bt.lang, bt.n_true, COALESCE(bp.n_pred, 0) AS n_pred,
+        |  bt.tp,
+        |  CASE WHEN COALESCE(bp.n_pred, 0) > 0
+        |    THEN CAST((2*(bt.tp*10000) + bp.n_pred) // (2*bp.n_pred)
+        |              AS DOUBLE) / 10000.0
+        |    ELSE 0.0 END AS precision4,
+        |  CAST((2*(bt.tp*10000) + bt.n_true) // (2*bt.n_true) AS DOUBLE)
+        |    / 10000.0 AS recall4,
+        |  CAST((2*(bt.tp*20000) + (bt.n_true + COALESCE(bp.n_pred, 0)))
+        |       // (2*(bt.n_true + COALESCE(bp.n_pred, 0))) AS DOUBLE)
+        |    / 10000.0 AS f1_4
+        |FROM bt LEFT JOIN bp ON bt.lang = bp.predicted
+        |ORDER BY bt.lang""".stripMargin)
+  )
+}
