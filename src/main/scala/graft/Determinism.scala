@@ -157,6 +157,24 @@ object Determinism {
     intRatio4Wide((round(m, 2) * 1000000).cast(DecimalType(38, 0)),
                   (round(t, 2) * 100).cast(DecimalType(38, 0)))
 
+  /** Exact HALF-UP integer quotient round(num/den) over DECIMAL(38,0)
+    * operands — the integer-valued core of [[intRatio4Wide]] exposed
+    * for callers that go on SUMMING the quotients (per-group scaled
+    * terms like Σ round(S_g²·10⁴/n_g) in ANOVA / Kruskal-Wallis: each
+    * term is an exact integer, so the cross-group sum is associative
+    * and partition-order free — no double accumulation ever happens).
+    * Domain: num ≥ 0, den > 0 (callers anchor to the group MIN first);
+    * oracle twin `(2*num + den) // (2*den)` on HUGEINT operands. */
+  def halfUpDivWide(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val D = DecimalType(38, 0)
+    val d = den.cast(D)
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression((num.cast(D) * 2 + d).cast(D)),
+        GraftBridge.expression((d * 2).cast(D))))
+  }
+
   /** TRUE long integral division `a div b` (Catalyst IntegralDivide —
     * Column algebra has no `div`, and double `/`+floor misbins at
     * quotient boundaries). CROSS-ENGINE CONTRACT: Spark truncates

@@ -986,6 +986,202 @@ object EventOps extends OpGroup {
         |  MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
         |FROM m
         |WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    Q(
+      // One-way ANOVA F across ALL event types — the k-group extension
+      // of the Welch pair (is the value distribution the same across
+      // every event type?). Unlike the t-test's per-group anchors, the
+      // anchor is the GLOBAL min (between-group mean differences are
+      // the signal here; per-group anchoring would erase them). Every
+      // accumulation is exact: per-group n_g, S_g = Σ(vc−a),
+      // SS4_g = Σd²·10⁴ in DECIMAL(38,0), and the mean-square terms
+      // round at 1e-4 via halfUpDivWide — t_g = round(S_g²·10⁴/n_g) is
+      // an exact INTEGER per group, so the cross-group sums are
+      // associative and partition-order free (never a double running
+      // sum). SSB/SSW then assemble by integer subtraction (clamped at
+      // 0: t_g's ±0.5e-4 rounding can leave a −1e-4 residue on a
+      // zero-variance split) and F is ONE fixed-shape double ratio of
+      // two exact integers, r4 — identical on both engines. Exactness
+      // bound: quotients stay in int64 while S_g²·10⁴/n_g < 2⁶³
+      // (≈ $10¹³ of summed centered cents per group at fixture-like
+      // group sizes); past that the t_g seam widens to a decimal
+      // quotient. Scale: one anchor pass + one hash-agg scan; 5 rows
+      // cross the driver.
+      "q_events_anova",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val ga = e.agg(min(col("vc")).as("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val grp = e.crossJoin(broadcast(ga))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ng"),
+               sum(col("vc") - col("a")).as("sg"),
+               (sum(dd * dd) * 10000).cast(D38).as("ss4"))
+          .select(col("ng"), col("sg"), col("ss4"),
+                  halfUpDivWide(col("sg").cast(D38) * col("sg") * 10000,
+                                col("ng")).as("tg"))
+        grp.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+                sum(col("sg")).as("st"), sum(col("ss4")).as("sss4"),
+                sum(col("tg")).as("sumt"))
+          .select(col("k"), col("n"), col("st"), col("sss4"),
+                  col("sumt"),
+                  halfUpDivWide(col("st").cast(D38) * col("st") * 10000,
+                                col("n")).as("tall"))
+          .select(col("k").as("n_groups"), col("n"),
+                  greatest(col("sumt") - col("tall"), lit(0L))
+                    .cast(D38).as("ssb4"),
+                  greatest(col("sss4") - col("sumt").cast(D38),
+                           lit(0L).cast(D38)).as("ssw4"))
+          .select(col("n_groups"), col("n"),
+                  (col("ssb4").cast("double") / 10000.0).as("ssb"),
+                  (col("ssw4").cast("double") / 10000.0).as("ssw"),
+                  round((col("ssb4").cast("double") *
+                         (col("n") - col("n_groups")).cast("double")) /
+                        (col("ssw4").cast("double") *
+                         (col("n_groups") - 1).cast("double")), 4)
+                    .as("f_stat"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |ga AS (SELECT MIN(vc) AS a FROM e),
+        |grp AS (
+        |  SELECT event_type, COUNT(*) AS ng,
+        |    CAST(SUM(vc - a) AS HUGEINT) AS sg,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a)) * 10000
+        |      AS HUGEINT) AS ss4
+        |  FROM e, ga GROUP BY event_type),
+        |grpt AS (
+        |  SELECT ng, sg, ss4,
+        |    (2 * (sg * sg * 10000) + CAST(ng AS HUGEINT))
+        |      // (2 * CAST(ng AS HUGEINT)) AS tg
+        |  FROM grp),
+        |g AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS HUGEINT) AS st,
+        |    CAST(SUM(ss4) AS HUGEINT) AS sss4,
+        |    CAST(SUM(tg) AS HUGEINT) AS sumt
+        |  FROM grpt),
+        |g2 AS (
+        |  SELECT k, n, sss4, sumt,
+        |    (2 * (st * st * 10000) + CAST(n AS HUGEINT))
+        |      // (2 * CAST(n AS HUGEINT)) AS tall
+        |  FROM g),
+        |g3 AS (
+        |  SELECT k AS n_groups, n,
+        |    greatest(sumt - tall, 0) AS ssb4,
+        |    greatest(sss4 - sumt, 0) AS ssw4
+        |  FROM g2)
+        |SELECT n_groups, n,
+        |  CAST(ssb4 AS DOUBLE) / 10000.0 AS ssb,
+        |  CAST(ssw4 AS DOUBLE) / 10000.0 AS ssw,
+        |  round((CAST(ssb4 AS DOUBLE) * CAST(n - n_groups AS DOUBLE)) /
+        |        (CAST(ssw4 AS DOUBLE) * CAST(n_groups - 1 AS DOUBLE)),
+        |        4) + 0 AS f_stat
+        |FROM g3""".stripMargin),
+
+    Q(
+      // Kruskal–Wallis H across ALL event types — the nonparametric
+      // k-group twin of q_events_anova (rank-based, no normality
+      // assumption), extending Mann–Whitney's 2×-rank machinery to k
+      // groups. The corpus reduces to per-distinct-CENT (value, type)
+      // counts; midranks ride the same r2 = 2·cum+nt+1 encoding (twice
+      // the midrank — always an integer), so per-group rank sums
+      // R2_g = Σ cnt·r2 are exact longs and Σ R_g²/n_g lands on the
+      // 1e-4 grid via halfUpDivWide(R2_g²·10⁴, 4·n_g) — an exact
+      // integer per group, summed associatively. The tie correction
+      // T = Σ(nt³−nt) is exact off the same per-value frame. H is ONE
+      // fixed-shape double expression over five exact integers, r4.
+      // Exact while R2_g²·10⁴ < 10³⁸ (N ≲ 10⁸ rows; beyond, the rank
+      // encoding itself outgrows int64 and needs a decimal seam).
+      // Scale: the window runs on the cent-DOMAIN frame (≤ ~50k rows,
+      // constant in SF), not the corpus.
+      "q_events_kruskal",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val bvt = e.groupBy(col("vc"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val bv = bvt.groupBy(col("vc")).agg(sum(col("cnt")).as("nt"))
+        val wCum = Window.orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r2f = bv
+          .withColumn("cum", coalesce(sum(col("nt")).over(wCum), lit(0L)))
+          .select(col("vc").as("_v2"), col("nt"),
+                  (lit(2) * col("cum") + col("nt") + 1).as("r2"))
+        val grp = bvt.join(r2f, col("vc") === col("_v2"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("ng"),
+               sum(col("cnt") * col("r2")).as("rg2"))
+          .select(col("ng"),
+                  halfUpDivWide(col("rg2").cast(D38) * col("rg2") * 10000,
+                                col("ng") * 4).as("tg"))
+        val ties = bv.agg(
+          sum(col("nt") * col("nt") * col("nt") - col("nt")).as("t_ties"))
+        grp.agg(count(lit(1)).as("n_groups"), sum(col("ng")).as("n"),
+                sum(col("tg")).as("s4"))
+          .crossJoin(ties)
+          .select(col("n"), col("n_groups"), col("t_ties"),
+                  round((lit(12.0) *
+                          (col("s4").cast("double") / 10000.0) /
+                          (col("n").cast("double") *
+                           (col("n") + 1).cast("double")) -
+                         lit(3.0) * (col("n") + 1).cast("double")) /
+                        (lit(1.0) - col("t_ties").cast("double") /
+                          (col("n").cast("double") *
+                           col("n").cast("double") *
+                           col("n").cast("double") -
+                           col("n").cast("double"))), 4).as("h_stat"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bvt AS (
+        |  SELECT vc, event_type, COUNT(*) AS cnt
+        |  FROM e GROUP BY vc, event_type),
+        |bv AS (
+        |  SELECT vc, CAST(SUM(cnt) AS BIGINT) AS nt
+        |  FROM bvt GROUP BY vc),
+        |r2f AS (
+        |  SELECT vc, nt,
+        |    2 * COALESCE(SUM(nt) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + nt + 1 AS r2
+        |  FROM bv),
+        |grp AS (
+        |  SELECT b.event_type, CAST(SUM(b.cnt) AS BIGINT) AS ng,
+        |    CAST(SUM(b.cnt * r.r2) AS BIGINT) AS rg2
+        |  FROM bvt b JOIN r2f r ON b.vc = r.vc
+        |  GROUP BY b.event_type),
+        |grpt AS (
+        |  SELECT ng,
+        |    (2 * (CAST(rg2 AS HUGEINT) * rg2 * 10000)
+        |       + CAST(ng * 4 AS HUGEINT))
+        |      // (2 * CAST(ng * 4 AS HUGEINT)) AS tg
+        |  FROM grp),
+        |ties AS (
+        |  SELECT CAST(SUM(nt * nt * nt - nt) AS BIGINT) AS t_ties
+        |  FROM bv),
+        |g AS (
+        |  SELECT COUNT(*) AS n_groups, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(tg) AS HUGEINT) AS s4
+        |  FROM grpt)
+        |SELECT g.n, g.n_groups, ties.t_ties,
+        |  round((12.0 * (CAST(g.s4 AS DOUBLE) / 10000.0) /
+        |           (CAST(g.n AS DOUBLE) * CAST(g.n + 1 AS DOUBLE)) -
+        |         3.0 * CAST(g.n + 1 AS DOUBLE)) /
+        |        (1.0 - CAST(ties.t_ties AS DOUBLE) /
+        |          (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) *
+        |           CAST(g.n AS DOUBLE) - CAST(g.n AS DOUBLE))), 4) + 0
+        |    AS h_stat
+        |FROM g, ties""".stripMargin)
   )
 }
