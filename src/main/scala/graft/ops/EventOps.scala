@@ -1182,6 +1182,80 @@ object EventOps extends OpGroup {
         |          (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) *
         |           CAST(g.n AS DOUBLE) - CAST(g.n AS DOUBLE))), 4) + 0
         |    AS h_stat
-        |FROM g, ties""".stripMargin)
+        |FROM g, ties""".stripMargin),
+
+    Q(
+      // Cohort LTV curve: users cohorted by first-active epoch-week,
+      // per-cohort cumulative purchase revenue by weeks-since-first —
+      // the "how much is a week-W cohort worth by age A" growth
+      // curve that sits beside retention. Weeks are PURE integer
+      // epoch arithmetic (ts_us div 86400e6 div 7 — no calendar
+      // functions, so both engines bin identically and the binning
+      // survives any session timezone). Revenue accumulates as exact
+      // cents; the running total is a per-cohort window cumsum of
+      // longs; ltv4 = cumulative cents / 100·n_users via intRatio4
+      // (exact scale-4 dollars per user). Cohort sizes come from the
+      // user-level first-touch agg (one row per user) — never a
+      // distinct over the event stream per (cohort, age) cell.
+      // Scale: two hash-aggs (user-level, cell-level) + a broadcast
+      // cohort-size join; the window runs over the tiny cell frame.
+      "q_events_cohort_ltv",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+                  ldiv(col("ts_us"), lit(86400000000L)).as("day"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val first = e.groupBy(col("user_id"))
+          .agg(min(col("day")).as("fd"))
+          .select(col("user_id").as("_u"),
+                  ldiv(col("fd"), lit(7L)).as("_cw"), col("fd"))
+        val sizes = first.groupBy(col("_cw"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(col("_cw").as("_cw2"), col("n_users"))
+        val cells = e.filter(col("event_type") === "purchase")
+          .join(first, col("user_id") === col("_u"))
+          .groupBy(col("_cw").as("cohort_w"),
+                   ldiv(col("day") - col("fd"), lit(7L)).as("age_w"))
+          .agg(sum(col("vc")).as("rev_c"))
+        val wCum = Window.partitionBy(col("cohort_w"))
+          .orderBy(col("age_w"))
+        cells
+          .withColumn("cum_c", sum(col("rev_c")).over(wCum))
+          .join(broadcast(sizes), col("cohort_w") === col("_cw2"))
+          .select(col("cohort_w"), col("age_w"), col("n_users"),
+                  (col("rev_c").cast("double") / 100.0).as("rev"),
+                  (col("cum_c").cast("double") / 100.0).as("cum_rev"),
+                  intRatio4(col("cum_c") * 100L, col("n_users"))
+                    .as("ltv4"))
+          .orderBy(col("cohort_w"), col("age_w"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(day) // 7 AS cw, MIN(day) AS fd
+        |  FROM e GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cw, COUNT(*) AS n_users FROM first GROUP BY cw),
+        |cells AS (
+        |  SELECT f.cw AS cohort_w, (e.day - f.fd) // 7 AS age_w,
+        |    CAST(SUM(e.vc) AS BIGINT) AS rev_c
+        |  FROM e JOIN first f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY f.cw, (e.day - f.fd) // 7),
+        |cum AS (
+        |  SELECT cohort_w, age_w, rev_c,
+        |    CAST(SUM(rev_c) OVER (PARTITION BY cohort_w ORDER BY age_w)
+        |      AS BIGINT) AS cum_c
+        |  FROM cells)
+        |SELECT c.cohort_w, c.age_w, CAST(s.n_users AS BIGINT) AS n_users,
+        |  CAST(c.rev_c AS DOUBLE) / 100.0 AS rev,
+        |  CAST(c.cum_c AS DOUBLE) / 100.0 AS cum_rev,
+        |  CAST((2*(c.cum_c*100) + s.n_users) // (2*s.n_users) AS DOUBLE)
+        |    / 10000.0 AS ltv4
+        |FROM cum c JOIN sizes s ON c.cohort_w = s.cw
+        |ORDER BY c.cohort_w, c.age_w""".stripMargin)
   )
 }

@@ -338,6 +338,73 @@ object GraphOps extends OpGroup {
           |${round("1", "2")}
           |SELECT node AS s_suppkey, lab AS community
           |FROM l2 ORDER BY node""".stripMargin
-      })
+      }),
+
+    Q(
+      // Link prediction over the co-supply graph: score every
+      // NON-adjacent supplier pair reachable in 2 hops with the three
+      // classic neighborhood heuristics — common-neighbor count,
+      // neighbor-set Jaccard (exact scale-4), preferential attachment
+      // (deg·deg) — the candidate-generation layer of a "suppliers
+      // likely to co-supply next" recommender. Candidates come from
+      // one path-2 equi-join (x.dst = y.src, fan-out bounded by max
+      // degree — the hub-cap/salting discipline of SCALE.md applies at
+      // 100 TB), existing edges are removed by an anti-join BEFORE
+      // scoring, degrees are a vertex-sized hash-agg joined back, and
+      // only the top-30 (cn desc, pair asc — fully deterministic)
+      // cross the driver via TakeOrderedAndProject. Jaccard's
+      // denominator |Γa ∪ Γb| = deg_a + deg_b − cn is exact integer
+      // set algebra on the undirected edge set.
+      "q_graph_linkpred",
+      (s, d) => {
+        val e = coSupplyEdges(s, d)
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val cand = e.alias("x")
+          .join(e.alias("y"), col("x.dst") === col("y.src"))
+          .filter(col("x.src") < col("y.dst"))
+          .select(col("x.src").as("a"), col("y.dst").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+        val nonEdge = cand.join(
+          e.select(col("src").as("_s"), col("dst").as("_d")),
+          col("a") === col("_s") && col("b") === col("_d"), "left_anti")
+        nonEdge
+          .join(deg.select(col("src").as("_da"), col("deg").as("deg_a")),
+                col("a") === col("_da"))
+          .join(deg.select(col("src").as("_db"), col("deg").as("deg_b")),
+                col("b") === col("_db"))
+          .select(col("a").as("supp_a"), col("b").as("supp_b"),
+                  col("cn"), col("deg_a"), col("deg_b"),
+                  graft.Determinism.intRatio4(
+                    col("cn") * 10000L,
+                    col("deg_a") + col("deg_b") - col("cn"))
+                    .as("jaccard4"),
+                  (col("deg_a") * col("deg_b")).as("pref_attach"))
+          .orderBy(col("cn").desc, col("supp_a"), col("supp_b"))
+          .limit(30)
+      },
+      s"""WITH RECURSIVE $coSupplyEdgesSql,
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |cand AS (
+        |  SELECT x.src AS a, y.dst AS b, COUNT(*) AS cn
+        |  FROM e x JOIN e y ON x.dst = y.src
+        |  WHERE x.src < y.dst
+        |  GROUP BY x.src, y.dst),
+        |ne AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.src = c.a AND e.dst = c.b))
+        |SELECT ne.a AS supp_a, ne.b AS supp_b,
+        |  CAST(ne.cn AS BIGINT) AS cn,
+        |  CAST(da.deg AS BIGINT) AS deg_a,
+        |  CAST(db.deg AS BIGINT) AS deg_b,
+        |  CAST((2*(ne.cn*10000) + (da.deg + db.deg - ne.cn))
+        |       // (2*(da.deg + db.deg - ne.cn)) AS DOUBLE) / 10000.0
+        |    AS jaccard4,
+        |  CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+        |FROM ne
+        |JOIN deg da ON ne.a = da.src
+        |JOIN deg db ON ne.b = db.src
+        |ORDER BY ne.cn DESC, supp_a ASC, supp_b ASC
+        |LIMIT 30""".stripMargin)
   )
 }
