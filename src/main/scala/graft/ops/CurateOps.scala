@@ -94,6 +94,100 @@ object CurateOps extends OpGroup {
         |GROUP BY channel ORDER BY channel""".stripMargin),
 
     Q(
+      // LINEAR multi-touch attribution — the fairness twin of
+      // last-touch: each purchase's value is split EQUALLY across all
+      // click/view touches of the same user since their previous
+      // purchase (journeys bound by the purchase-count running sum, so
+      // one window sort segments the stream — no time-range self-join).
+      // Credit is exact: per-touch share = round(value·10⁻⁴$/n) via
+      // half-up integral division on the 1e-4-dollar grid (both
+      // engines run the identical integer formula; a double 1/n split
+      // would flap the hash), touchless purchases land whole in
+      // 'none'. Scale: one (user, time) window + two hash-aggs; the
+      // journey-level frame is purchase-sized, not event-sized.
+      "q_events_attribution_linear",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+                  col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val wPrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val seg = e.withColumn("grp", coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wPrev), lit(0L)))
+        val j = seg.groupBy(col("user_id"), col("grp"))
+          .agg(sum(when(col("event_type") === "purchase", col("vc"))
+                 .otherwise(0L)).as("pv"),
+               sum(when(col("event_type").isin("click", "view"), 1L)
+                 .otherwise(0L)).as("n_t"),
+               sum(when(col("event_type") === "purchase", 1L)
+                 .otherwise(0L)).as("n_p"))
+          .filter(col("n_p") > 0)
+        val byChan = seg
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id").as("_u"), col("grp").as("_g"),
+                   col("event_type").as("channel"))
+          .agg(count(lit(1)).as("c"))
+        val touched = j.filter(col("n_t") > 0)
+          .join(byChan, col("user_id") === col("_u") &&
+                        col("grp") === col("_g"))
+          .select(col("channel"), col("c").as("n_credited"),
+                  (col("c") * halfUpDivWide(col("pv") * 100, col("n_t")))
+                    .cast("long").as("u4"))
+        val none = j.filter(col("n_t") === 0)
+          .select(lit("none").as("channel"), col("n_p").as("n_credited"),
+                  (col("pv") * 100).as("u4"))
+        touched.unionByName(none)
+          .groupBy(col("channel"))
+          .agg(sum(col("n_credited")).as("n_credited"),
+               (sum(col("u4")).cast("double") / 10000.0)
+                 .as("attributed"))
+          .orderBy(col("channel"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |seg AS (
+        |  SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS grp
+        |  FROM e),
+        |j AS (
+        |  SELECT user_id, grp,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN vc
+        |             ELSE 0 END) AS BIGINT) AS pv,
+        |    CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |             ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |             ELSE 0 END) AS BIGINT) AS n_p
+        |  FROM seg GROUP BY user_id, grp
+        |  HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |             ELSE 0 END) > 0),
+        |bc AS (
+        |  SELECT user_id, grp, event_type AS channel, COUNT(*) AS c
+        |  FROM seg WHERE event_type IN ('click', 'view')
+        |  GROUP BY user_id, grp, event_type),
+        |rows_ AS (
+        |  SELECT bc.channel, CAST(bc.c AS BIGINT) AS n_credited,
+        |    CAST(bc.c * ((2 * CAST(j.pv * 100 AS HUGEINT) + j.n_t)
+        |                 // (2 * CAST(j.n_t AS HUGEINT))) AS BIGINT)
+        |      AS u4
+        |  FROM j JOIN bc ON j.user_id = bc.user_id AND j.grp = bc.grp
+        |  WHERE j.n_t > 0
+        |  UNION ALL
+        |  SELECT 'none' AS channel, n_p AS n_credited,
+        |    pv * 100 AS u4
+        |  FROM j WHERE n_t = 0)
+        |SELECT channel, CAST(SUM(n_credited) AS BIGINT) AS n_credited,
+        |  CAST(SUM(u4) AS DOUBLE) / 10000.0 AS attributed
+        |FROM rows_ GROUP BY channel ORDER BY channel""".stripMargin),
+
+    Q(
       // equi-depth histogram of line revenue in cents: 8 buckets of
       // ~equal count via percentile_disc boundaries (actual data
       // values) broadcast back to a map-side bucket assignment — the

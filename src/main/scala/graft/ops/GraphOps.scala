@@ -405,6 +405,79 @@ object GraphOps extends OpGroup {
         |JOIN deg da ON ne.a = da.src
         |JOIN deg db ON ne.b = db.src
         |ORDER BY ne.cn DESC, supp_a ASC, supp_b ASC
-        |LIMIT 30""".stripMargin)
+        |LIMIT 30""".stripMargin),
+
+    Q(
+      // Bounded-radius HARMONIC centrality (Σ 1/d over nodes within 3
+      // hops) — the centrality member beside PageRank/degree that
+      // rewards being CLOSE to many nodes, with the standard bounded-
+      // radius cut that makes it computable on a 100 TB graph (full
+      // closeness needs all-pairs distances; radius-3 needs three
+      // frontier joins). Distances materialize as THREE anti-joined
+      // layers (d=1 edges; d=2 the path-2 pairs minus d=1; d=3 the
+      // frontier-3 pairs minus closer) — each an equi-join on the hop
+      // key with the documented hub-cap discipline. The score is EXACT
+      // set arithmetic: 1/d over d∈{1,2,3} on the common denominator 6
+      // gives h6 = 6·|d1| + 3·|d2| + 2·|d3| as an integer per node,
+      // h4 = h6/6 via intRatio4 — no float harmonic sum to flap.
+      "q_graph_harmonic",
+      (s, d) => {
+        val e = coSupplyEdges(s, d)
+        val p1 = e.select(col("src").as("a"), col("dst").as("b"))
+        val c2 = e.alias("x")
+          .join(e.alias("y"), col("x.dst") === col("y.src"))
+          .filter(col("x.src") =!= col("y.dst"))
+          .select(col("x.src").as("a"), col("y.dst").as("b")).distinct()
+        val p2 = c2.join(p1.select(col("a").as("_a"), col("b").as("_b")),
+                         col("a") === col("_a") && col("b") === col("_b"),
+                         "left_anti")
+        val c3 = p2.alias("f")
+          .join(e.alias("z"), col("f.b") === col("z.src"))
+          .filter(col("f.a") =!= col("z.dst"))
+          .select(col("f.a").as("a"), col("z.dst").as("b")).distinct()
+        val p3 = c3
+          .join(p1.select(col("a").as("_a1"), col("b").as("_b1")),
+                col("a") === col("_a1") && col("b") === col("_b1"),
+                "left_anti")
+          .join(p2.select(col("a").as("_a2"), col("b").as("_b2")),
+                col("a") === col("_a2") && col("b") === col("_b2"),
+                "left_anti")
+        val layered = p1.select(col("a"), lit(6L).as("w"))
+          .unionByName(p2.select(col("a"), lit(3L).as("w")))
+          .unionByName(p3.select(col("a"), lit(2L).as("w")))
+        layered.groupBy(col("a").as("s_suppkey"))
+          .agg(count(lit(1)).as("n_reached"), sum(col("w")).as("h6"))
+          .select(col("s_suppkey"), col("n_reached"), col("h6"),
+                  graft.Determinism.intRatio4(col("h6") * 10000L, lit(6L))
+                    .as("harmonic4"))
+          .orderBy(col("s_suppkey"))
+      },
+      s"""WITH RECURSIVE $coSupplyEdgesSql,
+        |p1 AS (SELECT src AS a, dst AS b FROM e),
+        |c2 AS (
+        |  SELECT DISTINCT x.src AS a, y.dst AS b
+        |  FROM e x JOIN e y ON x.dst = y.src
+        |  WHERE x.src <> y.dst),
+        |p2 AS (
+        |  SELECT * FROM c2 WHERE NOT EXISTS (
+        |    SELECT 1 FROM p1 WHERE p1.a = c2.a AND p1.b = c2.b)),
+        |c3 AS (
+        |  SELECT DISTINCT f.a, z.dst AS b
+        |  FROM p2 f JOIN e z ON f.b = z.src
+        |  WHERE f.a <> z.dst),
+        |p3 AS (
+        |  SELECT * FROM c3 WHERE NOT EXISTS (
+        |    SELECT 1 FROM p1 WHERE p1.a = c3.a AND p1.b = c3.b)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM p2 WHERE p2.a = c3.a AND p2.b = c3.b)),
+        |layered AS (
+        |  SELECT a, 6 AS w FROM p1
+        |  UNION ALL SELECT a, 3 AS w FROM p2
+        |  UNION ALL SELECT a, 2 AS w FROM p3)
+        |SELECT a AS s_suppkey, COUNT(*) AS n_reached,
+        |  CAST(SUM(w) AS BIGINT) AS h6,
+        |  CAST((2*(CAST(SUM(w) AS BIGINT)*10000) + 6) // 12 AS DOUBLE)
+        |    / 10000.0 AS harmonic4
+        |FROM layered GROUP BY a ORDER BY a""".stripMargin)
   )
 }

@@ -1141,6 +1141,62 @@ object NearDupOps extends OpGroup {
         |FROM ranked r1 JOIN ranked r2
         |  ON r2.q_id = r1.cand_id AND r2.cand_id = r1.q_id
         |WHERE r1.rn <= 3 AND r2.rn <= 3 AND r1.q_id < r1.cand_id
-        |ORDER BY node_a, node_b""".stripMargin)
+        |ORDER BY node_a, node_b""".stripMargin),
+
+    Q(
+      // Sorted-neighborhood near-dup detection — the record-linkage
+      // classic completing the candidate-generation family (LSH bands,
+      // sign buckets, inverted index, q-gram filter, and now SN): sort
+      // within a blocking key (20-char length band), compare each doc
+      // only to its next 3 sort neighbors, confirm with edit distance
+      // ≤ 30 on the 120-char prefix. The window is PARTITIONED by the
+      // block (blocks are the parallel unit — never a global
+      // row_number), and the rank±offset neighbor join is THREE
+      // shifted EQUI-joins on (block, rn+off), not a range join: at
+      // 100 TB the comparison count is exactly 3n regardless of block
+      // skew. Sort key is (text, doc_id) — near-identical texts
+      // cluster lexicographically; both engines compare ASCII
+      // byte-identically. Recall is the method's documented trade
+      // (cross-block or sort-distant pairs are missed — multi-pass
+      // with a second key is the standard remedy); the oracle replays
+      // the same window+offset definition so the gate certifies the
+      // SN semantics exactly.
+      "q_dedup_sorted_neighborhood",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+                  ldiv(col("n_chars"), lit(20L)).as("blk"),
+                  substring(col("text"), 1, 120).as("pfx"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("blk"))
+              .orderBy(col("text"), col("doc_id"))))
+        val right = f.select(col("blk").as("_blk"), col("rn").as("_rn"),
+                             col("doc_id").as("_id"), col("pfx").as("_pfx"))
+        Seq(1, 2, 3).map { off =>
+          f.join(right, col("blk") === col("_blk") &&
+                        col("_rn") === col("rn") + off)
+        }.reduce(_ unionAll _)
+          .select(least(col("doc_id"), col("_id")).as("id_a"),
+                  greatest(col("doc_id"), col("_id")).as("id_b"),
+                  levenshtein(col("pfx"), col("_pfx")).as("dist"))
+          .filter(col("dist") <= 30)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id, text, n_chars // 20 AS blk,
+        |    substr(text, 1, 120) AS pfx,
+        |    row_number() OVER (PARTITION BY n_chars // 20
+        |                       ORDER BY text ASC, doc_id ASC) AS rn
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    levenshtein(a.pfx, b.pfx) AS dist
+        |  FROM f a JOIN f b
+        |    ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3)
+        |SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+        |  CAST(dist AS INTEGER) AS dist
+        |FROM cand WHERE dist <= 30
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -367,6 +367,87 @@ object TextOps extends OpGroup {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / n_docs)
         |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) + 0
         |    AS flesch
-        |FROM a ORDER BY source""".stripMargin)
+        |FROM a ORDER BY source""".stripMargin),
+
+    Q(
+      // Skip-gram collocation mining: token pairs co-occurring within
+      // a ±2 positional window, scored by the exact PMI ARGUMENT
+      // n_ab·N/(n_a·n_b) on the scale-4 grid — log is monotone, so the
+      // score order IS the PMI order without either engine's libm ever
+      // running (the frozen-discount discipline of q_eval_ranking).
+      // This is the word2vec/collocation statistic ("new york") that
+      // complements the adjacent-only bigram LM. Shape: positional
+      // pairs come from TWO shifted equi-joins of the posexploded
+      // token frame (offset +1 and +2 — never a range join), unigram
+      // counts are one hash-agg, and only pairs with n_ab ≥ 5 are
+      // scored (the a-priori cut before the top-30 heap). lift4 rides
+      // DECIMAL(38,0): n_ab·N clears int64 on a 100 TB corpus.
+      "q_text_collocations",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+                  posexplode(graft.api.Dedup.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("w"))
+        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+        val nTot = toks.agg(count(lit(1)).as("_n"))
+        val right = toks.select(col("doc_id").as("_d2"),
+                                col("pos").as("_p2"), col("w").as("w_b"))
+        val pairs = Seq(1, 2).map { off =>
+          toks.join(right, col("doc_id") === col("_d2") &&
+                           col("_p2") === col("pos") + off)
+            .select(col("w").as("w_a"), col("w_b"))
+        }.reduce(_ unionAll _)
+          .groupBy(col("w_a"), col("w_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        pairs
+          .join(broadcast(uni.select(col("w").as("_wa"),
+                                     col("n_w").as("n_a"))),
+                col("w_a") === col("_wa"))
+          .join(broadcast(uni.select(col("w").as("_wb"),
+                                     col("n_w").as("n_b"))),
+                col("w_b") === col("_wb"))
+          .crossJoin(broadcast(nTot))
+          .select(col("w_a"), col("w_b"), col("n_ab"),
+                  col("n_a"), col("n_b"),
+                  intRatio4Wide(col("n_ab").cast(D38) * col("_n") * 10000,
+                                col("n_a").cast(D38) * col("n_b"))
+                    .as("lift4"))
+          .orderBy(col("lift4").desc, col("w_a"), col("w_b"))
+          .limit(30)
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+        |  FROM tok),
+        |t AS (SELECT doc_id, i, w[i] AS tw FROM pos),
+        |uni AS (SELECT tw, COUNT(*) AS n_w FROM t GROUP BY tw),
+        |n AS (SELECT COUNT(*) AS nn FROM t),
+        |pr AS (
+        |  SELECT a.tw AS w_a, b.tw AS w_b, COUNT(*) AS n_ab
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY a.tw, b.tw
+        |  UNION ALL
+        |  SELECT a.tw AS w_a, b.tw AS w_b, COUNT(*) AS n_ab
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 2
+        |  GROUP BY a.tw, b.tw),
+        |pairs AS (
+        |  SELECT w_a, w_b, CAST(SUM(n_ab) AS BIGINT) AS n_ab
+        |  FROM pr GROUP BY w_a, w_b
+        |  HAVING SUM(n_ab) >= 5)
+        |SELECT p.w_a, p.w_b, p.n_ab,
+        |  CAST(ua.n_w AS BIGINT) AS n_a, CAST(ub.n_w AS BIGINT) AS n_b,
+        |  CAST((2 * (CAST(p.n_ab AS HUGEINT) * nn * 10000)
+        |        + CAST(ua.n_w AS HUGEINT) * ub.n_w)
+        |       // (2 * (CAST(ua.n_w AS HUGEINT) * ub.n_w)) AS DOUBLE)
+        |    / 10000.0 AS lift4
+        |FROM pairs p
+        |JOIN uni ua ON p.w_a = ua.tw
+        |JOIN uni ub ON p.w_b = ub.tw
+        |CROSS JOIN n
+        |ORDER BY lift4 DESC, w_a ASC, w_b ASC
+        |LIMIT 30""".stripMargin)
   )
 }
