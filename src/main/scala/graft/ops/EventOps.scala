@@ -1256,6 +1256,64 @@ object EventOps extends OpGroup {
         |  CAST((2*(c.cum_c*100) + s.n_users) // (2*s.n_users) AS DOUBLE)
         |    / 10000.0 AS ltv4
         |FROM cum c JOIN sizes s ON c.cohort_w = s.cw
-        |ORDER BY c.cohort_w, c.age_w""".stripMargin)
+        |ORDER BY c.cohort_w, c.age_w""".stripMargin),
+
+    Q(
+      // Time-to-convert distribution: for every user, the lag between
+      // their FIRST view and the first purchase strictly after it;
+      // discrete p50/p90/p99 of the lag in whole seconds plus the
+      // conversion count — the funnel-latency metric next to the
+      // step-conversion funnel. Two user-level hash-aggs (first-view,
+      // then min qualifying purchase — the purchase scan re-joins on
+      // user_id only); percentiles are DISCRETE (actual data values,
+      // the proven percentile_disc/quantile_disc cross-engine pair)
+      // over integer seconds, so no interpolation ever floats. Scale:
+      // user-sized frames end-to-end; the final percentile runs on one
+      // lag column.
+      "q_events_conversion_lag",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("mv"))
+          .select(col("user_id").as("_u"), col("mv"))
+        val lag = e.filter(col("event_type") === "purchase")
+          .join(fv, col("user_id") === col("_u"))
+          .filter(col("ts_us") > col("mv"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_us")).as("pp"), min(col("mv")).as("mv2"))
+          .select(ldiv(col("pp") - col("mv2"), lit(1000000L))
+                    .as("lag_s"))
+        lag.agg(
+          count(lit(1)).as("n_converted"),
+          // percentile_disc picks an ACTUAL lag_s value but returns
+          // DOUBLE — the long cast is value-exact (and required: the
+          // comparator is dtype-strict, quantile_disc stays BIGINT)
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP " +
+               "(ORDER BY lag_s) AS BIGINT)").as("p50_s"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP " +
+               "(ORDER BY lag_s) AS BIGINT)").as("p90_s"),
+          expr("CAST(percentile_disc(0.99) WITHIN GROUP " +
+               "(ORDER BY lag_s) AS BIGINT)").as("p99_s"),
+          max(col("lag_s")).as("max_s"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS mv
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |lag AS (
+        |  SELECT e.user_id,
+        |    (MIN(e.ts_us) - MIN(fv.mv)) // 1000000 AS lag_s
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.mv
+        |  GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_converted,
+        |  quantile_disc(lag_s, 0.5) AS p50_s,
+        |  quantile_disc(lag_s, 0.9) AS p90_s,
+        |  quantile_disc(lag_s, 0.99) AS p99_s,
+        |  MAX(lag_s) AS max_s
+        |FROM lag""".stripMargin)
   )
 }

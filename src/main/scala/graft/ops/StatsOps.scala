@@ -965,6 +965,84 @@ object StatsOps extends OpGroup {
           |  CAST(est.cms_est - top.n_exact AS BIGINT) AS overcount
           |FROM top JOIN est ON est.w = top.w
           |ORDER BY n_exact DESC, top.w""".stripMargin
-      })
+      }),
+
+    Q(
+      // Interval-sweep concurrency: how many order-lines are OPEN
+      // (ordered, not yet shipped) on any given day — the classic
+      // sweep-line over intervals that also answers "max concurrent
+      // sessions/streams/jobs". Each [o_orderdate, l_shipdate) interval
+      // becomes a +1/−1 delta pair, deltas collapse to the per-day NET
+      // via one hash-agg (corpus-sized scan, map-side combinable), and
+      // the running backlog is a cumsum over the bounded DATE DOMAIN
+      // (~2.5k rows, constant in SF — the mannwhitney window posture:
+      // windows run on domains, never corpora). Output: 1997's monthly
+      // peak backlog with the FIRST day it was hit (deterministic
+      // argmax via struct max on (peak, −epoch_day)) and the month's
+      // net change. Days between deltas carry the last value by
+      // construction — the peak is always attained AT a delta day.
+      "q_ts_backlog_sweep",
+      (s, d) => {
+        val opened = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+                col("l_orderkey") === col("o_orderkey"))
+          .select(ldiv(unix_micros(col("o_orderdate").cast("timestamp")),
+                       lit(86400000000L)).as("day"), lit(1L).as("delta"))
+        val closed = Tables.lineitem(s, d)
+          .select((ldiv(unix_micros(col("l_shipdate").cast("timestamp")),
+                        lit(86400000000L)) + 1).as("day"),
+                  lit(-1L).as("delta"))
+        val net = opened.unionAll(closed)
+          .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+        val wRun = Window.orderBy(col("day"))
+        val run = net
+          .withColumn("open_lines", sum(col("net")).over(wRun))
+          .withColumn("yr", year(timestamp_micros(
+            col("day") * 86400000000L)).cast("int"))
+          .withColumn("mon", month(timestamp_micros(
+            col("day") * 86400000000L)).cast("int"))
+          .filter(col("yr") === 1997)
+        run.groupBy(col("mon"))
+          .agg(max(struct(col("open_lines"), (-col("day")).as("_nd")))
+                 .as("_pk"),
+               sum(col("net")).as("net_change"),
+               count(lit(1)).as("n_delta_days"))
+          .select(col("mon"),
+                  col("_pk").getField("open_lines").as("peak_open"),
+                  date_format(timestamp_micros(
+                    -col("_pk").getField("_nd") * 86400000000L),
+                    "yyyy-MM-dd").as("peak_day"),
+                  col("net_change"), col("n_delta_days"))
+          .orderBy(col("mon"))
+      },
+      """WITH deltas AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    1 AS delta
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT epoch_us(l_shipdate) // 86400000000 + 1 AS day,
+        |    -1 AS delta
+        |  FROM lineitem),
+        |net AS (
+        |  SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+        |  FROM deltas GROUP BY day),
+        |run AS (
+        |  SELECT day, net,
+        |    CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_lines,
+        |    year(DATE '1970-01-01' + CAST(day AS INTEGER)) AS yr,
+        |    month(DATE '1970-01-01' + CAST(day AS INTEGER)) AS mon
+        |  FROM net),
+        |pk AS (
+        |  SELECT mon,
+        |    MAX(struct_pack(ol := open_lines, nd := -day)) AS p,
+        |    CAST(SUM(net) AS BIGINT) AS net_change,
+        |    COUNT(*) AS n_delta_days
+        |  FROM run WHERE yr = 1997 GROUP BY mon)
+        |SELECT CAST(mon AS INTEGER) AS mon,
+        |  CAST(p.ol AS BIGINT) AS peak_open,
+        |  strftime(DATE '1970-01-01' + CAST(-p.nd AS INTEGER),
+        |           '%Y-%m-%d') AS peak_day,
+        |  net_change, n_delta_days
+        |FROM pk ORDER BY mon""".stripMargin)
   )
 }

@@ -448,6 +448,95 @@ object TextOps extends OpGroup {
         |JOIN uni ub ON p.w_b = ub.tw
         |CROSS JOIN n
         |ORDER BY lift4 DESC, w_a ASC, w_b ASC
-        |LIMIT 30""".stripMargin)
+        |LIMIT 30""".stripMargin),
+
+    Q(
+      // RAKE-style keyphrase extraction: token runs between stopwords
+      // become candidate phrases; each word scores deg/freq (deg = the
+      // summed length of every phrase containing it — favors words
+      // that travel in long collocations), a phrase scores the sum of
+      // its member words — the classic unsupervised keyword extractor
+      // (complement of tf-idf's corpus-frequency view). Segmentation
+      // is ONE per-doc window (cumsum of stopword flags over position:
+      // map-side shape, no regex splitting divergence), word stats are
+      // two hash-aggs over phrase members, and deg/freq lands on the
+      // exact 1e-4 grid via half-up integral division so phrase scores
+      // are integer sums — no float ratio accumulates. Top-20 by
+      // (score, phrase) through the TakeOrderedAndProject heap.
+      "q_text_rake",
+      (s, d) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+                  posexplode(graft.api.Dedup.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("w"),
+                  col("col").isin(stops: _*).as("stop"))
+        val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val m = toks
+          .withColumn("seg", sum(col("stop").cast("long")).over(wSeg))
+          .filter(!col("stop"))
+          .select(col("doc_id"), col("seg"), col("pos"), col("w"))
+        val ph = m.groupBy(col("doc_id"), col("seg"))
+          .agg(concat_ws(" ",
+                 transform(array_sort(collect_list(
+                   struct(col("pos"), col("w")))), _.getField("w")))
+                 .as("phrase"),
+               count(lit(1)).as("len"))
+        val ws = m.join(ph.select(col("doc_id").as("_d"),
+                                  col("seg").as("_s"), col("len")),
+                        col("doc_id") === col("_d") &&
+                        col("seg") === col("_s"))
+          .groupBy(col("w"))
+          .agg(sum(col("len")).as("deg"), count(lit(1)).as("freq"))
+          .select(col("w").as("_w"),
+                  halfUpDivWide(col("deg") * 10000, col("freq")).as("s4"))
+        val inst = m.join(broadcast(ws), col("w") === col("_w"))
+          .groupBy(col("doc_id").as("_d2"), col("seg").as("_s2"))
+          .agg(sum(col("s4")).as("sc4"))
+        ph.join(inst, col("doc_id") === col("_d2") &&
+                      col("seg") === col("_s2"))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occur"), max(col("sc4")).as("_m4"))
+          .select(col("phrase"), col("n_occur"),
+                  (col("_m4").cast("double") / 10000.0).as("score4"))
+          .orderBy(col("score4").desc, col("phrase"))
+          .limit(20)
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+        |  FROM tok),
+        |t AS (
+        |  SELECT doc_id, i, w[i] AS tw,
+        |    w[i] IN ('the', 'a', 'of', 'and', 'to', 'in', 'is') AS stop
+        |  FROM pos),
+        |seg AS (
+        |  SELECT doc_id, i, tw, stop,
+        |    SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS seg
+        |  FROM t),
+        |m AS (SELECT doc_id, seg, i, tw FROM seg WHERE NOT stop),
+        |ph AS (
+        |  SELECT doc_id, seg, string_agg(tw, ' ' ORDER BY i) AS phrase,
+        |    COUNT(*) AS len
+        |  FROM m GROUP BY doc_id, seg),
+        |ws AS (
+        |  SELECT m.tw,
+        |    (2 * (CAST(SUM(ph.len) AS HUGEINT) * 10000) + COUNT(*))
+        |      // (2 * CAST(COUNT(*) AS HUGEINT)) AS s4
+        |  FROM m JOIN ph ON m.doc_id = ph.doc_id AND m.seg = ph.seg
+        |  GROUP BY m.tw),
+        |inst AS (
+        |  SELECT m.doc_id, m.seg, CAST(SUM(ws.s4) AS BIGINT) AS sc4
+        |  FROM m JOIN ws ON m.tw = ws.tw
+        |  GROUP BY m.doc_id, m.seg)
+        |SELECT ph.phrase, COUNT(*) AS n_occur,
+        |  CAST(MAX(inst.sc4) AS DOUBLE) / 10000.0 AS score4
+        |FROM ph JOIN inst ON ph.doc_id = inst.doc_id
+        |                 AND ph.seg = inst.seg
+        |GROUP BY ph.phrase
+        |ORDER BY score4 DESC, phrase ASC
+        |LIMIT 20""".stripMargin)
   )
 }
