@@ -703,6 +703,59 @@ object EtlOps extends OpGroup {
         |  CAST((2 * max_cnt * 10000 + n_rows) // (2 * n_rows) AS DOUBLE)
         |    / 10000.0 AS top1_share,
         |  hot.hot_keys
-        |FROM agg, hot ORDER BY n_keys""".stripMargin)
+        |FROM agg, hot ORDER BY n_keys""".stripMargin),
+
+    Q(
+      // Order-independent table checksum — the cross-cluster
+      // reconciliation primitive: after replicating / migrating /
+      // re-partitioning a 100 TB table, both sides compute
+      // Σ md5₆₀(canonical row) mod (2⁶¹−1) per partition-group and
+      // compare 3 tiny rows instead of 60 B wide ones. Pure map-side
+      // md5 + one hash-agg (map-side partial sums — the sum is
+      // commutative, so ANY row order / partitioning / engine yields
+      // the identical digest; that is the whole point). The canonical
+      // row string uses only stringification-stable columns: integer
+      // keys, exact cents (double → DECIMAL(18,2) → ×100 → BIGINT, the
+      // q_events_outliers encoding), and the flag itself. 60-bit row
+      // values (15 hex digits) keep Σ within DECIMAL(38,0)/HUGEINT to
+      // 10²⁰ rows; the final mod re-enters BIGINT for the comparator.
+      "q_etl_table_checksum",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rowStr = concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          (money("l_extendedprice") * 100).cast("long"),
+          col("l_returnflag"))
+        val v = conv(substring(md5(rowStr), 1, 15), 16, 10).cast(D38)
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), v.as("v"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+               (sum(col("v")) % lit(2305843009213693951L))
+                 .cast("long").as("checksum"))
+          .orderBy(col("l_returnflag"))
+      },
+      s"""WITH r AS (
+        |  SELECT l_returnflag,
+        |    md5(concat_ws('|', l_orderkey, l_linenumber,
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT),
+        |      l_returnflag)) AS h
+        |  FROM lineitem),
+        |v AS (
+        |  SELECT l_returnflag, ${hex15Sql("h")} AS v FROM r)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS checksum
+        |FROM v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
+
+  /** DuckDB twin of Spark's `conv(substring(md5(x), 1, 15), 16, 10)`:
+    * the 60-bit integer value of the first 15 md5 hex digits, via the
+    * same instr-over-hex-alphabet digit arithmetic as [[u16Sql]]
+    * (DuckDB has no conv). Max value 16¹⁵−1 ≈ 1.15e18 < 2⁶³. */
+  private def hex15Sql(h: String): String =
+    (1 to 15).map { i =>
+      val p = BigInt(16).pow(15 - i)
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * $p"
+    }.mkString("(", "\n|     + ", ")")
 }

@@ -478,6 +478,56 @@ object GraphOps extends OpGroup {
         |  CAST(SUM(w) AS BIGINT) AS h6,
         |  CAST((2*(CAST(SUM(w) AS BIGINT)*10000) + 6) // 12 AS DOUBLE)
         |    / 10000.0 AS harmonic4
-        |FROM layered GROUP BY a ORDER BY a""".stripMargin)
+        |FROM layered GROUP BY a ORDER BY a""".stripMargin),
+
+    Q(
+      // Local clustering coefficient: tri(v) / C(deg(v), 2) — how close
+      // each supplier's co-supply neighborhood is to a clique, the
+      // per-node companion of the global triangle count (Watts-Strogatz
+      // local C). Reuses api.Graph.triangleCounts (degree-oriented
+      // wedge join — every wedge materialized exactly once, never the
+      // naive neighbor×neighbor blowup) and the degree map the count
+      // already needs; nodes with deg < 2 have no defined coefficient
+      // and are excluded BEFORE the ratio (intRatio4 raises on den ≤ 0
+      // by contract). The ratio lands on the exact 1e-4 grid via
+      // half-up integral division — tri·2·10⁴ / (deg·(deg−1)) stays
+      // far inside long range for any physical degree.
+      "q_graph_clustering_coeff",
+      (s, d) => {
+        val e = coSupplyEdges(s, d)
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val tri = graft.api.Graph.triangleCounts(e)
+        deg.filter(col("deg") >= 2)
+          .join(tri, col("src") === col("node"), "left_outer")
+          .select(col("src").as("s_suppkey"), col("deg"),
+                  coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+          .withColumn("lcc4",
+            graft.Determinism.intRatio4(
+              col("tri_cnt") * 20000L,
+              col("deg") * (col("deg") - 1)))
+          .orderBy(col("s_suppkey"))
+      },
+      s"""WITH $coSupplyEdgesSql,
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |o AS (
+        |  SELECT e.src AS u, e.dst AS v
+        |  FROM e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+        |  WHERE a.d < b.d OR (a.d = b.d AND e.src < e.dst)),
+        |tri AS (
+        |  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        |  FROM o o1 JOIN o o2 ON o2.u = o1.v
+        |  WHERE EXISTS (SELECT 1 FROM o o3
+        |                WHERE o3.u = o1.u AND o3.v = o2.v)),
+        |n AS (SELECT a AS s FROM tri UNION ALL
+        |      SELECT b FROM tri UNION ALL
+        |      SELECT c FROM tri),
+        |tc AS (SELECT s, COUNT(*) AS tri_cnt FROM n GROUP BY s)
+        |SELECT deg.src AS s_suppkey, CAST(deg.d AS BIGINT) AS deg,
+        |  CAST(COALESCE(tc.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+        |  CAST((2*(COALESCE(tc.tri_cnt, 0)*20000) + deg.d*(deg.d-1))
+        |       // (2*(deg.d*(deg.d-1))) AS DOUBLE) / 10000.0 AS lcc4
+        |FROM deg LEFT JOIN tc ON tc.s = deg.src
+        |WHERE deg.d >= 2
+        |ORDER BY s_suppkey""".stripMargin)
   )
 }

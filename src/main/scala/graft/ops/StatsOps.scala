@@ -1043,6 +1043,111 @@ object StatsOps extends OpGroup {
         |  strftime(DATE '1970-01-01' + CAST(-p.nd AS INTEGER),
         |           '%Y-%m-%d') AS peak_day,
         |  net_change, n_delta_days
-        |FROM pk ORDER BY mon""".stripMargin)
+        |FROM pk ORDER BY mon""".stripMargin),
+
+    Q(
+      // Hash-seeded randomization test: is the BUILDING/MACHINERY gap
+      // in mean order value significant? 200 replicates re-assign every
+      // order to a pseudo-group by md5 parity of (orderkey, rep) — the
+      // same replayable-uniform device as q_stats_bootstrap, so the
+      // "permutation" null is reproducible on any cluster at any
+      // partitioning. The entire test is EXACT integer math: per-
+      // replicate mean difference |s1/n1 − s0/n0| compares against the
+      // observed via cross-multiplication (|A_r|·B_o ≥ |A_o|·B_r with
+      // A = s1·n0 − s0·n1, B = n1·n0, all DECIMAL(38,0)/HUGEINT) — no
+      // float ever decides a replicate, so the extreme COUNT (and the
+      // p-value grid point) can never flap. Degenerate one-sided
+      // replicates (B_r = 0 ⇒ A_r = 0) count as extreme — conservative
+      // and unreachable at any real pool size. Scale: explode ×200 then
+      // ONE map-side-combinable hash-agg to 200 rows; the corpus is
+      // scanned twice (observed + replicates), shuffled never beyond
+      // 200×4 integers. p = (1 + #extreme) / (B + 1), half-up 1e-4.
+      "q_stats_permutation",
+      (s, d) => {
+        val B = 200
+        val pool = Tables.orders(s, d)
+          .join(Tables.customer(s, d)
+                  .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+                  .select(col("c_custkey"),
+                          (col("c_mktsegment") === "BUILDING")
+                            .cast("long").as("g_obs")),
+                col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("g_obs"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+        def grpSums(df: org.apache.spark.sql.DataFrame, g: String) = Seq(
+          sum(when(col(g) === 1, col("vc")).otherwise(0L).cast(D38)),
+          sum(when(col(g) === 0, col("vc")).otherwise(0L).cast(D38)),
+          sum(col(g)),
+          count(lit(1)) - sum(col(g)))
+        val Seq(s1o, s0o, n1o, n0o) = grpSums(pool, "g_obs")
+        val obs = pool.agg(s1o.as("s1o"), s0o.as("s0o"),
+                           n1o.as("n1o"), n0o.as("n0o"))
+          .withColumn("ao", abs(col("s1o") * col("n0o") -
+                                col("s0o") * col("n1o")).cast(D38))
+          .withColumn("bo", (col("n1o") * col("n0o")).cast(D38))
+        val reps = pool
+          .withColumn("r", explode(sequence(lit(0), lit(B - 1))))
+          .withColumn("g", (graft.api.Pipeline.hash16(
+            concat(col("o_orderkey").cast("string"), lit(":"),
+                   col("r").cast("string"))) % 2).cast("long"))
+        val Seq(s1r, s0r, n1r, n0r) = grpSums(reps, "g")
+        val repStats = reps.groupBy(col("r"))
+          .agg(s1r.as("s1"), s0r.as("s0"), n1r.as("n1"), n0r.as("n0"))
+        val ext = repStats.crossJoin(broadcast(obs))
+          .filter(abs(col("s1") * col("n0") - col("s0") * col("n1"))
+                    .cast(D38) * col("bo") >=
+                  col("ao") * (col("n1") * col("n0")).cast(D38))
+          .agg(count(lit(1)).as("n_extreme"))
+        obs.crossJoin(broadcast(ext))
+          .select(col("n1o").as("n1"), col("n0o").as("n0"),
+                  intRatio4Wide(col("ao") * 100, col("bo")).as("absdiff4"),
+                  col("n_extreme"),
+                  intRatio4((col("n_extreme") + 1) * 10000L,
+                            lit((B + 1).toLong)).as("p4"))
+      },
+      s"""WITH pool AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |obs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 1 THEN vc ELSE 0 END) AS HUGEINT)
+        |      AS s1,
+        |    CAST(SUM(CASE WHEN g = 0 THEN vc ELSE 0 END) AS HUGEINT)
+        |      AS s0,
+        |    CAST(SUM(g) AS HUGEINT) AS n1,
+        |    CAST(COUNT(*) - SUM(g) AS HUGEINT) AS n0
+        |  FROM pool),
+        |ob AS (
+        |  SELECT n1, n0, abs(s1*n0 - s0*n1) AS ao, n1*n0 AS bo
+        |  FROM obs),
+        |reps AS (
+        |  SELECT t.r, p.vc,
+        |    ((${u16Sql("CAST(p.o_orderkey AS VARCHAR) || ':' || CAST(t.r AS VARCHAR)")}) % 2) AS g
+        |  FROM pool p CROSS JOIN range(0, 200) t(r)),
+        |rs AS (
+        |  SELECT r,
+        |    CAST(SUM(CASE WHEN g = 1 THEN vc ELSE 0 END) AS HUGEINT)
+        |      AS s1,
+        |    CAST(SUM(CASE WHEN g = 0 THEN vc ELSE 0 END) AS HUGEINT)
+        |      AS s0,
+        |    CAST(SUM(g) AS HUGEINT) AS n1,
+        |    CAST(COUNT(*) - SUM(g) AS HUGEINT) AS n0
+        |  FROM reps GROUP BY r),
+        |ex AS (
+        |  SELECT COUNT(*) AS n_extreme
+        |  FROM rs, ob
+        |  WHERE abs(rs.s1*rs.n0 - rs.s0*rs.n1) * ob.bo
+        |        >= ob.ao * (rs.n1*rs.n0))
+        |SELECT CAST(ob.n1 AS BIGINT) AS n1, CAST(ob.n0 AS BIGINT) AS n0,
+        |  CAST((2*(ob.ao*100) + ob.bo) // (2*ob.bo) AS DOUBLE) / 10000.0
+        |    AS absdiff4,
+        |  CAST(ex.n_extreme AS BIGINT) AS n_extreme,
+        |  CAST((2*((ex.n_extreme + 1)*10000) + 201) // 402 AS DOUBLE)
+        |    / 10000.0 AS p4
+        |FROM ob, ex""".stripMargin)
   )
 }
