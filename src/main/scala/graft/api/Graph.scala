@@ -259,8 +259,16 @@ object Graph {
     *    of rounds; borrow CC's rolling reliable-checkpoint machinery for
     *    lossy clusters);
     *  - the convergence count runs on the VERTEX-sized sub-k frame
-    *    (never edge-sized): `removed == 0` terminates. */
-  def kCore(pairs: DataFrame, a: String, b: String, k: Int): DataFrame = {
+    *    (never edge-sized): `removed == 0` terminates.
+    *
+    * `maxRounds` bounds the peel (default: run to fixpoint). A bounded
+    * peel is a deterministic operator in its own right — "the graph
+    * after r peel passes" is well-defined at ANY scale factor, which is
+    * what lets the declared query hash-match a finitely-unrolled SQL
+    * oracle; when the peel converges in fewer than `maxRounds` rounds
+    * the bounded and fixpoint results coincide. */
+  def kCore(pairs: DataFrame, a: String, b: String, k: Int,
+            maxRounds: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val canon = pairs
       .select(col(a).cast("long").as("s"), col(b).cast("long").as("t"))
@@ -270,7 +278,9 @@ object Graph {
       .distinct()
     var edges = canon.localCheckpoint(true)
     var done = false
-    while (!done) {
+    var round = 0
+    while (!done && round < maxRounds) {
+      round += 1
       val deg = edges.select(col("src").as("v"))
         .union(edges.select(col("dst").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))

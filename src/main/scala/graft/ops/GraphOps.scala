@@ -528,6 +528,50 @@ object GraphOps extends OpGroup {
         |       // (2*(deg.d*(deg.d-1))) AS DOUBLE) / 10000.0 AS lcc4
         |FROM deg LEFT JOIN tc ON tc.s = deg.src
         |WHERE deg.d >= 2
+        |ORDER BY s_suppkey""".stripMargin),
+
+    Q(
+      // Bounded 3-core peel: api.Graph.kCore with maxRounds = 3 —
+      // three passes of "drop every vertex of degree < 3, restrict the
+      // edge set, recompute". The dense-subgraph primitive (spam-farm /
+      // crawl-clique detection); bounding the rounds is what makes the
+      // iterative Spark loop hash-matchable against a FINITELY-unrolled
+      // SQL oracle at any SF (the fixpoint variant stays ScalaTest-
+      // covered — ApiSpec's chain-cascade cases). Each round is one
+      // vertex hash-agg + two LEFT SEMI joins on the vertex key; the
+      // oracle canonicalizes the symmetric edge set to src < dst
+      // exactly like the API does.
+      "q_graph_kcore",
+      (s, d) => graft.api.Graph
+        .kCore(coSupplyEdges(s, d), "src", "dst", k = 3, maxRounds = 3)
+        .select(col("node").as("s_suppkey"), col("deg"))
+        .orderBy(col("s_suppkey")),
+      s"""WITH $coSupplyEdgesSql,
+        |c0 AS (SELECT src, dst FROM e WHERE src < dst),
+        |d0 AS (SELECT v, COUNT(*) AS d FROM (
+        |         SELECT src AS v FROM c0
+        |         UNION ALL SELECT dst FROM c0) GROUP BY v),
+        |k0 AS (SELECT v FROM d0 WHERE d >= 3),
+        |c1 AS (SELECT * FROM c0
+        |       WHERE src IN (SELECT v FROM k0)
+        |         AND dst IN (SELECT v FROM k0)),
+        |d1 AS (SELECT v, COUNT(*) AS d FROM (
+        |         SELECT src AS v FROM c1
+        |         UNION ALL SELECT dst FROM c1) GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE d >= 3),
+        |c2 AS (SELECT * FROM c1
+        |       WHERE src IN (SELECT v FROM k1)
+        |         AND dst IN (SELECT v FROM k1)),
+        |d2 AS (SELECT v, COUNT(*) AS d FROM (
+        |         SELECT src AS v FROM c2
+        |         UNION ALL SELECT dst FROM c2) GROUP BY v),
+        |k2 AS (SELECT v FROM d2 WHERE d >= 3),
+        |c3 AS (SELECT * FROM c2
+        |       WHERE src IN (SELECT v FROM k2)
+        |         AND dst IN (SELECT v FROM k2))
+        |SELECT v AS s_suppkey, COUNT(*) AS deg FROM (
+        |  SELECT src AS v FROM c3
+        |  UNION ALL SELECT dst FROM c3) GROUP BY v
         |ORDER BY s_suppkey""".stripMargin)
   )
 }

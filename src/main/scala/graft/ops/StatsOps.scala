@@ -1148,6 +1148,181 @@ object StatsOps extends OpGroup {
         |  CAST(ex.n_extreme AS BIGINT) AS n_extreme,
         |  CAST((2*((ex.n_extreme + 1)*10000) + 201) // 402 AS DOUBLE)
         |    / 10000.0 AS p4
-        |FROM ob, ex""".stripMargin)
+        |FROM ob, ex""".stripMargin),
+
+    Q(
+      // Lagged cross-correlation: Pearson r between the daily 'view'
+      // series and the 'purchase' series shifted by 0..6 days — "does
+      // browsing predict buying, and at what delay?" (the lead-lag
+      // scan behind demand forecasting and causal-impact pre-checks;
+      // q_ts_autocorr's two-series sibling). One corpus hash-agg to
+      // the bounded DAY DOMAIN, then a 7-way explode of the ~30-row
+      // view series self-aligns against purchases via one equi-join on
+      // (day + lag) — all domain-sized. Moments exact in DECIMAL(38,0)
+      // (HUGEINT twin); r is one double per lag, same expression tree
+      // both engines.
+      "q_ts_crosscorr",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type"),
+                  expr("ts_us div 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c"))
+        val v = daily.filter(col("event_type") === "view")
+          .select(col("day").as("vd"), col("c").as("x"))
+        val p = daily.filter(col("event_type") === "purchase")
+          .select(col("day").as("pd"), col("c").as("y"))
+        val pairs = v
+          .withColumn("lag", explode(sequence(lit(0L), lit(6L))))
+          .join(p, col("pd") === col("vd") + col("lag"))
+        val m = pairs.groupBy(col("lag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("x").cast(D38)).as("sx"),
+               sum(col("y").cast(D38)).as("sy"),
+               sum((col("x").cast(D38) * col("y").cast(D38)).cast(D38))
+                 .as("sxy"),
+               sum((col("x").cast(D38) * col("x").cast(D38)).cast(D38))
+                 .as("sxx"),
+               sum((col("y").cast(D38) * col("y").cast(D38)).cast(D38))
+                 .as("syy"))
+        val nD = col("n").cast(D38)
+        m.select(col("lag"), col("n").as("n_days"),
+                 round((nD * col("sxy") - col("sx") * col("sy"))
+                         .cast("double") /
+                       sqrt((nD * col("sxx") - col("sx") * col("sx"))
+                              .cast("double") *
+                            (nD * col("syy") - col("sy") * col("sy"))
+                              .cast("double")), 4).as("r"))
+          .orderBy(col("lag"))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS c
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY event_type, epoch_us(ts) // 86400000000),
+        |v AS (SELECT day AS vd, c AS x FROM daily
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT day AS pd, c AS y FROM daily
+        |      WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT t.lag, v.x, p.y
+        |  FROM v CROSS JOIN range(0, 7) t(lag)
+        |  JOIN p ON p.pd = v.vd + t.lag),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pr GROUP BY lag)
+        |SELECT lag, n AS n_days,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |               * CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |                      AS DOUBLE)), 4) + 0 AS r
+        |FROM m ORDER BY lag""".stripMargin),
+
+    Q(
+      // LTTB-style downsampling (parallel variant): reduce the hourly
+      // event-volume series to one representative point per 48-hour
+      // bucket — the point maximizing the triangle area against the
+      // PREVIOUS and NEXT buckets' centroids (classic LTTB anchors the
+      // previously-SELECTED point, a sequential chain; anchoring the
+      // neighbor centroid — Steinarsson §4.2's "LTTB-parallel" — makes
+      // every bucket independent, i.e. one hash-agg + one domain-sized
+      // join instead of a driver loop, the only form that scales).
+      // Area argmax is decided on EXACT integers: the cross product
+      // clears denominators (×np²·nn > 0) into DECIMAL(38,0)/HUGEINT,
+      // ties break on x via struct max — no float ever picks a point.
+      // First/last buckets keep their endpoint (min-x / max-x) per
+      // LTTB's endpoint-preservation convention. Scale: corpus → hour
+      // domain via one map-side-combinable agg; all else is bounded by
+      // the DOMAIN (720 rows here, ~9k for a decade of hours).
+      "q_ts_lttb",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(expr("ts_us div 3600000000").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("y"))
+          .withColumn("b", expr("x div 48"))
+        val stats = hourly.groupBy(col("b"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("x").cast(D38)).as("sx"),
+               sum(col("y").cast(D38)).as("sy"))
+        val lim = stats.agg(min(col("b")).as("bmin"),
+                            max(col("b")).as("bmax"))
+        val prev = stats.select((col("b") + 1).as("_bp"),
+          col("n").as("np"), col("sx").as("sxp"), col("sy").as("syp"))
+        val nxt = stats.select((col("b") - 1).as("_bn"),
+          col("n").as("nn"), col("sx").as("sxn"), col("sy").as("syn"))
+        val interior = hourly.crossJoin(broadcast(lim))
+          .filter(col("b") > col("bmin") && col("b") < col("bmax"))
+          .join(broadcast(prev), col("b") === col("_bp"))
+          .join(broadcast(nxt), col("b") === col("_bn"))
+          .withColumn("num",
+            (col("sxp") * col("nn") - col("sxn") * col("np")) *
+              (col("y").cast(D38) * col("np") - col("syp")) -
+            (col("sxp") - col("x").cast(D38) * col("np")) *
+              (col("syn") * col("np") - col("syp") * col("nn")))
+          .groupBy(col("b"))
+          .agg(max(struct(abs(col("num")).as("a"), col("x"), col("y")))
+                 .as("s"),
+               count(lit(1)).as("n_pts"))
+          .select(col("b"), col("s").getField("x").as("x"),
+                  col("s").getField("y").as("y"), col("n_pts"))
+        val ends = hourly.crossJoin(broadcast(lim))
+          .filter(col("b") === col("bmin") || col("b") === col("bmax"))
+          .groupBy(col("b"))
+          .agg(min(struct(col("x"), col("y"))).as("mn"),
+               max(struct(col("x"), col("y"))).as("mx"),
+               count(lit(1)).as("n_pts"), max(col("bmin")).as("_m"))
+          .select(col("b"),
+                  when(col("b") === col("_m"), col("mn"))
+                    .otherwise(col("mx")).as("s"),
+                  col("n_pts"))
+          .select(col("b"), col("s").getField("x").as("x"),
+                  col("s").getField("y").as("y"), col("n_pts"))
+        interior.unionByName(ends).orderBy(col("b"))
+      },
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS x, COUNT(*) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 3600000000),
+        |hb AS (SELECT x, y, x // 48 AS b FROM hourly),
+        |st AS (
+        |  SELECT b, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy
+        |  FROM hb GROUP BY b),
+        |lim AS (SELECT MIN(b) AS bmin, MAX(b) AS bmax FROM st),
+        |cand AS (
+        |  SELECT hb.b, hb.x, hb.y,
+        |    abs((p.sx * q.n - q.sx * p.n)
+        |          * (CAST(hb.y AS HUGEINT) * p.n - p.sy)
+        |        - (p.sx - CAST(hb.x AS HUGEINT) * p.n)
+        |          * (q.sy * p.n - p.sy * q.n)) AS anum
+        |  FROM hb CROSS JOIN lim
+        |  JOIN st p ON p.b = hb.b - 1
+        |  JOIN st q ON q.b = hb.b + 1
+        |  WHERE hb.b > lim.bmin AND hb.b < lim.bmax),
+        |interior AS (
+        |  SELECT b,
+        |    MAX(struct_pack(a := anum, x := x, y := y)) AS s,
+        |    COUNT(*) AS n_pts
+        |  FROM cand GROUP BY b),
+        |ends AS (
+        |  SELECT hb.b,
+        |    CASE WHEN hb.b = lim.bmin
+        |      THEN MIN(struct_pack(x := x, y := y))
+        |      ELSE MAX(struct_pack(x := x, y := y)) END AS s,
+        |    COUNT(*) AS n_pts
+        |  FROM hb CROSS JOIN lim
+        |  WHERE hb.b = lim.bmin OR hb.b = lim.bmax
+        |  GROUP BY hb.b, lim.bmin),
+        |u AS (
+        |  SELECT b, s.x AS x, s.y AS y, n_pts FROM interior
+        |  UNION ALL
+        |  SELECT b, s.x AS x, s.y AS y, n_pts FROM ends)
+        |SELECT b, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  n_pts
+        |FROM u ORDER BY b""".stripMargin)
   )
 }
