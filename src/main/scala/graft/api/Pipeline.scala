@@ -403,6 +403,27 @@ object Pipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Class-balanced downsample: keep exactly min-class-size rows from
+    * EVERY stratum, chosen by the [[sampleExactK]] md5 order — the
+    * majority-class downsampling step of imbalanced-training prep,
+    * with a data-dependent k (the smallest stratum's count) instead of
+    * a caller constant. Deterministic and replayable: the kept set is
+    * a pure function of the data. Adds `rn` (1-based rank within the
+    * stratum). Scale: one count hash-agg + a 1-row broadcast + the
+    * same per-stratum window sort sampleExactK pays — strata sort in
+    * parallel, nothing global. */
+  def sampleBalanced(
+      df: DataFrame, stratum: Column, id: Column): DataFrame = {
+    val k = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_c"))
+      .agg(min(col("_c")).as("_k"))
+    val h = md5(coalesce(id.cast("string"), lit("")))
+    val w = Window.partitionBy(stratum).orderBy(h.asc, id.asc)
+    df.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(k))
+      .filter(col("rn") <= col("_k"))
+      .drop("_k")
+  }
+
   /** Deterministic sharded epoch shuffle: assign every row to one of
     * `shards` output shards and a position within its shard, ordered by
     * md5(seed || ":" || id) — the reproducible global permutation a

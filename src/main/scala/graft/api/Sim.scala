@@ -704,6 +704,44 @@ object Sim {
     row.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (i, j, gram)")
   }
 
+  /** Mean pairwise inner product per group in ONE corpus pass via the
+    * sum-vector identity: Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖². On unit-norm
+    * embeddings this IS mean pairwise cosine — the corpus/class
+    * diversity-vs-collapse gauge (1 ≈ duplicates, ≈0 ≈ spread) that a
+    * naive implementation computes with an O(n²) self-join. Components
+    * quantize to the 1e-6 grid (the [[gramMatrix]] device) so every
+    * accumulation is an exact DECIMAL(38,0) sum — order-independent,
+    * engine-portable; the single division at the end is the only
+    * double. Returns (group, n, mean_pair_cos4) for groups with n ≥ 2.
+    * Scale: dims per-group sums ride one map-side projection (no
+    * explode); the shuffle is |groups|·(dims+2) decimals, nothing
+    * else — identical cost at 500 or 500M vectors per group. */
+  def pairwiseDiversity(
+      df: DataFrame, emb: Column, grp: Column, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64,
+      s"pairwiseDiversity: dims must be in [1, 64], got $dims")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(emb.isNotNull && size(emb) >= dims)
+      .select(grp.as("_g") +: (0 until dims).map(i =>
+        round(element_at(emb, i + 1).cast("double") * 1000000)
+          .cast("long").as(s"q$i")): _*)
+      .withColumn("s2", expr(
+        (0 until dims).map(i => s"q$i * q$i").mkString(" + ")))
+    val aggs =
+      sum(col("s2").cast(D38)).as("ss") +:
+      (0 until dims).map(i => sum(col(s"q$i").cast(D38)).as(s"t$i"))
+    base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .filter(col("n") >= 2)
+      .withColumn("sumsq", expr(
+        (0 until dims).map(i => s"t$i * t$i").mkString(" + ")))
+      .select(col("_g"), col("n"),
+              round((col("sumsq") - col("ss")).cast("double") /
+                    (col("n") * (col("n") - 1)).cast("double") /
+                    1e12, 4).as("mean_pair_cos4"))
+  }
+
   /** Reciprocal-rank fusion of ranked retrieval lists — the standard
     * way to combine a lexical (BM25) and a semantic (dense-vector)
     * ranking without score calibration. Each input frame carries

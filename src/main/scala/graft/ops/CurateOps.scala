@@ -583,6 +583,38 @@ object CurateOps extends OpGroup {
         |  (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
         |    AS dof,
         |  CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin),
+
+    Q(
+      // Class-balanced downsample (api.Pipeline.sampleBalanced): every
+      // language keeps exactly min-class-size docs, chosen by the
+      // sampleExactK md5 order with a DATA-DEPENDENT k (the smallest
+      // class's count broadcast from a 1-row agg) — the majority-class
+      // downsampling step of imbalanced-training prep. The declared
+      // output rolls kept rows up per class WITH an id_sum checksum, so
+      // the oracle hash proves both engines kept the IDENTICAL row set,
+      // not merely equal counts.
+      "q_sample_balanced",
+      (s, d) => Pipeline.sampleBalanced(
+          Tables.documents(s, d), col("lang"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang")),
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT MIN(c) AS k FROM (
+        |    SELECT COUNT(*) AS c FROM documents GROUP BY lang)),
+        |kept AS (
+        |  SELECT lang, doc_id FROM t CROSS JOIN k WHERE t.rn <= k.k)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

@@ -1197,6 +1197,49 @@ object NearDupOps extends OpGroup {
         |SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
         |  CAST(dist AS INTEGER) AS dist
         |FROM cand WHERE dist <= 30
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    Q(
+      // Per-label embedding diversity in ONE corpus pass
+      // (api.Sim.pairwiseDiversity): mean pairwise cosine via the
+      // sum-vector identity Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖² — the
+      // mode-collapse / duplication gauge (≈1 duplicates, ≈0 spread)
+      // that the naive form computes with an O(n²) self-join; here the
+      // shuffle is |labels|·66 decimals regardless of corpus size.
+      // 1e-6-grid quantization makes every accumulation an exact
+      // DECIMAL(38,0) sum; the final division is the only double.
+      "q_embed_diversity",
+      (s, d) => graft.api.Sim.pairwiseDiversity(
+          Tables.embeddings(s, d), col("embedding"), col("label"),
+          dims = 64)
+        .select(col("_g").as("label"), col("n"), col("mean_pair_cos4"))
+        .orderBy(col("label")),
+      {
+        val dims = 64
+        val qCols = (0 until dims).map(i =>
+          s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) " +
+            s"AS BIGINT) AS q$i").mkString(", ")
+        val s2 = (0 until dims).map(i => s"q$i * q$i").mkString(" + ")
+        val tSums = (0 until dims).map(i =>
+          s"SUM(CAST(q$i AS HUGEINT)) AS t$i").mkString(", ")
+        val sumsq = (0 until dims).map(i => s"t$i * t$i").mkString(" + ")
+        s"""WITH q AS (
+          |  SELECT label, $qCols
+          |  FROM embeddings
+          |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims),
+          |w AS (SELECT label, ($s2) AS s2, * FROM q),
+          |g AS (
+          |  SELECT label, COUNT(*) AS n,
+          |    SUM(CAST(s2 AS HUGEINT)) AS ss, $tSums
+          |  FROM w GROUP BY label),
+          |f AS (
+          |  SELECT label, n, ss, ($sumsq) AS sumsq
+          |  FROM g WHERE n >= 2)
+          |SELECT label, CAST(n AS BIGINT) AS n,
+          |  round(CAST(sumsq - ss AS DOUBLE)
+          |        / CAST(n * (n - 1) AS DOUBLE) / 1e12, 4) + 0
+          |    AS mean_pair_cos4
+          |FROM f ORDER BY label""".stripMargin
+      })
   )
 }

@@ -61,6 +61,92 @@ object Scans extends OpGroup {
           (0 until 8).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})")
         s"""SELECT o_orderkey, ${terms.mkString(" + ")} AS zv
           |FROM orders ORDER BY o_orderkey""".stripMargin
+      }),
+
+    Q(
+      // Zone-map (min/max data-skipping) effectiveness audit — the
+      // layout decision a 100 TB table lives or dies by, measured
+      // WITHOUT rewriting the table: synthesize "files" under two
+      // layouts (date-clustered: 32-day blocks; insert-order: 2048-key
+      // orderkey blocks), compute each block's shipdate min/max zone
+      // map, and report how many blocks a Q1 1997 date predicate
+      // prunes plus the read amplification (rows scanned per row
+      // matched) the surviving blocks imply. Date-clustered zone maps
+      // are tight by construction → near-1 amplification; insert-order
+      // blocks span the full date range → ~0 pruning. Pure integer
+      // epoch-day arithmetic; two corpus hash-aggs (one per layout),
+      // block frames tiny after.
+      "q_layout_minmax_prune",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          graft.Determinism.ldiv(
+            unix_micros(col("l_shipdate").cast("timestamp")),
+            lit(86400000000L)).as("day"),
+          col("l_orderkey"))
+        // epoch days: 1997-01-01 = 9862 (27y + 7 leap), 1997-03-01 =
+        // 9862 + 31 + 28 (1997 not leap)
+        val d1 = lit(9862L)
+        val d2 = lit(9921L)
+        def audit(layout: String, blk: org.apache.spark.sql.Column) = {
+          val pruned = col("mx") < d1 || col("mn") >= d2
+          li.withColumn("blk", blk)
+            .groupBy(col("blk"))
+            .agg(min(col("day")).as("mn"), max(col("day")).as("mx"),
+                 count(lit(1)).as("nr"),
+                 sum(when(col("day") >= d1 && col("day") < d2, 1L)
+                   .otherwise(0L)).as("nm"))
+            .agg(count(lit(1)).as("n_blocks"),
+                 sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+                 sum(col("nr")).as("rows_total"),
+                 sum(when(pruned, 0L).otherwise(col("nr")))
+                   .as("rows_scanned"),
+                 sum(col("nm")).as("rows_matched"))
+            .select(lit(layout).as("layout"), col("n_blocks"),
+                    col("n_pruned"), col("rows_total"),
+                    col("rows_scanned"), col("rows_matched"),
+                    graft.Determinism.intRatio4Wide(
+                      col("rows_scanned") * 10000L,
+                      col("rows_matched")).as("read_amp4"))
+        }
+        audit("date_clustered",
+              graft.Determinism.ldiv(col("day"), lit(32L)))
+          .unionByName(audit("insert_order",
+              graft.Determinism.ldiv(col("l_orderkey"), lit(2048L))))
+          .orderBy(col("layout"))
+      },
+      {
+        def auditSql(layout: String, blk: String) =
+          s"""SELECT '$layout' AS layout, COUNT(*) AS n_blocks,
+            |  CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_pruned,
+            |  CAST(SUM(nr) AS BIGINT) AS rows_total,
+            |  CAST(SUM(CASE WHEN pruned THEN 0 ELSE nr END) AS BIGINT)
+            |    AS rows_scanned,
+            |  CAST(SUM(nm) AS BIGINT) AS rows_matched,
+            |  CAST((2*(CAST(SUM(CASE WHEN pruned THEN 0 ELSE nr END)
+            |             AS HUGEINT)*10000)
+            |        + CAST(SUM(nm) AS HUGEINT))
+            |       // (2*CAST(SUM(nm) AS HUGEINT)) AS DOUBLE) / 10000.0
+            |    AS read_amp4
+            |FROM (
+            |  SELECT mn, mx, nr, nm,
+            |    (mx < 9862 OR mn >= 9921) AS pruned
+            |  FROM (
+            |    SELECT $blk AS blk, MIN(day) AS mn, MAX(day) AS mx,
+            |      COUNT(*) AS nr,
+            |      SUM(CASE WHEN day >= 9862 AND day < 9921
+            |          THEN 1 ELSE 0 END) AS nm
+            |    FROM li GROUP BY $blk))"""
+            .stripMargin
+        s"""WITH li AS (
+          |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+          |    l_orderkey
+          |  FROM lineitem)
+          |SELECT * FROM (
+          |${auditSql("date_clustered", "day // 32")}
+          |UNION ALL
+          |${auditSql("insert_order", "l_orderkey // 2048")})
+          |ORDER BY layout""".stripMargin
       })
   )
 }

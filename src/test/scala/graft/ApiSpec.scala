@@ -1702,4 +1702,66 @@ class ApiSpec extends SparkSpec {
                          (5L, 2L, 5L, 0L, 10L),
                          (10L, 1L, 10L, 0L, 10L)), ladder.toString)
   }
+
+  test("Sim.pairwiseDiversity: duplicates 1.0, orthogonal 0.0, antipodal -1.0, n<2 dropped") {
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val e3 = Array(0f, 0f, 1f, 0f)
+    val neg = Array(-1f, 0f, 0f, 0f)
+    val df = Seq(
+      (1L, e1, "dup"), (2L, e1, "dup"), (3L, e1, "dup"),
+      (4L, e1, "orth"), (5L, e2, "orth"), (6L, e3, "orth"),
+      (7L, e1, "anti"), (8L, neg, "anti"),
+      (9L, e1, "single")
+    ).toDF("vec_id", "embedding", "g")
+    val r = graft.api.Sim.pairwiseDiversity(
+        df, col("embedding"), col("g"), dims = 4)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(("anti", 2L, -1.0), ("dup", 3L, 1.0),
+                    ("orth", 3L, 0.0)), r.toString)
+    // one-pass identity matches the O(n²) definition on a mixed group
+    val mixed = Seq((1L, e1, "m"), (2L, e1, "m"), (3L, e2, "m"))
+      .toDF("vec_id", "embedding", "g")
+    val got = graft.api.Sim.pairwiseDiversity(
+        mixed, col("embedding"), col("g"), dims = 4)
+      .as[(String, Long, Double)].collect().head._3
+    // pairs: (e1,e1)=1, (e1,e2)=0, (e1,e2)=0 → mean 1/3
+    assert(got == math.rint(1.0 / 3.0 * 10000) / 10000)
+  }
+
+  test("Pipeline.sampleBalanced: min-class k, sampleExactK order, partition-invariant") {
+    val df = (Seq.tabulate(90)(i => (i.toLong, "big")) ++
+      Seq.tabulate(3)(i => (100L + i, "tiny"))).toDF("id", "s")
+    val got = Pipeline.sampleBalanced(df, col("s"), col("id"))
+      .as[(Long, String, Int)].collect()
+    val byS = got.groupBy(_._2)
+    assert(byS("big").length == 3 && byS("tiny").length == 3)
+    // the balanced pick IS the exact-k pick at k = min class size
+    val ek = Pipeline.sampleExactK(df, col("s"), col("id"), k = 3)
+      .as[(Long, String, Int)].collect()
+    assert(got.sortBy(_._1).sameElements(ek.sortBy(_._1)))
+    val again = Pipeline.sampleBalanced(
+      df.repartition(7), col("s"), col("id"))
+      .as[(Long, String, Int)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("Graph.kCore: maxRounds bounds the peel; fixpoint empties a path") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    // fixpoint: a path has no 2-core
+    assert(graft.api.Graph.kCore(path, "a", "b", k = 2).isEmpty)
+    // one bounded round peels only the current endpoints
+    val r1 = graft.api.Graph.kCore(path, "a", "b", k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r1 == Seq((2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)), r1.toString)
+    // bounding at/after convergence equals the fixpoint
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val fx = graft.api.Graph.kCore(tri, "a", "b", k = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val bounded = graft.api.Graph.kCore(tri, "a", "b", k = 2,
+        maxRounds = 5)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fx == bounded && fx == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
 }
