@@ -746,7 +746,54 @@ object EtlOps extends OpGroup {
         |  SELECT l_returnflag, ${hex15Sql("h")} AS v FROM r)
         |SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS checksum
-        |FROM v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    Q(
+      // Small-files compaction planner — the OPTIMIZE/bin-packing step
+      // every parquet lake schedules: treat each shipdate day's rows as
+      // one ingest file, pack files in day order into output files
+      // targeting 5000 rows via the streaming rule
+      // out = ⌊cum_before / target⌋ (an output closes once it crosses
+      // target; the boundary-crossing day stays whole — input files
+      // are never split). Returns the PLAN, not the rewrite: per
+      // output file its input-file count, row count, and day span.
+      // The cumsum window runs on the bounded DAY DOMAIN (~2.5k rows
+      // at any SF), never the corpus — the backlog-sweep posture.
+      "q_etl_compaction_plan",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        Tables.lineitem(s, d)
+          .groupBy(ldiv(unix_micros(col("l_shipdate").cast("timestamp")),
+                        lit(86400000000L)).as("day"))
+          .agg(count(lit(1)).as("nr"))
+          .withColumn("cum0", coalesce(sum(col("nr")).over(w), lit(0L)))
+          .withColumn("out_file", ldiv(col("cum0"), lit(5000L)))
+          .groupBy(col("out_file"))
+          .agg(count(lit(1)).as("n_input_files"),
+               sum(col("nr")).as("n_rows"),
+               min(col("day")).as("day_min"),
+               max(col("day")).as("day_max"))
+          .orderBy(col("out_file"))
+      },
+      """WITH f AS (
+        |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        |    COUNT(*) AS nr
+        |  FROM lineitem GROUP BY epoch_us(l_shipdate) // 86400000000),
+        |c AS (
+        |  SELECT day, nr,
+        |    COALESCE(SUM(nr) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum0
+        |  FROM f),
+        |a AS (SELECT day, nr,
+        |      CAST(cum0 // 5000 AS BIGINT) AS out_file FROM c)
+        |SELECT out_file, COUNT(*) AS n_input_files,
+        |  CAST(SUM(nr) AS BIGINT) AS n_rows,
+        |  MIN(day) AS day_min, MAX(day) AS day_max
+        |FROM a GROUP BY out_file ORDER BY out_file""".stripMargin)
   )
 
   /** DuckDB twin of Spark's `conv(substring(md5(x), 1, 15), 16, 10)`:

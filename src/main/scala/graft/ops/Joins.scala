@@ -572,6 +572,44 @@ object Joins extends OpGroup {
         |    AS near_click_us,
         |  CASE WHEN b_us IS NULL AND f_us IS NULL THEN 'none'
         |       WHEN use_b THEN 'b' ELSE 'f' END AS dir
-        |FROM n ORDER BY purchase_id""".stripMargin)
+        |FROM n ORDER BY purchase_id""".stripMargin),
+
+    Q(
+      // Range ANTI-join: purchases with NO view by the same user in the
+      // preceding 24 h — the "event without its expected precursor"
+      // detector (fraud auth-without-login, orphaned conversions,
+      // broken tracking). The join carries the user_id EQUI key, so
+      // Spark plans a hash-partitioned anti join with the time-range
+      // predicate evaluated in the join stage — never the
+      // BroadcastNestedLoop a pure range-anti would force; per-user
+      // event lists are small so the range filter is cheap post-match.
+      // Daily orphan counts keep the output domain-sized.
+      "q_join_range_anti",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts_us").as("pt"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("ts_us").as("vt"))
+        p.join(v, col("pu") === col("vu") &&
+                 col("vt") >= col("pt") - lit(86400000000L) &&
+                 col("vt") < col("pt"), "left_anti")
+          .groupBy(ldiv(col("pt"), lit(86400000000L)).as("day"))
+          .agg(count(lit(1)).as("n_orphan"))
+          .orderBy(col("day"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |p AS (SELECT user_id AS pu, ts_us AS pt FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu, ts_us AS vt FROM e
+        |      WHERE event_type = 'view')
+        |SELECT pt // 86400000000 AS day, COUNT(*) AS n_orphan
+        |FROM p WHERE NOT EXISTS (
+        |  SELECT 1 FROM v
+        |  WHERE vu = pu AND vt >= pt - 86400000000 AND vt < pt)
+        |GROUP BY pt // 86400000000 ORDER BY day""".stripMargin)
   )
 }

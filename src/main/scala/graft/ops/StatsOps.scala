@@ -1348,6 +1348,52 @@ object StatsOps extends OpGroup {
         |  SELECT b, s.x AS x, s.y AS y, n_pts FROM ends)
         |SELECT b, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
         |  n_pts
-        |FROM u ORDER BY b""".stripMargin)
+        |FROM u ORDER BY b""".stripMargin),
+
+    Q(
+      // McNemar paired-proportions test: per customer the two binary
+      // outcomes (has an 'F'-status order, has an 'O'-status order);
+      // only the DISCORDANT counts b10/b01 matter, χ² = (b10−b01)² /
+      // (b10+b01) — the paired test behind "did the same population
+      // change state" (before/after flags, matched A/B exposure).
+      // Everything integer through the χ² numerator (DECIMAL(38,0) —
+      // a long (b10−b01)² wraps once discordants pass ~3e9, reachable
+      // at the 100 TB customer count); one half-up 1e-4 division at
+      // the end. One customer hash-agg + one 1-row conditional agg.
+      "q_stats_mcnemar",
+      (s, d) => {
+        val u = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+                 .as("hf"),
+               max(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+                 .as("ho"))
+        val m = u.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("hf") === 1 && col("ho") === 0, 1L).otherwise(0L))
+            .as("b10"),
+          sum(when(col("hf") === 0 && col("ho") === 1, 1L).otherwise(0L))
+            .as("b01"))
+        val diff = (col("b10") - col("b01")).cast(D38)
+        m.select(col("n_pairs"), col("b10"), col("b01"),
+                 intRatio4Wide((diff * diff * 10000).cast(D38),
+                               col("b10") + col("b01")).as("chi2_4"))
+      },
+      """WITH u AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS hf,
+        |    MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS ho
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN hf = 1 AND ho = 0 THEN 1 ELSE 0 END)
+        |         AS HUGEINT) AS b10,
+        |    CAST(SUM(CASE WHEN hf = 0 AND ho = 1 THEN 1 ELSE 0 END)
+        |         AS HUGEINT) AS b01
+        |  FROM u)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(b10 AS BIGINT) AS b10, CAST(b01 AS BIGINT) AS b01,
+        |  CAST((2*((b10-b01)*(b10-b01)*10000) + (b10+b01))
+        |       // (2*(b10+b01)) AS DOUBLE) / 10000.0 AS chi2_4
+        |FROM m""".stripMargin)
   )
 }
