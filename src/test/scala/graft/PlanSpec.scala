@@ -707,4 +707,38 @@ class PlanSpec extends SparkSpec {
       s"gram sums need map-side partials:\n$plan")
   }
 
+  test("q_embed_diversity: one-pass sum-vector identity — no Generate, no self-join") {
+    val df = SparkEntry.queries("q_embed_diversity")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point vs the O(n²) definition: no join, no explode —
+    // 66 partial sums ride one map-side projection into one hash-agg
+    assert(!plan.contains("Join"),
+      s"diversity must not self-join the corpus:\n$plan")
+    assert(!plan.contains("Generate [posexplode") &&
+           !plan.contains("Generate [explode"),
+      s"diversity must not explode the corpus:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"diversity sums need map-side partials:\n$plan")
+  }
+
+  test("q_join_range_anti rides the user_id equi key — never BroadcastNestedLoop") {
+    val df = SparkEntry.queries("q_join_range_anti")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range anti-join lost its equi key:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"anti join missing from the plan:\n$plan")
+  }
+
+  test("q_etl_table_checksum: commutative digest sum is map-side partial") {
+    val df = SparkEntry.queries("q_etl_table_checksum")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the reconciliation digest must combine before the exchange —
+    // that is what makes it 3 tiny rows instead of the table
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"checksum needs map-side partial sums:\n$plan")
+    assert(!plan.contains("Window"),
+      s"checksum must not sort/window the corpus:\n$plan")
+  }
+
 }
