@@ -1314,6 +1314,56 @@ object EventOps extends OpGroup {
         |  quantile_disc(lag_s, 0.9) AS p90_s,
         |  quantile_disc(lag_s, 0.99) AS p99_s,
         |  MAX(lag_s) AS max_s
-        |FROM lag""".stripMargin)
+        |FROM lag""".stripMargin),
+
+    Q(
+      // DAU/WAU stickiness — the engagement ratio product teams track
+      // daily: distinct users today over distinct users in the trailing
+      // 7 days, per day. Exact distincts via the bitmap-aggregation
+      // reformulation (q_win_rolling_distinct's machinery on the user
+      // axis): users become bits once, daily bitmaps OR-merge across
+      // the 7-day window — the trailing distinct never rescans events,
+      // and partials merge on any partitioning. Ratio half-up 1e-4.
+      "q_events_stickiness",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("day"),
+                  expr("bitmap_bucket_number(user_id)").as("bkt"),
+                  expr("bitmap_bit_position(user_id)").as("pos"))
+        val perDay = ev.groupBy(col("day"), col("bkt"))
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        val dau = perDay
+          .select(col("day"), expr("bitmap_count(bm)").as("c"))
+          .groupBy(col("day")).agg(sum(col("c")).as("dau"))
+        val days = perDay.select(col("day").as("wday")).distinct()
+        val wau = perDay
+          .withColumn("off", explode(sequence(lit(0L), lit(6L))))
+          .withColumn("wday", col("day") + col("off"))
+          .join(days, Seq("wday"), "left_semi")
+          .groupBy(col("wday"), col("bkt"))
+          .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+          .groupBy(col("wday")).agg(sum(col("c")).as("wau"))
+        dau.join(wau, col("day") === col("wday"))
+          .select(col("day"), col("dau"), col("wau"),
+                  graft.Determinism.intRatio4(
+                    col("dau") * 10000L, col("wau")).as("stickiness4"))
+          .orderBy(col("day"))
+      },
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |dau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS dau
+        |  FROM e GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+        |  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT dau.day AS day, dau.dau, wau.wau,
+        |  CAST((2*(dau.dau*10000) + wau.wau) // (2*wau.wau) AS DOUBLE)
+        |    / 10000.0 AS stickiness4
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin)
   )
 }

@@ -853,6 +853,105 @@ object PipelineOps extends OpGroup {
         |SELECT st.stage_no, st.stage, COUNT(fl.doc_id) AS n_docs,
         |  CAST(COALESCE(SUM(fl.n_words), 0) AS BIGINT) AS n_tokens
         |FROM st LEFT JOIN fl ON fl.last >= st.stage_no
-        |GROUP BY st.stage_no, st.stage ORDER BY st.stage_no""".stripMargin)
+        |GROUP BY st.stage_no, st.stage ORDER BY st.stage_no""".stripMargin),
+
+    Q(
+      // Water-filling source allocation (max-min fairness): spend a
+      // char budget T = half the corpus across sources by filling every
+      // source up to a common water level λ, small sources kept whole —
+      // the canonical "no source dominates the mix" budget split
+      // (progressive capping), solved EXACTLY in integers: sort sources
+      // by avail, k* = max prefix that fills completely (avail_k ≤
+      // (T−cum_k) div (n−k)), λ = (T−cum_k*) div (n−k*), and the mod
+      // remainder goes +1 each to the first rem unfilled sources in
+      // name order — Σalloc = T to the char, replayable anywhere.
+      // Negative-quotient candidates can never pass the validity test
+      // (avail ≥ 1), so Spark's truncating `div` and DuckDB's flooring
+      // `//` agree on every comparison that matters. Scale: one corpus
+      // hash-agg to |sources| rows; ALL allocation math runs on that
+      // bounded domain.
+      "q_mix_waterfill",
+      (s, d) => {
+        val src = Tables.documents(s, d)
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("avail"))
+        val tot = src.agg(sum(col("avail")).as("_tot"),
+                          count(lit(1)).as("_n"))
+        val wA = Window.orderBy(col("avail"), col("source"))
+        val ranked = src.crossJoin(broadcast(tot))
+          .withColumn("k", row_number().over(wA).cast("long"))
+          .withColumn("cum", sum(col("avail")).over(
+            wA.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("t", expr("_tot div 2"))
+        val cand = ranked
+          .filter(col("k") < col("_n") &&
+                  col("avail") <= expr("(t - cum) div (_n - k)"))
+          .agg(max(col("k")).as("_kstar"))
+        val kf = ranked.crossJoin(broadcast(cand))
+          .withColumn("ks", coalesce(col("_kstar"), lit(0L)))
+        val lam = kf.agg(
+            max(when(col("k") === col("ks"), col("cum")).otherwise(0L))
+              .as("cumk"),
+            max(col("ks")).as("ks2"), max(col("t")).as("tt"),
+            max(col("_n")).as("nn"))
+          .withColumn("lam", expr("(tt - cumk) div (nn - ks2)"))
+          .withColumn("rem", expr("(tt - cumk) % (nn - ks2)"))
+          .select(col("ks2"), col("lam"), col("rem"))
+        val wN = Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        kf.crossJoin(broadcast(lam))
+          .withColumn("urank",
+            sum(when(col("k") > col("ks2"), 1L).otherwise(0L)).over(wN))
+          .withColumn("alloc",
+            when(col("k") <= col("ks2"), col("avail"))
+              .otherwise(col("lam") +
+                when(col("urank") <= col("rem"), 1L).otherwise(0L)))
+          .select(col("source"), col("avail"), col("alloc"),
+                  intRatio4(col("alloc") * 10000L, col("avail"))
+                    .as("fill4"))
+          .orderBy(col("source"))
+      },
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(avail) AS BIGINT) AS tott, COUNT(*) AS n
+        |  FROM s),
+        |r AS (
+        |  SELECT source, avail,
+        |    ROW_NUMBER() OVER (ORDER BY avail, source) AS k,
+        |    CAST(SUM(avail) OVER (ORDER BY avail, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM s),
+        |t2 AS (SELECT tott // 2 AS t, n FROM tot),
+        |cand AS (
+        |  SELECT MAX(k) AS kstar FROM r, t2
+        |  WHERE k < n AND avail <= (t - cum) // (n - k)),
+        |ks AS (SELECT COALESCE(kstar, 0) AS ks FROM cand),
+        |lam AS (
+        |  SELECT t2.t, t2.n, ks.ks,
+        |    COALESCE(MAX(CASE WHEN r.k = ks.ks THEN r.cum END), 0)
+        |      AS cumk
+        |  FROM r, t2, ks GROUP BY t2.t, t2.n, ks.ks),
+        |lam2 AS (
+        |  SELECT ks, (t - cumk) // (n - ks) AS lam,
+        |    (t - cumk) % (n - ks) AS rem
+        |  FROM lam),
+        |u AS (
+        |  SELECT r.source, r.avail, r.k, l.ks, l.lam, l.rem,
+        |    SUM(CASE WHEN r.k > l.ks THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY r.source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS urank
+        |  FROM r, lam2 l)
+        |SELECT source, avail,
+        |  CAST(CASE WHEN k <= ks THEN avail
+        |       ELSE lam + (CASE WHEN urank <= rem THEN 1 ELSE 0 END)
+        |       END AS BIGINT) AS alloc,
+        |  CAST((2*(CAST(CASE WHEN k <= ks THEN avail
+        |       ELSE lam + (CASE WHEN urank <= rem THEN 1 ELSE 0 END)
+        |       END AS BIGINT)*10000) + avail) // (2*avail) AS DOUBLE)
+        |    / 10000.0 AS fill4
+        |FROM u ORDER BY source""".stripMargin)
   )
 }

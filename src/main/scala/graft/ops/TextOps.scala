@@ -537,6 +537,58 @@ object TextOps extends OpGroup {
         |                 AND ph.seg = inst.seg
         |GROUP BY ph.phrase
         |ORDER BY score4 DESC, phrase ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin),
+
+    Q(
+      // Content-novelty rate per source: the fraction of each source's
+      // (per-doc distinct) 3-grams whose FIRST corpus occurrence (min
+      // doc_id) is in that doc — the "is this feed adding new content
+      // or re-serving the corpus" curation dial, the time-ordered
+      // complement of q_text_dup_ngrams' symmetric dup ratio. Uses THE
+      // shared tokenizer/shingler (api.Dedup.tokens/shingleExpr — the
+      // one n-gram definition dedup and contamination use), one window
+      // min over the shingle partition (corpus-keyed, the dupNgramStats
+      // posture — no count-table join, no second scan), one rollup.
+      "q_text_novelty",
+      (s, d) => {
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+                  graft.api.Dedup.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("source"),
+                  explode_outer(expr(graft.api.Dedup.shingleExpr(3)))
+                    .as("sh"))
+          .filter(col("sh").isNotNull)
+        ex.withColumn("_first",
+            min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shingles"),
+               sum(when(col("_first") === col("doc_id"), 1L)
+                 .otherwise(0L)).as("n_novel"))
+          .select(col("source"), col("n_shingles"), col("n_novel"),
+                  graft.Determinism.intRatio4(
+                    col("n_novel") * 10000L, col("n_shingles"))
+                    .as("novelty4"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, ${toksSql("text")} AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS sh
+        |  FROM (SELECT doc_id, source, w, unnest(range(0, len(w)-2)) AS i
+        |        FROM tok WHERE len(w) >= 3)),
+        |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+        |per AS (
+        |  SELECT s.source, COUNT(*) AS n_shingles,
+        |    SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |      AS n_novel
+        |  FROM sh s JOIN f ON s.sh = f.sh
+        |  GROUP BY s.source)
+        |SELECT source, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(n_novel AS BIGINT) AS n_novel,
+        |  CAST((2*(n_novel*10000) + n_shingles) // (2*n_shingles)
+        |       AS DOUBLE) / 10000.0 AS novelty4
+        |FROM per ORDER BY source""".stripMargin)
   )
 }
