@@ -13,6 +13,52 @@ import org.apache.spark.sql.functions._
   */
 object Etl {
 
+  /** Order-independent table checksum — the cross-cluster
+    * reconciliation primitive: Σ md5₆₀(rowRepr) mod `mod` per group.
+    * The sum is commutative, so ANY row order / partitioning / engine
+    * yields the identical digest; after replicating or re-partitioning
+    * a 100 TB table both sides compare a handful of (group, n_rows,
+    * checksum) rows instead of the data. Pure map-side md5 + one
+    * map-side-combinable hash-agg (PlanSpec-pinned). Caller contract:
+    * `rowRepr` must stringify deterministically (integer keys, exact
+    * cents, flags — per the R4/R9 canonical-stringification rules).
+    * 60-bit row values keep the DECIMAL(38,0) sum exact to 10²⁰ rows;
+    * the default modulus is the Mersenne prime 2⁶¹−1. */
+  def tableChecksum(df: DataFrame, grp: Column, rowRepr: Column,
+                    mod: Long = 2305843009213693951L): DataFrame = {
+    require(mod > 1, "tableChecksum: mod must be > 1")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = conv(substring(md5(rowRepr), 1, 15), 16, 10).cast(D38)
+    df.select(grp.as("_g"), v.as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_rows"),
+           (sum(col("_v")) % lit(mod)).cast("long").as("checksum"))
+  }
+
+  /** Small-files compaction planner — the OPTIMIZE bin-packing step:
+    * one input row per file (`fileKey`, `rows`), files packed in key
+    * order into output files targeting `targetRows` via the streaming
+    * rule out = ⌊cum_before / target⌋ (an output closes once it
+    * crosses target; the boundary-crossing file stays whole — inputs
+    * are never split). Returns the PLAN per output file: input count,
+    * row count, key span. The cumsum window runs on the file-manifest
+    * frame the caller supplies — bounded by file count, never rows. */
+  def compactionPlan(files: DataFrame, fileKey: Column, rows: Column,
+                     targetRows: Long): DataFrame = {
+    require(targetRows >= 1, "compactionPlan: targetRows must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_k"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.select(fileKey.as("_k"), rows.as("_r"))
+      .withColumn("cum0", coalesce(sum(col("_r")).over(w), lit(0L)))
+      .withColumn("out_file",
+        graft.Determinism.ldiv(col("cum0"), lit(targetRows)))
+      .groupBy(col("out_file"))
+      .agg(count(lit(1)).as("n_input_files"),
+           sum(col("_r")).as("n_rows"),
+           min(col("_k")).as("key_min"), max(col("_k")).as("key_max"))
+  }
+
   /** Snapshot diff: classify every key across two versions of a table
     * as added / removed / changed / unchanged. Returns the key columns
     * plus a `change` string column.

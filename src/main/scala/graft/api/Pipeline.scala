@@ -403,6 +403,58 @@ object Pipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Water-filling budget allocation (max-min fairness), exact in
+    * integers: spend T = Σweight · budgetNum div budgetDen across
+    * groups by filling every group up to a common water level λ
+    * (small groups kept whole), k* = the max sorted prefix that fills
+    * completely, λ = (T − cum_k*) div (n − k*), and the mod remainder
+    * distributed +1 each to the first rem unfilled groups in group
+    * order — Σalloc = T to the unit, replayable anywhere. The
+    * canonical "no source dominates the mix" split for token-budgeted
+    * data mixing. Negative-quotient candidates can never pass the
+    * validity test (weight ≥ 1), so truncating vs flooring integer
+    * division agree on every comparison that matters. Returns
+    * (_g, avail, alloc). Scale: one hash-agg collapses the corpus to
+    * |groups| rows; all allocation math runs on that domain. */
+  def waterfill(df: DataFrame, grp: Column, weight: Column,
+                budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1,
+      "waterfill: budgetNum >= 0 and budgetDen >= 1")
+    val src = df.groupBy(grp.as("_g")).agg(sum(weight).as("avail"))
+    val tot = src.agg(sum(col("avail")).as("_tot"),
+                      count(lit(1)).as("_n"))
+    val wA = Window.orderBy(col("avail"), col("_g"))
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(wA).cast("long"))
+      .withColumn("cum", sum(col("avail")).over(
+        wA.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", expr(s"_tot * $budgetNum div $budgetDen"))
+    val cand = ranked
+      .filter(col("k") < col("_n") &&
+              col("avail") <= expr("(t - cum) div (_n - k)"))
+      .agg(max(col("k")).as("_kstar"))
+    val kf = ranked.crossJoin(broadcast(cand))
+      .withColumn("ks", coalesce(col("_kstar"), lit(0L)))
+    val lam = kf.agg(
+        max(when(col("k") === col("ks"), col("cum")).otherwise(0L))
+          .as("cumk"),
+        max(col("ks")).as("ks2"), max(col("t")).as("tt"),
+        max(col("_n")).as("nn"))
+      .withColumn("lam", expr("(tt - cumk) div (nn - ks2)"))
+      .withColumn("rem", expr("(tt - cumk) % (nn - ks2)"))
+      .select(col("ks2"), col("lam"), col("rem"))
+    val wN = Window.orderBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    kf.crossJoin(broadcast(lam))
+      .withColumn("urank",
+        sum(when(col("k") > col("ks2"), 1L).otherwise(0L)).over(wN))
+      .withColumn("alloc",
+        when(col("k") <= col("ks2"), col("avail"))
+          .otherwise(col("lam") +
+            when(col("urank") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("_g"), col("avail"), col("alloc"))
+  }
+
   /** Class-balanced downsample: keep exactly min-class-size rows from
     * EVERY stratum, chosen by the [[sampleExactK]] md5 order — the
     * majority-class downsampling step of imbalanced-training prep,

@@ -721,18 +721,14 @@ object EtlOps extends OpGroup {
       // 10²⁰ rows; the final mod re-enters BIGINT for the comparator.
       "q_etl_table_checksum",
       (s, d) => {
-        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val rowStr = concat_ws("|",
           col("l_orderkey"), col("l_linenumber"),
           (money("l_extendedprice") * 100).cast("long"),
           col("l_returnflag"))
-        val v = conv(substring(md5(rowStr), 1, 15), 16, 10).cast(D38)
-        Tables.lineitem(s, d)
-          .select(col("l_returnflag"), v.as("v"))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_rows"),
-               (sum(col("v")) % lit(2305843009213693951L))
-                 .cast("long").as("checksum"))
+        graft.api.Etl.tableChecksum(
+            Tables.lineitem(s, d), col("l_returnflag"), rowStr)
+          .select(col("_g").as("l_returnflag"), col("n_rows"),
+                  col("checksum"))
           .orderBy(col("l_returnflag"))
       },
       s"""WITH r AS (
@@ -761,21 +757,15 @@ object EtlOps extends OpGroup {
       // at any SF), never the corpus — the backlog-sweep posture.
       "q_etl_compaction_plan",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("day"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)
-        Tables.lineitem(s, d)
+        val files = Tables.lineitem(s, d)
           .groupBy(ldiv(unix_micros(col("l_shipdate").cast("timestamp")),
                         lit(86400000000L)).as("day"))
           .agg(count(lit(1)).as("nr"))
-          .withColumn("cum0", coalesce(sum(col("nr")).over(w), lit(0L)))
-          .withColumn("out_file", ldiv(col("cum0"), lit(5000L)))
-          .groupBy(col("out_file"))
-          .agg(count(lit(1)).as("n_input_files"),
-               sum(col("nr")).as("n_rows"),
-               min(col("day")).as("day_min"),
-               max(col("day")).as("day_max"))
+        graft.api.Etl.compactionPlan(
+            files, col("day"), col("nr"), targetRows = 5000L)
+          .select(col("out_file"), col("n_input_files"), col("n_rows"),
+                  col("key_min").as("day_min"),
+                  col("key_max").as("day_max"))
           .orderBy(col("out_file"))
       },
       """WITH f AS (

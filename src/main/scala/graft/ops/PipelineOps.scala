@@ -871,45 +871,12 @@ object PipelineOps extends OpGroup {
       // hash-agg to |sources| rows; ALL allocation math runs on that
       // bounded domain.
       "q_mix_waterfill",
-      (s, d) => {
-        val src = Tables.documents(s, d)
-          .groupBy(col("source")).agg(sum(col("n_chars")).as("avail"))
-        val tot = src.agg(sum(col("avail")).as("_tot"),
-                          count(lit(1)).as("_n"))
-        val wA = Window.orderBy(col("avail"), col("source"))
-        val ranked = src.crossJoin(broadcast(tot))
-          .withColumn("k", row_number().over(wA).cast("long"))
-          .withColumn("cum", sum(col("avail")).over(
-            wA.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("t", expr("_tot div 2"))
-        val cand = ranked
-          .filter(col("k") < col("_n") &&
-                  col("avail") <= expr("(t - cum) div (_n - k)"))
-          .agg(max(col("k")).as("_kstar"))
-        val kf = ranked.crossJoin(broadcast(cand))
-          .withColumn("ks", coalesce(col("_kstar"), lit(0L)))
-        val lam = kf.agg(
-            max(when(col("k") === col("ks"), col("cum")).otherwise(0L))
-              .as("cumk"),
-            max(col("ks")).as("ks2"), max(col("t")).as("tt"),
-            max(col("_n")).as("nn"))
-          .withColumn("lam", expr("(tt - cumk) div (nn - ks2)"))
-          .withColumn("rem", expr("(tt - cumk) % (nn - ks2)"))
-          .select(col("ks2"), col("lam"), col("rem"))
-        val wN = Window.orderBy(col("source"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        kf.crossJoin(broadcast(lam))
-          .withColumn("urank",
-            sum(when(col("k") > col("ks2"), 1L).otherwise(0L)).over(wN))
-          .withColumn("alloc",
-            when(col("k") <= col("ks2"), col("avail"))
-              .otherwise(col("lam") +
-                when(col("urank") <= col("rem"), 1L).otherwise(0L)))
-          .select(col("source"), col("avail"), col("alloc"),
-                  intRatio4(col("alloc") * 10000L, col("avail"))
-                    .as("fill4"))
-          .orderBy(col("source"))
-      },
+      (s, d) => Pipeline.waterfill(
+          Tables.documents(s, d), col("source"), col("n_chars"))
+        .select(col("_g").as("source"), col("avail"), col("alloc"),
+                intRatio4(col("alloc") * 10000L, col("avail"))
+                  .as("fill4"))
+        .orderBy(col("source")),
       """WITH s AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
         |  FROM documents GROUP BY source),

@@ -1746,6 +1746,56 @@ class ApiSpec extends SparkSpec {
     assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("Pipeline.waterfill: exact integer max-min allocation, Σalloc = T") {
+    def run(ws: Seq[(String, Long)], num: Long = 1, den: Long = 2) =
+      graft.api.Pipeline.waterfill(
+          ws.toDF("g", "w"), col("g"), col("w"), num, den)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // level 3 fills a and b whole, caps c
+    assert(run(Seq("a" -> 1L, "b" -> 2L, "c" -> 9L)) ==
+      Seq(("a", 1L, 1L), ("b", 2L, 2L), ("c", 9L, 3L)))
+    // equal big sources split the level evenly
+    assert(run(Seq("a" -> 1L, "b" -> 5L, "c" -> 5L)) ==
+      Seq(("a", 1L, 1L), ("b", 5L, 2L), ("c", 5L, 2L)))
+    // mod remainder goes to the FIRST unfilled source by name
+    assert(run(Seq("a" -> 1L, "b" -> 6L, "c" -> 6L)) ==
+      Seq(("a", 1L, 1L), ("b", 6L, 3L), ("c", 6L, 2L)))
+    // full budget returns every source whole
+    assert(run(Seq("a" -> 1L, "b" -> 2L, "c" -> 9L), num = 1, den = 1)
+      .map(t => t._2 == t._3).forall(identity))
+    // Σalloc = T in every case
+    assert(run(Seq("a" -> 7L, "b" -> 13L, "c" -> 29L, "d" -> 2L))
+      .map(_._3).sum == (7 + 13 + 29 + 2) / 2)
+  }
+
+  test("Etl.compactionPlan: streaming fill closes outputs at the target, never splits") {
+    val files = Seq((1L, 3L), (2L, 4L), (3L, 3L), (4L, 10L), (5L, 1L))
+      .toDF("k", "r")
+    val plan = graft.api.Etl.compactionPlan(
+        files, col("k"), col("r"), targetRows = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plan == Seq((0L, 2L, 7L, 1L, 2L), (1L, 1L, 3L, 3L, 3L),
+                       (2L, 1L, 10L, 4L, 4L), (4L, 1L, 1L, 5L, 5L)),
+      plan.toString)
+  }
+
+  test("Etl.tableChecksum: order/partitioning-independent, content-sensitive") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val repr = concat_ws("|", col("id"), col("v"))
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      graft.api.Etl.tableChecksum(d, lit("all"), repr)
+        .as[(String, Long, Long)].collect().head
+    val base = sums(df)
+    assert(base._2 == 100)
+    // any partitioning / row order yields the identical digest
+    assert(sums(df.repartition(7)) == base)
+    assert(sums(df.orderBy(col("v").desc)) == base)
+    // one changed cell changes the digest
+    val mut = df.withColumn("v",
+      when(col("id") === 42, lit("poked")).otherwise(col("v")))
+    assert(sums(mut)._3 != base._3)
+  }
+
   test("Graph.kCore: maxRounds bounds the peel; fixpoint empties a path") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("a", "b")
