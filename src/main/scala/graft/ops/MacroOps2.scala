@@ -548,6 +548,49 @@ object MacroOps2 extends OpGroup {
         |SELECT s_suppkey, s_name FROM supplier, nation
         |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
         |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    Q(
+      // YoY growth per market segment: revenue by (segment, year) and
+      // its growth vs the prior year — the BI report every revenue
+      // dashboard leads with. Cent sums stay exact through the lag;
+      // growth is ONE double expression over two exact cent longs
+      // (r4 + the oracle's +0 −0.0 guard since growth can be
+      // negative); the lag window runs on the tiny segment×year
+      // domain, never the corpus.
+      "q_macro_yoy_growth",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+                col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"),
+                   year(col("o_orderdate")).cast("int").as("yr"))
+          .agg((sum(money("o_totalprice")) * 100).cast("long").as("vc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("segment")).orderBy(col("yr"))
+        rev.withColumn("pv", lag(col("vc"), 1).over(w))
+          .select(col("segment"), col("yr"),
+                  (col("vc").cast("double") / 100.0).as("revenue"),
+                  when(col("pv").isNotNull && col("pv") =!= 0L,
+                    r4((col("vc") - col("pv")).cast("double") /
+                       col("pv").cast("double"))).as("yoy4"))
+          .orderBy(col("segment"), col("yr"))
+      },
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS vc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, year(o_orderdate)),
+        |l AS (
+        |  SELECT segment, yr, vc,
+        |    lag(vc, 1) OVER (PARTITION BY segment ORDER BY yr) AS pv
+        |  FROM rev)
+        |SELECT segment, yr, CAST(vc AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN pv IS NOT NULL AND pv <> 0 THEN
+        |    round(CAST(vc - pv AS DOUBLE) / CAST(pv AS DOUBLE), 4) + 0
+        |  END AS yoy4
+        |FROM l ORDER BY segment, yr""".stripMargin)
   )
 }

@@ -315,6 +315,68 @@ object ScrubOps extends OpGroup {
         |  SELECT pair, CAST(SUM(f) AS BIGINT) AS n
         |  FROM pairs GROUP BY pair)
         |SELECT pair, n FROM agg
-        |ORDER BY n DESC, pair LIMIT 20""".stripMargin)
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+
+    Q(
+      // Model-based quality gate: keep docs whose bigram-LM fluency
+      // (api.Text.bigramLmScore nll) sits at or below the language's
+      // own p90 — the perplexity-filter stage of every corpus pipeline
+      // (here the LM is the corpus's own bigram model; a real
+      // deployment swaps in KenLM scores through the same gate). The
+      // gate currency is the R3-ROUNDED 1e-4 nll grid: percentile_disc
+      // picks an actual grid element and every keep/drop comparison
+      // runs on grid values, so an ulp of cross-engine ln() drift can
+      // never flap a boundary doc. Per-lang thresholds broadcast from
+      // a lang-sized agg.
+      "q_curate_lm_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val j = docs.select(col("doc_id"), col("lang"))
+          .join(graft.api.Text.bigramLmScore(
+            docs, col("doc_id"), col("text")), "doc_id")
+          .withColumn("nll4", r4(col("nll")))
+        val thr = j.groupBy(col("lang"))
+          .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY nll4)")
+            .as("p90"))
+        j.join(broadcast(thr), "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("nll4") <= col("p90"), 1L).otherwise(0L))
+                 .as("n_kept"),
+               max(col("p90")).as("nll_p90"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |v AS (
+        |  SELECT COUNT(DISTINCT t) AS v
+        |  FROM (SELECT unnest(w) AS t FROM tok)),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM tok WHERE len(w) >= 2)),
+        |cnt AS (
+        |  SELECT doc_id, w1, w2,
+        |    COUNT(*) OVER (PARTITION BY w1, w2) AS c2,
+        |    COUNT(*) OVER (PARTITION BY w1) AS c1
+        |  FROM bg),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(SUM(ln(CAST(c1 AS DOUBLE) + v)
+        |              - ln(CAST(c2 AS DOUBLE) + 1)) / COUNT(*), 4)
+        |      AS nll4
+        |  FROM cnt, v GROUP BY doc_id, v),
+        |j AS (
+        |  SELECT d.lang, sc.nll4
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |thr AS (
+        |  SELECT lang, quantile_disc(nll4, 0.9) AS p90
+        |  FROM j GROUP BY lang)
+        |SELECT j.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN j.nll4 <= thr.p90 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept,
+        |  MAX(thr.p90) + 0 AS nll_p90
+        |FROM j JOIN thr ON j.lang = thr.lang
+        |GROUP BY j.lang ORDER BY j.lang""".stripMargin)
   )
 }

@@ -1394,6 +1394,61 @@ object StatsOps extends OpGroup {
         |  CAST(b10 AS BIGINT) AS b10, CAST(b01 AS BIGINT) AS b01,
         |  CAST((2*((b10-b01)*(b10-b01)*10000) + (b10+b01))
         |       // (2*(b10+b01)) AS DOUBLE) / 10000.0 AS chi2_4
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    Q(
+      // Exponentially time-decayed revenue per market segment — the
+      // recency-weighted value metric (decayed LTV / trending score):
+      // each order's cents contribute vc >> (age/180d) with the anchor
+      // at the corpus's max order date — half-life 180 days, computed
+      // ENTIRELY in integer shifts (the float exp(-λt) form would sum
+      // partition-order dependent; the power-of-two ladder is exact
+      // and engine-portable; ages ≥ 62 half-lives clamp to 0 so the
+      // shift never overflows at any horizon). One broadcast anchor +
+      // one hash-agg; cents → dollars once at the end.
+      "q_agg_decayed_sum",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"),
+                  ldiv(unix_micros(col("o_orderdate").cast("timestamp")),
+                       lit(86400000000L)).as("day"))
+        val anchor = o.agg(max(col("day")).as("a"))
+        val seg = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        o.crossJoin(broadcast(anchor))
+          .withColumn("b", expr("(a - day) div 180"))
+          .withColumn("dc", expr(
+            "CASE WHEN b >= 62 THEN 0 " +
+            "ELSE vc div shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) " +
+            "END"))
+          .join(seg, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+               (sum(col("vc")).cast("double") / 100.0).as("revenue"),
+               (sum(col("dc")).cast("double") / 100.0)
+                 .as("decayed_revenue"))
+          .orderBy(col("segment"))
+      },
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |anchor AS (SELECT MAX(day) AS a FROM o),
+        |dec AS (
+        |  SELECT o_custkey, vc,
+        |    CASE WHEN (a - day) // 180 >= 62 THEN 0
+        |    ELSE vc // (CAST(1 AS BIGINT) <<
+        |               CAST((a - day) // 180 AS INTEGER))
+        |    END AS dc
+        |  FROM o CROSS JOIN anchor)
+        |SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(vc) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(CAST(SUM(dc) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS decayed_revenue
+        |FROM dec JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
   )
 }
