@@ -108,6 +108,34 @@ object Sim {
     heapRankCos(scored, k)
   }
 
+  /** Cosine radius (range) search: every candidate within cosine ≥
+    * `minCos` of each query — the threshold sibling of [[cosineTopK]]
+    * ("everything this similar", vs "the k most similar"): the recall
+    * floor for dedup sweeps and the candidate generator when match
+    * COUNT, not rank, is the semantic. The threshold tests the
+    * R3-ROUNDED score (the same 1e-4 grid the gate compares), so a
+    * boundary candidate can never flap cross-engine. Same scale shape
+    * as cosineTopK: queries broadcast, ONE candidate scan, no heap —
+    * output size is data-dependent (radius!), so callers at corpus
+    * scale bucket-prune first (signBits/IVF) exactly like
+    * embeddingNearDupPairs. Returns (q_id, cand_id, cos). */
+  def cosineRadius(
+      df: DataFrame, id: Column, emb: Column, isQuery: Column,
+      minCos: Double): DataFrame = {
+    val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
+    val q = e.filter(col("_isq"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("cand_id"),
+                     col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+              round(dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")),
+                    4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Mutual-kNN graph: undirected edges (a, b), a < b, where each
     * endpoint sits in the other's EXACT top-k cosine neighbour list —
     * the semantic-cluster backbone (mutual edges are far more

@@ -1364,6 +1364,110 @@ object EventOps extends OpGroup {
         |  CAST((2*(dau.dau*10000) + wau.wau) // (2*wau.wau) AS DOUBLE)
         |    / 10000.0 AS stickiness4
         |FROM dau JOIN wau ON dau.day = wau.day
-        |ORDER BY dau.day""".stripMargin)
+        |ORDER BY dau.day""".stripMargin),
+
+    Q(
+      // Kaplan-Meier time-to-conversion survival: S(t) = Π_{s≤t}
+      // (1 − d_s/n_s) over days from a user's FIRST view to their
+      // first qualifying purchase, users who never convert RIGHT-
+      // CENSORED at the horizon — the survival-analysis estimator
+      // (time-to-event with censoring, the statistically correct form
+      // of q_events_conversion_lag's converted-only percentiles). In
+      // the hash-gate discipline: d_t/n_t are exact integers (reverse-
+      // cumsum at-risk counts over the ≤31-row lag DOMAIN), the
+      // product runs as exp(Σ ln(1−d/n)) in a deterministic frame
+      // order, Spark's ln(0)=NULL vs DuckDB's −inf divergence is
+      // closed by an explicit everyone-converts flag (S pins to
+      // exactly 0 from that t on), and r4 absorbs the per-term ulp.
+      // Corpus → user frame → lag domain: two hash-aggs, windows only
+      // on the domain.
+      "q_events_survival",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("mv"))
+          .select(col("user_id").as("_u"), col("mv"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .join(fv, col("user_id") === col("_u"))
+          .filter(col("ts_us") > col("mv"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_us")).as("pp"))
+          .select(col("user_id").as("_p"), col("pp"))
+        val hz = e.agg(max(col("ts_us")).as("h"))
+        val ut = fv.join(fp, col("_u") === col("_p"), "left_outer")
+          .crossJoin(broadcast(hz))
+          .withColumn("conv", col("pp").isNotNull)
+          .withColumn("t",
+            when(col("conv"),
+              expr("(pp - mv) div 86400000000"))
+            .otherwise(expr("(h - mv) div 86400000000")))
+        val byT = ut.groupBy(col("t"))
+          .agg(count(lit(1)).as("nt"),
+               sum(when(col("conv"), 1L).otherwise(0L)).as("dt"))
+        val wDesc = Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAsc = Window.orderBy(col("t").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        byT.withColumn("n_risk", sum(col("nt")).over(wDesc))
+          .withColumn("zf", max(when(col("dt") === col("n_risk"), 1L)
+            .otherwise(0L)).over(wAsc))
+          .withColumn("term",
+            when(col("dt") > 0 && col("dt") < col("n_risk"),
+              log((col("n_risk") - col("dt")).cast("double") /
+                  col("n_risk").cast("double"))).otherwise(lit(0.0)))
+          .withColumn("s4",
+            when(col("zf") === 1, lit(0.0))
+              .otherwise(r4(exp(sum(col("term")).over(wAsc)))))
+          .select(col("t"), col("n_risk"), col("dt").as("n_converted"),
+                  col("s4"))
+          .orderBy(col("t"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS mv
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS pp
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.mv
+        |  GROUP BY e.user_id),
+        |hz AS (SELECT MAX(ts_us) AS h FROM e),
+        |ut AS (
+        |  SELECT fv.user_id, (fp.pp IS NOT NULL) AS conv,
+        |    CASE WHEN fp.pp IS NOT NULL
+        |      THEN (fp.pp - fv.mv) // 86400000000
+        |      ELSE (hz.h - fv.mv) // 86400000000 END AS t
+        |  FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+        |  CROSS JOIN hz),
+        |byt AS (
+        |  SELECT t, COUNT(*) AS nt,
+        |    CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dt
+        |  FROM ut GROUP BY t),
+        |r AS (
+        |  SELECT t, nt, dt,
+        |    CAST(SUM(nt) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |z AS (
+        |  SELECT t, dt, n_risk,
+        |    MAX(CASE WHEN dt = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS zf,
+        |    CASE WHEN dt > 0 AND dt < n_risk THEN
+        |      ln(CAST(n_risk - dt AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |    ELSE 0.0 END AS term
+        |  FROM r)
+        |SELECT t, n_risk, dt AS n_converted,
+        |  CASE WHEN zf = 1 THEN 0.0
+        |  ELSE round(exp(SUM(term) OVER (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) + 0
+        |  END AS s4
+        |FROM z ORDER BY t""".stripMargin)
   )
 }

@@ -365,6 +365,35 @@ object LlmOps extends OpGroup {
         |ORDER BY q_id, rn""".stripMargin),
 
     Q(
+      // Cosine RADIUS search (api.Sim.cosineRadius): everything within
+      // cos ≥ 0.25 of each query — the threshold sibling of top-k
+      // ("everything this similar" vs "the k most similar"), the
+      // recall floor for dedup sweeps. The threshold tests the
+      // R3-rounded 1e-4 score so boundary candidates never flap;
+      // queries broadcast against ONE candidate scan (no heap — the
+      // output is data-dependent, which is the point of a radius).
+      "q_sim_radius",
+      (s, d) => graft.api.Sim.cosineRadius(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 5, minCos = 0.25)
+        .orderBy(col("q_id"), col("cand_id")),
+      """WITH e0 AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> CAST(q.embedding[i] AS DOUBLE)
+        |               * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) + 0 AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, cand_id, cos FROM scored
+        |WHERE cos >= 0.25 ORDER BY q_id, cand_id""".stripMargin),
+
+    Q(
       "q_text_stats",
       (s, d) => Tables.documents(s, d)
         .select(col("lang"), col("n_chars"),

@@ -589,6 +589,48 @@ object TextOps extends OpGroup {
         |  CAST(n_novel AS BIGINT) AS n_novel,
         |  CAST((2*(n_novel*10000) + n_shingles) // (2*n_shingles)
         |       AS DOUBLE) / 10000.0 AS novelty4
-        |FROM per ORDER BY source""".stripMargin)
+        |FROM per ORDER BY source""".stripMargin),
+
+    Q(
+      // KWIC concordance ("keyword in context"): every occurrence of a
+      // term with its ±3-token window — the linguist's / labeler's
+      // standard view of how a word is actually used (and the audit
+      // tool for "why did the quality gate fire on this phrase").
+      // 1-based positions via posexplode; context slices are pure
+      // array ops clamped at doc edges identically on both engines
+      // (empty slice → empty string). Map-side until the final tiny
+      // top-50; the token arrays never shuffle — only matched (id,
+      // pos, two short strings) rows do.
+      "q_text_kwic",
+      (s, d) => {
+        val hits = Tables.documents(s, d)
+          .select(col("doc_id"),
+                  graft.api.Dedup.tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("w"),
+                  posexplode(col("w")).as(Seq("pos0", "tok")))
+          .filter(col("tok") === "spark")
+          .withColumn("p", col("pos0") + 1)
+        val ls = greatest(lit(1), col("p") - 3)
+        hits.select(col("doc_id"), col("p").cast("long").as("p"),
+                    concat_ws(" ", slice(col("w"), ls, col("p") - ls))
+                      .as("left_ctx"),
+                    concat_ws(" ", slice(col("w"), col("p") + 1, lit(3)))
+                      .as("right_ctx"))
+          .orderBy(col("doc_id"), col("p"))
+          .limit(50)
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |hits AS (
+        |  SELECT doc_id, w, p
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p
+        |        FROM tok)
+        |  WHERE w[p] = 'spark')
+        |SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |  COALESCE(array_to_string(w[greatest(1, p - 3):p - 1], ' '),
+        |           '') AS left_ctx,
+        |  COALESCE(array_to_string(w[p + 1:p + 3], ' '), '')
+        |    AS right_ctx
+        |FROM hits ORDER BY doc_id, p LIMIT 50""".stripMargin)
   )
 }
