@@ -610,6 +610,80 @@ object Joins extends OpGroup {
         |FROM p WHERE NOT EXISTS (
         |  SELECT 1 FROM v
         |  WHERE vu = pu AND vt >= pt - 86400000000 AND vt < pt)
-        |GROUP BY pt // 86400000000 ORDER BY day""".stripMargin)
+        |GROUP BY pt // 86400000000 ORDER BY day""".stripMargin),
+
+    Q(
+      // Interval coalescing (gaps-and-islands MERGE): per supplier,
+      // merge every overlapping [orderdate, shipdate] line interval
+      // into maximal islands and report island count + covered days —
+      // the utilization/uptime computation (busy-time from overlapping
+      // jobs, sessions from overlapping spans). The classic: a new
+      // island starts where start > running-max(previous ends); the
+      // island id is the cumsum of those flags. Rows are totally
+      // ordered inside each supplier partition by (start, end,
+      // orderkey, linenumber) so the flag sequence — and therefore the
+      // island ids — are bit-identical cross-engine. Windows run
+      // per-supplier (parallel partitions), never globally.
+      "q_join_interval_coalesce",
+      (s, d) => {
+        val iv = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+                col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+                  ldiv(unix_micros(col("o_orderdate").cast("timestamp")),
+                       lit(86400000000L)).as("st"),
+                  ldiv(unix_micros(col("l_shipdate").cast("timestamp")),
+                       lit(86400000000L)).as("en"),
+                  col("l_orderkey"), col("l_linenumber"))
+        val ord = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("st"), col("en"), col("l_orderkey"),
+                   col("l_linenumber"))
+        val flagged = iv
+          .withColumn("rmax", max(col("en")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("flag",
+            when(col("rmax").isNull || col("st") > col("rmax"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("flag")).over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy(col("l_suppkey"), col("island"))
+          .agg(min(col("st")).as("is_st"), max(col("en")).as("is_en"))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_islands"),
+               sum(col("is_en") - col("is_st") + 1).as("covered_days"))
+          .orderBy(col("l_suppkey"))
+      },
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS st,
+        |    epoch_us(l_shipdate) // 86400000000 AS en,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |f AS (
+        |  SELECT l_suppkey, st, en, l_orderkey, l_linenumber,
+        |    MAX(en) OVER (PARTITION BY l_suppkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS rmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT l_suppkey, st, en, l_orderkey, l_linenumber,
+        |    CASE WHEN rmax IS NULL OR st > rmax THEN 1 ELSE 0 END
+        |      AS flag
+        |  FROM f),
+        |h AS (
+        |  SELECT l_suppkey, st, en,
+        |    SUM(flag) OVER (PARTITION BY l_suppkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM g),
+        |isl AS (
+        |  SELECT l_suppkey, island,
+        |    MIN(st) AS is_st, MAX(en) AS is_en
+        |  FROM h GROUP BY l_suppkey, island)
+        |SELECT l_suppkey, COUNT(*) AS n_islands,
+        |  CAST(SUM(is_en - is_st + 1) AS BIGINT) AS covered_days
+        |FROM isl GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
   )
 }

@@ -1449,6 +1449,73 @@ object StatsOps extends OpGroup {
         |  CAST(CAST(SUM(dc) AS BIGINT) AS DOUBLE) / 100.0
         |    AS decayed_revenue
         |FROM dec JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin),
+
+    Q(
+      // Wilson score interval for the view→purchase conversion rate —
+      // the A/B-toolkit CI that stays sane at small n and extreme p
+      // (the naive normal interval does not): k converters of n viewers
+      // are EXACT integers from two hash-aggs; lo/hi are each ONE
+      // fixed-shape double expression over (k, n, z=1.96) — identical
+      // trees both engines, r4 + the −0.0 guard on the oracle. The
+      // per-user frame is the only shuffle.
+      "q_stats_wilson",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("mv"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .join(v.select(col("user_id").as("_u"), col("mv")),
+                col("user_id") === col("_u"))
+          .filter(col("ts_us") > col("mv"))
+          .select(col("user_id")).distinct()
+        val m = v.join(conv.select(col("user_id").as("_c")),
+                       col("user_id") === col("_c"), "left_outer")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("_c").isNotNull, 1L).otherwise(0L)).as("k"))
+        val nD = col("n").cast("double")
+        val kD = col("k").cast("double")
+        val z2 = lit(1.96 * 1.96)
+        val ctr = (kD + z2 / 2) / (nD + z2)
+        val hw = (lit(1.96) / (nD + z2)) *
+          sqrt(kD * (nD - kD) / nD + z2 / 4)
+        m.select(col("n"), col("k"),
+                 r4(kD / nD).as("p4"),
+                 r4(ctr - hw).as("lo4"),
+                 r4(ctr + hw).as("hi4"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts_us) AS mv
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > v.mv),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS k
+        |  FROM v LEFT JOIN conv c ON v.user_id = c.user_id)
+        |SELECT n, k,
+        |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS p4,
+        |  round((CAST(k AS DOUBLE) + 1.96*1.96/2)
+        |          / (CAST(n AS DOUBLE) + 1.96*1.96)
+        |        - (1.96 / (CAST(n AS DOUBLE) + 1.96*1.96))
+        |          * sqrt(CAST(k AS DOUBLE)
+        |                 * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |                 / CAST(n AS DOUBLE) + 1.96*1.96/4), 4) + 0
+        |    AS lo4,
+        |  round((CAST(k AS DOUBLE) + 1.96*1.96/2)
+        |          / (CAST(n AS DOUBLE) + 1.96*1.96)
+        |        + (1.96 / (CAST(n AS DOUBLE) + 1.96*1.96))
+        |          * sqrt(CAST(k AS DOUBLE)
+        |                 * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |                 / CAST(n AS DOUBLE) + 1.96*1.96/4), 4) + 0
+        |    AS hi4
+        |FROM m""".stripMargin)
   )
 }
