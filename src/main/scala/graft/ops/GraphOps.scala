@@ -572,6 +572,76 @@ object GraphOps extends OpGroup {
         |SELECT v AS s_suppkey, COUNT(*) AS deg FROM (
         |  SELECT src AS v FROM c3
         |  UNION ALL SELECT dst FROM c3) GROUP BY v
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    Q(
+      // Deterministic random walks (node2vec/DeepWalk corpus
+      // generation): one length-3 walk per start node, next hop =
+      // the md5-uniform-ranked neighbor — hash(walker, step) mod
+      // degree picks the index into the dst-sorted adjacency list, so
+      // the walk corpus is REPLAYABLE on any cluster at any
+      // partitioning (a PRNG walk could never pass a hash gate, and
+      // could never be audited). Each step is one equi-join of the
+      // frontier against the (src, rank)-keyed adjacency — the BFS
+      // shape with a computed rank key; 3 unrolled steps, edges
+      // ranked once.
+      "q_graph_random_walk",
+      (s, d) => {
+        val e = coSupplyEdges(s, d)
+        val wAdj = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst"))
+        val adj = e.withColumn("rn", row_number().over(wAdj).cast("long"))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        def hop(cur: org.apache.spark.sql.DataFrame, t: Int) = {
+          val idx = pmod(graft.api.Pipeline.hash16(
+            concat(lit("w:"), col("start").cast("string"), lit(":"),
+                   lit(t.toString))).cast("long"), col("_dg")) + 1
+          cur.join(deg.select(col("src").as("_v"), col("deg").as("_dg")),
+                   col("v") === col("_v"))
+            .withColumn("_idx", idx)
+            .join(adj.select(col("src").as("_a"), col("dst"),
+                             col("rn").as("_rn")),
+                  col("v") === col("_a") && col("_idx") === col("_rn"))
+            .select(col("start"), col("path"), col("dst"))
+            .withColumn("path",
+              concat(col("path"), lit("->"), col("dst").cast("string")))
+            .select(col("start"), col("path"),
+                    col("dst").as("v"))
+        }
+        val start = e.select(col("src")).distinct()
+          .select(col("src").as("start"),
+                  col("src").cast("string").as("path"),
+                  col("src").as("v"))
+        val walked = (1 to 3).foldLeft(start)(hop)
+        walked.select(col("start").as("s_suppkey"), col("path"))
+          .orderBy(col("s_suppkey"))
+      },
+      {
+        def idxSql(t: Int) =
+          s"((${graft.ops.u16Sql(s"'w:' || CAST(c.start AS VARCHAR) || ':$t'")}) % dg.deg) + 1"
+        def hopSql(prev: String, t: Int) =
+          s"""w$t AS (
+            |  SELECT c.start,
+            |    c.path || '->' || CAST(a.dst AS VARCHAR) AS path,
+            |    a.dst AS v
+            |  FROM $prev c
+            |  JOIN dg ON dg.src = c.v
+            |  JOIN adj a ON a.src = c.v AND a.rn = ${idxSql(t)})"""
+            .stripMargin
+        s"""WITH $coSupplyEdgesSql,
+          |adj AS (
+          |  SELECT src, dst,
+          |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          |  FROM e),
+          |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+          |w0 AS (
+          |  SELECT src AS start, CAST(src AS VARCHAR) AS path, src AS v
+          |  FROM (SELECT DISTINCT src FROM e)),
+          |${hopSql("w0", 1)},
+          |${hopSql("w1", 2)},
+          |${hopSql("w2", 3)}
+          |SELECT start AS s_suppkey, path FROM w3
+          |ORDER BY s_suppkey""".stripMargin
+      })
   )
 }

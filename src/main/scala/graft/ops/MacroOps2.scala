@@ -591,6 +591,63 @@ object MacroOps2 extends OpGroup {
         |  CASE WHEN pv IS NOT NULL AND pv <> 0 THEN
         |    round(CAST(vc - pv AS DOUBLE) / CAST(pv AS DOUBLE), 4) + 0
         |  END AS yoy4
-        |FROM l ORDER BY segment, yr""".stripMargin)
+        |FROM l ORDER BY segment, yr""".stripMargin),
+
+    Q(
+      // Pareto 80/20 headline: what revenue share do the top 20% (and
+      // top 10%) of customers hold — the concentration number next to
+      // q_stats_gini's coefficient. Customer revenue collapses to the
+      // hash-agg'd customer frame first (the gini posture — the ONE
+      // global rank runs over the collapsed frame, never raw orders);
+      // count cutoffs k = ⌊n/5⌋, ⌊n/10⌋ with (revenue desc, custkey)
+      // total rank; shares exact cents through intRatio4Wide.
+      "q_macro_pareto_share",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cust = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg((sum(money("o_totalprice")) * 100).cast("long").as("vc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("vc").desc, col("o_custkey"))
+        val nf = cust.agg(count(lit(1)).as("nn"))
+        val ranked = cust.withColumn("rn", row_number().over(w)
+          .cast("long")).crossJoin(broadcast(nf))
+        val m = ranked.agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("vc")).cast(D38).as("tot"),
+          sum(when(col("rn") <= expr("nn div 5"),
+            col("vc")).otherwise(0L)).cast(D38).as("t20"),
+          sum(when(col("rn") <= expr("nn div 10"),
+            col("vc")).otherwise(0L)).cast(D38).as("t10"))
+        m.select(col("n_customers"),
+                 intRatio4Wide(col("t20") * 10000, col("tot"))
+                   .as("top20_share4"),
+                 intRatio4Wide(col("t10") * 10000, col("tot"))
+                   .as("top10_share4"))
+      },
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS vc
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT vc,
+        |    ROW_NUMBER() OVER (ORDER BY vc DESC, o_custkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM cust),
+        |m AS (
+        |  SELECT COUNT(*) AS n_customers,
+        |    CAST(SUM(vc) AS HUGEINT) AS tot,
+        |    CAST(SUM(CASE WHEN rn <= n // 5 THEN vc ELSE 0 END)
+        |         AS HUGEINT) AS t20,
+        |    CAST(SUM(CASE WHEN rn <= n // 10 THEN vc ELSE 0 END)
+        |         AS HUGEINT) AS t10
+        |  FROM r)
+        |SELECT n_customers,
+        |  CAST((2*(t20*10000) + tot) // (2*tot) AS DOUBLE) / 10000.0
+        |    AS top20_share4,
+        |  CAST((2*(t10*10000) + tot) // (2*tot) AS DOUBLE) / 10000.0
+        |    AS top10_share4
+        |FROM m""".stripMargin)
   )
 }
