@@ -642,6 +642,92 @@ object GraphOps extends OpGroup {
           |${hopSql("w2", 3)}
           |SELECT start AS s_suppkey, path FROM w3
           |ORDER BY s_suppkey""".stripMargin
+      }),
+
+    Q(
+      // Modularity Q of the 2-round LPA communities — the score that
+      // says whether a community partition beats random wiring
+      // (Newman-Girvan): Q = Σ_c [within_c/2m − (d_c/2m)²], assembled
+      // from EXACT integers (within-community directed edge counts,
+      // community degree sums, 2m = |directed edges|) with the single
+      // double division at the end — the eval metric the LPA operator
+      // was missing (detect → q_graph_lpa, score → here, same labels
+      // by construction). Label join twice on the edge list, two
+      // community-sized hash-aggs.
+      "q_graph_modularity",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = coSupplyEdges(s, d)
+        val lbl = graft.api.Graph.labelPropagation(s, e, iterations = 2)
+        val within = e
+          .join(lbl.select(col("node").as("_s"), col("label").as("la")),
+                col("src") === col("_s"))
+          .join(lbl.select(col("node").as("_t"), col("label").as("lb")),
+                col("dst") === col("_t"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la")).agg(count(lit(1)).as("win"))
+        val degC = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .join(lbl.select(col("node").as("_n"), col("label").as("lc")),
+                col("src") === col("_n"))
+          .groupBy(col("lc")).agg(sum(col("dg")).as("dc"))
+        val m2 = e.agg(count(lit(1)).as("m2"))  // = 2m
+        val parts = degC
+          .join(within, col("lc") === col("la"), "left_outer")
+          .agg(count(lit(1)).as("n_communities"),
+               sum(coalesce(col("win"), lit(0L)).cast(D38)).as("sw"),
+               sum((col("dc").cast(D38) * col("dc").cast(D38)).cast(D38))
+                 .as("sd2"))
+        parts.crossJoin(broadcast(m2))
+          .select(col("n_communities"),
+                  (col("m2") / 2).cast("long").as("m_edges"),
+                  graft.Determinism.r4(
+                    (col("m2").cast(D38) * col("sw") - col("sd2"))
+                       .cast("double") /
+                     (col("m2").cast("double") * col("m2"))).as("q4"))
+      },
+      {
+        def round(prev: String, out: String): String =
+          s"""v$out AS (
+            |  SELECT e.src, l.lab, COUNT(*) AS c
+            |  FROM e JOIN l$prev l ON l.node = e.dst
+            |  GROUP BY e.src, l.lab),
+            |w$out AS (
+            |  SELECT src AS node, lab FROM (
+            |    SELECT src, lab, row_number() OVER (PARTITION BY src
+            |      ORDER BY c DESC, lab ASC) AS rn FROM v$out)
+            |  WHERE rn = 1),
+            |l$out AS (
+            |  SELECT p.node, COALESCE(w.lab, p.lab) AS lab
+            |  FROM l$prev p LEFT JOIN w$out w ON w.node = p.node)"""
+            .stripMargin
+        s"""WITH $coSupplyEdgesSql,
+          |nodes AS (
+          |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |l0 AS (SELECT node, node AS lab FROM nodes),
+          |${round("0", "1")},
+          |${round("1", "2")},
+          |win AS (
+          |  SELECT a.lab AS la, COUNT(*) AS win
+          |  FROM e JOIN l2 a ON a.node = e.src
+          |         JOIN l2 b ON b.node = e.dst
+          |  WHERE a.lab = b.lab GROUP BY a.lab),
+          |degc AS (
+          |  SELECT l2.lab AS lc, CAST(SUM(dg.dg) AS HUGEINT) AS dc
+          |  FROM (SELECT src, COUNT(*) AS dg FROM e GROUP BY src) dg
+          |  JOIN l2 ON l2.node = dg.src
+          |  GROUP BY l2.lab),
+          |m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM e),
+          |parts AS (
+          |  SELECT COUNT(*) AS n_communities,
+          |    CAST(SUM(COALESCE(win.win, 0)) AS HUGEINT) AS sw,
+          |    SUM(degc.dc * degc.dc) AS sd2
+          |  FROM degc LEFT JOIN win ON degc.lc = win.la)
+          |SELECT n_communities,
+          |  CAST(m2.m2 // 2 AS BIGINT) AS m_edges,
+          |  round(CAST(m2.m2 * parts.sw - parts.sd2 AS DOUBLE)
+          |        / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)), 4)
+          |    + 0 AS q4
+          |FROM parts, m2""".stripMargin
       })
   )
 }

@@ -1516,6 +1516,76 @@ object StatsOps extends OpGroup {
         |                 * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
         |                 / CAST(n AS DOUBLE) + 1.96*1.96/4), 4) + 0
         |    AS hi4
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    Q(
+      // Theil-Sen robust trend of the daily event-volume series: the
+      // median of all pairwise slopes (y_j−y_i)/(x_j−x_i) — the
+      // estimator that shrugs off the outlier days OLS would chase
+      // (29% breakdown point), plus the matching median intercept.
+      // The O(n²) pair blowup runs on the bounded DAY DOMAIN (~30
+      // rows → ~435 pairs at ANY SF — corpus collapses first, the
+      // mannwhitney posture); each slope is ONE double division of
+      // exact integers (identical both engines), medians are DISCRETE
+      // picks under the total order (slope, i, j) — never interpolated,
+      // so the hash can't flap. Two tiny cross-join passes.
+      "q_ts_theil_sen",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("y"))
+        val a = daily.select(col("x").as("xi"), col("y").as("yi"))
+        val b = daily.select(col("x").as("xj"), col("y").as("yj"))
+        val pairs = a.join(b, col("xj") > col("xi"))
+          .withColumn("sl", (col("yj") - col("yi")).cast("double") /
+                            (col("xj") - col("xi")).cast("double"))
+        val wS = Window.orderBy(col("sl"), col("xi"), col("xj"))
+        val ranked = pairs
+          .withColumn("rn", row_number().over(wS).cast("long"))
+        val nP = ranked.agg(count(lit(1)).as("np"))
+        val med = ranked.crossJoin(broadcast(nP))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("sl").as("slope"), col("np"))
+        val wI = Window.orderBy(col("ic"), col("x"))
+        val ics = daily.crossJoin(broadcast(med))
+          .withColumn("ic", col("y").cast("double") -
+                            col("slope") * col("x").cast("double"))
+          .withColumn("rni", row_number().over(wI).cast("long"))
+        val nD = ics.agg(count(lit(1)).as("nd"))
+        ics.crossJoin(broadcast(nD))
+          .filter(col("rni") === expr("(nd + 1) div 2"))
+          .select(col("nd").as("n_days"), col("np").as("n_pairs"),
+                  r4(col("slope")).as("slope4"),
+                  r4(col("ic")).as("intercept4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS x, COUNT(*) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 86400000000),
+        |pairs AS (
+        |  SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      AS sl
+        |  FROM daily a JOIN daily b ON b.x > a.x),
+        |r AS (
+        |  SELECT sl,
+        |    ROW_NUMBER() OVER (ORDER BY sl, xi, xj) AS rn,
+        |    COUNT(*) OVER () AS np
+        |  FROM pairs),
+        |med AS (SELECT sl AS slope, np FROM r WHERE rn = (np + 1) // 2),
+        |ics AS (
+        |  SELECT d.x, med.np, med.slope,
+        |    CAST(d.y AS DOUBLE) - med.slope * CAST(d.x AS DOUBLE)
+        |      AS ic
+        |  FROM daily d CROSS JOIN med),
+        |ri AS (
+        |  SELECT np, slope, ic,
+        |    ROW_NUMBER() OVER (ORDER BY ic, x) AS rni,
+        |    COUNT(*) OVER () AS nd
+        |  FROM ics)
+        |SELECT CAST(nd AS BIGINT) AS n_days,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  round(slope, 4) + 0 AS slope4,
+        |  round(ic, 4) + 0 AS intercept4
+        |FROM ri WHERE rni = (nd + 1) // 2""".stripMargin)
   )
 }
