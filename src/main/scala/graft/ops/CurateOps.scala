@@ -615,6 +615,38 @@ object CurateOps extends OpGroup {
         |  SELECT lang, doc_id FROM t CROSS JOIN k WHERE t.rn <= k.k)
         |SELECT lang, COUNT(*) AS n_kept,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // Systematic 1-in-7 sampling: rank docs per language by the md5
+      // order, keep every 7th — the sampling-theory sibling of
+      // sampleExactK (guaranteed even coverage of the hash-ordered
+      // frame; Bernoulli sampling's keep-count varies, systematic's is
+      // exactly ⌈n/7⌉). Deterministic and replayable; the id_sum
+      // checksum makes the oracle hash prove the identical row SET.
+      "q_sample_systematic",
+      (s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(h.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(pmod(col("rn"), lit(7)) === 1)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+               sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"))
+      },
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM t WHERE rn % 7 = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

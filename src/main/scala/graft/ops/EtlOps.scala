@@ -783,7 +783,69 @@ object EtlOps extends OpGroup {
         |SELECT out_file, COUNT(*) AS n_input_files,
         |  CAST(SUM(nr) AS BIGINT) AS n_rows,
         |  MIN(day) AS day_min, MAX(day) AS day_max
-        |FROM a GROUP BY out_file ORDER BY out_file""".stripMargin)
+        |FROM a GROUP BY out_file ORDER BY out_file""".stripMargin),
+
+    Q(
+      // Anti-entropy repair worklist — the checksum's drill-down: two
+      // replicas of `orders` (B simulates silent corruption: totals
+      // doubled where orderkey ≡ 0 mod 1009) each reduce to per-block
+      // digests via api.Etl.tableChecksum grouped by ⌊orderkey/512⌋;
+      // blocks whose digests differ are the ONLY ones a repair job
+      // must re-transfer — the Merkle/anti-entropy pattern (Dynamo,
+      // Cassandra) that turns "compare 100 TB" into "compare block
+      // digests, ship the broken 0.1%". Output: the differing blocks
+      // with both row counts.
+      "q_etl_anti_entropy",
+      (s, d) => {
+        val a = Tables.orders(s, d)
+        val b = a.withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(1009L)) === 0,
+               col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        def digest(df: org.apache.spark.sql.DataFrame) =
+          graft.api.Etl.tableChecksum(
+            df, ldiv(col("o_orderkey"), lit(512L)),
+            concat_ws("|", col("o_orderkey"),
+                      (money("o_totalprice") * 100).cast("long")))
+        digest(a).select(col("_g").as("blk"), col("n_rows").as("rows_a"),
+                         col("checksum").as("ck_a"))
+          .join(digest(b).select(col("_g").as("_b"),
+                                 col("n_rows").as("rows_b"),
+                                 col("checksum").as("ck_b")),
+                col("blk") === col("_b"), "full_outer")
+          .filter(col("ck_a") =!= col("ck_b") ||
+                  col("ck_a").isNull || col("ck_b").isNull)
+          .select(coalesce(col("blk"), col("_b")).as("blk"),
+                  col("rows_a"), col("rows_b"))
+          .orderBy(col("blk"))
+      },
+      {
+        def hex15(h: String): String =
+          (1 to 15).map { i =>
+            val p = BigInt(16).pow(15 - i)
+            s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * $p"
+          }.mkString("(", " + ", ")")
+        def side(expr: String, alias: String) =
+          s"""$alias AS (
+            |  SELECT blk, COUNT(*) AS n_rows,
+            |    CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS ck
+            |  FROM (
+            |    SELECT o_orderkey // 512 AS blk,
+            |      ${hex15(s"md5(concat_ws('|', o_orderkey, $expr))")} AS v
+            |    FROM orders)
+            |  GROUP BY blk)""".stripMargin
+        val va = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+          "AS BIGINT)"
+        val vb = "CAST(CAST(CASE WHEN o_orderkey % 1009 = 0 " +
+          "THEN o_totalprice * 2 ELSE o_totalprice END " +
+          "AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        s"""WITH ${side(va, "a")},
+          |${side(vb, "b")}
+          |SELECT COALESCE(a.blk, b.blk) AS blk,
+          |  a.n_rows AS rows_a, b.n_rows AS rows_b
+          |FROM a FULL OUTER JOIN b ON a.blk = b.blk
+          |WHERE a.ck <> b.ck OR a.ck IS NULL OR b.ck IS NULL
+          |ORDER BY blk""".stripMargin
+      })
   )
 
   /** DuckDB twin of Spark's `conv(substring(md5(x), 1, 15), 16, 10)`:

@@ -1468,6 +1468,94 @@ object EventOps extends OpGroup {
         |  ELSE round(exp(SUM(term) OVER (ORDER BY t ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) + 0
         |  END AS s4
-        |FROM z ORDER BY t""".stripMargin)
+        |FROM z ORDER BY t""".stripMargin),
+
+    Q(
+      // Difference-in-differences, run as the A/A VALIDATION every
+      // experimentation platform ships: users hash-split 50/50 (md5
+      // parity — the exact assignment device a real A/B test uses),
+      // periods split 15 days after the corpus start, outcome = mean
+      // purchase value per (group, period). DiD = (T_post − T_pre) −
+      // (C_post − C_pre) — the causal-inference workhorse; on a null
+      // assignment it must land near 0, and because the hash split is
+      // deterministic the estimate is AUDITABLE (a data-dependent
+      // cohort here empties cells at small SF — measured: sf0.001 has
+      // zero late-signup users). All four means are exact half-up
+      // 1e-4-unit INTEGERS (cent sums · 100 / counts), so the estimate
+      // is integer arithmetic until one final /10⁴. One conditional
+      // hash-agg over purchases.
+      "q_events_did",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val anchor = e.agg(min(expr("ts_us div 86400000000")).as("d0"))
+        val p = e.filter(col("event_type") === "purchase")
+          .crossJoin(broadcast(anchor))
+          .select((pmod(graft.api.Pipeline.hash16(
+                    col("user_id").cast("string")), lit(2)) === 0)
+                    .as("tr"),
+                  (expr("ts_us div 86400000000") >= col("d0") + 15)
+                    .as("post"),
+                  (money("value") * 100).cast("long").as("vc"))
+        def m(tr: Boolean, post: Boolean) = halfUpDivWide(
+          sum(when(col("tr") === tr && col("post") === post, col("vc"))
+            .otherwise(0L)).cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)) * 100,
+          sum(when(col("tr") === tr && col("post") === post, 1L)
+            .otherwise(0L)))
+        p.agg(m(true, false).as("t_pre"), m(true, true).as("t_post"),
+              m(false, false).as("c_pre"), m(false, true).as("c_post"),
+              count(lit(1)).as("n_purchases"))
+          .select(col("n_purchases"),
+                  (col("t_pre").cast("double") / 10000.0).as("t_pre4"),
+                  (col("t_post").cast("double") / 10000.0).as("t_post4"),
+                  (col("c_pre").cast("double") / 10000.0).as("c_pre4"),
+                  (col("c_post").cast("double") / 10000.0).as("c_post4"),
+                  (((col("t_post") - col("t_pre")) -
+                    (col("c_post") - col("c_pre"))).cast("double")
+                     / 10000.0).as("did4"))
+      },
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |anchor AS (SELECT MIN(ts_us // 86400000000) AS d0 FROM e),
+        |p AS (
+        |  SELECT
+        |    ((${u16Sql("CAST(e.user_id AS VARCHAR)")}) % 2 = 0) AS t,
+        |    (e.ts_us // 86400000000 >= anchor.d0 + 15) AS post,
+        |    e.vc
+        |  FROM e CROSS JOIN anchor
+        |  WHERE e.event_type = 'purchase'),
+        |m AS (
+        |  SELECT COUNT(*) AS n_purchases,
+        |    (2*(CAST(SUM(CASE WHEN t AND NOT post THEN vc ELSE 0 END)
+        |          AS HUGEINT)*100)
+        |     + SUM(CASE WHEN t AND NOT post THEN 1 ELSE 0 END))
+        |    // (2*SUM(CASE WHEN t AND NOT post THEN 1 ELSE 0 END))
+        |      AS t_pre,
+        |    (2*(CAST(SUM(CASE WHEN t AND post THEN vc ELSE 0 END)
+        |          AS HUGEINT)*100)
+        |     + SUM(CASE WHEN t AND post THEN 1 ELSE 0 END))
+        |    // (2*SUM(CASE WHEN t AND post THEN 1 ELSE 0 END))
+        |      AS t_post,
+        |    (2*(CAST(SUM(CASE WHEN NOT t AND NOT post THEN vc
+        |          ELSE 0 END) AS HUGEINT)*100)
+        |     + SUM(CASE WHEN NOT t AND NOT post THEN 1 ELSE 0 END))
+        |    // (2*SUM(CASE WHEN NOT t AND NOT post THEN 1 ELSE 0 END))
+        |      AS c_pre,
+        |    (2*(CAST(SUM(CASE WHEN NOT t AND post THEN vc ELSE 0 END)
+        |          AS HUGEINT)*100)
+        |     + SUM(CASE WHEN NOT t AND post THEN 1 ELSE 0 END))
+        |    // (2*SUM(CASE WHEN NOT t AND post THEN 1 ELSE 0 END))
+        |      AS c_post
+        |  FROM p)
+        |SELECT CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(t_pre AS DOUBLE) / 10000.0 AS t_pre4,
+        |  CAST(t_post AS DOUBLE) / 10000.0 AS t_post4,
+        |  CAST(c_pre AS DOUBLE) / 10000.0 AS c_pre4,
+        |  CAST(c_post AS DOUBLE) / 10000.0 AS c_post4,
+        |  CAST((t_post - t_pre) - (c_post - c_pre) AS DOUBLE) / 10000.0
+        |    AS did4
+        |FROM m""".stripMargin)
   )
 }
