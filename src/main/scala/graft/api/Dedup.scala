@@ -597,4 +597,54 @@ object Dedup {
               when(col("sz_a") <= col("sz_b"), col("doc_a"))
                 .otherwise(col("doc_b")).as("contained_doc"))
   }
+
+  /** ExactSubstr-style cross-document repeated-SPAN detector (the
+    * public algorithm of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022, re-expressed
+    * relationally): a token position is COVERED when the n-gram
+    * starting there also occurs in at least one OTHER document, and
+    * maximal runs of covered positions coalesce into spans — a run of
+    * r consecutive covered starts is a shared substring of r+n−1
+    * tokens. Returns (doc, span_start, span_end, n_tokens) with
+    * 0-based n-gram start positions. Pair ops (minhashPairs et al.)
+    * say WHICH docs overlap; this says WHERE, which is what a
+    * span-removal pass actually consumes.
+    *
+    * Scale shape: tokenize once; posexplode to (doc, pos, gram); the
+    * shared set is ONE hash-agg keyed by gram (count-distinct-docs ≥
+    * 2 — gram-sized keys, never doc pairs); covered positions LEFT
+    * SEMI against it; islands = the gaps-and-islands window per doc
+    * (pos − row_number). No self-join ever forms, nothing is O(n²) in
+    * corpus size, and the window partitions by doc (bounded by doc
+    * length). A suffix-array engine finds character-exact spans; the
+    * n-gram grid is the standard relational approximation — spans
+    * snap to token boundaries, minimum detectable length n tokens.
+    * The gram strings themselves shuffle twice (agg + semi join); the
+    * 100 TB swap is hashing grams to xxhash64 before the exchange
+    * (documented, not default: the md5-free string key is what the
+    * cross-engine oracle can replay). */
+  def sharedNgramSpans(
+      df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1, "sharedNgramSpans: n must be >= 1")
+    val toks = df.select(id.as("__doc"), tokens(text).as("w"))
+      .filter(size(col("w")) >= n)
+    val parts = (0 until n).map(j => s"w[p+$j]").mkString(", ")
+    val sh = toks.select(
+      col("__doc"),
+      posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), p -> " +
+          s"concat_ws(' ', $parts))")).as(Seq("pos", "g")))
+    val shared = sh.groupBy(col("g"))
+      .agg(countDistinct(col("__doc")).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val cov = sh.join(shared, Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    cov.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("__doc"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+           max(col("pos")).as("span_end"))
+      .select(col("__doc").as("doc"), col("span_start"),
+              col("span_end"),
+              (col("span_end") - col("span_start") + n).as("n_tokens"))
+  }
 }

@@ -647,6 +647,83 @@ object CurateOps extends OpGroup {
         |SELECT lang, COUNT(*) AS n_kept,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM t WHERE rn % 7 = 1
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
+      // Cross-source QUANTILE NORMALIZATION of doc length: map each
+      // doc's within-source rank onto the GLOBAL length distribution
+      // (norm = global value at rank ⌈rank·N/n_src⌉ — the type-1
+      // inverse-CDF), so per-source length-quality gates stop encoding
+      // collection bias — the batch-effect correction step before
+      // mixing heterogeneous crawls. All-integer: ranks are
+      // row_number with doc_id tie-break, the target rank is one
+      // ceiling division, and the report sums raw/normalized chars as
+      // BIGINT.
+      // Scale shape: NO global per-doc sort — the global distribution
+      // collapses to |distinct n_chars| blocks (one hash-agg + a
+      // window over blocks), each doc computes its target rank
+      // map-side, and a BROADCAST range join (cumb < tr ≤ cum) reads
+      // the quantile value off the block table. The only corpus-wide
+      // window partitions by source (the per-source rank), never one
+      // global partition.
+      "q_curate_quantile_norm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val n = docs.agg(count(lit(1)).as("_N"))
+        val blocks = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("_c"))
+        val wb = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = blocks
+          .withColumn("cum", sum(col("_c")).over(wb))
+          .withColumn("cumb", col("cum") - col("_c"))
+          .select(col("v"), col("cum"), col("cumb"))
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val nsrc = Window.partitionBy(col("source"))
+        val ranked = docs
+          .withColumn("rk", row_number().over(ws).cast("long"))
+          .withColumn("ns", count(lit(1)).over(nsrc))
+          .crossJoin(broadcast(n))
+          // true integral division (SQL `div`): Column `/` is DOUBLE
+          // division, whose 2^53 mantissa wraps rk·N long before the
+          // long range does
+          .withColumn("tr", expr("(rk * _N + ns - 1) div ns"))
+        ranked.join(broadcast(cdf),
+                    col("tr") > col("cumb") && col("tr") <= col("cum"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("raw_chars"),
+               sum(col("v")).as("norm_chars"),
+               min(col("v")).as("norm_min"),
+               max(col("v")).as("norm_max"))
+          .orderBy(col("source"))
+      },
+      """WITH docs AS (
+        |  SELECT doc_id, source, n_chars FROM documents),
+        |nn AS (SELECT COUNT(*) AS N FROM docs),
+        |cdf AS (
+        |  SELECT v, cum, cum - c AS cumb FROM (
+        |    SELECT n_chars AS v, COUNT(*) AS c,
+        |      SUM(COUNT(*)) OVER (ORDER BY n_chars) AS cum
+        |    FROM docs GROUP BY n_chars)),
+        |ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM docs),
+        |tr AS (
+        |  SELECT source, n_chars,
+        |    (rk * nn.N + ns - 1) // ns AS tr
+        |  FROM ranked CROSS JOIN nn)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS raw_chars,
+        |  CAST(SUM(cdf.v) AS BIGINT) AS norm_chars,
+        |  CAST(MIN(cdf.v) AS BIGINT) AS norm_min,
+        |  CAST(MAX(cdf.v) AS BIGINT) AS norm_max
+        |FROM tr JOIN cdf ON tr.tr > cdf.cumb AND tr.tr <= cdf.cum
+        |GROUP BY source ORDER BY source""".stripMargin)
   )
 }

@@ -247,6 +247,135 @@ object EvalOps extends OpGroup {
         |       // (2*(bt.n_true + COALESCE(bp.n_pred, 0))) AS DOUBLE)
         |    / 10000.0 AS f1_4
         |FROM bt LEFT JOIN bp ON bt.lang = bp.predicted
-        |ORDER BY bt.lang""".stripMargin)
+        |ORDER BY bt.lang""".stripMargin),
+
+    Q(
+      // ROC-AUC per source via the tie-corrected rank-sum identity
+      // AUC = (R⁺ − n₊(n₊+1)/2)/(n₊n₋) — the threshold-free twin of
+      // q_eval_prf's fixed-threshold report (scoring n_chars as a
+      // ranker of lang='en'). Tied scores get their textbook AVERAGE
+      // rank, but the whole statistic runs in 2×-rank integer units so
+      // the .5 average ranks never float: collapse docs to (source,
+      // score) blocks first, ONE cumulative window over those tiny
+      // blocks yields each block's rank offset, and 2R⁺ = Σ pos_b ·
+      // (2·cum_before + cnt + 1) exactly. AUC4 = (2R⁺ − 2·n₊(n₊+1)/2)
+      // / (2n₊n₋) through the DECIMAL(38) ratio: 2R⁺ ≤ 2N² leaves
+      // int64 around N ≈ 2e9 once 1e4-scaled, so the wide form is the
+      // 100 TB-safe choice (intRatio4 would wrap silently).
+      // Scale shape: the corpus is touched ONCE by a hash-agg keyed
+      // (source, score); the window runs over |distinct scores| rows
+      // per source — catalog-sized, never the corpus.
+      "q_eval_auc",
+      (s, d) => {
+        val blocks = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("cnt"),
+               sum((col("lang") === "en").cast("long")).as("pos"))
+        val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val g = blocks
+          .withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .groupBy(col("source"))
+          .agg(sum(col("pos") * (col("cumb") * 2 + col("cnt") + 1))
+                 .as("r2p"),
+               sum(col("pos")).as("n_pos"),
+               sum(col("cnt") - col("pos")).as("n_neg"))
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        g.filter(col("n_pos") > 0 && col("n_neg") > 0)
+          .select(col("source"), col("n_pos"), col("n_neg"),
+                  intRatio4Wide(
+                    (col("r2p") - col("n_pos") * (col("n_pos") + 1))
+                      .cast(D) * 10000,
+                    col("n_pos") * 2 * col("n_neg")).as("auc4"))
+          .orderBy(col("source"))
+      },
+      """WITH b AS (
+        |  SELECT source, n_chars, COUNT(*) AS cnt,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        |  FROM documents GROUP BY source, n_chars),
+        |r AS (
+        |  SELECT source, cnt, pos,
+        |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM b),
+        |g AS (
+        |  SELECT source,
+        |    SUM(pos * (2 * cumb + cnt + 1)) AS r2p,
+        |    SUM(pos) AS n_pos, SUM(cnt - pos) AS n_neg
+        |  FROM r GROUP BY source)
+        |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST((2 * ((r2p - n_pos * (n_pos + 1)) * 10000)
+        |        + 2 * n_pos * n_neg)
+        |       // (2 * (2 * n_pos * n_neg)) AS DOUBLE) / 10000.0 AS auc4
+        |FROM g WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY source""".stripMargin),
+
+    Q(
+      // Expected-calibration-error report over the quality score: bin
+      // docs by the q_text_quality decile bucket, read each bin's
+      // CONFIDENCE as its midpoint (2b+1)/20 — the binned-ECE variant
+      // whose per-bin gap |n_b·mid_b − pos_b| is an exact integer in
+      // 1/20 units, so the headline ECE = Σgap/(20N) carries zero
+      // float-summation risk (per-bin mean-of-double-scores would be
+      // order-dependent and engine-divergent). Label = lang='en', the
+      // same contract as q_eval_auc, so the two reports read together.
+      // Scale shape: one scored corpus pass → ≤11-row bin agg; the
+      // one-row total CROSS-joins back broadcast (never a second pass).
+      "q_eval_calibration",
+      (s, d) => {
+        val scored = graft.api.Text.qualityScore(
+            Tables.documents(s, d), col("text"), col("n_chars"))
+          .select(least(floor(col("score") * 10), lit(9)).cast("int")
+                    .as("bin"),
+                  (col("lang") === "en").cast("long").as("pos1"))
+        val bins = scored.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos1")).as("pos"))
+          .withColumn("gap20",
+                      abs(col("n") * (col("bin") * 2 + 1) -
+                          col("pos") * 20))
+        val tot = bins.agg(sum(col("gap20")).as("_g"),
+                           sum(col("n")).as("_n"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n"), col("pos"),
+                  intRatio4((col("bin") * 2 + 1) * 500L, lit(1L))
+                    .as("conf4"),
+                  intRatio4(col("pos") * 10000L, col("n")).as("rate4"),
+                  intRatio4(col("_g") * 500L, col("_n")).as("ece4"))
+          .orderBy(col("bin"))
+      },
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(n_chars AS DOUBLE) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    least(chars / 500.0, 1.0) * 0.4 +
+        |    (1.0 - n_stop / n_tok) * 0.3 +
+        |    least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3
+        |      AS score
+        |  FROM f),
+        |b AS (
+        |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        |  FROM sc GROUP BY bin),
+        |g AS (
+        |  SELECT bin, n, pos,
+        |    abs(n * (bin * 2 + 1) - pos * 20) AS gap20 FROM b),
+        |t AS (SELECT SUM(gap20) AS tg, SUM(n) AS tn FROM g)
+        |SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+        |  CAST((2 * ((bin * 2 + 1) * 500) + 1) // 2 AS DOUBLE) / 10000.0
+        |    AS conf4,
+        |  CAST((2 * (pos * 10000) + n) // (2 * n) AS DOUBLE) / 10000.0
+        |    AS rate4,
+        |  CAST((2 * (tg * 500) + tn) // (2 * tn) AS DOUBLE) / 10000.0
+        |    AS ece4
+        |FROM g CROSS JOIN t
+        |ORDER BY bin""".stripMargin)
   )
 }

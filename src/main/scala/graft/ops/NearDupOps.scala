@@ -1240,6 +1240,58 @@ object NearDupOps extends OpGroup {
           |        / CAST(n * (n - 1) AS DOUBLE) / 1e12, 4) + 0
           |    AS mean_pair_cos4
           |FROM f ORDER BY label""".stripMargin
-      })
+      }),
+
+    Q(
+      // SPAN-level dedup (api.Dedup.sharedNgramSpans): WHERE each doc
+      // repeats another's text, not just which docs pair up — maximal
+      // runs of cross-doc-shared 7-gram starts coalesced into spans
+      // (ExactSubstr re-expressed relationally; a run of r covered
+      // starts = r+6 shared tokens). 7 matches the contamination
+      // contract: one n-gram grid decides both "benchmark overlap" and
+      // "intra-corpus repeated span". Report = per-doc rollup (spans,
+      // covered-token mass via the span-length sum, widest span) over
+      // docs with any shared span — the worklist a span-removal pass
+      // consumes, sized ≪ corpus.
+      // Scale shape: gram-keyed hash-agg → broadcast-able semi-join →
+      // per-doc window; no self-join, nothing O(n²) (Scaladoc at the
+      // api entry); countDistinct collapses map-side per gram.
+      "q_dedup_substring",
+      (s, d) => graft.api.Dedup.sharedNgramSpans(
+          Tables.documents(s, d), col("doc_id"), col("text"), n = 7)
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(col("n_tokens")).as("shared_tokens"),
+             max(col("n_tokens")).cast("long").as("widest"),
+             min(col("span_start")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id")),
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 6)) AS p, w
+        |  FROM tok WHERE len(w) >= 7),
+        |sh AS (
+        |  SELECT doc_id, p,
+        |    concat_ws(' ', w[p+1], w[p+2], w[p+3], w[p+4], w[p+5],
+        |              w[p+6], w[p+7]) AS g
+        |  FROM pos),
+        |shared AS (
+        |  SELECT g FROM sh GROUP BY g
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, p FROM sh WHERE g IN (SELECT g FROM shared)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+        |      AS grp
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, MIN(p) AS s0, MAX(p) AS e0
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(e0 - s0 + 7) AS BIGINT) AS shared_tokens,
+        |  CAST(MAX(e0 - s0 + 7) AS BIGINT) AS widest,
+        |  CAST(MIN(s0) AS BIGINT) AS first_pos
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1586,6 +1586,102 @@ object StatsOps extends OpGroup {
         |  CAST(np AS BIGINT) AS n_pairs,
         |  round(slope, 4) + 0 AS slope4,
         |  round(ic, 4) + 0 AS intercept4
-        |FROM ri WHERE rni = (nd + 1) // 2""".stripMargin)
+        |FROM ri WHERE rni = (nd + 1) // 2""".stripMargin),
+
+    Q(
+      // Isotonic (monotone) calibration of the quality-score bins via
+      // the CLOSED-FORM max–min identity iso(k) = max_{i≤k} min_{j≥k}
+      // rate(i..j) — exactly the pool-adjacent-violators fit, but as
+      // a declarative join over segment sums instead of the sequential
+      // PAVA loop (which no engine parallelizes). Bins and label are
+      // q_eval_calibration's (quality decile vs lang='en'), so the
+      // pair reads as "raw reliability curve → monotone fit".
+      // Determinism: every segment rate goes through intRatio4 (exact
+      // half-up integer division, THEN one identical /10⁴ float op) —
+      // min/max over bit-identical doubles is bit-identical, so the
+      // fit needs no further rounding. Monotonicity is guaranteed by
+      // construction, not hoped for.
+      // Scale shape: the corpus collapses to ≤10 bins in ONE hash-agg
+      // pass; the O(B³) max–min join runs on a B≤10 dimension table —
+      // catalog-sized, broadcast, never the corpus. PAVA on B bins is
+      // driver-trivial; the POINT is the corpus→bins reduction shape.
+      "q_stats_isotonic",
+      (s, d) => {
+        val bins = graft.api.Text.qualityScore(
+            Tables.documents(s, d), col("text"), col("n_chars"))
+          .select(least(floor(col("score") * 10), lit(9)).cast("int")
+                    .as("bin"),
+                  (col("lang") === "en").cast("long").as("pos1"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos1")).as("pos"))
+        val wp = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = bins
+          .withColumn("cn", sum(col("n")).over(wp))
+          .withColumn("cp", sum(col("pos")).over(wp))
+        val pi = pre.select(col("bin").as("i"), col("n").as("ni"),
+                            col("cn").as("cni"), col("cp").as("cpi"),
+                            col("pos").as("pi"))
+        val pj = pre.select(col("bin").as("j"), col("cn").as("cnj"),
+                            col("cp").as("cpj"))
+        val seg = pi.join(pj, col("i") <= col("j"))
+          .select(col("i"), col("j"),
+                  intRatio4(
+                    (col("cpj") - col("cpi") + col("pi")) * 10000L,
+                    col("cnj") - col("cni") + col("ni")).as("rate"))
+        val ks = bins.select(col("bin").as("k"))
+        val iso = ks.join(seg, col("i") <= col("k") &&
+                               col("j") >= col("k"))
+          .groupBy(col("k"), col("i")).agg(min(col("rate")).as("mn"))
+          .groupBy(col("k")).agg(max(col("mn")).as("iso4"))
+        bins.join(iso, col("bin") === col("k"))
+          .select(col("bin"), col("n"), col("pos"),
+                  intRatio4(col("pos") * 10000L, col("n")).as("rate4"),
+                  col("iso4"))
+          .orderBy(col("bin"))
+      },
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(n_chars AS DOUBLE) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    least(chars / 500.0, 1.0) * 0.4 +
+        |    (1.0 - n_stop / n_tok) * 0.3 +
+        |    least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3
+        |      AS score
+        |  FROM f),
+        |b AS (
+        |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        |  FROM sc GROUP BY bin),
+        |pre AS (
+        |  SELECT bin, n, pos,
+        |    SUM(n) OVER (ORDER BY bin) AS cn,
+        |    SUM(pos) OVER (ORDER BY bin) AS cp
+        |  FROM b),
+        |seg AS (
+        |  SELECT pi.bin AS i, pj.bin AS j,
+        |    CAST((2 * ((pj.cp - pi.cp + pi.pos) * 10000)
+        |          + (pj.cn - pi.cn + pi.n))
+        |         // (2 * (pj.cn - pi.cn + pi.n)) AS DOUBLE) / 10000.0
+        |      AS rate
+        |  FROM pre pi JOIN pre pj ON pi.bin <= pj.bin),
+        |mn AS (
+        |  SELECT k.bin AS k, seg.i, MIN(seg.rate) AS mn
+        |  FROM b k JOIN seg ON seg.i <= k.bin AND seg.j >= k.bin
+        |  GROUP BY k.bin, seg.i),
+        |iso AS (SELECT k, MAX(mn) AS iso4 FROM mn GROUP BY k)
+        |SELECT b.bin, CAST(b.n AS BIGINT) AS n,
+        |  CAST(b.pos AS BIGINT) AS pos,
+        |  CAST((2 * (b.pos * 10000) + b.n) // (2 * b.n) AS DOUBLE)
+        |    / 10000.0 AS rate4,
+        |  iso.iso4
+        |FROM b JOIN iso ON b.bin = iso.k
+        |ORDER BY b.bin""".stripMargin)
   )
 }
