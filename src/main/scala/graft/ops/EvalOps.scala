@@ -376,6 +376,88 @@ object EvalOps extends OpGroup {
         |  CAST((2 * (tg * 500) + tn) // (2 * tn) AS DOUBLE) / 10000.0
         |    AS ece4
         |FROM g CROSS JOIN t
-        |ORDER BY bin""".stripMargin)
+        |ORDER BY bin""".stripMargin),
+
+    Q(
+      // k-NN majority-vote classification over the embedding space
+      // (k=5, int8-quantized exact-integer dot, leave-self-out) with a
+      // per-true-label accuracy report — the third leg of the eval
+      // family: q_eval_ranking grades the RANKER, q_eval_prf a
+      // threshold classifier, this grades the labels-by-neighborhood
+      // classifier every semantic-dedup/auto-label pipeline runs.
+      // Determinism end-to-end: ranks are the integer-dot heapRank
+      // with cand_id tie-break; the VOTE breaks count ties by
+      // smallest label (an arbitrary-pick argmax could flap engines).
+      // Scale shape: the pinned broadcast-query × one-collection-scan
+      // ranker; everything after rank touches |Q|·k rows, votes are a
+      // |Q|·labels hash-agg, the report is label-sized.
+      "q_sim_knn_classify",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ranked = graft.api.Sim.quantizedTopK(
+          emb, col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 30, k = 5)
+        val lbl = emb.select(col("vec_id").as("_lid"),
+                             col("label").as("_lbl"))
+        val votes = ranked
+          .join(broadcast(lbl), col("cand_id") === col("_lid"))
+          .groupBy(col("q_id"), col("_lbl").as("vote"))
+          .agg(count(lit(1)).as("nv"))
+        val wv = Window.partitionBy(col("q_id"))
+          .orderBy(col("nv").desc, col("vote").asc)
+        val pred = votes.withColumn("rv", row_number().over(wv))
+          .filter(col("rv") === 1)
+          .select(col("q_id"), col("vote").as("pred"))
+        pred.join(broadcast(lbl.select(col("_lid").as("_qid"),
+                                       col("_lbl").as("truth"))),
+                  col("q_id") === col("_qid"))
+          .groupBy(col("truth").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+               sum((col("pred") === col("truth")).cast("long"))
+                 .as("n_correct"))
+          .select(col("label"), col("n_queries"), col("n_correct"),
+                  intRatio4(col("n_correct") * 10000L,
+                            col("n_queries")).as("acc4"))
+          .orderBy(col("label"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax,
+        |    embedding
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * (127.0 / CAST(amax AS DOUBLE)))
+        |           AS INT)) AS qvec
+        |  FROM e WHERE amax > 0),
+        |scored AS (
+        |  SELECT a.vec_id AS q_id, a.label AS q_lbl,
+        |    b.vec_id AS cand_id, b.label AS c_lbl,
+        |    CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> CAST(a.qvec[i] AS BIGINT) * b.qvec[i])) AS BIGINT)
+        |      AS qdot
+        |  FROM q a JOIN q b ON a.vec_id < 30 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT q_id, q_lbl, c_lbl, qdot,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY qdot DESC, cand_id ASC) AS rn
+        |  FROM scored),
+        |v AS (
+        |  SELECT q_id, q_lbl, c_lbl AS vote, COUNT(*) AS nv
+        |  FROM ranked WHERE rn <= 5 GROUP BY q_id, q_lbl, c_lbl),
+        |p AS (
+        |  SELECT q_id, q_lbl, vote FROM (
+        |    SELECT q_id, q_lbl, vote,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY nv DESC, vote ASC) AS rv
+        |    FROM v) WHERE rv = 1)
+        |SELECT q_lbl AS label, COUNT(*) AS n_queries,
+        |  CAST(SUM(CASE WHEN vote = q_lbl THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_correct,
+        |  CAST((2 * (SUM(CASE WHEN vote = q_lbl THEN 1 ELSE 0 END)
+        |             * 10000) + COUNT(*))
+        |       // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS acc4
+        |FROM p GROUP BY q_lbl ORDER BY label""".stripMargin)
   )
 }

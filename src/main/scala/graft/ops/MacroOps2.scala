@@ -648,6 +648,63 @@ object MacroOps2 extends OpGroup {
         |    AS top20_share4,
         |  CAST((2*(t10*10000) + tot) // (2*tot) AS DOUBLE) / 10000.0
         |    AS top10_share4
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    Q(
+      // Herfindahl–Hirschman supplier-concentration index per nation —
+      // the antitrust/supply-risk concentration number that reads next
+      // to Pareto top-k shares and gini: HHI = Σᵢ shareᵢ² over each
+      // nation's supplier revenue. Exact WITHOUT ever forming float
+      // shares, via the identity Σ(cᵢ/T)² = Σcᵢ²/T²: per-supplier
+      // revenue in exact 1e-4 currency units (cᵢ), squares and total
+      // both accumulate in DECIMAL(38,0) (HUGEINT twin), ONE wide
+      // half-up division at the end. Bound: Σcᵢ² stays under 38 digits
+      // until a nation's supplier revenues reach ~1e16 units of 1e14²
+      // — past any real SF; a long accumulator would wrap at ~$4.6e5.
+      // Scale shape: lineitem collapses per-supplier in one hash-agg
+      // (map-side partials), nation joins broadcast, the HHI agg runs
+      // on the supplier-sized frame.
+      "q_macro_hhi",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rev = money("l_extendedprice") *
+          (lit(1).cast(Money) - money("l_discount"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), rev.as("rev"))
+          .groupBy(col("l_suppkey")).agg(sum(col("rev")).as("srev"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), (col("srev") * 10000).cast(D).as("c"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+               sum(col("c") * col("c")).as("_sq"),
+               sum(col("c")).as("_tot"))
+          .select(col("n_name"), col("n_suppliers"),
+                  intRatio4Wide(col("_sq") * 10000,
+                                col("_tot") * col("_tot")).as("hhi4"))
+          .orderBy(col("n_name"))
+      },
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS srev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |c AS (
+        |  SELECT n.n_name, CAST(ps.srev * 10000 AS HUGEINT) AS c
+        |  FROM ps
+        |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |g AS (
+        |  SELECT n_name, COUNT(*) AS n_suppliers,
+        |    SUM(c * c) AS sq, SUM(c) AS tot
+        |  FROM c GROUP BY n_name)
+        |SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |  CAST((2 * (sq * 10000) + tot * tot) // (2 * (tot * tot))
+        |       AS DOUBLE) / 10000.0 AS hhi4
+        |FROM g ORDER BY n_name""".stripMargin)
   )
 }

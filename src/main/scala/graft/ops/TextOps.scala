@@ -187,6 +187,79 @@ object TextOps extends OpGroup {
         |FROM customer GROUP BY dist ORDER BY dist""".stripMargin),
 
     Q(
+      "q_text_zipf",
+      (s, d) => {
+        // Zipf exponent per language: OLS slope of ln(freq) on
+        // ln(rank) over the top-20 terms — the one-number lexical
+        // health check (natural text ≈ 1; templated/boilerplate
+        // corpora collapse toward 0, spam inflates it). Float sums
+        // of ln() terms are ORDER-dependent, so both engines
+        // accumulate them with a cumulative window in the SAME frame
+        // order (rank asc — the q_events_survival posture) and read
+        // the final row; slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), r4
+        // absorbing the per-term libm ulp. Scale shape: the corpus
+        // collapses to (lang, term) counts in one hash-agg; ranking
+        // and the regression run on the 20-row-per-lang domain.
+        val tf = Tables.documents(s, d)
+          .select(col("lang"),
+                  explode(graft.api.Dedup.tokens(col("text")))
+                    .as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        val wr = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("term").asc)
+        val top = tf.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("rn"),
+                  log(col("rn").cast("double")).as("x"),
+                  log(col("cnt").cast("double")).as("y"))
+        val wc = Window.partitionBy(col("lang")).orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy(col("lang"))
+        val cum = top
+          .withColumn("sx", sum(col("x")).over(wc))
+          .withColumn("sy", sum(col("y")).over(wc))
+          .withColumn("sxy", sum(col("x") * col("y")).over(wc))
+          .withColumn("sxx", sum(col("x") * col("x")).over(wc))
+          .withColumn("mx", max(col("rn")).over(wall))
+        cum.filter(col("rn") === col("mx"))
+          .select(col("lang"), col("mx").cast("long").as("n_terms"),
+                  r4(-((col("mx") * col("sxy") - col("sx") * col("sy"))
+                       / (col("mx") * col("sxx") -
+                          col("sx") * col("sx")))).as("zipf4"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH tf AS (
+        |  SELECT lang, unnest(${toksSql("text")}) AS term
+        |  FROM documents),
+        |cnts AS (
+        |  SELECT lang, term, COUNT(*) AS cnt
+        |  FROM tf GROUP BY lang, term),
+        |top AS (
+        |  SELECT lang, rn,
+        |    ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM (
+        |    SELECT lang, cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY cnt DESC, term ASC) AS rn
+        |    FROM cnts)
+        |  WHERE rn <= 20),
+        |cum AS (
+        |  SELECT lang, rn,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+        |    MAX(rn) OVER (PARTITION BY lang) AS mx
+        |  FROM top
+        |  WINDOW w AS (PARTITION BY lang ORDER BY rn
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW))
+        |SELECT lang, CAST(mx AS BIGINT) AS n_terms,
+        |  round(-((mx * sxy - sx * sy) / (mx * sxx - sx * sx)), 4) + 0
+        |    AS zipf4
+        |FROM cum WHERE rn = mx
+        |ORDER BY lang""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact

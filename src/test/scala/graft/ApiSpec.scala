@@ -280,6 +280,30 @@ class ApiSpec extends SparkSpec {
       .isEmpty, "jaccard should miss the sub-document pair")
   }
 
+  test("sharedNgramSpans: planted shared runs coalesce to exact spans") {
+    // docs 21/22 share two DISJOINT runs: tokens 0..6 (one 5-gram
+    // window exactly) and a longer 8-token run (= 4 consecutive
+    // 5-gram starts) placed at different offsets in each doc; doc 23
+    // shares nothing. The islands must coalesce per run, not merge
+    // across the unshared gap, and positions are per-doc.
+    val runA = "s1 s2 s3 s4 s5"                    // 5 tokens: 1 start
+    val runB = "t1 t2 t3 t4 t5 t6 t7 t8"          // 8 tokens: 4 starts
+    val d21 = s"$runA u1 u2 u3 $runB"
+    val d22 = s"v1 v2 $runA w1 w2 w3 w4 $runB"
+    val sp = Dedup.sharedNgramSpans(
+      Seq(Doc(21L, d21, "en"), Doc(22L, d22, "en"),
+          Doc(23L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "en")).toDF(),
+      col("doc_id"), col("text"), n = 5)
+      .select("doc", "span_start", "span_end", "n_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // d21: runA starts at 0 (span 0..0, 5 toks); runB at token 8 ->
+    // starts 8..11 (4 starts, 8 toks). d22: runA at 2 (span 2..2);
+    // runB at token 11 -> starts 11..14.
+    assert(sp == Set(
+      (21L, 0, 0, 5), (21L, 8, 11, 8),
+      (22L, 2, 2, 5), (22L, 11, 14, 8)), s"got $sp")
+  }
+
   test("simhashHammingPairs: exact dups at distance 0; recall vs brute force") {
     val pairs = Dedup.simhashHammingPairs(
       docs, col("doc_id"), col("text"), maxHamming = 3)
