@@ -32,7 +32,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
       .getOrElse(3).max(1)
     var failed = List.empty[String]
+    // Builder-side fast path mirroring Verify's SPARK_GRAFT_ONLY: time
+    // a subset while iterating on a hot query. The driver sets no such
+    // env var and always measures the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()

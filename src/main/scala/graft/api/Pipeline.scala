@@ -591,10 +591,17 @@ object Pipeline {
     val bucket = (1 until buckets)
       .map(i => when(col("_v") > col(s"_b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    v.crossJoin(broadcast(bounds))
+    // final bucketing runs on the VALUE-COUNTS frame, not the corpus:
+    // the bucket of a row is a function of its value alone, so
+    // re-scanning the raw rows (the previous form) paid a second full
+    // corpus pass + per-row bound comparisons for nothing — `counts`
+    // already holds (value, multiplicity) and is |distinct values|-
+    // sized, the natural frame for every post-quantile step
+    counts.select(col("_v"), col("_c"))
+      .crossJoin(broadcast(bounds))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"),
+      .agg(sum(col("_c")).as("n"), min(col("_v")).as("lo"),
            max(col("_v")).as("hi"))
   }
 }
