@@ -1682,6 +1682,103 @@ object StatsOps extends OpGroup {
         |    / 10000.0 AS rate4,
         |  iso.iso4
         |FROM b JOIN iso ON b.bin = iso.k
-        |ORDER BY b.bin""".stripMargin)
+        |ORDER BY b.bin""".stripMargin),
+
+    Q(
+      // Brown–Forsythe (median-centered Levene) variance-homogeneity
+      // test across event types — the gate that decides whether the
+      // ANOVA/t-test family's equal-variance assumption holds at all
+      // (classic ANOVA compares MEANS; this runs the same F machinery
+      // on |value − group median|, robust to the heavy tails the MAD
+      // query flags). All-integer: deviations live in 2×-cent units
+      // (2·median of longs is always integral where the median itself
+      // can be x.5), Σd/Σd² accumulate in DECIMAL(38,0), group-term
+      // ratios go through the wide half-up division, F is ONE double
+      // expression at the end (q_events_anova's exact posture).
+      // Scale shape: one median per group (percentile agg), one
+      // broadcast join back, one conditional hash-agg — the corpus is
+      // scanned twice and shuffled never (group keys only).
+      "q_stats_levene",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val med = e.groupBy(col("event_type"))
+          .agg((percentile(col("vc"), lit(0.5)) * 2).cast("long")
+                 .as("m2"))
+          .select(col("event_type").as("t1"), col("m2"))
+        val dv = e.join(broadcast(med), col("event_type") === col("t1"))
+          .select(col("event_type"),
+                  abs(col("vc") * 2 - col("m2")).as("dd"))
+        val dD = col("dd").cast(D38)
+        val grp = dv.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ng"),
+               sum(col("dd")).as("sg"),
+               (sum(dD * dD) * 10000).cast(D38).as("ss4"))
+          .select(col("ng"), col("sg"), col("ss4"),
+                  halfUpDivWide(col("sg").cast(D38) * col("sg") * 10000,
+                                col("ng")).as("tg"))
+        grp.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+                sum(col("sg")).as("st"), sum(col("ss4")).as("sss4"),
+                sum(col("tg")).as("sumt"))
+          .select(col("k"), col("n"), col("sss4"), col("sumt"),
+                  halfUpDivWide(col("st").cast(D38) * col("st") * 10000,
+                                col("n")).as("tall"))
+          .select(col("k").as("n_groups"), col("n"),
+                  greatest(col("sumt") - col("tall"), lit(0L))
+                    .cast(D38).as("ssb4"),
+                  greatest(col("sss4") - col("sumt").cast(D38),
+                           lit(0L).cast(D38)).as("ssw4"))
+          .select(col("n_groups"), col("n"),
+                  round((col("ssb4").cast("double") *
+                         (col("n") - col("n_groups")).cast("double")) /
+                        (col("ssw4").cast("double") *
+                         (col("n_groups") - 1).cast("double")), 4)
+                    .as("bf_stat"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS m2
+        |  FROM e GROUP BY event_type),
+        |dv AS (
+        |  SELECT e.event_type, abs(vc * 2 - m2) AS dd
+        |  FROM e JOIN med USING (event_type)),
+        |grp AS (
+        |  SELECT event_type, COUNT(*) AS ng,
+        |    CAST(SUM(dd) AS HUGEINT) AS sg,
+        |    CAST(SUM(CAST(dd AS HUGEINT) * dd) * 10000 AS HUGEINT)
+        |      AS ss4
+        |  FROM dv GROUP BY event_type),
+        |grpt AS (
+        |  SELECT ng, sg, ss4,
+        |    (2 * (sg * sg * 10000) + CAST(ng AS HUGEINT))
+        |      // (2 * CAST(ng AS HUGEINT)) AS tg
+        |  FROM grp),
+        |g AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS HUGEINT) AS st,
+        |    CAST(SUM(ss4) AS HUGEINT) AS sss4,
+        |    CAST(SUM(tg) AS HUGEINT) AS sumt
+        |  FROM grpt),
+        |g2 AS (
+        |  SELECT k, n, sss4, sumt,
+        |    (2 * (st * st * 10000) + CAST(n AS HUGEINT))
+        |      // (2 * CAST(n AS HUGEINT)) AS tall
+        |  FROM g),
+        |g3 AS (
+        |  SELECT k AS n_groups, n,
+        |    greatest(sumt - tall, 0) AS ssb4,
+        |    greatest(sss4 - sumt, 0) AS ssw4
+        |  FROM g2)
+        |SELECT n_groups, n,
+        |  round((CAST(ssb4 AS DOUBLE) * CAST(n - n_groups AS DOUBLE)) /
+        |        (CAST(ssw4 AS DOUBLE) * CAST(n_groups - 1 AS DOUBLE)),
+        |        4) + 0 AS bf_stat
+        |FROM g3""".stripMargin)
   )
 }

@@ -260,6 +260,70 @@ object TextOps extends OpGroup {
         |ORDER BY lang""".stripMargin),
 
     Q(
+      // Term BURSTINESS (Fano factor / variance-to-mean ratio of
+      // per-doc counts, zeros included) for each language's top-10
+      // terms — the Church–Gale dispersion diagnostic: function words
+      // sit near VMR≈1 (Poisson), topical/template terms burst ≫1;
+      // the signal behind stopword lists and boilerplate suspicion
+      // that raw frequency (zipf, topterms) cannot see. Exact via
+      // VMR = (nQ − S²)/((n−1)S) on integer moments S=Σc, Q=Σc² —
+      // zero-count docs enter through n alone, so the all-docs frame
+      // is never materialized; one wide half-up division per term.
+      // Scale shape: explode → (lang,term,doc) hash-agg (the tfidf
+      // exchange) → term-sized moment agg; lang doc-counts broadcast.
+      "q_text_burstiness",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tc = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+                  explode(graft.api.Dedup.tokens(col("text")))
+                    .as("term"))
+          .groupBy(col("lang"), col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        val ag = tc.groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("ndw"), sum(col("c")).as("s"),
+               sum(col("c") * col("c")).as("q"))
+        val nl = Tables.documents(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("nd"))
+          .select(col("lang").as("_l"), col("nd"))
+        val wr = Window.partitionBy(col("lang"))
+          .orderBy(col("s").desc, col("term").asc)
+        ag.join(broadcast(nl), col("lang") === col("_l"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 10)
+          .select(col("lang"), col("term"), col("ndw"), col("s"),
+                  intRatio4Wide(
+                    (col("nd").cast(D) * col("q") -
+                     col("s").cast(D) * col("s")) * 10000,
+                    (col("nd") - 1).cast(D) * col("s")).as("vmr4"))
+          .orderBy(col("lang"), col("s").desc, col("term"))
+      },
+      s"""WITH t0 AS (
+        |  SELECT lang, doc_id, unnest(${toksSql("text")}) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT lang, term, doc_id, COUNT(*) AS c
+        |  FROM t0 GROUP BY lang, term, doc_id),
+        |ag AS (
+        |  SELECT lang, term, COUNT(*) AS ndw,
+        |    CAST(SUM(c) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+        |  FROM tc GROUP BY lang, term),
+        |nl AS (SELECT lang, COUNT(*) AS nd FROM documents
+        |       GROUP BY lang),
+        |top AS (
+        |  SELECT ag.lang, term, ndw, s, q, nd,
+        |    row_number() OVER (PARTITION BY ag.lang
+        |                       ORDER BY s DESC, term ASC) AS rn
+        |  FROM ag JOIN nl ON ag.lang = nl.lang)
+        |SELECT lang, term, CAST(ndw AS BIGINT) AS ndw,
+        |  CAST(s AS BIGINT) AS s,
+        |  CAST((2 * ((nd * q - s * s) * 10000) + (nd - 1) * s)
+        |       // (2 * ((nd - 1) * s)) AS DOUBLE) / 10000.0 AS vmr4
+        |FROM top WHERE rn <= 10
+        |ORDER BY lang, s DESC, term""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact
