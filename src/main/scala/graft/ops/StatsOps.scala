@@ -1779,6 +1779,187 @@ object StatsOps extends OpGroup {
         |  round((CAST(ssb4 AS DOUBLE) * CAST(n - n_groups AS DOUBLE)) /
         |        (CAST(ssw4 AS DOUBLE) * CAST(n_groups - 1 AS DOUBLE)),
         |        4) + 0 AS bf_stat
-        |FROM g3""".stripMargin)
+        |FROM g3""".stripMargin),
+
+    Q(
+      // Tukey HSD post-hoc: WHICH language mean doc-lengths differ,
+      // after an ANOVA says "some do" — every i<j pair's |mean
+      // difference| against the honest-significant-difference
+      // threshold q·√(MSW·(1/nᵢ+1/nⱼ)/2). The studentized-range
+      // critical value q(k=5, df=∞, α=.10)=3.478 is a FROZEN literal
+      // (the NDCG-discount-table discipline — never each engine's own
+      // stats library). Means/SSW come from the exact anchored
+      // integer moments (anova posture); the boolean verdict compares
+      // two bit-identical doubles, so it cannot flap cross-engine.
+      // Domain + level chosen so the verdict column WORKS at bench
+      // scale: zh runs ~18 chars longer than the other langs, so at
+      // sf0.1 the zh pairs flip significant while near pairs stay
+      // false — both branches are exercised, not a constant column.
+      // Scale shape: one anchor pass + one conditional hash-agg to k
+      // rows; the pair join is k²/2 on the 5-row group frame.
+      "q_stats_tukey_hsd",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.documents(s, d)
+          .select(col("lang"), col("n_chars").as("vc"))
+        val anchors = e.groupBy(col("lang"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("lang").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val st = e.join(broadcast(anchors), col("lang") === col("t1"))
+          .groupBy(col("lang"), col("a"))
+          .agg(count(lit(1)).as("n"), sum(dd).as("sg"),
+               (sum(dd * dd) * 10000).cast(D38).as("ss4"))
+          .select(col("lang"), col("n"),
+                  (col("a").cast("double") +
+                   col("sg").cast("double") / col("n")).as("mc"),
+                  (col("ss4") -
+                   halfUpDivWide(col("sg") * col("sg") * 10000,
+                                 col("n"))).cast(D38).as("ssg4"))
+        val tot = st.agg(sum(col("ssg4")).cast("double").as("_ssw4"),
+                         sum(col("n")).as("_nn"),
+                         count(lit(1)).as("_k"))
+        val a = st.select(col("lang").as("lang_a"),
+                          col("n").as("n_a"), col("mc").as("m_a"))
+        val b = st.select(col("lang").as("lang_b"),
+                          col("n").as("n_b"), col("mc").as("m_b"))
+        a.join(b, col("lang_a") < col("lang_b"))
+          .crossJoin(broadcast(tot))
+          .withColumn("hsdc",
+            lit(3.478) * sqrt(
+              (col("_ssw4") / 10000.0 /
+               (col("_nn") - col("_k")).cast("double")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")) / 2.0))
+          .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+                  round(abs(col("m_a") - col("m_b")), 4).as("diff4"),
+                  round(col("hsdc"), 4).as("hsd4"),
+                  (abs(col("m_a") - col("m_b")) > col("hsdc"))
+                    .as("significant"))
+          .orderBy(col("lang_a"), col("lang_b"))
+      },
+      """WITH e AS (
+        |  SELECT lang, n_chars AS vc FROM documents),
+        |an AS (SELECT lang, MIN(vc) AS a FROM e GROUP BY lang),
+        |st AS (
+        |  SELECT e.lang, COUNT(*) AS n,
+        |    CAST(a AS DOUBLE)
+        |      + CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |        / COUNT(*) AS mc,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a)) * 10000
+        |         - (2 * (CAST(SUM(CAST(vc - a AS HUGEINT)) AS HUGEINT)
+        |                 * SUM(CAST(vc - a AS HUGEINT)) * 10000)
+        |            + COUNT(*)) // (2 * COUNT(*))
+        |      AS HUGEINT) AS ssg4
+        |  FROM e JOIN an USING (lang)
+        |  GROUP BY e.lang, a),
+        |tot AS (
+        |  SELECT CAST(SUM(ssg4) AS DOUBLE) AS ssw4,
+        |    CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS k
+        |  FROM st)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round(abs(a.mc - b.mc), 4) + 0 AS diff4,
+        |  round(3.478 * sqrt((ssw4 / 10000.0
+        |                      / CAST(nn - k AS DOUBLE))
+        |                     * (1.0 / a.n + 1.0 / b.n) / 2.0),
+        |        4) + 0 AS hsd4,
+        |  abs(a.mc - b.mc) > 3.478 * sqrt((ssw4 / 10000.0
+        |                      / CAST(nn - k AS DOUBLE))
+        |                     * (1.0 / a.n + 1.0 / b.n) / 2.0)
+        |    AS significant
+        |FROM st a JOIN st b ON a.lang < b.lang
+        |CROSS JOIN tot
+        |ORDER BY lang_a, lang_b""".stripMargin),
+
+    Q(
+      // A/B sample-size planner (the "how long must this experiment
+      // run" calculator): for click-vs-view value, the per-group n
+      // needed to detect the OBSERVED effect at α=.05 two-sided /
+      // 80% power under the two-sample z approximation — n =
+      // ⌈(z_{α/2}+z_β)²·(v₁+v₂)/δ²⌉ with the z-sum squared FROZEN at
+      // 7.849 (z=1.960, 0.842 — literal constants, never an inverse-
+      // CDF call that each engine computes differently). Variances
+      // and means from exact anchored integer moments; the ceil acts
+      // on bit-identical doubles. Reports whether the current sample
+      // is already powered.
+      // Scale shape: q_events_ab_ttest's two-group anchored hash-agg;
+      // everything after is a 1×1 cross join.
+      "q_stats_power",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val anchors = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("event_type").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val st = e.join(broadcast(anchors), col("event_type") === col("t1"))
+          .groupBy(col("event_type"), col("a"))
+          .agg(sum(dd).cast("double").as("sv"),
+               sum(dd * dd).cast("double").as("s2"),
+               count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+                  (col("a").cast("double") + col("sv") / col("n"))
+                    .as("mc"),
+                  greatest((col("s2") - col("sv") * col("sv") / col("n")) /
+                           (col("n") - 1), lit(0.0)).as("v2"))
+        val g1 = st.filter(col("event_type") === "click")
+          .select(col("n").as("n_click"), col("mc").as("m1"),
+                  col("v2").as("v1"))
+        val g2 = st.filter(col("event_type") === "view")
+          .select(col("n").as("n_view"), col("mc").as("m2"),
+                  col("v2").as("v2"))
+        g1.crossJoin(g2)
+          // δ=0 would ride a ∞ into the long cast, where Spark
+          // saturates and DuckDB raises — make "no observed effect"
+          // the SAME null on both engines instead
+          .withColumn("nreq",
+            when(col("m1") =!= col("m2"),
+              ceil(lit(7.849) * (col("v1") + col("v2")) /
+                   ((col("m1") - col("m2")) * (col("m1") - col("m2"))))
+                .cast("long")))
+          .select(col("n_click"), col("n_view"),
+                  round(abs(col("m1") - col("m2")) / 100.0, 4)
+                    .as("observed_diff4"),
+                  col("nreq").as("n_required"),
+                  (col("n_click") >= col("nreq") &&
+                   col("n_view") >= col("nreq")).as("powered_now"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |an AS (SELECT event_type, MIN(vc) AS a FROM e
+        |       GROUP BY event_type),
+        |st AS (
+        |  SELECT e.event_type, COUNT(*) AS n,
+        |    CAST(a AS DOUBLE)
+        |      + CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |        / COUNT(*) AS mc,
+        |    greatest(
+        |      (CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a)) AS DOUBLE)
+        |       - CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |         * CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |         / COUNT(*))
+        |      / (COUNT(*) - 1), 0.0) AS v2
+        |  FROM e JOIN an USING (event_type)
+        |  GROUP BY e.event_type, a),
+        |g1 AS (SELECT n AS n_click, mc AS m1, v2 AS v1 FROM st
+        |       WHERE event_type = 'click'),
+        |g2 AS (SELECT n AS n_view, mc AS m2, v2 AS v2x FROM st
+        |       WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT n_click, n_view, m1, m2, v1, v2x,
+        |    CASE WHEN m1 <> m2 THEN
+        |      CAST(ceil(7.849 * (v1 + v2x) / ((m1 - m2) * (m1 - m2)))
+        |           AS BIGINT) END AS nreq
+        |  FROM g1 CROSS JOIN g2)
+        |SELECT n_click, n_view,
+        |  round(abs(m1 - m2) / 100.0, 4) + 0 AS observed_diff4,
+        |  nreq AS n_required,
+        |  n_click >= nreq AND n_view >= nreq AS powered_now
+        |FROM j""".stripMargin)
   )
 }
