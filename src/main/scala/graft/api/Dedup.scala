@@ -647,4 +647,54 @@ object Dedup {
               col("span_end"),
               (col("span_end") - col("span_start") + n).as("n_tokens"))
   }
+
+  /** Per-document COVERED-TOKEN mass under [[sharedNgramSpans]]'
+    * n-gram grid: how many of a doc's tokens sit inside at least one
+    * cross-doc-shared n-gram window — the number a span-removal pass
+    * would delete, and the numerator of the "X% of the corpus is
+    * duplicated text" headline every dedup paper reports. NOT the sum
+    * of span token-lengths: two spans of covered STARTS separated by
+    * a short gap (< n missing starts) still cover OVERLAPPING token
+    * ranges, so summing per-span lengths double-counts. The exact
+    * union length needs one more coalescing rule: a new covered
+    * token-interval begins only when the next covered start is > n
+    * positions away (start gap ≤ n ⇔ token ranges [s,s+n−1] touch or
+    * overlap), i.e. gaps-and-islands with a lag-flag + running
+    * cumsum instead of the pos − row_number trick (which splits on
+    * EVERY gap). Returns (doc, covered_tokens, n_spans) where
+    * n_spans counts maximal merged token-intervals.
+    * Scale shape: identical to sharedNgramSpans (one gram hash-agg +
+    * semi-join), plus one lag+cumsum window per doc partition. */
+  def coveredTokenMass(
+      df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1, "coveredTokenMass: n must be >= 1")
+    val toks = df.select(id.as("__doc"), tokens(text).as("w"))
+      .filter(size(col("w")) >= n)
+    val parts = (0 until n).map(j => s"w[p+$j]").mkString(", ")
+    val sh = toks.select(
+      col("__doc"),
+      posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), p -> " +
+          s"concat_ws(' ', $parts))")).as(Seq("pos", "g")))
+    val shared = sh.groupBy(col("g"))
+      .agg(countDistinct(col("__doc")).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val cov = sh.join(shared, Seq("g"), "left_semi")
+      .select(col("__doc"), col("pos"))
+    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    val wc = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cov
+      .withColumn("nw",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("nw")).over(wc))
+      .groupBy(col("__doc"), col("isl"))
+      .agg(min(col("pos")).as("s0"), max(col("pos")).as("e0"))
+      .groupBy(col("__doc"))
+      .agg(sum(col("e0") - col("s0") + n).as("covered_tokens"),
+           count(lit(1)).as("n_spans"))
+      .select(col("__doc").as("doc"), col("covered_tokens"),
+              col("n_spans"))
+  }
 }

@@ -1292,6 +1292,94 @@ object NearDupOps extends OpGroup {
         |  CAST(SUM(e0 - s0 + 7) AS BIGINT) AS shared_tokens,
         |  CAST(MAX(e0 - s0 + 7) AS BIGINT) AS widest,
         |  CAST(MIN(s0) AS BIGINT) AS first_pos
-        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    Q(
+      // The DUPLICATION-MASS headline (api.Dedup.coveredTokenMass):
+      // what fraction of each source's tokens sits inside a cross-doc
+      // shared 7-gram window — the "X% of the corpus is duplicated
+      // text" number dedup papers lead with, and exactly what a
+      // span-removal pass would delete. Distinct from
+      // q_dedup_substring's per-span rollup: overlapping token
+      // windows are UNION-merged (gap ≤ n starts ⇒ one interval), so
+      // the mass never double-counts — see the api Scaladoc for the
+      // lag-flag island rule that differs from the row_number trick.
+      // Scale shape: the sharedNgramSpans pipeline + one lag/cumsum
+      // window per doc; the report is one source-sized hash-agg.
+      "q_dedup_substring_mass",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mass = graft.api.Dedup.coveredTokenMass(
+          docs, col("doc_id"), col("text"), n = 7)
+        docs.select(col("doc_id"), col("source"),
+                    size(graft.api.Dedup.tokens(col("text")))
+                      .cast("long").as("n_tok"))
+          .join(mass, col("doc_id") === col("doc"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("covered_tokens").isNotNull, 1L)
+                 .otherwise(0L)).as("docs_with_dup"),
+               sum(col("n_tok")).as("total_tokens"),
+               coalesce(sum(col("covered_tokens")), lit(0L))
+                 .as("covered_tokens"))
+          .select(col("source"), col("n_docs"), col("docs_with_dup"),
+                  col("total_tokens"), col("covered_tokens"),
+                  intRatio4(col("covered_tokens") * 10000L,
+                            col("total_tokens")).as("dup_frac4"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 6)) AS p, w
+        |  FROM tok WHERE len(w) >= 7),
+        |sh AS (
+        |  SELECT doc_id, p,
+        |    concat_ws(' ', w[p+1], w[p+2], w[p+3], w[p+4], w[p+5],
+        |              w[p+6], w[p+7]) AS g
+        |  FROM pos),
+        |shared AS (
+        |  SELECT g FROM sh GROUP BY g
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, p FROM sh WHERE g IN (SELECT g FROM shared)),
+        |fl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+        |                               ORDER BY p) > 7
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY p
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS grp
+        |  FROM fl),
+        |iv AS (
+        |  SELECT doc_id, MIN(p) AS s0, MAX(p) AS e0
+        |  FROM isl GROUP BY doc_id, grp),
+        |mass AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(e0 - s0 + 7) AS BIGINT) AS covered
+        |  FROM iv GROUP BY doc_id),
+        |dt AS (
+        |  SELECT t.doc_id, d.source,
+        |    CAST(len(t.w) AS BIGINT) AS n_tok
+        |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id),
+        |g AS (
+        |  SELECT dt.source, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN m.covered IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS docs_with_dup,
+        |    SUM(dt.n_tok) AS total_tokens,
+        |    COALESCE(SUM(m.covered), 0) AS covered_tokens
+        |  FROM dt LEFT JOIN mass m ON dt.doc_id = m.doc_id
+        |  GROUP BY dt.source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(docs_with_dup AS BIGINT) AS docs_with_dup,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+        |  CAST((2 * (covered_tokens * 10000) + total_tokens)
+        |       // (2 * total_tokens) AS DOUBLE) / 10000.0 AS dup_frac4
+        |FROM g ORDER BY source""".stripMargin)
   )
 }

@@ -304,6 +304,24 @@ class ApiSpec extends SparkSpec {
       (22L, 2, 2, 5), (22L, 11, 14, 8)), s"got $sp")
   }
 
+  test("coveredTokenMass: overlapping windows union-merge, never double-count") {
+    // docA's shared 5-gram starts are {0, 2} (start 1 is NOT in docB):
+    // their token windows 0..4 and 2..6 OVERLAP — the union is the
+    // whole 7-token doc, while a naive per-span length sum says 10.
+    // docB's shared starts {0, 6} gap by more than n → two disjoint
+    // intervals, token 5 ('X') stays uncovered.
+    val a = "a1 a2 a3 a4 a5 a6 a7"
+    val b = "a1 a2 a3 a4 a5 X a3 a4 a5 a6 a7"
+    val got = Dedup.coveredTokenMass(
+      Seq(Doc(31L, a, "en"), Doc(32L, b, "en")).toDF(),
+      col("doc_id"), col("text"), n = 5)
+      .select("doc", "covered_tokens", "n_spans")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(31L -> ((7L, 1L)), 32L -> ((10L, 2L))),
+           s"got $got")
+  }
+
   test("simhashHammingPairs: exact dups at distance 0; recall vs brute force") {
     val pairs = Dedup.simhashHammingPairs(
       docs, col("doc_id"), col("text"), maxHamming = 3)
