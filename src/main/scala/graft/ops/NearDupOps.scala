@@ -1380,6 +1380,56 @@ object NearDupOps extends OpGroup {
         |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
         |  CAST((2 * (covered_tokens * 10000) + total_tokens)
         |       // (2 * total_tokens) AS DOUBLE) / 10000.0 AS dup_frac4
-        |FROM g ORDER BY source""".stripMargin)
+        |FROM g ORDER BY source""".stripMargin),
+
+    Q(
+      // minCos OPERATING CURVE: near-dup pair count at each candidate
+      // threshold (0.20 … 0.50) in ONE pass over the sign-bucket
+      // candidate pairs — the sweep a pipeline owner reads before
+      // committing to a dedup threshold, instead of re-running the
+      // dedup per τ. Thresholds span the synthetic embeddings' whole
+      // within-bucket cosine range (≈0.43–0.51 max per SF), so the
+      // curve bends from hundreds of pairs to near-zero — no constant
+      // column, every τ row informative. cos is the R3-rounded 1e-4
+      // grid, so a threshold comparison can never flap cross-engine.
+      // Scale shape: the bits=8 SRP prune bounds candidates exactly
+      // like q_dedup_embed_cosine; the τ fan-out joins the tiny pair
+      // frame against a 7-row literal dimension.
+      "q_sim_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val pairs = graft.api.Sim.embeddingNearDupPairs(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          bits = 8, minCos = 0.0)
+        val taus = Seq(0.20, 0.25, 0.30, 0.35, 0.40, 0.45, 0.50)
+          .toDF("tau")
+        broadcast(taus)
+          .join(pairs, col("cos") >= col("tau"), "left")
+          .groupBy(col("tau"))
+          .agg(count(col("a_id")).as("n_pairs"))
+          .orderBy(col("tau"))
+      },
+      s"""WITH e0 AS (
+        |  SELECT vec_id, embedding,
+        |    ${sqlBits("embedding", 8)} AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |p AS (
+        |  SELECT a.vec_id AS a_id,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE)
+        |             * CAST(b.embedding[i] AS DOUBLE)))
+        |        / (a.nrm * b.nrm), 4) + 0 AS cos
+        |  FROM e a JOIN e b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pp AS (SELECT a_id, cos FROM p WHERE cos >= 0.0),
+        |t0(tau0) AS (VALUES (0.20), (0.25), (0.30), (0.35), (0.40),
+        |                    (0.45), (0.50)),
+        |t AS (SELECT CAST(tau0 AS DOUBLE) AS tau FROM t0)
+        |SELECT tau, COUNT(pp.a_id) AS n_pairs
+        |FROM t LEFT JOIN pp ON pp.cos >= t.tau
+        |GROUP BY tau ORDER BY tau""".stripMargin)
   )
 }
