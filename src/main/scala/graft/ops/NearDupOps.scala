@@ -1393,20 +1393,24 @@ object NearDupOps extends OpGroup {
       // column, every τ row informative. cos is the R3-rounded 1e-4
       // grid, so a threshold comparison can never flap cross-engine.
       // Scale shape: the bits=8 SRP prune bounds candidates exactly
-      // like q_dedup_embed_cosine; the τ fan-out joins the tiny pair
-      // frame against a 7-row literal dimension.
+      // like q_dedup_embed_cosine; the τ fan-out is NOT a join at all
+      // — seven conditional partial sums in the one pair-frame agg
+      // (a τ-dimension nested-loop would broadcast the pair frame,
+      // fixture-fine but a hazard once pairs number millions), then a
+      // constant-size stack to rows. PlanSpec pins the no-join shape.
       "q_sim_threshold_sweep",
       (s, d) => {
-        import s.implicits._
         val pairs = graft.api.Sim.embeddingNearDupPairs(
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           bits = 8, minCos = 0.0)
         val taus = Seq(0.20, 0.25, 0.30, 0.35, 0.40, 0.45, 0.50)
-          .toDF("tau")
-        broadcast(taus)
-          .join(pairs, col("cos") >= col("tau"), "left")
-          .groupBy(col("tau"))
-          .agg(count(col("a_id")).as("n_pairs"))
+        val aggs = taus.zipWithIndex.map { case (t, i) =>
+          sum(when(col("cos") >= t, 1L).otherwise(0L)).as(s"_n$i") }
+        val stackArgs = taus.zipWithIndex
+          .map { case (t, i) => s"${t}D, _n$i" }.mkString(", ")
+        pairs.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${taus.size}, $stackArgs) AS (tau, n_pairs)"))
           .orderBy(col("tau"))
       },
       s"""WITH e0 AS (

@@ -1960,6 +1960,152 @@ object StatsOps extends OpGroup {
         |  round(abs(m1 - m2) / 100.0, 4) + 0 AS observed_diff4,
         |  nreq AS n_required,
         |  n_click >= nreq AND n_view >= nreq AS powered_now
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin),
+
+    Q(
+      // Mann–Kendall trend TEST on the daily volume series — the
+      // significance companion to q_ts_theil_sen's robust slope (the
+      // standard pairing in monitoring: Theil–Sen says how steep,
+      // Mann–Kendall says whether it's real): S = Σ_{i<j}
+      // sign(yⱼ−yᵢ) with the exact tie-corrected variance 18·Var =
+      // n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), both pure integers; the
+      // continuity-corrected Z is ONE double expression at the end.
+      // Scale shape: the corpus collapses to the bounded day domain
+      // first (theil_sen posture), the O(n²) pair join and the
+      // tie-size agg both run on that ~30-row frame.
+      "q_stats_mann_kendall",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("y"))
+        val a = daily.select(col("x").as("xi"), col("y").as("yi"))
+        val b = daily.select(col("x").as("xj"), col("y").as("yj"))
+        val sStat = a.join(b, col("xj") > col("xi"))
+          .agg(sum(when(col("yj") > col("yi"), 1L)
+                     .when(col("yj") < col("yi"), -1L)
+                     .otherwise(0L)).as("s_stat"))
+        val ties = daily.groupBy(col("y"))
+          .agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+                 .as("tt"),
+               sum(col("t")).as("n"))
+        sStat.crossJoin(broadcast(ties))
+          .select(col("n").as("n_days"), col("s_stat"),
+                  (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+                   col("tt")).as("var18"))
+          .select(col("n_days"), col("s_stat"), col("var18"),
+                  r4(when(col("s_stat") > 0,
+                       (col("s_stat") - 1).cast("double") /
+                         sqrt(col("var18").cast("double") / 18.0))
+                     .when(col("s_stat") < 0,
+                       (col("s_stat") + 1).cast("double") /
+                         sqrt(col("var18").cast("double") / 18.0))
+                     .otherwise(lit(0.0))).as("z4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS x, COUNT(*) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 86400000000),
+        |s AS (
+        |  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |                       WHEN b.y < a.y THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON b.x > a.x),
+        |t AS (
+        |  SELECT CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tt,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)),
+        |g AS (
+        |  SELECT n AS n_days, s_stat,
+        |    n * (n - 1) * (n * 2 + 5) - tt AS var18
+        |  FROM s CROSS JOIN t)
+        |SELECT n_days, s_stat, var18,
+        |  round(CASE WHEN s_stat > 0 THEN
+        |          CAST(s_stat - 1 AS DOUBLE)
+        |            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        WHEN s_stat < 0 THEN
+        |          CAST(s_stat + 1 AS DOUBLE)
+        |            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        ELSE 0.0 END, 4) + 0 AS z4
+        |FROM g""".stripMargin),
+
+    Q(
+      // Wald–Wolfowitz RUNS test on the daily up/down sequence — "is
+      // the series a random walk or does it trend/oscillate": signs
+      // sᵗ = sign(yᵗ − yᵗ⁻¹) (zeros dropped), runs R = 1 + #sign
+      // changes counted by a lag compare in day order, E[R] =
+      // 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) from the
+      // exact integer up/down counts, Z one double. Too few moves
+      // (n₁n₂ = 0 or n ≤ 1) yields the SAME null Z on both engines.
+      // Scale shape: day-domain lag window only; the corpus is
+      // touched by the one daily hash-agg.
+      "q_stats_runs_test",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("y"))
+        val wd = Window.orderBy(col("x"))
+        val sg = daily
+          .withColumn("pv", lag(col("y"), 1).over(wd))
+          .filter(col("pv").isNotNull && col("y") =!= col("pv"))
+          .select(col("x"),
+                  when(col("y") > col("pv"), 1).otherwise(-1).as("sg"))
+        val ws = Window.orderBy(col("x"))
+        val g = sg
+          .withColumn("chg",
+            when(lag(col("sg"), 1).over(ws).isNull, 1)
+              .when(col("sg") =!= lag(col("sg"), 1).over(ws), 1)
+              .otherwise(0))
+          .agg(sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_up"),
+               sum(when(col("sg") === -1, 1L).otherwise(0L))
+                 .as("n_down"),
+               sum(col("chg")).cast("long").as("n_runs"))
+        val n = col("n_up") + col("n_down")
+        val p2 = col("n_up") * col("n_down") * 2
+        g.select(col("n_up"), col("n_down"), col("n_runs"),
+                 r4(when(col("n_up") > 0 && col("n_down") > 0 &&
+                         n > 1 && (p2 - n) > 0,
+                      (col("n_runs").cast("double") -
+                       (lit(1.0) + p2.cast("double") / n.cast("double")))
+                        / sqrt(p2.cast("double") *
+                               (p2 - n).cast("double") /
+                               (n.cast("double") * n.cast("double") *
+                                (n - 1).cast("double"))))).as("z4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS x, COUNT(*) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 86400000000),
+        |sg AS (
+        |  SELECT x, CASE WHEN y > pv THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT x, y, lag(y) OVER (ORDER BY x) AS pv
+        |        FROM daily)
+        |  WHERE pv IS NOT NULL AND y <> pv),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(SUM(chg) AS BIGINT) AS n_runs
+        |  FROM (
+        |    SELECT sg,
+        |      CASE WHEN lag(sg) OVER (ORDER BY x) IS NULL THEN 1
+        |           WHEN sg <> lag(sg) OVER (ORDER BY x) THEN 1
+        |           ELSE 0 END AS chg
+        |    FROM sg))
+        |SELECT n_up, n_down, n_runs,
+        |  round(CASE WHEN n_up > 0 AND n_down > 0
+        |              AND n_up + n_down > 1
+        |              AND 2 * n_up * n_down - (n_up + n_down) > 0
+        |        THEN (CAST(n_runs AS DOUBLE)
+        |              - (1.0 + CAST(2 * n_up * n_down AS DOUBLE)
+        |                   / CAST(n_up + n_down AS DOUBLE)))
+        |             / sqrt(CAST(2 * n_up * n_down AS DOUBLE)
+        |                    * CAST(2 * n_up * n_down
+        |                           - (n_up + n_down) AS DOUBLE)
+        |                    / (CAST(n_up + n_down AS DOUBLE)
+        |                       * CAST(n_up + n_down AS DOUBLE)
+        |                       * CAST(n_up + n_down - 1 AS DOUBLE)))
+        |        END, 4) + 0 AS z4
+        |FROM g""".stripMargin)
   )
 }

@@ -741,4 +741,47 @@ class PlanSpec extends SparkSpec {
       s"checksum must not sort/window the corpus:\n$plan")
   }
 
+  test("substring dedup: gram semi-join + islands window, never a doc self-join") {
+    // the ExactSubstr shape: candidates come from the gram-keyed agg
+    // (df>=2) semi-joined back — a corpus×corpus join or a cartesian
+    // product here would be the O(n²) failure mode at 100 TB
+    for (q <- Seq("q_dedup_substring", "q_dedup_substring_mass")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"$q: shared-gram semi join missing:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: must never plan an all-pairs join")
+    }
+  }
+
+  test("threshold sweep: conditional sums in ONE agg, no tau join at all") {
+    val df = SparkEntry.queries("q_sim_threshold_sweep")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // all seven τ counts ride the single pair-frame aggregation as
+    // conditional partial sums — a τ-dimension nested-loop join would
+    // broadcast the pair frame, a hazard once pairs number millions
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"tau fan-out must not join:\n$plan")
+    val nJoins = "Join".r.findAllIn(plan).size
+    assert(nJoins >= 1, s"bucket candidate join missing:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("stack"),
+      s"constant-size stack to rows missing:\n$plan")
+  }
+
+  test("quantile norm: CDF block table broadcasts; no single-partition corpus window") {
+    val df = SparkEntry.queries("q_curate_quantile_norm")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"block-CDF range join should broadcast the block table:\n$plan")
+    // the per-source rank window partitions by source — a global
+    // row_number over the corpus would print 'Window' with an empty
+    // partition spec; assert every Window in the plan carries one
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.exists(_.contains("source")),
+      s"per-source rank window missing:\n$plan")
+  }
+
 }
