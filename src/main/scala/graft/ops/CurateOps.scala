@@ -724,6 +724,156 @@ object CurateOps extends OpGroup {
         |  CAST(MIN(cdf.v) AS BIGINT) AS norm_min,
         |  CAST(MAX(cdf.v) AS BIGINT) AS norm_max
         |FROM tr JOIN cdf ON tr.tr > cdf.cumb AND tr.tr <= cdf.cum
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // THE one-page PER-LANGUAGE CORPUS REPORT — five operator
+      // families composed into one plan and one oracle hash: token
+      // volume (the shared tokenizer), quality-gate pass rate
+      // (api.Text.qualityGate), exact-dup incidence (text-identity
+      // count), benchmark contamination (api.Pipeline.contaminated,
+      // 7-gram vs the src0 slice), and cross-doc duplication mass
+      // (api.Dedup.coveredTokenMass, union-merged spans) — the table
+      // a corpus owner actually reads before a training run, and the
+      // widest single integration proof in the suite (q_curate_funnel
+      // composes stages sequentially; this composes FAMILIES
+      // side-by-side per stratum). Everything integer; two ratios
+      // through intRatio4.
+      // Scale shape: each family keeps its own pinned shape (hash-agg
+      // / semi-join / islands windows); the report join fans doc-id
+      // keyed flags into ONE per-doc frame then collapses to |langs|.
+      "q_curate_corpus_report",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        val corpus = all.filter(col("source") =!= "src0")
+        val bench = all.filter(col("source") === "src0")
+        val g = graft.api.Text.qualityGate(
+          corpus.select(col("doc_id"), col("lang"), col("text")),
+          col("text"))
+        val ex = corpus.groupBy(col("text"))
+          .agg(count(lit(1)).as("_ct"))
+          .filter(col("_ct") >= 2).select(col("text").as("_dtext"))
+        val contam = graft.api.Pipeline.contaminated(
+            corpus, bench, col("doc_id"), col("text"), 7)
+          .select(col("doc_id").as("_cid"))
+        val mass = graft.api.Dedup.coveredTokenMass(
+            corpus, col("doc_id"), col("text"), 7)
+          .select(col("doc").as("_mid"), col("covered_tokens"))
+        g.join(ex, g("text") === col("_dtext"), "left")
+          .join(contam, col("doc_id") === col("_cid"), "left")
+          .join(mass, col("doc_id") === col("_mid"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_words")).as("n_tokens"),
+               sum(col("pass").cast("long")).as("_npass"),
+               sum(when(col("_dtext").isNotNull, 1L).otherwise(0L))
+                 .as("n_exact_dup"),
+               sum(when(col("_cid").isNotNull, 1L).otherwise(0L))
+                 .as("n_contaminated"),
+               coalesce(sum(col("covered_tokens")), lit(0L))
+                 .as("_cov"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+                  intRatio4(col("_npass") * 10000L, col("n_docs"))
+                    .as("pass_rate4"),
+                  col("n_exact_dup"), col("n_contaminated"),
+                  intRatio4(col("_cov") * 10000L, col("n_tokens"))
+                    .as("dup_frac4"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH corp AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE source <> 'src0'),
+        |f AS (SELECT doc_id, lang, text, ${toksSql("text")} AS w
+        |      FROM corp),
+        |m AS (
+        |  SELECT doc_id, lang, text, len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+        |      / len(w) AS mean_wl,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a'))
+        |         AS DOUBLE) / len(w) AS stop_frac,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(
+        |        range(0, len(w) - 1),
+        |        i -> concat(w[i+1], ' ', w[i+2])))) AS DOUBLE)
+        |        / (len(w) - 1)
+        |    ELSE 0.0 END AS dup2
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    ((n_words BETWEEN 20 AND 90) AND mean_wl >= 4.0
+        |     AND mean_wl <= 5.0 AND stop_frac >= 0.01
+        |     AND dup2 <= 0.06) AS pass
+        |  FROM m),
+        |ex AS (SELECT text FROM corp GROUP BY text
+        |       HAVING COUNT(*) >= 2),
+        |ctok AS (
+        |  SELECT doc_id, source, ${toksSql("text")} AS w
+        |  FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4], ' ',
+        |           w[i+5], ' ', w[i+6], ' ', w[i+7]) AS g
+        |  FROM (SELECT doc_id, source, w,
+        |          unnest(range(0, len(w) - 6)) AS i
+        |        FROM ctok WHERE len(w) >= 7)),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM csh c WHERE c.source <> 'src0'
+        |    AND EXISTS (SELECT 1 FROM csh b
+        |                WHERE b.source = 'src0' AND b.g = c.g)),
+        |cpos AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 6)) AS p, w
+        |  FROM f WHERE len(w) >= 7),
+        |msh AS (
+        |  SELECT doc_id, p,
+        |    concat_ws(' ', w[p+1], w[p+2], w[p+3], w[p+4], w[p+5],
+        |              w[p+6], w[p+7]) AS g
+        |  FROM cpos),
+        |mshared AS (
+        |  SELECT g FROM msh GROUP BY g
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |mcov AS (
+        |  SELECT doc_id, p FROM msh
+        |  WHERE g IN (SELECT g FROM mshared)),
+        |mfl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+        |                               ORDER BY p) > 7
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM mcov),
+        |misl AS (
+        |  SELECT doc_id, p,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY p
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS grp
+        |  FROM mfl),
+        |miv AS (
+        |  SELECT doc_id, MIN(p) AS s0, MAX(p) AS e0
+        |  FROM misl GROUP BY doc_id, grp),
+        |massc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(e0 - s0 + 7) AS BIGINT) AS covered
+        |  FROM miv GROUP BY doc_id),
+        |rg AS (
+        |  SELECT q.lang, COUNT(*) AS n_docs,
+        |    SUM(q.n_words) AS n_tokens,
+        |    SUM(CASE WHEN q.pass THEN 1 ELSE 0 END) AS npass,
+        |    SUM(CASE WHEN q.text IN (SELECT text FROM ex)
+        |        THEN 1 ELSE 0 END) AS n_exact_dup,
+        |    SUM(CASE WHEN q.doc_id IN (SELECT doc_id FROM contam)
+        |        THEN 1 ELSE 0 END) AS n_contaminated,
+        |    COALESCE(SUM(mc.covered), 0) AS cov
+        |  FROM q LEFT JOIN massc mc ON q.doc_id = mc.doc_id
+        |  GROUP BY q.lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((2 * (npass * 10000) + n_docs) // (2 * n_docs)
+        |       AS DOUBLE) / 10000.0 AS pass_rate4,
+        |  CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+        |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+        |  CAST((2 * (cov * 10000) + n_tokens) // (2 * n_tokens)
+        |       AS DOUBLE) / 10000.0 AS dup_frac4
+        |FROM rg ORDER BY lang""".stripMargin)
   )
 }
