@@ -2106,6 +2106,143 @@ object StatsOps extends OpGroup {
         |                       * CAST(n_up + n_down AS DOUBLE)
         |                       * CAST(n_up + n_down - 1 AS DOUBLE)))
         |        END, 4) + 0 AS z4
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    Q(
+      // Higher-moment shape profile per event type: sample skewness
+      // g₁ = (m₃/n)/(m₂/n)^1.5 and excess kurtosis g₂ = n·m₄/m₂² − 3
+      // from EXACT anchored central-moment ingredients — Σd, Σd², Σd³,
+      // Σd⁴ accumulate as DECIMAL(38,0) over per-type MIN-anchored
+      // cents (d ≤ value spread, d⁴·n ≈ 10²² at sf0.1 — room to
+      // ~10¹⁶ rows), the central m₂/m₃/m₄ assembled by the standard
+      // raw→central identities in doubles from those exact integers,
+      // ONE identical expression tree on both engines. The tails/
+      // asymmetry numbers a value-distribution monitor alarms on,
+      // completing mean/var (q_agg_stats) → median/MAD → skew/kurt.
+      // Scale shape: one anchor pass + one hash-agg; k-row math after.
+      "q_agg_skew_kurtosis",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val anchors = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("event_type").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val g = e.join(broadcast(anchors), col("event_type") === col("t1"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(dd).cast("double").as("s1"),
+               sum(dd * dd).cast("double").as("s2"),
+               sum(dd * dd * dd).cast("double").as("s3"),
+               sum(dd * dd * dd * dd).cast("double").as("s4"))
+        val nD = col("n").cast("double")
+        val mu = col("s1") / nD
+        val m2 = col("s2") / nD - mu * mu
+        val m3 = col("s3") / nD - mu * col("s2") / nD * 3 +
+                 mu * mu * mu * 2
+        val m4 = col("s4") / nD - mu * col("s3") / nD * 4 +
+                 mu * mu * col("s2") / nD * 6 -
+                 mu * mu * mu * mu * 3
+        g.select(col("event_type"), col("n"),
+                 r4(m3 / sqrt(m2 * m2 * m2)).as("skew4"),
+                 r4(m4 / (m2 * m2) - 3.0).as("kurtosis4"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |an AS (SELECT event_type, MIN(vc) AS a FROM e
+        |       GROUP BY event_type),
+        |g AS (
+        |  SELECT e.event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a)) AS DOUBLE)
+        |      AS s2,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a) * (vc - a))
+        |         AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a) * (vc - a)
+        |             * (vc - a)) AS DOUBLE) AS s4
+        |  FROM e JOIN an USING (event_type)
+        |  GROUP BY e.event_type),
+        |c AS (
+        |  SELECT event_type, n,
+        |    s1 / n AS mu, s2, s3, s4, CAST(n AS DOUBLE) AS nd
+        |  FROM g),
+        |mm AS (
+        |  SELECT event_type, n,
+        |    s2 / nd - mu * mu AS m2,
+        |    s3 / nd - mu * s2 / nd * 3 + mu * mu * mu * 2 AS m3,
+        |    s4 / nd - mu * s3 / nd * 4 + mu * mu * s2 / nd * 6
+        |      - mu * mu * mu * mu * 3 AS m4
+        |  FROM c)
+        |SELECT event_type, n,
+        |  round(m3 / sqrt(m2 * m2 * m2), 4) + 0 AS skew4,
+        |  round(m4 / (m2 * m2) - 3.0, 4) + 0 AS kurtosis4
+        |FROM mm ORDER BY event_type""".stripMargin),
+
+    Q(
+      // MAX DRAWDOWN of the daily-revenue series — the worst
+      // peak-to-trough fall from any running high, THE risk/stability
+      // number next to a trend report (NOT on the cumulative curve:
+      // a cumsum of positive revenue is monotone and its drawdown is
+      // identically 0 — the level series is what can fall). Exact
+      // integer cents: running max via a frame-ordered window,
+      // drawdown = peak − rev, the worst row picked by (drawdown
+      // DESC, day ASC) rank so ties resolve identically cross-engine,
+      // and the drawdown FRACTION derived integrally via intRatio4
+      // (an argmax-style peak-day pick through max_by would be
+      // tie-ambiguous — everything emitted here is rank- or
+      // integer-decided).
+      // Scale shape: corpus → day domain in one hash-agg; every
+      // window runs over ~30 day rows.
+      "q_win_drawdown",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val wc = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cur = daily
+          .withColumn("peak", max(col("rev")).over(wc))
+          .withColumn("dd", col("peak") - col("rev"))
+        val wr = Window.orderBy(col("dd").desc, col("day").asc)
+        cur.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("day").as("trough_day"),
+                  (col("dd").cast("double") / 100.0).as("max_drawdown"),
+                  (col("peak").cast("double") / 100.0).as("peak_rev"),
+                  (col("rev").cast("double") / 100.0).as("trough_rev"),
+                  intRatio4(col("dd") * 10000L, col("peak"))
+                    .as("dd_frac4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |cur AS (
+        |  SELECT day, rev,
+        |    MAX(rev) OVER (ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |dd AS (
+        |  SELECT day, rev, peak, peak - rev AS dd,
+        |    row_number() OVER (ORDER BY peak - rev DESC, day ASC)
+        |      AS rn
+        |  FROM cur)
+        |SELECT day AS trough_day,
+        |  CAST(dd AS DOUBLE) / 100.0 AS max_drawdown,
+        |  CAST(peak AS DOUBLE) / 100.0 AS peak_rev,
+        |  CAST(rev AS DOUBLE) / 100.0 AS trough_rev,
+        |  CAST((2 * (dd * 10000) + peak) // (2 * peak) AS DOUBLE)
+        |    / 10000.0 AS dd_frac4
+        |FROM dd WHERE rn = 1""".stripMargin)
   )
 }
