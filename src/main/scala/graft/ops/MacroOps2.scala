@@ -705,6 +705,51 @@ object MacroOps2 extends OpGroup {
         |SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
         |  CAST((2 * (sq * 10000) + tot * tot) // (2 * (tot * tot))
         |       AS DOUBLE) / 10000.0 AS hhi4
-        |FROM g ORDER BY n_name""".stripMargin)
+        |FROM g ORDER BY n_name""".stripMargin),
+
+    Q(
+      // SEASONAL INDEX (ratio-to-average): each month's revenue vs
+      // its year's average month — the classic BI seasonality table
+      // (index 1.0 = typical month) that q_macro_yoy_growth's annual
+      // deltas can't show. Exact: index = mrev·n_months/ytot through
+      // the DECIMAL(38) half-up ratio (never a float year-average);
+      // partial years divide by their OWN month count, so the index
+      // is honest at the calendar edges.
+      // Scale shape: orders collapse to (year, month) in one
+      // hash-agg; the year totals broadcast back to ≤84 rows.
+      "q_macro_seasonal_index",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rev = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"),
+                  month(col("o_orderdate")).as("mo"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("yr"), col("mo"))
+          .agg(sum(col("vc")).as("mrev"))
+        val ytot = rev.groupBy(col("yr").as("y2"))
+          .agg(sum(col("mrev")).as("ytot"), count(lit(1)).as("nmo"))
+        rev.join(broadcast(ytot), col("yr") === col("y2"))
+          .select(col("yr"), col("mo"),
+                  (col("mrev").cast("double") / 100.0).as("revenue"),
+                  intRatio4Wide(
+                    col("mrev").cast(D) * col("nmo") * 10000,
+                    col("ytot")).as("index4"))
+          .orderBy(col("yr"), col("mo"))
+      },
+      """WITH r AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(month(o_orderdate) AS INT) AS mo,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS mrev
+        |  FROM orders GROUP BY 1, 2),
+        |y AS (
+        |  SELECT yr, CAST(SUM(mrev) AS HUGEINT) AS ytot,
+        |    COUNT(*) AS nmo
+        |  FROM r GROUP BY yr)
+        |SELECT r.yr, r.mo,
+        |  CAST(mrev AS DOUBLE) / 100.0 AS revenue,
+        |  CAST((2 * (CAST(mrev AS HUGEINT) * nmo * 10000) + ytot)
+        |       // (2 * ytot) AS DOUBLE) / 10000.0 AS index4
+        |FROM r JOIN y USING (yr) ORDER BY yr, mo""".stripMargin)
   )
 }

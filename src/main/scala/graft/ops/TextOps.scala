@@ -324,6 +324,61 @@ object TextOps extends OpGroup {
         |ORDER BY lang, s DESC, term""".stripMargin),
 
     Q(
+      // Lexicon-scored POLARITY gate (the VADER/AFINN pipeline stage
+      // with the lexicon FROZEN as literals — the frozen-constant
+      // discipline of the NDCG/Tukey rows; a real deployment swaps
+      // the word lists, the machinery is identical): net score = #pos
+      // − #neg token hits per doc against {fast, big}/{slow, small},
+      // docs classified pos/neg/neutral, per-lang mean net in exact
+      // 1e-4. Everything integer counts; THE shared tokenizer, so
+      // polarity and dedup agree on what a token is.
+      // Scale shape: one explode + conditional hash-agg per doc, one
+      // lang-sized rollup; no join anywhere.
+      "q_text_polarity",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+                  explode(graft.api.Dedup.tokens(col("text")))
+                    .as("w"))
+        val perDoc = tok.groupBy(col("doc_id"), col("lang"))
+          .agg(sum(when(col("w").isin("fast", "big"), 1L)
+                     .when(col("w").isin("slow", "small"), -1L)
+                     .otherwise(0L)).as("net"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("net") > 0, 1L).otherwise(0L)).as("n_pos"),
+               sum(when(col("net") < 0, 1L).otherwise(0L)).as("n_neg"),
+               sum(col("net")).as("_tot"))
+          .select(col("lang"), col("n_docs"), col("n_pos"),
+                  col("n_neg"),
+                  intRatio4(col("_tot") * 10000L, col("n_docs"))
+                    .as("mean_net4"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, unnest(${toksSql("text")}) AS w
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(CASE WHEN w IN ('fast', 'big') THEN 1
+        |                  WHEN w IN ('slow', 'small') THEN -1
+        |                  ELSE 0 END) AS BIGINT) AS net
+        |  FROM tok GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN net > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(SUM(CASE WHEN net < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_neg,
+        |  CASE WHEN SUM(net) >= 0 THEN
+        |    CAST((2 * (SUM(net) * 10000) + COUNT(*))
+        |         // (2 * COUNT(*)) AS DOUBLE) / 10000.0
+        |  ELSE
+        |    -(CAST((2 * (-(SUM(net)) * 10000) + COUNT(*))
+        |           // (2 * COUNT(*)) AS DOUBLE) / 10000.0)
+        |  END AS mean_net4
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact
