@@ -874,6 +874,101 @@ object CurateOps extends OpGroup {
         |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
         |  CAST((2 * (cov * 10000) + n_tokens) // (2 * n_tokens)
         |       AS DOUBLE) / 10000.0 AS dup_frac4
-        |FROM rg ORDER BY lang""".stripMargin)
+        |FROM rg ORDER BY lang""".stripMargin),
+
+    Q(
+      // NEYMAN optimal allocation of a fixed eval-sample budget
+      // (n=1000) across event-type strata: n_h ∝ N_h·σ_h — the
+      // textbook survey-sampling allocation that beats proportional
+      // sampling whenever stratum variances differ (sample MORE where
+      // the metric is noisier). σ from exact anchored integer
+      // moments; fractional allocations resolve by LARGEST REMAINDER
+      // with (frac DESC, stratum ASC) rank so Σalloc = budget EXACTLY
+      // and ties break identically cross-engine; every multi-row sum
+      // of doubles runs over the SAME ordered 5-row window frame on
+      // both engines (float sums are order-dependent).
+      // Scale shape: one anchor pass + one hash-agg to k strata; all
+      // allocation math on the k-row frame.
+      "q_sample_neyman",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val budget = 1000L
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val anchors = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("event_type").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val st = e.join(broadcast(anchors), col("event_type") === col("t1"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nh"),
+               sum(dd).cast("double").as("sv"),
+               sum(dd * dd).cast("double").as("s2"))
+          .withColumn("sd",
+            sqrt(greatest((col("s2") - col("sv") * col("sv") /
+                             col("nh")) / (col("nh") - 1), lit(0.0))))
+          .withColumn("w", col("nh").cast("double") * col("sd"))
+        val wAll = Window.orderBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+        val alloc0 = st
+          .withColumn("tw", sum(col("w")).over(wAll))
+          .withColumn("a0", lit(budget.toDouble) * col("w") / col("tw"))
+          .withColumn("base", floor(col("a0")).cast("long"))
+          .withColumn("frac", col("a0") - floor(col("a0")))
+          .withColumn("tb", sum(col("base")).over(wAll))
+        val wr = Window.orderBy(col("frac").desc, col("event_type"))
+        alloc0.withColumn("rn", row_number().over(wr))
+          .select(col("event_type"), col("nh"),
+                  r4(col("sd") / 100.0).as("sd4"),
+                  (col("base") +
+                   when(col("rn") <= lit(budget) - col("tb"), 1L)
+                     .otherwise(0L)).as("alloc"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |an AS (SELECT event_type, MIN(vc) AS a FROM e
+        |       GROUP BY event_type),
+        |st AS (
+        |  SELECT e.event_type, COUNT(*) AS nh,
+        |    sqrt(greatest(
+        |      (CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a)) AS DOUBLE)
+        |       - CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |         * CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE)
+        |         / COUNT(*))
+        |      / (COUNT(*) - 1), 0.0)) AS sd
+        |  FROM e JOIN an USING (event_type)
+        |  GROUP BY e.event_type),
+        |w AS (
+        |  SELECT event_type, nh, sd,
+        |    CAST(nh AS DOUBLE) * sd AS w,
+        |    SUM(CAST(nh AS DOUBLE) * sd) OVER wa AS tw
+        |  FROM st
+        |  WINDOW wa AS (ORDER BY event_type
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)),
+        |a0 AS (
+        |  SELECT event_type, nh, sd,
+        |    1000.0 * w / tw AS a0,
+        |    CAST(floor(1000.0 * w / tw) AS BIGINT) AS base,
+        |    1000.0 * w / tw - floor(1000.0 * w / tw) AS frac
+        |  FROM w),
+        |a1 AS (
+        |  SELECT event_type, nh, sd, base, frac,
+        |    SUM(base) OVER wa AS tb,
+        |    row_number() OVER (ORDER BY frac DESC, event_type ASC)
+        |      AS rn
+        |  FROM a0
+        |  WINDOW wa AS (ORDER BY event_type
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, nh,
+        |  round(sd / 100.0, 4) + 0 AS sd4,
+        |  base + CASE WHEN rn <= 1000 - tb THEN 1 ELSE 0 END AS alloc
+        |FROM a1 ORDER BY event_type""".stripMargin)
   )
 }

@@ -919,6 +919,63 @@ object PipelineOps extends OpGroup {
         |       ELSE lam + (CASE WHEN urank <= rem THEN 1 ELSE 0 END)
         |       END AS BIGINT)*10000) + avail) // (2*avail) AS DOUBLE)
         |    / 10000.0 AS fill4
-        |FROM u ORDER BY source""".stripMargin)
+        |FROM u ORDER BY source""".stripMargin),
+
+    Q(
+      // MIN-MAX feature scaling per group — the (x−min)/(max−min)
+      // normalization every feature pipeline runs before training,
+      // verified at the GROUP-REPORT level: each row's normalized
+      // value is computed as an exact half-up integer in 1e-4 units
+      // (the [0,10000] grid), so the per-type sum/mean of normalized
+      // values is a pure integer reduction — a float normalize-then-
+      // sum would be partition-order dependent and engine-divergent.
+      // Scale shape: one min/max hash-agg broadcast back, one
+      // conditional hash-agg; the normalize itself is map-side.
+      "q_agg_minmax_scale",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val mm = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("mn"), max(col("vc")).as("mx"))
+          .filter(col("mx") > col("mn"))
+          .select(col("event_type").as("t1"), col("mn"), col("mx"))
+        val nn = halfUpDivWide((col("vc") - col("mn")) * 10000L,
+                               col("mx") - col("mn"))
+        e.join(broadcast(mm), col("event_type") === col("t1"))
+          .select(col("event_type"), col("mn"), col("mx"),
+                  nn.as("nn"))
+          .groupBy(col("event_type"), col("mn"), col("mx"))
+          .agg(count(lit(1)).as("n"), sum(col("nn")).as("_sn"))
+          .select(col("event_type"), col("n"),
+                  (col("mn").cast("double") / 100.0).as("min_v"),
+                  (col("mx").cast("double") / 100.0).as("max_v"),
+                  intRatio4Wide(col("_sn"), col("n")).as("norm_mean4"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |mm AS (
+        |  SELECT event_type, MIN(vc) AS mn, MAX(vc) AS mx
+        |  FROM e GROUP BY event_type
+        |  HAVING MAX(vc) > MIN(vc)),
+        |nn AS (
+        |  SELECT e.event_type, mn, mx,
+        |    (2 * (CAST(vc - mn AS HUGEINT) * 10000)
+        |     + CAST(mx - mn AS HUGEINT))
+        |      // (2 * CAST(mx - mn AS HUGEINT)) AS nn
+        |  FROM e JOIN mm USING (event_type)),
+        |g AS (
+        |  SELECT event_type, mn, mx, COUNT(*) AS n,
+        |    CAST(SUM(nn) AS HUGEINT) AS sn
+        |  FROM nn GROUP BY event_type, mn, mx)
+        |SELECT event_type, n,
+        |  CAST(mn AS DOUBLE) / 100.0 AS min_v,
+        |  CAST(mx AS DOUBLE) / 100.0 AS max_v,
+        |  CAST((2 * sn + CAST(n AS HUGEINT)) // (2 * CAST(n AS HUGEINT))
+        |       AS DOUBLE) / 10000.0 AS norm_mean4
+        |FROM g ORDER BY event_type""".stripMargin)
   )
 }
