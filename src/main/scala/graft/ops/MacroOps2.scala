@@ -750,6 +750,43 @@ object MacroOps2 extends OpGroup {
         |  CAST(mrev AS DOUBLE) / 100.0 AS revenue,
         |  CAST((2 * (CAST(mrev AS HUGEINT) * nmo * 10000) + ytot)
         |       // (2 * ytot) AS DOUBLE) / 10000.0 AS index4
-        |FROM r JOIN y USING (yr) ORDER BY yr, mo""".stripMargin)
+        |FROM r JOIN y USING (yr) ORDER BY yr, mo""".stripMargin),
+
+    Q(
+      // Customer REPEAT RATE per year — the retention headline of any
+      // commerce BI deck (what share of this year's buyers bought
+      // more than once): one (year, customer) hash-agg with order
+      // counts, one year rollup, rate half-up exact. Pairs with
+      // q_events_retention (event-side cohorts) on the orders side.
+      // Scale shape: two hash-aggs, keys only; no window, no join.
+      "q_macro_repeat_rate",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+          .groupBy(col("yr"), col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        perCust.groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_customers"),
+               sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+                 .as("n_repeat"))
+          .select(col("yr"), col("n_customers"), col("n_repeat"),
+                  intRatio4(col("n_repeat") * 10000L,
+                            col("n_customers")).as("repeat_rate4"))
+          .orderBy(col("yr"))
+      },
+      """WITH pc AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT yr, COUNT(*) AS n_customers,
+        |    CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_repeat
+        |  FROM pc GROUP BY yr)
+        |SELECT yr, n_customers, n_repeat,
+        |  CAST((2 * (n_repeat * 10000) + n_customers)
+        |       // (2 * n_customers) AS DOUBLE) / 10000.0
+        |    AS repeat_rate4
+        |FROM g ORDER BY yr""".stripMargin)
   )
 }

@@ -976,6 +976,57 @@ object PipelineOps extends OpGroup {
         |  CAST(mx AS DOUBLE) / 100.0 AS max_v,
         |  CAST((2 * sn + CAST(n AS HUGEINT)) // (2 * CAST(n AS HUGEINT))
         |       AS DOUBLE) / 10000.0 AS norm_mean4
-        |FROM g ORDER BY event_type""".stripMargin)
+        |FROM g ORDER BY event_type""".stripMargin),
+
+    Q(
+      // Mixture budgeting on the DEDUPED corpus — q_mix_budget's
+      // keep-rates recomputed over exact-dedup survivors (min doc_id
+      // per identical text), because budgeting on RAW token counts
+      // over-allocates every stratum in proportion to its duplication
+      // (the classic mixing mistake: dup-heavy crawls eat the budget
+      // twice). Composes exact dedup → tokenCounts → mixRates, all
+      // three through the public api layer; rates land on the same
+      // rounded 1e-4 grid as q_mix_budget so the two tables diff
+      // cleanly.
+      // Scale shape: ONE text-keyed hash-agg picks canonicals
+      // (keep-min, no window), semi-join back, then the mix math on
+      // the |langs| frame.
+      "q_mix_dedup_budget",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("_kid"))
+          .select(col("_kid"))
+        val kept = docs.join(keep, docs("doc_id") === col("_kid"),
+                             "left_semi")
+        graft.api.Pipeline.mixRates(
+            graft.api.Text.tokenCounts(kept, col("text")),
+            col("lang"), col("n_bpe"),
+            weights = Map("en" -> 0.3, "de" -> 0.1, "es" -> 0.1,
+                          "fr" -> 0.1, "zh" -> 0.8),
+            budget = 10000L)
+          .orderBy(col("stratum"))
+      },
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS kid FROM documents GROUP BY text),
+        |kept AS (
+        |  SELECT d.lang, d.text FROM documents d
+        |  WHERE d.doc_id IN (SELECT kid FROM keep)),
+        |tok AS (
+        |  SELECT lang,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n
+        |  FROM kept),
+        |tot AS (
+        |  SELECT lang AS stratum, CAST(SUM(n) AS BIGINT) AS toks
+        |  FROM tok GROUP BY lang),
+        |w(s2, wt) AS (VALUES
+        |  ('de', 0.1), ('en', 0.3), ('es', 0.1), ('fr', 0.1),
+        |  ('zh', 0.8))
+        |SELECT stratum, toks,
+        |  round(least(1.0, 10000 * wt / toks), 4) + 0 AS rate,
+        |  CAST(floor(toks * (round(least(1.0, 10000 * wt / toks), 4)
+        |                     + 0)) AS BIGINT) AS kept_toks
+        |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin)
   )
 }
