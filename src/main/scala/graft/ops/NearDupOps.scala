@@ -1434,6 +1434,63 @@ object NearDupOps extends OpGroup {
         |t AS (SELECT CAST(tau0 AS DOUBLE) AS tau FROM t0)
         |SELECT tau, COUNT(pp.a_id) AS n_pairs
         |FROM t LEFT JOIN pp ON pp.cos >= t.tau
-        |GROUP BY tau ORDER BY tau""".stripMargin)
+        |GROUP BY tau ORDER BY tau""".stripMargin),
+
+    Q(
+      // LSH bucket PURITY diagnostics: per 8-bit sign bucket, how
+      // label-homogeneous are the vectors that collide — n, distinct
+      // labels, the majority label (count DESC, label ASC rank — an
+      // arbitrary argmax could flap engines) and its share. The
+      // routing-quality audit behind every q_sim_ann_* row: high
+      // purity ⇒ bucket routing respects semantics ⇒ ANN recall is
+      // cheap; low purity says spend more bits/probes. Multi-vector
+      // buckets only (singletons carry no collision signal).
+      // Scale shape: one (bucket, label) hash-agg, windows on the
+      // bucket-sized frame; the corpus is scanned once.
+      "q_sim_bucket_purity",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("label"),
+                  graft.api.Sim.signBits(col("embedding"), 8)
+                    .as("bucket"))
+        val bl = e.groupBy(col("bucket"), col("label"))
+          .agg(count(lit(1)).as("nl"))
+        val wb = Window.partitionBy(col("bucket"))
+          .orderBy(col("nl").desc, col("label").asc)
+        bl.withColumn("rn", row_number().over(wb))
+          .groupBy(col("bucket"))
+          .agg(sum(col("nl")).as("n"),
+               count(lit(1)).as("n_labels"),
+               max(when(col("rn") === 1, col("label"))).as("maj_label"),
+               max(when(col("rn") === 1, col("nl"))).as("_mc"))
+          .filter(col("n") >= 2)
+          .select(col("bucket"), col("n"), col("n_labels"),
+                  col("maj_label"),
+                  intRatio4(col("_mc") * 10000L, col("n"))
+                    .as("purity4"))
+          .orderBy(col("bucket"))
+      },
+      s"""WITH e AS (
+        |  SELECT vec_id, label, ${sqlBits("embedding", 8)} AS bucket
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |bl AS (
+        |  SELECT bucket, label, COUNT(*) AS nl
+        |  FROM e GROUP BY bucket, label),
+        |r AS (
+        |  SELECT bucket, label, nl,
+        |    row_number() OVER (PARTITION BY bucket
+        |                       ORDER BY nl DESC, label ASC) AS rn
+        |  FROM bl),
+        |g AS (
+        |  SELECT bucket, CAST(SUM(nl) AS BIGINT) AS n,
+        |    COUNT(*) AS n_labels,
+        |    MAX(CASE WHEN rn = 1 THEN label END) AS maj_label,
+        |    CAST(MAX(CASE WHEN rn = 1 THEN nl END) AS BIGINT) AS mc
+        |  FROM r GROUP BY bucket)
+        |SELECT bucket, n, n_labels, maj_label,
+        |  CAST((2 * (mc * 10000) + n) // (2 * n) AS DOUBLE) / 10000.0
+        |    AS purity4
+        |FROM g WHERE n >= 2 ORDER BY bucket""".stripMargin)
   )
 }

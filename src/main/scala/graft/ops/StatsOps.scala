@@ -2243,6 +2243,76 @@ object StatsOps extends OpGroup {
         |  CAST(rev AS DOUBLE) / 100.0 AS trough_rev,
         |  CAST((2 * (dd * 10000) + peak) // (2 * peak) AS DOUBLE)
         |    / 10000.0 AS dd_frac4
-        |FROM dd WHERE rn = 1""".stripMargin)
+        |FROM dd WHERE rn = 1""".stripMargin),
+
+    Q(
+      // RSI (relative-strength index, SMA-14 variant) of the daily
+      // revenue series — the momentum oscillator read next to the
+      // drawdown number: day-over-day gains/losses as exact integer
+      // cents, 14-day rolling sums G/L via ROWS frames, and the
+      // identity RSI = 100·G/(G+L) keeps the WHOLE statistic rational
+      // — one wide half-up division, zero floats anywhere (the
+      // textbook 100 − 100/(1+RS) form would float-divide twice).
+      // Wilder's recursive smoothing is deliberately swapped for the
+      // SMA window: the recursion is sequential state (documented),
+      // the SMA is a pure frame aggregate — and at day ≥ 15 both
+      // agree in rank ordering. Flat 14-day stretches (G+L=0) yield
+      // the SAME null on both engines.
+      // Scale shape: corpus → day domain (orders span ~2400 days);
+      // the unpartitioned ROWS-frame window runs on that bounded
+      // domain frame, never the corpus.
+      "q_win_rsi",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val wd = Window.orderBy(col("day"))
+        val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+        val gl = daily
+          .withColumn("diff", col("rev") - lag(col("rev"), 1).over(wd))
+          .filter(col("diff").isNotNull)
+          .withColumn("gain", greatest(col("diff"), lit(0L)))
+          .withColumn("loss", greatest(-col("diff"), lit(0L)))
+          .withColumn("g14", sum(col("gain")).over(w14))
+          .withColumn("l14", sum(col("loss")).over(w14))
+          .withColumn("rn", row_number().over(wd))
+        gl.filter(col("rn") >= 14)
+          .select(col("day"),
+                  when(col("g14") + col("l14") > 0,
+                    intRatio4Wide(col("g14") * 100L * 10000L,
+                                  col("g14") + col("l14"))).as("rsi4"))
+          .orderBy(col("day"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |df AS (
+        |  SELECT day, rev - lag(rev) OVER (ORDER BY day) AS diff
+        |  FROM daily),
+        |gl AS (
+        |  SELECT day,
+        |    greatest(diff, 0) AS gain, greatest(-diff, 0) AS loss
+        |  FROM df WHERE diff IS NOT NULL),
+        |r AS (
+        |  SELECT day,
+        |    SUM(gain) OVER w AS g14, SUM(loss) OVER w AS l14,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM gl
+        |  WINDOW w AS (ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  CASE WHEN g14 + l14 > 0 THEN
+        |    CAST((2 * (CAST(g14 AS HUGEINT) * 100 * 10000)
+        |          + (g14 + l14))
+        |         // (2 * CAST(g14 + l14 AS HUGEINT)) AS DOUBLE)
+        |      / 10000.0
+        |  END AS rsi4
+        |FROM r WHERE rn >= 14
+        |ORDER BY day""".stripMargin)
   )
 }
