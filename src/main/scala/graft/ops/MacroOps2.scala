@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Determinism._
 import graft.io.Tables
 
@@ -787,6 +788,74 @@ object MacroOps2 extends OpGroup {
         |  CAST((2 * (n_repeat * 10000) + n_customers)
         |       // (2 * n_customers) AS DOUBLE) / 10000.0
         |    AS repeat_rate4
-        |FROM g ORDER BY yr""".stripMargin)
+        |FROM g ORDER BY yr""".stripMargin),
+
+    Q(
+      // ABC (Pareto-class) part segmentation: parts ranked by revenue,
+      // classified by cumulative share — A carries the first 80%, B to
+      // 95%, C the tail — the inventory-policy classification behind
+      // every "manage the vital few" ops decision, reported as class
+      // rollups. Class boundaries are decided by EXACT integer
+      // cross-multiplication (cum·100 ≤ tot·80), never a rounded
+      // share, so a part can't flap classes across engines; the
+      // cumulative runs over a total (rev DESC, partkey) order.
+      // Scale shape: lineitem collapses per-part in one hash-agg; the
+      // rank/cumsum window runs on the part dimension (bounded), and
+      // the output is 3 rows.
+      "q_macro_abc",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val perPart = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+                  (money("l_extendedprice") *
+                   (lit(1).cast(Money) - money("l_discount")))
+                    .as("rev"))
+          .groupBy(col("l_partkey"))
+          .agg((sum(col("rev")) * 10000).cast(D).as("c"))
+        val wc = Window.orderBy(col("c").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(lit(1))
+        val cls = perPart
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("tot", sum(col("c")).over(wAll))
+          .withColumn("cls",
+            when(col("cum") * 100 <= col("tot") * 80, "A")
+              .when(col("cum") * 100 <= col("tot") * 95, "B")
+              .otherwise("C"))
+        cls.groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("c")).as("_crev"))
+          .withColumn("_t", sum(col("_crev")).over(wAll))
+          .select(col("cls"), col("n_parts"),
+                  intRatio4Wide(col("_crev") * 10000, col("_t"))
+                    .as("rev_share4"))
+          .orderBy(col("cls"))
+      },
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |         * 10000 AS HUGEINT) AS c
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (
+        |  SELECT l_partkey, c,
+        |    SUM(c) OVER (ORDER BY c DESC, l_partkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS tot
+        |  FROM pp),
+        |cl AS (
+        |  SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |              WHEN cum * 100 <= tot * 95 THEN 'B'
+        |              ELSE 'C' END AS cls, c
+        |  FROM r),
+        |g AS (
+        |  SELECT cls, COUNT(*) AS n_parts,
+        |    CAST(SUM(c) AS HUGEINT) AS crev
+        |  FROM cl GROUP BY cls),
+        |t AS (SELECT CAST(SUM(crev) AS HUGEINT) AS t FROM g)
+        |SELECT cls, n_parts,
+        |  CAST((2 * (crev * 10000) + t.t) // (2 * t.t) AS DOUBLE)
+        |    / 10000.0 AS rev_share4
+        |FROM g CROSS JOIN t ORDER BY cls""".stripMargin)
   )
 }

@@ -379,6 +379,59 @@ object TextOps extends OpGroup {
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin),
 
     Q(
+      // HEAPS'-LAW vocabulary growth curve on the 3-GRAM vocabulary:
+      // distinct trigram count after the first k docs (doc_id order)
+      // at doubling checkpoints — the sublinear V(n) ≈ K·n^β curve
+      // that says whether a crawl is still finding NEW language or
+      // re-serving itself (the corpus-level twin of q_text_novelty's
+      // per-source rate, and the empirical basis for vocab/context
+      // planning). Trigrams, not unigrams: the fixture's closed
+      // ~31-word unigram vocabulary saturates by doc 25 — a flat
+      // curve verifying nothing — while the combinatorial 3-gram
+      // space keeps growing at every SF. Exact: each gram reduces to
+      // its FIRST-occurrence doc (one min agg — never a per-prefix
+      // rescan); checkpoints count first-occurrences ≤ k.
+      // Scale shape: shingle map-side → one (gram) min hash-agg →
+      // the ≤7 checkpoint counts ride that agg as conditional sums —
+      // the corpus is scanned ONCE for any number of checkpoints.
+      "q_text_heaps",
+      (s, d) => {
+        val first = Tables.documents(s, d)
+          .select(col("doc_id"),
+                  graft.api.Dedup.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(0, size(w) - 3), " +
+              "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("g"))
+          .groupBy(col("g"))
+          .agg(min(col("doc_id")).as("fd"))
+        val ks = Seq(25L, 50L, 100L, 200L, 400L, 800L, 1600L)
+        val aggs = ks.zipWithIndex.map { case (k, i) =>
+          sum(when(col("fd") <= k, 1L).otherwise(0L)).as(s"_v$i") }
+        val stackArgs = ks.zipWithIndex
+          .map { case (k, i) => s"${k}L, _v$i" }.mkString(", ")
+        first.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${ks.size}, $stackArgs) AS (k_docs, vocab)"))
+          .orderBy(col("k_docs"))
+      },
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+        |t AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat(w[i+1], ' ', w[i+2], ' ', w[i+3]) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        |        FROM tok WHERE len(w) >= 3)),
+        |f AS (SELECT g, MIN(doc_id) AS fd FROM t GROUP BY g),
+        |k(k_docs) AS (VALUES (25), (50), (100), (200), (400),
+        |                     (800), (1600))
+        |SELECT CAST(k_docs AS BIGINT) AS k_docs,
+        |  CAST(SUM(CASE WHEN f.fd <= k_docs THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS vocab
+        |FROM k CROSS JOIN f
+        |GROUP BY k_docs ORDER BY k_docs""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact
