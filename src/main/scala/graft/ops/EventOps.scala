@@ -1556,6 +1556,97 @@ object EventOps extends OpGroup {
         |  CAST(c_post AS DOUBLE) / 10000.0 AS c_post4,
         |  CAST((t_post - t_pre) - (c_post - c_pre) AS DOUBLE) / 10000.0
         |    AS did4
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    Q(
+      // User CO-PRESENCE pairs: users whose sessions overlap in time,
+      // with overlap counts — the coordination/collusion signal
+      // (shared-device detection, bot-ring sweeps, "who browses
+      // together") and the edge list a social graph starts from.
+      // Sessions are THE shared 8h-gap sessionizer (one definition
+      // with q_events_sessionize); candidate pairs come from an
+      // HOUR-BUCKET equi-join (a session meets only sessions sharing
+      // a calendar hour — the banded-range-join discipline, never an
+      // all-pairs interval join), overlap is confirmed in the join
+      // stage, and a pair overlapping across several shared hours is
+      // DEDUPED by session ids before counting. Top-30 by (overlaps
+      // DESC, user_a, user_b) — fully rank-deterministic.
+      // Scale shape: sessions are a per-user window; the bucket
+      // explode is bounded by session span; candidates are equi-keyed
+      // per hour; never O(users²).
+      "q_events_copresence",
+      (s, d) => {
+        val sess = graft.api.Events.sessionize(
+            Tables.events(s, d)
+              .select(col("user_id"), col("event_id"), col("ts_us")),
+            key = col("user_id"), timeUs = col("ts_us"),
+            tieBreak = Seq(col("event_id")), gapUs = 28800000000L)
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("e0"))
+        val hs = sess.select(col("user_id"), col("sess"), col("s0"),
+            col("e0"),
+            explode(expr(
+              "sequence(s0 div 3600000000, e0 div 3600000000)"))
+              .as("hb"))
+        val a = hs.select(col("user_id").as("ua"), col("sess").as("sa"),
+                          col("s0").as("as0"), col("e0").as("ae0"),
+                          col("hb"))
+        val b = hs.select(col("user_id").as("ub"), col("sess").as("sb"),
+                          col("s0").as("bs0"), col("e0").as("be0"),
+                          col("hb").as("hb2"))
+        val pairs = a.join(b,
+            col("hb") === col("hb2") && col("ua") < col("ub") &&
+            col("as0") <= col("be0") && col("bs0") <= col("ae0"))
+          .select(col("ua"), col("sa"), col("ub"), col("sb"))
+          .distinct()
+        val cnt = pairs.groupBy(col("ua"), col("ub"))
+          .agg(count(lit(1)).as("n_overlaps"))
+        val wr = Window.orderBy(col("n_overlaps").desc, col("ua"),
+                                col("ub"))
+        cnt.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 30)
+          .select(col("ua"), col("ub"), col("n_overlaps"),
+                  col("rn").cast("long").as("rn"))
+          .orderBy(col("rn"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us ASC, event_id ASC)),
+        |sx AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM n),
+        |sg AS (
+        |  SELECT user_id, sess, MIN(ts_us) AS s0, MAX(ts_us) AS e0
+        |  FROM sx GROUP BY user_id, sess),
+        |hb AS (
+        |  SELECT user_id, sess, s0, e0,
+        |    unnest(range(s0 // 3600000000, e0 // 3600000000 + 1))
+        |      AS hb
+        |  FROM sg),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS ua, a.sess AS sa,
+        |    b.user_id AS ub, b.sess AS sb
+        |  FROM hb a JOIN hb b
+        |    ON a.hb = b.hb AND a.user_id < b.user_id
+        |   AND a.s0 <= b.e0 AND b.s0 <= a.e0),
+        |c AS (
+        |  SELECT ua, ub, COUNT(*) AS n_overlaps
+        |  FROM p GROUP BY ua, ub),
+        |r AS (
+        |  SELECT ua, ub, n_overlaps,
+        |    row_number() OVER (ORDER BY n_overlaps DESC, ua, ub)
+        |      AS rn
+        |  FROM c)
+        |SELECT ua, ub, n_overlaps, rn FROM r WHERE rn <= 30
+        |ORDER BY rn""".stripMargin)
   )
 }

@@ -2313,6 +2313,66 @@ object StatsOps extends OpGroup {
         |      / 10000.0
         |  END AS rsi4
         |FROM r WHERE rn >= 14
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin),
+
+    Q(
+      // Seasonal-strength via NAIVE-FORECAST errors (the MASE
+      // building blocks): MAE of the lag-7 seasonal-naive forecast vs
+      // MAE of the lag-1 naive on daily revenue — ratio < 1 means
+      // "last week's same-day beats yesterday", i.e. real weekly
+      // seasonality, and it is THE denominator convention forecast
+      // evaluation (MASE) standardizes on. All integer cents: the
+      // two absolute-error sums are exact, the ratio of means
+      // (S7·n1)/(S1·n7) is ONE wide half-up division — no float MAE
+      // anywhere.
+      // Scale shape: corpus → day domain; two lag windows on the
+      // bounded day frame; 1-row output.
+      "q_ts_mase",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val wd = Window.orderBy(col("day"))
+        val er = daily
+          .withColumn("e1", abs(col("rev") - lag(col("rev"), 1)
+                                  .over(wd)))
+          .withColumn("e7", abs(col("rev") - lag(col("rev"), 7)
+                                  .over(wd)))
+        val g = er.agg(
+          sum(col("e1")).as("s1"), count(col("e1")).as("n1"),
+          sum(col("e7")).as("s7"), count(col("e7")).as("n7"))
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        g.select(col("n1"), col("n7"),
+                 (col("s1").cast("double") / col("n1") / 100.0)
+                   .as("mae_naive"),
+                 (col("s7").cast("double") / col("n7") / 100.0)
+                   .as("mae_seasonal"),
+                 intRatio4Wide(
+                   col("s7").cast(D) * col("n1") * 10000,
+                   col("s1").cast(D) * col("n7")).as("ratio4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |er AS (
+        |  SELECT day,
+        |    abs(rev - lag(rev, 1) OVER (ORDER BY day)) AS e1,
+        |    abs(rev - lag(rev, 7) OVER (ORDER BY day)) AS e7
+        |  FROM daily),
+        |g AS (
+        |  SELECT CAST(SUM(e1) AS HUGEINT) AS s1, COUNT(e1) AS n1,
+        |    CAST(SUM(e7) AS HUGEINT) AS s7, COUNT(e7) AS n7
+        |  FROM er)
+        |SELECT n1, n7,
+        |  CAST(s1 AS DOUBLE) / n1 / 100.0 AS mae_naive,
+        |  CAST(s7 AS DOUBLE) / n7 / 100.0 AS mae_seasonal,
+        |  CAST((2 * (s7 * n1 * 10000) + s1 * n7)
+        |       // (2 * (s1 * n7)) AS DOUBLE) / 10000.0 AS ratio4
+        |FROM g""".stripMargin)
   )
 }
