@@ -183,6 +183,62 @@ object PrivacyOps extends OpGroup {
         |  n_risky_rows, n_rows,
         |  CAST((2 * n_risky_rows * 10000 + n_rows) // (2 * n_rows)
         |       AS DOUBLE) / 10000.0 AS risk4
-        |FROM a ORDER BY band_w""".stripMargin)
+        |FROM a ORDER BY band_w""".stripMargin),
+
+    Q(
+      // SUPPRESSION-COST sweep: rows lost to k-anonymous suppression
+      // at k ∈ {2, 5, 10, 20} in ONE pass — the privacy-vs-utility
+      // operating curve a data owner reads before picking k (the
+      // q_privacy_kanon audit fixes k=5; the POLICY decision needs
+      // the whole curve). Classes come from the SAME QI definition
+      // (nation, segment, $1000 balance band — one definition, no
+      // drift), and all four k thresholds ride the one class-size
+      // aggregation as conditional sums + a constant-size stack (the
+      // q_sim_threshold_sweep no-join discipline).
+      // Scale shape: one class-key hash-agg bounded by the QI
+      // domain; the sweep adds zero passes and zero joins.
+      "q_privacy_k_sweep",
+      (s, d) => {
+        val cls = Privacy.classSizes(
+          Tables.customer(s, d),
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+              ldiv(shiftedCents, lit(100000L)).as("band")))
+        val ks = Seq(2L, 5L, 10L, 20L)
+        val aggs = ks.zipWithIndex.flatMap { case (k, i) => Seq(
+          sum(when(col("class_size") < k, col("class_size"))
+            .otherwise(0L)).as(s"_r$i"),
+          sum(when(col("class_size") < k, 1L).otherwise(0L))
+            .as(s"_c$i")) } :+
+          sum(col("class_size")).as("_n")
+        val stackArgs = ks.zipWithIndex
+          .map { case (k, i) => s"${k}L, _r$i, _c$i" }.mkString(", ")
+        cls.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${ks.size}, $stackArgs) AS " +
+                       "(k, suppressed_rows, suppressed_classes)"),
+                  col("_n"))
+          .select(col("k"), col("suppressed_rows"),
+                  col("suppressed_classes"),
+                  intRatio4(col("suppressed_rows") * 10000L,
+                            col("_n")).as("loss4"))
+          .orderBy(col("k"))
+      },
+      s"""WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    $shiftedCentsSql // 100000 AS band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+        |  FROM c GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cls),
+        |k(k) AS (VALUES (2), (5), (10), (20))
+        |SELECT CAST(k.k AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN n < k.k THEN n ELSE 0 END) AS BIGINT)
+        |    AS suppressed_rows,
+        |  CAST(SUM(CASE WHEN n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS suppressed_classes,
+        |  CAST((2 * (SUM(CASE WHEN n < k.k THEN n ELSE 0 END) * 10000)
+        |        + t.tot) // (2 * t.tot) AS DOUBLE) / 10000.0 AS loss4
+        |FROM k CROSS JOIN cls CROSS JOIN t
+        |GROUP BY k.k, t.tot ORDER BY k""".stripMargin)
   )
 }

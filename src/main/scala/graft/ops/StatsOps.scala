@@ -2373,6 +2373,72 @@ object StatsOps extends OpGroup {
         |  CAST(s7 AS DOUBLE) / n7 / 100.0 AS mae_seasonal,
         |  CAST((2 * (s7 * n1 * 10000) + s1 * n7)
         |       // (2 * (s1 * n7)) AS DOUBLE) / 10000.0 AS ratio4
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    Q(
+      // BOLLINGER-band breaches of daily revenue (20-day window, 2σ),
+      // decided ENTIRELY in integers: |x−μ| > 2σ cross-multiplies to
+      // (n·x − S)²·(n−1) > 4·n·(n·Q − S²) over exact rolling cent
+      // sums S/Q — no rolling float mean, no sqrt, no band value that
+      // could round differently per engine; the flag itself is the
+      // integer comparison (the q_events_outliers idea, made ROLLING
+      // — a fixed global σ can't see regime changes, the rolling band
+      // adapts). Emits the breach days with side and the exact
+      // z²-numerator pair for audit.
+      // Scale shape: corpus → day domain; ROWS-frame windows on the
+      // bounded (~2400-row) day frame.
+      "q_win_bollinger",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val w20 = Window.orderBy(col("day")).rowsBetween(-19, 0)
+        val wd = Window.orderBy(col("day"))
+        val r = daily
+          .withColumn("n", count(lit(1)).over(w20))
+          .withColumn("s", sum(col("rev")).over(w20).cast(D))
+          .withColumn("q", sum(col("rev").cast(D) * col("rev"))
+                             .over(w20))
+          .withColumn("rn", row_number().over(wd))
+          .filter(col("rn") >= 20)
+        val dev = col("n").cast(D) * col("rev") - col("s")
+        val lhs = dev * dev * (col("n") - 1)
+        val rhs = (col("n").cast(D) * 4) *
+                  (col("n").cast(D) * col("q") - col("s") * col("s"))
+        r.filter(lhs > rhs)
+          .select(col("day"),
+                  (col("rev").cast("double") / 100.0).as("revenue"),
+                  when(col("rev").cast(D) * col("n") > col("s"), "hi")
+                    .otherwise("lo").as("side"))
+          .orderBy(col("day"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |r AS (
+        |  SELECT day, rev,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(rev) OVER w AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(rev AS HUGEINT) * rev) OVER w AS HUGEINT)
+        |      AS q,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN CAST(rev AS HUGEINT) * n > s THEN 'hi'
+        |       ELSE 'lo' END AS side
+        |FROM r
+        |WHERE rn >= 20
+        |  AND (CAST(n AS HUGEINT) * rev - s)
+        |      * (CAST(n AS HUGEINT) * rev - s) * (n - 1)
+        |      > 4 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s)
+        |ORDER BY day""".stripMargin)
   )
 }
