@@ -1647,6 +1647,114 @@ object EventOps extends OpGroup {
         |      AS rn
         |  FROM c)
         |SELECT ua, ub, n_overlaps, rn FROM r WHERE rn <= 30
-        |ORDER BY rn""".stripMargin)
+        |ORDER BY rn""".stripMargin),
+
+    Q(
+      // Traffic BURST episodes: hours whose arrival count exceeds the
+      // trailing-24h Poisson expectation by 3σ, coalesced into
+      // episodes — the incident/flash-crowd detector (a fixed
+      // multiplier can't work across scales: relative variance
+      // shrinks as 1/√n, so 1.5× flags 89 hours at sf0.001 and ZERO
+      // at sf0.1; the Poisson mean+3√mean rule adapts and fires at
+      // every SF). The test cross-multiplies to pure integers:
+      // 24n > T ∧ (24n − T)² > 216·T with T the trailing-24h sum —
+      // no float rate, no sqrt. Burst hours coalesce via the
+      // hb − row_number island rule; per episode: span, hours, peak.
+      // Scale shape: corpus → hour domain in one hash-agg; ROWS
+      // windows + islands on that bounded frame.
+      "q_events_bursts",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(expr("ts_us div 3600000000").as("hb"))
+          .groupBy(col("hb")).agg(count(lit(1)).as("n"))
+        val wt = Window.orderBy(col("hb")).rowsBetween(-24, -1)
+        val wd = Window.orderBy(col("hb"))
+        val dev = col("n") * 24 - col("tr")
+        val bursts = hourly
+          .withColumn("tr", sum(col("n")).over(wt))
+          .withColumn("rn", row_number().over(wd))
+          .filter(col("rn") >= 25 && dev > 0 &&
+                  dev * dev > col("tr") * 216)
+        val wi = Window.orderBy(col("hb"))
+        bursts
+          .withColumn("grp", col("hb") - row_number().over(wi))
+          .groupBy(col("grp"))
+          .agg(min(col("hb")).as("start_hb"), max(col("hb")).as("end_hb"),
+               count(lit(1)).as("n_hours"), max(col("n")).as("peak_n"))
+          .select(col("start_hb"), col("end_hb"), col("n_hours"),
+                  col("peak_n"))
+          .orderBy(col("start_hb"))
+      },
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS n
+        |  FROM events GROUP BY epoch_us(ts) // 3600000000),
+        |t AS (
+        |  SELECT hb, n,
+        |    SUM(n) OVER (ORDER BY hb
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |      AS tr,
+        |    row_number() OVER (ORDER BY hb) AS rn
+        |  FROM h),
+        |b AS (
+        |  SELECT hb, n FROM t
+        |  WHERE rn >= 25 AND 24 * n > tr
+        |    AND (24 * n - tr) * (24 * n - tr) > 216 * tr),
+        |i AS (
+        |  SELECT hb, n,
+        |    hb - row_number() OVER (ORDER BY hb) AS grp
+        |  FROM b)
+        |SELECT MIN(hb) AS start_hb, MAX(hb) AS end_hb,
+        |  COUNT(*) AS n_hours, CAST(MAX(n) AS BIGINT) AS peak_n
+        |FROM i GROUP BY grp ORDER BY start_hb""".stripMargin),
+
+    Q(
+      // Customer CHURN rate per year — the flip side of
+      // q_macro_repeat_rate's within-year loyalty: of the customers
+      // active in year y, how many never order in y+1. One
+      // (year, customer) distinct-activity frame, a self LEFT ANTI
+      // check expressed as a left join on (custkey, yr+1) with a
+      // null-flag sum — exact integer counts, half-up rate.
+      // Scale shape: two hash-aggs + one equi-join on (cust, year)
+      // keys; no windows.
+      "q_events_churn_rate",
+      (s, d) => {
+        val act = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+          .distinct()
+        val nxt = act.select((col("yr") - 1).as("py"),
+                             col("o_custkey").as("ck"))
+        val last = act.agg(max(col("yr")).as("_my"))
+        act.join(nxt, col("yr") === col("py") &&
+                      col("o_custkey") === col("ck"), "left")
+          .crossJoin(broadcast(last))
+          .filter(col("yr") < col("_my"))
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_active"),
+               sum(when(col("ck").isNull, 1L).otherwise(0L))
+                 .as("n_churned"))
+          .select(col("yr"), col("n_active"), col("n_churned"),
+                  intRatio4(col("n_churned") * 10000L,
+                            col("n_active")).as("churn_rate4"))
+          .orderBy(col("yr"))
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+        |    o_custkey
+        |  FROM orders),
+        |mx AS (SELECT MAX(yr) AS my FROM act),
+        |j AS (
+        |  SELECT a.yr, a.o_custkey, b.o_custkey AS ck
+        |  FROM act a LEFT JOIN act b
+        |    ON b.yr = a.yr + 1 AND b.o_custkey = a.o_custkey),
+        |g AS (
+        |  SELECT yr, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_churned
+        |  FROM j CROSS JOIN mx WHERE yr < my
+        |  GROUP BY yr)
+        |SELECT yr, n_active, n_churned,
+        |  CAST((2 * (n_churned * 10000) + n_active)
+        |       // (2 * n_active) AS DOUBLE) / 10000.0 AS churn_rate4
+        |FROM g ORDER BY yr""".stripMargin)
   )
 }
