@@ -845,7 +845,128 @@ object EtlOps extends OpGroup {
           |FROM a FULL OUTER JOIN b ON a.blk = b.blk
           |WHERE a.ck <> b.ck OR a.ck IS NULL OR b.ck IS NULL
           |ORDER BY blk""".stripMargin
-      })
+      }),
+
+    Q(
+      // Header-vs-detail TIE-OUT: every order's o_totalprice against
+      // its Σ lineitem extendedprice, reported as counts per
+      // relative-error band (≤1 / ≤5 / ≤10 / ≤25 / >25%) plus orders
+      // with NO detail rows — the month-end fact-to-fact
+      // reconciliation every warehouse runs between a summary and
+      // its grain table. Band membership is decided by integer
+      // CROSS-MULTIPLICATION on exact cents (|h−d|·100 ≤ h ⟺ rel ≤
+      // 1%), never a float ratio whose rounding could flip a
+      // boundary order between bands. (The fixture's headers and
+      // details are generated independently, so the distribution
+      // spreads across bands — which is exactly what the report is
+      // for.)
+      // Scale shape: one detail hash-agg keyed by orderkey, one
+      // header join on the same key, one band rollup; no windows.
+      "q_etl_tieout",
+      (s, d) => {
+        val det = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg((sum(money("l_extendedprice")) * 100).cast("long")
+                 .as("dc"))
+        val hdr = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+                  (money("o_totalprice") * 100).cast("long").as("hc"))
+        val diff = abs(col("hc") - col("dc"))
+        val band = when(col("dc").isNull, "z_missing_detail")
+          .when(diff * 100 <= col("hc"), "a_within_1pct")
+          .when(diff * 20 <= col("hc"), "b_within_5pct")
+          .when(diff * 10 <= col("hc"), "c_within_10pct")
+          .when(diff * 4 <= col("hc"), "d_within_25pct")
+          .otherwise("e_over_25pct")
+        val tot = hdr.agg(count(lit(1)).as("_n"))
+        hdr.join(det, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(band.as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(tot))
+          .select(col("band"), col("n_orders"),
+                  intRatio4(col("n_orders") * 10000L, col("_n"))
+                    .as("share4"))
+          .orderBy(col("band"))
+      },
+      """WITH det AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS dc
+        |  FROM lineitem GROUP BY l_orderkey),
+        |hdr AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS hc
+        |  FROM orders),
+        |t AS (SELECT COUNT(*) AS n FROM hdr),
+        |b AS (
+        |  SELECT CASE
+        |    WHEN dc IS NULL THEN 'z_missing_detail'
+        |    WHEN abs(hc - dc) * 100 <= hc THEN 'a_within_1pct'
+        |    WHEN abs(hc - dc) * 20 <= hc THEN 'b_within_5pct'
+        |    WHEN abs(hc - dc) * 10 <= hc THEN 'c_within_10pct'
+        |    WHEN abs(hc - dc) * 4 <= hc THEN 'd_within_25pct'
+        |    ELSE 'e_over_25pct' END AS band
+        |  FROM hdr LEFT JOIN det ON o_orderkey = l_orderkey)
+        |SELECT band, COUNT(*) AS n_orders,
+        |  CAST((2 * (COUNT(*) * 10000) + t.n) // (2 * t.n) AS DOUBLE)
+        |    / 10000.0 AS share4
+        |FROM b CROSS JOIN t
+        |GROUP BY band, t.n ORDER BY band""".stripMargin),
+
+    Q(
+      // Two-proportion z-test: did the share of fully-shipped ('F')
+      // orders change between 1997 and 1998 — the categorical-rate
+      // companion to q_events_ab_ttest's mean test and the
+      // significance layer over q_stats_wilson's single-rate CI.
+      // Counts exact; p̂/pooled-p̂/z assemble in ONE identical double
+      // expression from those integers (the anova posture); both
+      // proportions and the signed z are emitted.
+      // Scale shape: one conditional hash-agg per year frame (a
+      // single scan with two filters folded into one agg); 1-row
+      // math after.
+      "q_stats_2prop",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"),
+                  (col("o_orderstatus") === "F").cast("long").as("f"))
+          .filter(col("yr").isin(1997, 1998))
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n"), sum(col("f")).as("k"))
+        val a = o.filter(col("yr") === 1997)
+          .select(col("n").as("n1"), col("k").as("k1"))
+        val b = o.filter(col("yr") === 1998)
+          .select(col("n").as("n2"), col("k").as("k2"))
+        val p1 = col("k1").cast("double") / col("n1")
+        val p2 = col("k2").cast("double") / col("n2")
+        val pp = (col("k1") + col("k2")).cast("double") /
+                 (col("n1") + col("n2"))
+        a.crossJoin(b)
+          .select(col("n1"), col("k1"), col("n2"), col("k2"),
+                  r4(p1).as("p1_4"), r4(p2).as("p2_4"),
+                  r4((p1 - p2) /
+                     sqrt(pp * (lit(1.0) - pp) *
+                          (lit(1.0) / col("n1") +
+                           lit(1.0) / col("n2")))).as("z4"))
+      },
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS k
+        |  FROM orders
+        |  WHERE CAST(year(o_orderdate) AS INT) IN (1997, 1998)
+        |  GROUP BY 1),
+        |a AS (SELECT n AS n1, k AS k1 FROM o WHERE yr = 1997),
+        |b AS (SELECT n AS n2, k AS k2 FROM o WHERE yr = 1998)
+        |SELECT n1, k1, n2, k2,
+        |  round(CAST(k1 AS DOUBLE) / n1, 4) + 0 AS p1_4,
+        |  round(CAST(k2 AS DOUBLE) / n2, 4) + 0 AS p2_4,
+        |  round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+        |        / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+        |               * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+        |               * (1.0 / n1 + 1.0 / n2)), 4) + 0 AS z4
+        |FROM a CROSS JOIN b""".stripMargin)
   )
 
   /** DuckDB twin of Spark's `conv(substring(md5(x), 1, 15), 16, 10)`:
