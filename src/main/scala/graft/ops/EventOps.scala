@@ -1755,6 +1755,69 @@ object EventOps extends OpGroup {
         |SELECT yr, n_active, n_churned,
         |  CAST((2 * (n_churned * 10000) + n_active)
         |       // (2 * n_active) AS DOUBLE) / 10000.0 AS churn_rate4
+        |FROM g ORDER BY yr""".stripMargin),
+
+    Q(
+      // Customer RESURRECTION rate: of the customers who churned
+      // after year y (active y, absent y+1), how many came back in
+      // y+2 — the win-back number that tells a retention team whether
+      // churn is death or dormancy, completing the
+      // repeat/churn/resurrection triple on one shared activity
+      // frame. Two shifted self-joins on (cust, year) keys, exact
+      // counts, half-up rate; years above maxyr−2 are excluded so no
+      // censored row fakes a 0% win-back.
+      // Scale shape: one distinct-activity hash-agg + two equi-joins
+      // on (cust, year); no windows.
+      "q_events_resurrection",
+      (s, d) => {
+        val act = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+          .distinct()
+        val n1 = act.select((col("yr") - 1).as("p1"),
+                            col("o_custkey").as("c1"))
+        val n2 = act.select((col("yr") - 2).as("p2"),
+                            col("o_custkey").as("c2"))
+        val last = act.agg(max(col("yr")).as("_my"))
+        act
+          .join(n1, col("yr") === col("p1") &&
+                    col("o_custkey") === col("c1"), "left")
+          .join(n2, col("yr") === col("p2") &&
+                    col("o_custkey") === col("c2"), "left")
+          .crossJoin(broadcast(last))
+          .filter(col("yr") <= col("_my") - 2 && col("c1").isNull)
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_churned"),
+               sum(when(col("c2").isNotNull, 1L).otherwise(0L))
+                 .as("n_resurrected"))
+          .select(col("yr"), col("n_churned"), col("n_resurrected"),
+                  intRatio4(col("n_resurrected") * 10000L,
+                            col("n_churned")).as("winback_rate4"))
+          .orderBy(col("yr"))
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+        |    o_custkey
+        |  FROM orders),
+        |mx AS (SELECT MAX(yr) AS my FROM act),
+        |j AS (
+        |  SELECT a.yr, a.o_custkey,
+        |    b.o_custkey AS c1, c.o_custkey AS c2
+        |  FROM act a
+        |  LEFT JOIN act b ON b.yr = a.yr + 1
+        |                 AND b.o_custkey = a.o_custkey
+        |  LEFT JOIN act c ON c.yr = a.yr + 2
+        |                 AND c.o_custkey = a.o_custkey),
+        |g AS (
+        |  SELECT yr, COUNT(*) AS n_churned,
+        |    CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_resurrected
+        |  FROM j CROSS JOIN mx
+        |  WHERE yr <= my - 2 AND c1 IS NULL
+        |  GROUP BY yr)
+        |SELECT yr, n_churned, n_resurrected,
+        |  CAST((2 * (n_resurrected * 10000) + n_churned)
+        |       // (2 * n_churned) AS DOUBLE) / 10000.0
+        |    AS winback_rate4
         |FROM g ORDER BY yr""".stripMargin)
   )
 }

@@ -856,6 +856,64 @@ object MacroOps2 extends OpGroup {
         |SELECT cls, n_parts,
         |  CAST((2 * (crev * 10000) + t.t) // (2 * t.t) AS DOUBLE)
         |    / 10000.0 AS rev_share4
-        |FROM g CROSS JOIN t ORDER BY cls""".stripMargin)
+        |FROM g CROSS JOIN t ORDER BY cls""".stripMargin),
+
+    Q(
+      // Discount ELASTICITY per brand: OLS slope of quantity on
+      // discount over each brand's lineitems — does a deeper discount
+      // move more units, the pricing team's first regression. x =
+      // discount in exact 1e-2 units (integers 0..10), y = quantity
+      // (integer): all four moment sums Σx Σy Σxy Σx² are EXACT
+      // integers from one hash-agg, the slope (nΣxy−ΣxΣy)/(nΣx²−
+      // (Σx)²) is one double division of those integers (the
+      // q_stats_linreg posture, applied per brand), r4 at the end.
+      // Degenerate brands (all lineitems at one discount) emit the
+      // same null on both engines.
+      // Scale shape: one conditional hash-agg to |brands| rows;
+      // everything after is brand-sized.
+      "q_macro_elasticity",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+                  .select(col("p_partkey"), col("p_brand"))),
+                col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+                  (money("l_discount") * 100).cast("long").as("x"),
+                  col("l_quantity").cast("long").as("y"))
+        val g = li.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+               sum(col("x") * col("y")).as("sxy"),
+               sum(col("x") * col("x")).as("sxx"))
+        val den = (col("n").cast(D) * col("sxx") -
+                   col("sx").cast(D) * col("sx"))
+        val num = (col("n").cast(D) * col("sxy") -
+                   col("sx").cast(D) * col("sy"))
+        g.select(col("p_brand"), col("n"),
+                 when(den =!= 0,
+                   r4(num.cast("double") / den.cast("double")))
+                   .as("slope4"))
+          .orderBy(col("p_brand"))
+      },
+      """WITH li AS (
+        |  SELECT p_brand,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM li GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |          / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0
+        |  END AS slope4
+        |FROM g ORDER BY p_brand""".stripMargin)
   )
 }
