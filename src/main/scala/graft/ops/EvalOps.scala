@@ -458,6 +458,104 @@ object EvalOps extends OpGroup {
         |  CAST((2 * (SUM(CASE WHEN vote = q_lbl THEN 1 ELSE 0 END)
         |             * 10000) + COUNT(*))
         |       // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS acc4
-        |FROM p GROUP BY q_lbl ORDER BY label""".stripMargin)
+        |FROM p GROUP BY q_lbl ORDER BY label""".stripMargin),
+
+    Q(
+      // COHEN'S KAPPA of the langid classifier — chance-corrected
+      // agreement, the number that exposes a classifier whose
+      // accuracy merely mirrors class priors (q_eval_prf reports raw
+      // P/R/F1; κ discounts lucky agreement). Exactly rational: with
+      // integer confusion counts, κ = (N·diag − Σrₜsₜ)/(N² − Σrₜsₜ)
+      // — marginal products in DECIMAL(38,0), ONE wide half-up
+      // division; docs the classifier abstains on are excluded (κ is
+      // defined over a square decision matrix) and their count is
+      // reported alongside.
+      // Scale shape: one confusion hash-agg, class-sized everything
+      // after; marginals join on the ≤5-row class dimension.
+      "q_eval_kappa",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = Tables.documents(s, d)
+        val pred = graft.api.Text.languageId(
+          docs, col("doc_id"), col("text"), col("lang"),
+          profileSize = 5)
+        val j = docs.select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"), "left")
+        val abst = j.agg(sum(when(col("predicted").isNull, 1L)
+          .otherwise(0L)).as("n_abstained"))
+        val conf = j.filter(col("predicted").isNotNull)
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val rows = conf.groupBy(col("lang").as("_t"))
+          .agg(sum(col("n")).as("rt"))
+        val cols = conf.groupBy(col("predicted").as("_p"))
+          .agg(sum(col("n")).as("sp"))
+        val marg = rows.join(cols, col("_t") === col("_p"))
+          .agg(sum(col("rt").cast(D) * col("sp")).as("src"))
+        val tot = conf.agg(
+          sum(col("n")).as("nn"),
+          sum(when(col("lang") === col("predicted"), col("n"))
+            .otherwise(0L)).as("diag"))
+        tot.crossJoin(broadcast(marg)).crossJoin(broadcast(abst))
+          .select(col("nn").as("n_scored"), col("n_abstained"),
+                  col("diag").as("n_agree"),
+                  intRatio4Wide(
+                    (col("nn").cast(D) * col("diag") - col("src"))
+                      * 10000,
+                    col("nn").cast(D) * col("nn") - col("src"))
+                    .as("kappa4"))
+      },
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, term AS p_term FROM (
+        |    SELECT lang, term, COUNT(*) AS n,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY COUNT(*) DESC, term ASC) AS rn
+        |    FROM tokens GROUP BY lang, term)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+        |  FROM (SELECT DISTINCT doc_id, term FROM tokens) t
+        |  JOIN profile p ON t.term = p.p_term
+        |  GROUP BY t.doc_id, p.p_lang),
+        |predicted AS (
+        |  SELECT doc_id, p_lang AS predicted FROM (
+        |    SELECT doc_id, p_lang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY hits DESC, p_lang ASC) AS rn
+        |    FROM hits)
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT d.lang, p.predicted
+        |  FROM documents d LEFT JOIN predicted p
+        |    ON d.doc_id = p.doc_id),
+        |ab AS (
+        |  SELECT CAST(SUM(CASE WHEN predicted IS NULL THEN 1 ELSE 0
+        |                  END) AS BIGINT) AS n_abstained
+        |  FROM j),
+        |conf AS (
+        |  SELECT lang, predicted, COUNT(*) AS n
+        |  FROM j WHERE predicted IS NOT NULL
+        |  GROUP BY lang, predicted),
+        |r AS (SELECT lang AS t, CAST(SUM(n) AS HUGEINT) AS rt
+        |      FROM conf GROUP BY lang),
+        |c AS (SELECT predicted AS p, CAST(SUM(n) AS HUGEINT) AS sp
+        |      FROM conf GROUP BY predicted),
+        |m AS (
+        |  SELECT CAST(SUM(rt * sp) AS HUGEINT) AS src
+        |  FROM r JOIN c ON r.t = c.p),
+        |tt AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END)
+        |         AS BIGINT) AS diag
+        |  FROM conf)
+        |SELECT nn AS n_scored, ab.n_abstained, diag AS n_agree,
+        |  CAST((2 * ((CAST(nn AS HUGEINT) * diag - src) * 10000)
+        |        + (CAST(nn AS HUGEINT) * nn - src))
+        |       // (2 * (CAST(nn AS HUGEINT) * nn - src)) AS DOUBLE)
+        |    / 10000.0 AS kappa4
+        |FROM tt CROSS JOIN m CROSS JOIN ab""".stripMargin)
   )
 }

@@ -432,6 +432,55 @@ object TextOps extends OpGroup {
         |GROUP BY k_docs ORDER BY k_docs""".stripMargin),
 
     Q(
+      // SIMPSON diversity of each language's term distribution — the
+      // "probability two random tokens differ" concentration number
+      // (ecology's D, economics' 1−HHI) next to Shannon entropy
+      // (q_text_entropy), but EXACTLY computable where entropy needs
+      // logs: the unbiased estimator D = 1 − Σc(c−1)/(N(N−1)) is a
+      // pure integer ratio — Σc(c−1) in DECIMAL(38,0), ONE wide
+      // half-up division, no libm anywhere.
+      // Scale shape: one (lang, term) hash-agg, one lang rollup.
+      "q_text_simpson",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tc = Tables.documents(s, d)
+          .select(col("lang"),
+                  explode(graft.api.Dedup.tokens(col("text")))
+                    .as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        tc.groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_tokens"),
+               count(lit(1)).as("vocab"),
+               sum(col("c").cast(D) * (col("c") - 1)).as("_ss"))
+          .select(col("lang"), col("n_tokens"), col("vocab"),
+                  intRatio4Wide(
+                    (col("n_tokens").cast(D) * (col("n_tokens") - 1) -
+                     col("_ss")) * 10000,
+                    col("n_tokens").cast(D) * (col("n_tokens") - 1))
+                    .as("simpson_d4"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH tc AS (
+        |  SELECT lang, unnest(${toksSql("text")}) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, term, COUNT(*) AS c
+        |  FROM tc GROUP BY lang, term),
+        |g AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS vocab,
+        |    CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS ss
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n_tokens, vocab,
+        |  CAST((2 * ((CAST(n_tokens AS HUGEINT) * (n_tokens - 1) - ss)
+        |             * 10000)
+        |        + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |       // (2 * (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)))
+        |       AS DOUBLE) / 10000.0 AS simpson_d4
+        |FROM g ORDER BY lang""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact
