@@ -914,6 +914,76 @@ object MacroOps2 extends OpGroup {
         |    round(CAST(n * sxy - sx * sy AS DOUBLE)
         |          / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0
         |  END AS slope4
-        |FROM g ORDER BY p_brand""".stripMargin)
+        |FROM g ORDER BY p_brand""".stripMargin),
+
+    Q(
+      // NESTED share drill-down: each nation's revenue as a share of
+      // its REGION and of the WORLD, plus the region's world share —
+      // the two-level decomposition every share-of-market drill
+      // starts from (and the check that nested shares multiply:
+      // nation/world = nation/region × region/world, which holds
+      // exactly on the cent level these ratios are taken from). All
+      // three ratios are wide half-up divisions of exact cent sums;
+      // region totals reach nations by a broadcast join, never a
+      // second corpus pass.
+      // Scale shape: lineitem → supplier-nation in one hash-agg
+      // (dims broadcast); region/world totals are window-free
+      // rollups of the 25-row nation frame.
+      "q_macro_share_nested",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val supN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+                col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+                col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("n_name"), col("r_name"))
+        val nat = Tables.lineitem(s, d)
+          .select(col("l_suppkey"),
+                  (money("l_extendedprice") *
+                   (lit(1).cast(Money) - money("l_discount")))
+                    .as("rev"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg((sum(col("rev")) * 10000).cast(D).as("c"))
+        val reg = nat.groupBy(col("r_name").as("_r"))
+          .agg(sum(col("c")).as("rc"))
+        val world = nat.agg(sum(col("c")).as("wc"))
+        nat.join(broadcast(reg), col("r_name") === col("_r"))
+          .crossJoin(broadcast(world))
+          .select(col("r_name"), col("n_name"),
+                  intRatio4Wide(col("c") * 10000, col("rc"))
+                    .as("of_region4"),
+                  intRatio4Wide(col("c") * 10000, col("wc"))
+                    .as("of_world4"),
+                  intRatio4Wide(col("rc") * 10000, col("wc"))
+                    .as("region_of_world4"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name, r_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |         * 10000 AS HUGEINT) AS c
+        |  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+        |  GROUP BY r_name, n_name),
+        |reg AS (
+        |  SELECT r_name AS r2, CAST(SUM(c) AS HUGEINT) AS rc
+        |  FROM nat GROUP BY r_name),
+        |w AS (SELECT CAST(SUM(c) AS HUGEINT) AS wc FROM nat)
+        |SELECT r_name, n_name,
+        |  CAST((2 * (c * 10000) + rc) // (2 * rc) AS DOUBLE)
+        |    / 10000.0 AS of_region4,
+        |  CAST((2 * (c * 10000) + wc) // (2 * wc) AS DOUBLE)
+        |    / 10000.0 AS of_world4,
+        |  CAST((2 * (rc * 10000) + wc) // (2 * wc) AS DOUBLE)
+        |    / 10000.0 AS region_of_world4
+        |FROM nat JOIN reg ON r_name = r2 CROSS JOIN w
+        |ORDER BY r_name, n_name""".stripMargin)
   )
 }

@@ -2439,6 +2439,84 @@ object StatsOps extends OpGroup {
         |  AND (CAST(n AS HUGEINT) * rev - s)
         |      * (CAST(n AS HUGEINT) * rev - s) * (n - 1)
         |      > 4 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s)
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin),
+
+    Q(
+      // JARQUE–BERA normality test per event type — the
+      // distribution-shape gate composing the exact skew/kurtosis
+      // moments (q_agg_skew_kurtosis's anchored Σd..Σd⁴ machinery)
+      // into JB = n/6·(g₁² + g₂²/4): every parametric test in the
+      // suite (t, ANOVA, Tukey) assumes roughly normal inputs, and
+      // this is the number that says whether that assumption is even
+      // in the room (value data is strongly right-skewed — JB
+      // rejects hard, which is the honest reading). Moments exact;
+      // JB one identical double tree; r4 at the end.
+      // Scale shape: anchor pass + one hash-agg; k-row math after.
+      "q_stats_jarque_bera",
+      (s, d) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+                  (money("value") * 100).cast("long").as("vc"))
+        val anchors = e.groupBy(col("event_type"))
+          .agg(min(col("vc")).as("a"))
+          .select(col("event_type").as("t1"), col("a"))
+        val dd = (col("vc") - col("a")).cast(D38)
+        val g = e.join(broadcast(anchors), col("event_type") === col("t1"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(dd).cast("double").as("s1"),
+               sum(dd * dd).cast("double").as("s2"),
+               sum(dd * dd * dd).cast("double").as("s3"),
+               sum(dd * dd * dd * dd).cast("double").as("s4"))
+        val nD = col("n").cast("double")
+        val mu = col("s1") / nD
+        val m2 = col("s2") / nD - mu * mu
+        val m3 = col("s3") / nD - mu * col("s2") / nD * 3 +
+                 mu * mu * mu * 2
+        val m4 = col("s4") / nD - mu * col("s3") / nD * 4 +
+                 mu * mu * col("s2") / nD * 6 -
+                 mu * mu * mu * mu * 3
+        val g1 = m3 / sqrt(m2 * m2 * m2)
+        val g2 = m4 / (m2 * m2) - 3.0
+        g.select(col("event_type"), col("n"),
+                 r4(nD / 6.0 * (g1 * g1 + g2 * g2 / 4.0)).as("jb4"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |an AS (SELECT event_type, MIN(vc) AS a FROM e
+        |       GROUP BY event_type),
+        |g AS (
+        |  SELECT e.event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a)) AS DOUBLE)
+        |      AS s2,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a) * (vc - a))
+        |         AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(vc - a AS HUGEINT) * (vc - a) * (vc - a)
+        |             * (vc - a)) AS DOUBLE) AS s4
+        |  FROM e JOIN an USING (event_type)
+        |  GROUP BY e.event_type),
+        |c AS (
+        |  SELECT event_type, n, s1 / n AS mu, s2, s3, s4,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g),
+        |mm AS (
+        |  SELECT event_type, n, nd,
+        |    s2 / nd - mu * mu AS m2,
+        |    s3 / nd - mu * s2 / nd * 3 + mu * mu * mu * 2 AS m3,
+        |    s4 / nd - mu * s3 / nd * 4 + mu * mu * s2 / nd * 6
+        |      - mu * mu * mu * mu * 3 AS m4
+        |  FROM c)
+        |SELECT event_type, n,
+        |  round(nd / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+        |                    * (m3 / sqrt(m2 * m2 * m2))
+        |                    + (m4 / (m2 * m2) - 3.0)
+        |                      * (m4 / (m2 * m2) - 3.0) / 4.0), 4) + 0
+        |    AS jb4
+        |FROM mm ORDER BY event_type""".stripMargin)
   )
 }
