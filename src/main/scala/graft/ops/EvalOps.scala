@@ -556,6 +556,95 @@ object EvalOps extends OpGroup {
         |        + (CAST(nn AS HUGEINT) * nn - src))
         |       // (2 * (CAST(nn AS HUGEINT) * nn - src)) AS DOUBLE)
         |    / 10000.0 AS kappa4
-        |FROM tt CROSS JOIN m CROSS JOIN ab""".stripMargin)
+        |FROM tt CROSS JOIN m CROSS JOIN ab""".stripMargin),
+
+    Q(
+      // MATTHEWS correlation (MCC) of "is it English" detection
+      // (langid prediction binarized vs the true lang) — the single
+      // balanced number for a binary gate that accuracy, F1, and
+      // even κ each distort under class imbalance (MCC is the only
+      // one symmetric in classes AND errors). From the exact 2×2
+      // integer counts: numerator TP·TN − FP·FN and the four
+      // marginals stay integral in DECIMAL(38,0); ONE sqrt + one
+      // division at the end (identical double tree); a degenerate
+      // margin (any factor 0) yields the SAME null on both engines.
+      // Abstentions count as "predicted not-English" — binarization
+      // makes the decision total, unlike κ's square-matrix scope.
+      // Scale shape: one confusion hash-agg to 4 counts; O(1) after.
+      "q_eval_mcc",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = Tables.documents(s, d)
+        val pred = graft.api.Text.languageId(
+          docs, col("doc_id"), col("text"), col("lang"),
+          profileSize = 5)
+        val j = docs.select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"), "left")
+          .select((col("lang") === "en").as("t"),
+                  coalesce(col("predicted") === "en", lit(false))
+                    .as("p"))
+        val g = j.agg(
+          sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"),
+          sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"))
+        val num = col("tp").cast(D) * col("tn") -
+                  col("fp").cast(D) * col("fn")
+        val den = (col("tp") + col("fp")).cast(D) *
+                  (col("tp") + col("fn")) *
+                  (col("tn") + col("fp")) * (col("tn") + col("fn"))
+        g.select(col("tp"), col("tn"), col("fp"), col("fn"),
+                 when(den > 0,
+                   r4(num.cast("double") / sqrt(den.cast("double"))))
+                   .as("mcc4"))
+      },
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, term AS p_term FROM (
+        |    SELECT lang, term, COUNT(*) AS n,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY COUNT(*) DESC, term ASC) AS rn
+        |    FROM tokens GROUP BY lang, term)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+        |  FROM (SELECT DISTINCT doc_id, term FROM tokens) t
+        |  JOIN profile p ON t.term = p.p_term
+        |  GROUP BY t.doc_id, p.p_lang),
+        |predicted AS (
+        |  SELECT doc_id, p_lang AS predicted FROM (
+        |    SELECT doc_id, p_lang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY hits DESC, p_lang ASC) AS rn
+        |    FROM hits)
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT d.lang = 'en' AS t,
+        |    COALESCE(p.predicted = 'en', FALSE) AS p
+        |  FROM documents d LEFT JOIN predicted p
+        |    ON d.doc_id = p.doc_id),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fn
+        |  FROM j)
+        |SELECT tp, tn, fp, fn,
+        |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |            * (tn + fp) * (tn + fn) > 0 THEN
+        |    round(CAST(CAST(tp AS HUGEINT) * tn
+        |               - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |          / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |                      * (tn + fp) * (tn + fn) AS DOUBLE)),
+        |          4) + 0
+        |  END AS mcc4
+        |FROM g""".stripMargin)
   )
 }

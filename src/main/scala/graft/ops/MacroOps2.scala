@@ -984,6 +984,56 @@ object MacroOps2 extends OpGroup {
         |  CAST((2 * (rc * 10000) + wc) // (2 * wc) AS DOUBLE)
         |    / 10000.0 AS region_of_world4
         |FROM nat JOIN reg ON r_name = r2 CROSS JOIN w
-        |ORDER BY r_name, n_name""".stripMargin)
+        |ORDER BY r_name, n_name""".stripMargin),
+
+    Q(
+      // Fulfillment LEAD TIME per order priority: p50/p90/p99 of the
+      // order-to-ship lag in whole days — the SLA table an operations
+      // team pins on the wall, and the check that "URGENT" actually
+      // ships faster. Lags are exact integer day differences
+      // (epoch-µs div), percentiles are DISCRETE picks
+      // (percentile_disc — an element of the data, never an
+      // interpolated float), so the whole table is integers.
+      // Scale shape: one lineitem⋈orders equi-join (the fact join
+      // shuffles once on orderkey), one priority-keyed percentile
+      // agg; output is 5 rows.
+      "q_macro_lead_time",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+                  expr("unix_micros(cast(o_orderdate as timestamp))")
+                    .as("ots"))
+        val lag = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+                  expr("unix_micros(cast(l_shipdate as timestamp))")
+                    .as("lts"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+                  expr("(lts - ots) div 86400000000").as("days"))
+        lag.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+               expr("percentile_disc(0.5) WITHIN GROUP " +
+                    "(ORDER BY days)").as("_p50"),
+               expr("percentile_disc(0.9) WITHIN GROUP " +
+                    "(ORDER BY days)").as("_p90"),
+               expr("percentile_disc(0.99) WITHIN GROUP " +
+                    "(ORDER BY days)").as("_p99"))
+          .select(col("o_orderpriority"), col("n_lines"),
+                  col("_p50").cast("long").as("p50"),
+                  col("_p90").cast("long").as("p90"),
+                  col("_p99").cast("long").as("p99"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """WITH lag AS (
+        |  SELECT o_orderpriority,
+        |    (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+        |      // 86400000000 AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90,
+        |  CAST(quantile_disc(days, 0.99) AS BIGINT) AS p99
+        |FROM lag GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
   )
 }
