@@ -645,6 +645,92 @@ object EvalOps extends OpGroup {
         |                      * (tn + fp) * (tn + fn) AS DOUBLE)),
         |          4) + 0
         |  END AS mcc4
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    Q(
+      // LIFT / GAINS table of the quality score as an 'is it English'
+      // ranker: docs ranked by score into 10 equal-count buckets,
+      // each bucket's positive rate vs the base rate (lift) plus the
+      // cumulative share of positives captured (gains) — the
+      // campaign-targeting table every uplift deck shows, and the
+      // rank-based completion of q_eval_auc (AUC integrates what
+      // this tabulates). Deciles by row_number over (score, doc_id)
+      // — never ntile-on-floats; lift = pos·N/(n·P) and gains =
+      // cum_pos/P are EXACT rationals through the wide half-up
+      // division. (The near-1.0 lifts ARE the finding: the quality
+      // score barely ranks English — consistent with κ≈0.045.)
+      // Scale shape: one scored pass; rank window partitions by
+      // nothing but runs on the corpus — the documented exception is
+      // bounded here (ranking is the operator); decile rollup after.
+      "q_eval_lift",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val scored = graft.api.Text.qualityScore(
+            Tables.documents(s, d), col("text"), col("n_chars"))
+          .select(col("doc_id"),
+                  (col("lang") === "en").cast("long").as("pos1"),
+                  col("score"))
+        val wr = Window.orderBy(col("score").desc, col("doc_id"))
+        val tot = scored.agg(count(lit(1)).as("_N"),
+                             sum(col("pos1")).as("_P"))
+        val dec = scored
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .crossJoin(broadcast(tot))
+          .withColumn("decile", expr("((rk - 1) * 10) div _N"))
+          .groupBy(col("decile"), col("_N"), col("_P"))
+          .agg(count(lit(1)).as("n"), sum(col("pos1")).as("pos"))
+        val wc = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dec.withColumn("cpos", sum(col("pos")).over(wc))
+          .select(col("decile"), col("n"), col("pos"),
+                  intRatio4Wide(
+                    col("pos").cast(D) * col("_N") * 10000,
+                    col("n").cast(D) * col("_P")).as("lift4"),
+                  intRatio4Wide(col("cpos").cast(D) * 10000,
+                                col("_P")).as("gains4"))
+          .orderBy(col("decile"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(n_chars AS DOUBLE) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos1,
+        |    least(chars / 500.0, 1.0) * 0.4 +
+        |    (1.0 - n_stop / n_tok) * 0.3 +
+        |    least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3
+        |      AS score
+        |  FROM f),
+        |t AS (SELECT COUNT(*) AS nn, CAST(SUM(pos1) AS BIGINT) AS pp
+        |      FROM sc),
+        |r AS (
+        |  SELECT pos1,
+        |    ((row_number() OVER (ORDER BY score DESC, doc_id) - 1)
+        |     * 10) // t.nn AS decile,
+        |    t.nn, t.pp
+        |  FROM sc CROSS JOIN t),
+        |g AS (
+        |  SELECT decile, nn, pp, COUNT(*) AS n,
+        |    CAST(SUM(pos1) AS BIGINT) AS pos
+        |  FROM r GROUP BY decile, nn, pp),
+        |c AS (
+        |  SELECT decile, n, pos, nn, pp,
+        |    SUM(pos) OVER (ORDER BY decile
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS cpos
+        |  FROM g)
+        |SELECT decile, n, pos,
+        |  CAST((2 * (CAST(pos AS HUGEINT) * nn * 10000)
+        |        + CAST(n AS HUGEINT) * pp)
+        |       // (2 * (CAST(n AS HUGEINT) * pp)) AS DOUBLE)
+        |    / 10000.0 AS lift4,
+        |  CAST((2 * (CAST(cpos AS HUGEINT) * 10000) + pp)
+        |       // (2 * CAST(pp AS HUGEINT)) AS DOUBLE) / 10000.0
+        |    AS gains4
+        |FROM c ORDER BY decile""".stripMargin)
   )
 }

@@ -2517,6 +2517,78 @@ object StatsOps extends OpGroup {
         |                    + (m4 / (m2 * m2) - 3.0)
         |                      * (m4 / (m2 * m2) - 3.0) / 4.0), 4) + 0
         |    AS jb4
-        |FROM mm ORDER BY event_type""".stripMargin)
+        |FROM mm ORDER BY event_type""".stripMargin),
+
+    Q(
+      // SMA CROSSOVER signals (golden/death cross, 12/26-day) on
+      // daily revenue — the classic trend-change trigger, decided
+      // WITHOUT a single float: the sign of SMA₁₂ − SMA₂₆ is the
+      // sign of the integer s₁₂·26 − s₂₆·12 (cross-multiplied
+      // rolling cent sums), and a signal fires where that sign
+      // differs from yesterday's — integers end to end, so a
+      // crossing can never flap on float-mean rounding. Zero-diff
+      // days carry sign 0 and fire on the next true sign change.
+      // Scale shape: corpus → day domain; two ROWS frames + one lag
+      // on the bounded day frame.
+      "q_win_sma_cross",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val w12 = Window.orderBy(col("day")).rowsBetween(-11, 0)
+        val w26 = Window.orderBy(col("day")).rowsBetween(-25, 0)
+        val wd = Window.orderBy(col("day"))
+        val r = daily
+          .withColumn("s12", sum(col("rev")).over(w12).cast(D))
+          .withColumn("s26", sum(col("rev")).over(w26).cast(D))
+          .withColumn("rn", row_number().over(wd))
+          .filter(col("rn") >= 26)
+          // sign decided on the DECIMAL comparison itself — a double
+          // cast would be exact only below 2^53, an avoidable bound
+          .withColumn("sg",
+            when(col("s12") * 26 > col("s26") * 12, 1)
+              .when(col("s12") * 26 < col("s26") * 12, -1)
+              .otherwise(0))
+          .withColumn("psg", lag(col("sg"), 1).over(wd))
+        r.filter(col("psg").isNotNull && col("sg") =!= col("psg") &&
+                 col("sg") =!= 0)
+          .select(col("day"),
+                  when(col("sg") > 0, "golden").otherwise("death")
+                    .as("signal"))
+          .orderBy(col("day"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |r AS (
+        |  SELECT day,
+        |    CAST(SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |      AS s12,
+        |    CAST(SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |      AS s26,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |sg AS (
+        |  SELECT day,
+        |    CAST(CASE WHEN s12 * 26 > s26 * 12 THEN 1
+        |              WHEN s12 * 26 < s26 * 12 THEN -1
+        |              ELSE 0 END AS INT) AS sg
+        |  FROM r WHERE rn >= 26),
+        |x AS (
+        |  SELECT day, sg, lag(sg) OVER (ORDER BY day) AS psg
+        |  FROM sg)
+        |SELECT day,
+        |  CASE WHEN sg > 0 THEN 'golden' ELSE 'death' END AS signal
+        |FROM x
+        |WHERE psg IS NOT NULL AND sg <> psg AND sg <> 0
+        |ORDER BY day""".stripMargin)
   )
 }
