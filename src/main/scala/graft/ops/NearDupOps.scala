@@ -1491,6 +1491,75 @@ object NearDupOps extends OpGroup {
         |SELECT bucket, n, n_labels, maj_label,
         |  CAST((2 * (mc * 10000) + n) // (2 * n) AS DOUBLE) / 10000.0
         |    AS purity4
-        |FROM g WHERE n >= 2 ORDER BY bucket""".stripMargin)
+        |FROM g WHERE n >= 2 ORDER BY bucket""".stripMargin),
+
+    Q(
+      // HUBNESS diagnostics of the embedding space: in-degree
+      // distribution of the directed top-3 neighbor lists (how often
+      // each vector appears in OTHERS' top-k) — the classic
+      // high-dimensional ANN pathology (Radovanović et al., JMLR'10):
+      // a few "hub" points dominate every neighbor list and poison
+      // kNN votes and dedup sweeps; a skewed in-degree histogram is
+      // the tell. Ranker = the pinned int8-quantized exact-integer
+      // top-k over the vec_id<60 query slice; the report is the
+      // in-degree histogram plus the max hub (count DESC, id ASC —
+      // rank-deterministic).
+      // Scale shape: the broadcast-query × one-scan ranker; post-rank
+      // work is |Q|·k rows, histogram is in-degree-sized.
+      "q_sim_hubness",
+      (s, d) => {
+        val ranked = graft.api.Sim.quantizedTopK(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 60, k = 3)
+        val indeg = ranked.groupBy(col("cand_id"))
+          .agg(count(lit(1)).as("indeg"))
+        val wr = Window.orderBy(col("indeg").desc, col("cand_id"))
+        val hub = indeg.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("cand_id").as("_hid"),
+                  col("indeg").as("_hdeg"))
+        indeg.groupBy(col("indeg"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .crossJoin(broadcast(hub))
+          .select(col("indeg"), col("n_vectors"),
+                  col("_hid").as("top_hub_id"),
+                  col("_hdeg").as("top_hub_indeg"))
+          .orderBy(col("indeg"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax,
+        |    embedding
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x * (127.0 / CAST(amax AS DOUBLE)))
+        |           AS INT)) AS qvec
+        |  FROM e WHERE amax > 0),
+        |scored AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> CAST(a.qvec[i] AS BIGINT) * b.qvec[i])) AS BIGINT)
+        |      AS qdot
+        |  FROM q a JOIN q b ON a.vec_id < 60 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY qdot DESC, cand_id ASC) AS rn
+        |  FROM scored),
+        |indeg AS (
+        |  SELECT cand_id, COUNT(*) AS indeg
+        |  FROM ranked WHERE rn <= 3 GROUP BY cand_id),
+        |hub AS (
+        |  SELECT cand_id AS hid, indeg AS hdeg FROM (
+        |    SELECT cand_id, indeg,
+        |      row_number() OVER (ORDER BY indeg DESC, cand_id) AS rk
+        |    FROM indeg) WHERE rk = 1)
+        |SELECT indeg, COUNT(*) AS n_vectors,
+        |  hub.hid AS top_hub_id, hub.hdeg AS top_hub_indeg
+        |FROM indeg CROSS JOIN hub
+        |GROUP BY indeg, hub.hid, hub.hdeg
+        |ORDER BY indeg""".stripMargin)
   )
 }

@@ -2589,6 +2589,66 @@ object StatsOps extends OpGroup {
         |  CASE WHEN sg > 0 THEN 'golden' ELSE 'death' END AS signal
         |FROM x
         |WHERE psg IS NOT NULL AND sg <> psg AND sg <> 0
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin),
+
+    Q(
+      // GRUBBS test for the single most extreme daily revenue — the
+      // formal "is the worst point an outlier" statistic (vs the
+      // flagging sweeps of q_events_outliers/q_win_bollinger): the
+      // candidate day is ARGMAX of |n·x − S| picked by exact integer
+      // rank (deviation DESC, day ASC — never a float-argmax tie),
+      // then G = |x−μ|/σ assembles as one double tree from the exact
+      // moments. Emits the day, its value, and G.
+      // Scale shape: corpus → day domain; 1-row totals broadcast; the
+      // rank window runs on the bounded day frame.
+      "q_stats_grubbs",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val tot = daily.agg(count(lit(1)).as("n"),
+                            sum(col("rev")).cast(D).as("s"),
+                            sum(col("rev").cast(D) * col("rev"))
+                              .as("q"))
+        val dev = abs(col("rev").cast(D) * col("n") - col("s"))
+        val wr = Window.orderBy(dev.desc, col("day"))
+        daily.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("day"), col("n"),
+                  (col("rev").cast("double") / 100.0).as("revenue"),
+                  r4(abs(col("rev").cast("double") -
+                         col("s").cast("double") / col("n")) /
+                     sqrt((col("q").cast("double") -
+                           col("s").cast("double") *
+                           col("s").cast("double") / col("n")) /
+                          (col("n") - 1))).as("g4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |t AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(rev) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS q
+        |  FROM daily),
+        |r AS (
+        |  SELECT day, rev, n, s, q,
+        |    row_number() OVER (
+        |      ORDER BY abs(CAST(rev AS HUGEINT) * n - s) DESC, day)
+        |      AS rk
+        |  FROM daily CROSS JOIN t)
+        |SELECT day, n,
+        |  CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  round(abs(CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |        / sqrt((CAST(q AS DOUBLE)
+        |                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |               / (n - 1)), 4) + 0 AS g4
+        |FROM r WHERE rk = 1""".stripMargin)
   )
 }
