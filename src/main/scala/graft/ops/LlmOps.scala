@@ -245,6 +245,70 @@ object LlmOps extends OpGroup {
         |ORDER BY sz""".stripMargin),
 
     Q(
+      // Near-dup cluster LANGUAGE PURITY — the dedup-QA gate: a
+      // cluster whose members span several languages is usually not
+      // duplication but a shingle-collision artifact (or
+      // cross-lingual templating worth a human look), and silently
+      // collapsing it to one canonical would DELETE non-duplicate
+      // text. Reports, over multi-doc minhash clusters: total, how
+      // many are language-pure, the mixed share, and the worst
+      // offender (most langs; ties by root ASC — rank-deterministic).
+      // Scale shape: CC labels join docs' lang by doc key, two
+      // cluster-sized hash-aggs — the audit adds nothing corpus-wide
+      // beyond the dedup pass it audits.
+      "q_dedup_lang_purity",
+      (s, d) => {
+        val labels = graft.api.Dedup.connectedComponents(
+          minhashPairs(s, d), "doc_a", "doc_b")
+        val cl = labels
+          .join(Tables.documents(s, d).select(col("doc_id"),
+                                              col("lang")),
+                col("doc") === col("doc_id"))
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("sz"),
+               countDistinct(col("lang")).as("nl"))
+        val wr = Window.orderBy(col("nl").desc, col("root"))
+        val worst = cl.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("root").as("_wr"), col("nl").as("_wl"))
+        cl.agg(count(lit(1)).as("n_clusters"),
+               sum(when(col("nl") === 1, 1L).otherwise(0L))
+                 .as("n_pure"))
+          .crossJoin(broadcast(worst))
+          .select(col("n_clusters"), col("n_pure"),
+                  (col("n_clusters") - col("n_pure")).as("n_mixed"),
+                  intRatio4((col("n_clusters") - col("n_pure")) *
+                              10000L, col("n_clusters"))
+                    .as("mixed_share4"),
+                  col("_wr").as("worst_root"),
+                  col("_wl").as("worst_n_langs"))
+      },
+      s"""WITH RECURSIVE $minhashPairsSql,
+        |$ccCompSql,
+        |cl AS (
+        |  SELECT c.root, COUNT(*) AS sz,
+        |    COUNT(DISTINCT d.lang) AS nl
+        |  FROM comp c JOIN documents d ON c.doc = d.doc_id
+        |  GROUP BY c.root),
+        |worst AS (
+        |  SELECT root AS wr, nl AS wl FROM (
+        |    SELECT root, nl,
+        |      row_number() OVER (ORDER BY nl DESC, root) AS rk
+        |    FROM cl) WHERE rk = 1),
+        |g AS (
+        |  SELECT COUNT(*) AS n_clusters,
+        |    CAST(SUM(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pure
+        |  FROM cl)
+        |SELECT n_clusters, n_pure,
+        |  n_clusters - n_pure AS n_mixed,
+        |  CAST((2 * ((n_clusters - n_pure) * 10000) + n_clusters)
+        |       // (2 * n_clusters) AS DOUBLE) / 10000.0
+        |    AS mixed_share4,
+        |  worst.wr AS worst_root, worst.wl AS worst_n_langs
+        |FROM g CROSS JOIN worst""".stripMargin),
+
+    Q(
       // THE end-to-end dedup pipeline as ONE declared query: near-dup
       // pairs (minhash) → connected components → canonical-doc election
       // per cluster (most tokens wins, ties to the smaller id) —
