@@ -966,7 +966,64 @@ object EtlOps extends OpGroup {
         |        / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
         |               * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
         |               * (1.0 / n1 + 1.0 / n2)), 4) + 0 AS z4
-        |FROM a CROSS JOIN b""".stripMargin)
+        |FROM a CROSS JOIN b""".stripMargin),
+
+    Q(
+      // Surrogate-KEY COLLISION audit (birthday-bound check): hash
+      // doc text into the 16-bit hash16 key space, count colliding
+      // pairs Σ C(cnt,2), and compare against the birthday
+      // expectation n(n−1)/(2·65536) — the key-width sizing audit
+      // run before trusting a hashed surrogate key as an identifier
+      // (a ratio ≫ 1 means duplicate content or a biased hash; ≈ 1
+      // means the space is simply too small for n). Counts exact;
+      // expectation and ratio are exact rationals through the wide
+      // half-up division — DECIMAL all the way, no float birthday
+      // formula. The audited key IS api.Pipeline.hash16 — the same
+      // function the split/sampling family trusts.
+      // Scale shape: one key hash-agg bounded by the 65536-key
+      // domain; O(1) after.
+      "q_etl_key_collisions",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val keys = Tables.documents(s, d)
+          .select(graft.api.Pipeline.hash16(col("text")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val g = keys.agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).as("n_keys"),
+          // c(c−1) is even, so the per-key integral halving is exact
+          sum(expr("(c * (c - 1)) div 2")).as("obs"))
+        g.select(col("n"), col("n_keys"),
+                 col("obs").as("observed_pairs"),
+                 intRatio4Wide(
+                   (col("n").cast(D) * (col("n") - 1)) * 10000,
+                   lit(2L).cast(D) * 65536).as("expected4"),
+                 when(col("n") >= 2,
+                   intRatio4Wide(
+                     col("obs").cast(D) * 2 * 65536 * 10000,
+                     col("n").cast(D) * (col("n") - 1)))
+                   .as("obs_exp_ratio4"))
+      },
+      s"""WITH k AS (
+        |  SELECT (${u16Sql("text")}) AS k FROM documents),
+        |c AS (SELECT k, COUNT(*) AS c FROM k GROUP BY k),
+        |g AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_keys,
+        |    CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) // 2 AS HUGEINT)
+        |      AS obs
+        |  FROM c)
+        |SELECT n, n_keys, CAST(obs AS BIGINT) AS observed_pairs,
+        |  CAST((2 * (CAST(n AS HUGEINT) * (n - 1) * 10000)
+        |        + 2 * 65536)
+        |       // (2 * (2 * 65536)) AS DOUBLE) / 10000.0
+        |    AS expected4,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST((2 * (obs * 2 * 65536 * 10000)
+        |          + CAST(n AS HUGEINT) * (n - 1))
+        |         // (2 * (CAST(n AS HUGEINT) * (n - 1))) AS DOUBLE)
+        |      / 10000.0
+        |  END AS obs_exp_ratio4
+        |FROM g""".stripMargin)
   )
 
   /** DuckDB twin of Spark's `conv(substring(md5(x), 1, 15), 16, 10)`:

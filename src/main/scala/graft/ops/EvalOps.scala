@@ -731,6 +731,72 @@ object EvalOps extends OpGroup {
         |  CAST((2 * (CAST(cpos AS HUGEINT) * 10000) + pp)
         |       // (2 * CAST(pp AS HUGEINT)) AS DOUBLE) / 10000.0
         |    AS gains4
-        |FROM c ORDER BY decile""".stripMargin)
+        |FROM c ORDER BY decile""".stripMargin),
+
+    Q(
+      // BRIER score of the binned quality-score "probability" against
+      // the English label — the proper scoring rule that completes
+      // the calibration triple (ECE measures miscalibration, the
+      // isotonic fit repairs it, Brier scores the whole forecast):
+      // with bin-midpoint confidences on the exact 1/20 grid,
+      // (p−y)·20 = 2b+1−20y is an INTEGER per doc, so Brier =
+      // Σ(2b+1−20y)²/(400N) is one wide half-up division — the
+      // squared-error score with zero float accumulation. Also emits
+      // the all-base-rate reference Brier (predicting P/N for every
+      // doc) — the skill bar a useful forecaster must beat —
+      // computed from the same exact counts.
+      // Scale shape: one scored pass + one conditional hash-agg;
+      // O(1) after.
+      "q_eval_brier",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val scored = graft.api.Text.qualityScore(
+            Tables.documents(s, d), col("text"), col("n_chars"))
+          .select((least(floor(col("score") * 10), lit(9)) * 2 + 1)
+                    .cast("long").as("m20"),
+                  (col("lang") === "en").cast("long").as("y"))
+        val g = scored.agg(
+          count(lit(1)).as("n"), sum(col("y")).as("p"),
+          sum((col("m20") - col("y") * 20) *
+              (col("m20") - col("y") * 20)).as("ss"))
+        g.select(col("n"), col("p"),
+                 intRatio4Wide(col("ss").cast(D) * 10000,
+                               col("n").cast(D) * 400).as("brier4"),
+                 // reference: predict the base rate p̂=P/N for all →
+                 // Brier_ref = p̂(1−p̂) = P(N−P)/N² exactly
+                 intRatio4Wide(
+                   col("p").cast(D) * (col("n") - col("p")) * 10000,
+                   col("n").cast(D) * col("n")).as("brier_ref4"))
+      },
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(n_chars AS DOUBLE) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |sc AS (
+        |  SELECT
+        |    CAST(least(floor((least(chars / 500.0, 1.0) * 0.4 +
+        |      (1.0 - n_stop / n_tok) * 0.3 +
+        |      least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3)
+        |      * 10), 9) * 2 + 1 AS BIGINT) AS m20,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS y
+        |  FROM f),
+        |g AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p,
+        |    CAST(SUM((m20 - y * 20) * (m20 - y * 20)) AS HUGEINT)
+        |      AS ss
+        |  FROM sc)
+        |SELECT n, p,
+        |  CAST((2 * (ss * 10000) + CAST(n AS HUGEINT) * 400)
+        |       // (2 * (CAST(n AS HUGEINT) * 400)) AS DOUBLE)
+        |    / 10000.0 AS brier4,
+        |  CAST((2 * (CAST(p AS HUGEINT) * (n - p) * 10000)
+        |        + CAST(n AS HUGEINT) * n)
+        |       // (2 * (CAST(n AS HUGEINT) * n)) AS DOUBLE) / 10000.0
+        |    AS brier_ref4
+        |FROM g""".stripMargin)
   )
 }

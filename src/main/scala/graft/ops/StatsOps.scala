@@ -2649,6 +2649,59 @@ object StatsOps extends OpGroup {
         |        / sqrt((CAST(q AS DOUBLE)
         |                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
         |               / (n - 1)), 4) + 0 AS g4
-        |FROM r WHERE rk = 1""".stripMargin)
+        |FROM r WHERE rk = 1""".stripMargin),
+
+    Q(
+      // Paired SIGN test week-over-week: is daily revenue higher than
+      // the same weekday last week more often than chance — the
+      // assumption-free paired companion to Mann–Kendall (MK sees
+      // monotone trend; the sign test sees a consistent weekly
+      // up-shift even in noisy, non-monotone data). S⁺/S⁻ are exact
+      // integer counts from a lag-7 compare (ties dropped, as the
+      // textbook prescribes), the normal-approximation z =
+      // (2S⁺−n)/√n is ONE double at the end.
+      // Scale shape: corpus → day domain; one lag window; 1-row out.
+      "q_stats_sign_test",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val wd = Window.orderBy(col("day"))
+        val g = daily
+          .withColumn("p7", lag(col("rev"), 7).over(wd))
+          .filter(col("p7").isNotNull && col("rev") =!= col("p7"))
+          .agg(sum(when(col("rev") > col("p7"), 1L).otherwise(0L))
+                 .as("s_plus"),
+               sum(when(col("rev") < col("p7"), 1L).otherwise(0L))
+                 .as("s_minus"))
+        g.select(col("s_plus"), col("s_minus"),
+                 r4((col("s_plus") * 2 -
+                     (col("s_plus") + col("s_minus"))).cast("double") /
+                    sqrt((col("s_plus") + col("s_minus"))
+                           .cast("double"))).as("z4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |l AS (
+        |  SELECT day, rev, lag(rev, 7) OVER (ORDER BY day) AS p7
+        |  FROM daily),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN rev > p7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_plus,
+        |    CAST(SUM(CASE WHEN rev < p7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_minus
+        |  FROM l WHERE p7 IS NOT NULL AND rev <> p7)
+        |SELECT s_plus, s_minus,
+        |  round(CAST(s_plus * 2 - (s_plus + s_minus) AS DOUBLE)
+        |        / sqrt(CAST(s_plus + s_minus AS DOUBLE)), 4) + 0
+        |    AS z4
+        |FROM g""".stripMargin)
   )
 }
