@@ -2702,6 +2702,118 @@ object StatsOps extends OpGroup {
         |  round(CAST(s_plus * 2 - (s_plus + s_minus) AS DOUBLE)
         |        / sqrt(CAST(s_plus + s_minus AS DOUBLE)), 4) + 0
         |    AS z4
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    Q(
+      // KISH effective sample size of the length-weighted document
+      // sample, per source: ESS = (Σw)²/Σw² — how many EQUAL-weight
+      // docs a token-weighted corpus is really worth (the design-
+      // effect number behind every weighted metric's error bar; a
+      // few giant docs can make a 1000-doc source behave like 50).
+      // Weights = n_chars, pure integers: both the square of the sum
+      // and the sum of squares live in DECIMAL(38,0), ESS and the
+      // ESS/n efficiency are wide half-up divisions — no float
+      // anywhere.
+      // Scale shape: one source-keyed hash-agg; k-row math after.
+      "q_stats_kish",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("n_chars")).as("sw"),
+               sum(col("n_chars").cast(D) * col("n_chars")).as("sw2"))
+        g.select(col("source"), col("n"),
+                 intRatio4Wide(
+                   col("sw").cast(D) * col("sw") * 10000,
+                   col("sw2")).as("ess4"),
+                 intRatio4Wide(
+                   col("sw").cast(D) * col("sw") * 10000,
+                   col("sw2") * col("n")).as("efficiency4"))
+          .orderBy(col("source"))
+      },
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS HUGEINT) AS sw,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+        |      AS sw2
+        |  FROM documents GROUP BY source)
+        |SELECT source, n,
+        |  CAST((2 * (sw * sw * 10000) + sw2) // (2 * sw2) AS DOUBLE)
+        |    / 10000.0 AS ess4,
+        |  CAST((2 * (sw * sw * 10000) + sw2 * n)
+        |       // (2 * (sw2 * n)) AS DOUBLE) / 10000.0
+        |    AS efficiency4
+        |FROM g ORDER BY source""".stripMargin),
+
+    Q(
+      // CIRCULAR (directional) statistics of activity hour per event
+      // type: the mean DIRECTION of the 24h clock and the resultant
+      // length R — arithmetic means are wrong on a circle (23:00 and
+      // 01:00 average to midnight, not noon), and R ∈ [0,1] is the
+      // concentration number (1 = all activity at one hour, 0 =
+      // uniform). The 24 unit vectors are a FROZEN integer table
+      // (round(cos/sin·10⁶) literals — the NDCG-discount discipline,
+      // no engine trig on data), so Σcos/Σsin are EXACT integer
+      // sums; only the final atan2/sqrt run on those bit-identical
+      // integers. Mean hour reported in 1e-4 hours via the identical
+      // atan2 tree on both engines.
+      // Scale shape: one (type, hour) hash-agg to ≤120 rows; the
+      // trig table joins broadcast.
+      "q_stats_circular_hour",
+      (s, d) => {
+        val cosT = (0 until 24).map(h =>
+          math.round(math.cos(2 * math.Pi * h / 24) * 1000000))
+        val sinT = (0 until 24).map(h =>
+          math.round(math.sin(2 * math.Pi * h / 24) * 1000000))
+        val hcnt = Tables.events(s, d)
+          .select(col("event_type"),
+                  expr("(ts_us div 3600000000) % 24").cast("int")
+                    .as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("c"))
+        val g = hcnt
+          .withColumn("cosv", element_at(typedLit(cosT), col("h") + 1))
+          .withColumn("sinv", element_at(typedLit(sinT), col("h") + 1))
+          .groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n"),
+               sum(col("c") * col("cosv")).as("sc"),
+               sum(col("c") * col("sinv")).as("ss"))
+        g.select(col("event_type"), col("n"),
+                 r4((atan2(col("ss").cast("double"),
+                           col("sc").cast("double")) * 12.0 /
+                     math.Pi + 24.0) % 24.0).as("mean_hour4"),
+                 r4(sqrt(col("sc").cast("double") *
+                         col("sc").cast("double") +
+                         col("ss").cast("double") *
+                         col("ss").cast("double")) /
+                    (col("n").cast("double") * 1000000.0)).as("r4"))
+          .orderBy(col("event_type"))
+      },
+      {
+        val cosRows = (0 until 24).map(h =>
+          s"($h, ${math.round(math.cos(2 * math.Pi * h / 24) * 1000000)}, " +
+          s"${math.round(math.sin(2 * math.Pi * h / 24) * 1000000)})")
+          .mkString(", ")
+        s"""WITH trig(h, cosv, sinv) AS (VALUES $cosRows),
+          |hc AS (
+          |  SELECT event_type,
+          |    CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h,
+          |    COUNT(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |g AS (
+          |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+          |    CAST(SUM(c * cosv) AS BIGINT) AS sc,
+          |    CAST(SUM(c * sinv) AS BIGINT) AS ss
+          |  FROM hc JOIN trig USING (h)
+          |  GROUP BY event_type)
+          |SELECT event_type, n,
+          |  round((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+          |         * 12.0 / pi() + 24.0) % 24.0, 4) + 0 AS mean_hour4,
+          |  round(sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+          |             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+          |        / (CAST(n AS DOUBLE) * 1000000.0), 4) + 0 AS r4
+          |FROM g ORDER BY event_type""".stripMargin
+      })
   )
 }
