@@ -1027,6 +1027,73 @@ object PipelineOps extends OpGroup {
         |  round(least(1.0, 10000 * wt / toks), 4) + 0 AS rate,
         |  CAST(floor(toks * (round(least(1.0, 10000 * wt / toks), 4)
         |                     + 0)) AS BIGINT) AS kept_toks
-        |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin)
+        |FROM tot JOIN w ON stratum = s2 ORDER BY stratum""".stripMargin),
+
+    Q(
+      // HORVITZ–THOMPSON estimator audit: estimate each language's
+      // TOTAL token mass from the deterministic stratified sample
+      // alone (est = Σ_kept w/π with the exact inclusion probability
+      // π = thr/65536 of the q_sample_stratified rule) and compare
+      // against the true total — the closed loop that certifies the
+      // sampling math end-to-end (sample → inverse-probability
+      // estimate → truth), which a survey statistician runs before
+      // trusting ANY sampled metric. est is an exact rational
+      // (Σkept·65536 one wide half-up division by thr); the relative
+      // error is the wide ratio of exact integers.
+      // Scale shape: the keep test is the map-side hash threshold;
+      // two lang-keyed hash-aggs; k-row math after.
+      "q_sample_ht_estimate",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val toks = graft.api.Text.tokenCounts(
+          Tables.documents(s, d), col("text"))
+          .select(col("lang"), col("doc_id"), col("n_bpe"))
+        val thr = when(col("lang") === "en", 16384L).otherwise(49152L)
+        val act = toks.groupBy(col("lang"))
+          .agg(sum(col("n_bpe")).as("actual"))
+        val est = toks
+          .filter(graft.api.Pipeline.hash16(col("doc_id")) < thr)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_bpe")).as("_ks"), count(lit(1)).as("n_kept"))
+          .withColumn("_thr", thr)
+          .withColumn("est",
+            halfUpDivWide(col("_ks").cast(D) * 65536, col("_thr"))
+              .cast("long"))
+        act.join(est, Seq("lang"), "left")
+          .select(col("lang"), col("actual"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  coalesce(col("est"), lit(0L)).as("ht_estimate"),
+                  intRatio4Wide(
+                    abs(coalesce(col("est"), lit(0L)) - col("actual"))
+                      .cast(D) * 10000,
+                    col("actual")).as("rel_err4"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_bpe,
+        |    ${u16Sql("doc_id")} AS u,
+        |    CASE WHEN lang = 'en' THEN 16384 ELSE 49152 END AS thr
+        |  FROM documents),
+        |act AS (
+        |  SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS actual
+        |  FROM toks GROUP BY lang),
+        |est AS (
+        |  SELECT lang, COUNT(*) AS n_kept,
+        |    CAST((2 * (CAST(SUM(n_bpe) AS HUGEINT) * 65536)
+        |          + CAST(MIN(thr) AS HUGEINT))
+        |         // (2 * CAST(MIN(thr) AS HUGEINT)) AS BIGINT) AS est
+        |  FROM toks WHERE u < thr GROUP BY lang)
+        |SELECT act.lang, act.actual,
+        |  COALESCE(est.n_kept, 0) AS n_kept,
+        |  COALESCE(est.est, 0) AS ht_estimate,
+        |  CAST((2 * (CAST(abs(COALESCE(est.est, 0) - act.actual)
+        |                  AS HUGEINT) * 10000)
+        |        + CAST(act.actual AS HUGEINT))
+        |       // (2 * CAST(act.actual AS HUGEINT)) AS DOUBLE)
+        |    / 10000.0 AS rel_err4
+        |FROM act LEFT JOIN est ON act.lang = est.lang
+        |ORDER BY act.lang""".stripMargin)
   )
 }

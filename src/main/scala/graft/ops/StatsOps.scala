@@ -2814,6 +2814,82 @@ object StatsOps extends OpGroup {
           |             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
           |        / (CAST(n AS DOUBLE) * 1000000.0), 4) + 0 AS r4
           |FROM g ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    Q(
+      // TIME UNDERWATER: how long the daily revenue series spends
+      // below its running high — the duration companion to
+      // q_win_drawdown's depth (investors and SLO owners both ask
+      // "how BAD" and "for how LONG"): every day either sets a new
+      // running peak or extends the current underwater spell; spells
+      // are the islands between peak days (cumsum of exact integer
+      // peak flags), and the report is peaks, worst spell length +
+      // its start day (rank-deterministic), and total underwater
+      // days. Pure integers end to end.
+      // Scale shape: corpus → day domain; two ordered windows on the
+      // bounded day frame; 1-row out.
+      "q_win_underwater",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000").as("day"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("day")).agg(sum(col("vc")).as("rev"))
+        val wc = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wd = Window.orderBy(col("day"))
+        val r = daily
+          .withColumn("peak", max(col("rev")).over(wc))
+          .withColumn("np", when(col("rev") === col("peak"), 1L)
+                              .otherwise(0L))
+          .withColumn("grp", sum(col("np")).over(wc))
+        val spells = r.filter(col("np") === 0)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        val wr = Window.orderBy(col("len").desc, col("start"))
+        val worst = spells.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("len").as("_wl"), col("start").as("_wsd"))
+        r.agg(sum(col("np")).as("n_peaks"),
+              sum(lit(1L) - col("np")).as("underwater_days"))
+          .crossJoin(broadcast(worst))
+          .select(col("n_peaks"), col("underwater_days"),
+                  col("_wl").as("worst_spell_days"),
+                  col("_wsd").as("worst_spell_start"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS rev
+        |  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000),
+        |p AS (
+        |  SELECT day, rev,
+        |    CASE WHEN rev = MAX(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    THEN 1 ELSE 0 END AS np
+        |  FROM daily),
+        |r AS (
+        |  SELECT day, rev, np,
+        |    SUM(np) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS grp
+        |  FROM p),
+        |sp AS (
+        |  SELECT grp, COUNT(*) AS len, MIN(day) AS start
+        |  FROM r WHERE np = 0 GROUP BY grp),
+        |worst AS (
+        |  SELECT len AS wl, start AS wsd FROM (
+        |    SELECT len, start,
+        |      row_number() OVER (ORDER BY len DESC, start) AS rk
+        |    FROM sp) WHERE rk = 1),
+        |g AS (
+        |  SELECT CAST(SUM(np) AS BIGINT) AS n_peaks,
+        |    CAST(SUM(1 - np) AS BIGINT) AS underwater_days
+        |  FROM r)
+        |SELECT n_peaks, underwater_days,
+        |  worst.wl AS worst_spell_days,
+        |  worst.wsd AS worst_spell_start
+        |FROM g CROSS JOIN worst""".stripMargin)
   )
 }
