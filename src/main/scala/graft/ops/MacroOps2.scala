@@ -1034,6 +1034,91 @@ object MacroOps2 extends OpGroup {
         |  CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90,
         |  CAST(quantile_disc(days, 0.99) AS BIGINT) AS p99
         |FROM lag GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    Q(
+      // PRICE–VOLUME bridge per brand, 1997→1998: the FP&A
+      // decomposition ΔR = volume effect + price effect, with
+      // volume = Δq·(r₁/q₁) and price = r₂ − q₂·(r₁/q₁) — each
+      // effect's numerator (Δq·r₁, r₂q₁ − q₂r₁) is an exact integer
+      // product of cent and quantity sums, and each rounds ONCE via
+      // the sign-mirrored wide division (intRatio4Wide — effects are
+      // routinely negative, and the unmirrored halfUpDivWide plus
+      // DuckDB's floor-`//` disagree on negatives: caught by the
+      // oracle on first run, 19/25 rows). The two rounded effects
+      // reconstruct ΔR to within their two 1e-4 roundings. "Why did
+      // revenue move — more units, or different prices" per brand.
+      // Scale shape: one conditional hash-agg per year folded into a
+      // single (brand, year) agg; pivot to brand rows; \|brands\|-
+      // sized math after.
+      "q_macro_price_volume",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")).isin(1997, 1998))
+          .join(broadcast(Tables.part(s, d)
+                  .select(col("p_partkey"), col("p_brand"))),
+                col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), year(col("l_shipdate")).as("yr"),
+                  (money("l_extendedprice") * 100).cast("long")
+                    .as("rc"),
+                  col("l_quantity").cast("long").as("q"))
+        val g = li.groupBy(col("p_brand"))
+          .agg(sum(when(col("yr") === 1997, col("rc")).otherwise(0L))
+                 .as("r1"),
+               sum(when(col("yr") === 1997, col("q")).otherwise(0L))
+                 .as("q1"),
+               sum(when(col("yr") === 1998, col("rc")).otherwise(0L))
+                 .as("r2"),
+               sum(when(col("yr") === 1998, col("q")).otherwise(0L))
+                 .as("q2"))
+          .filter(col("q1") > 0)
+        g.select(col("p_brand"),
+                 ((col("r2") - col("r1")).cast("double") / 100.0)
+                   .as("delta_rev"),
+                 intRatio4Wide(
+                   (col("q2") - col("q1")).cast(D) * col("r1") * 100,
+                   col("q1")).as("volume_effect"),
+                 intRatio4Wide(
+                   (col("r2").cast(D) * col("q1") -
+                      col("q2").cast(D) * col("r1")) * 100,
+                   col("q1")).as("price_effect"))
+          .orderBy(col("p_brand"))
+      },
+      """WITH li AS (
+        |  SELECT p_brand, CAST(year(l_shipdate) AS INT) AS yr,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS rc,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(year(l_shipdate) AS INT) IN (1997, 1998)),
+        |g AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CASE WHEN yr = 1997 THEN rc ELSE 0 END)
+        |         AS HUGEINT) AS r1,
+        |    CAST(SUM(CASE WHEN yr = 1997 THEN q ELSE 0 END)
+        |         AS HUGEINT) AS q1,
+        |    CAST(SUM(CASE WHEN yr = 1998 THEN rc ELSE 0 END)
+        |         AS HUGEINT) AS r2,
+        |    CAST(SUM(CASE WHEN yr = 1998 THEN q ELSE 0 END)
+        |         AS HUGEINT) AS q2
+        |  FROM li GROUP BY p_brand)
+        |SELECT p_brand,
+        |  CAST(r2 - r1 AS DOUBLE) / 100.0 AS delta_rev,
+        |  CASE WHEN (q2 - q1) * r1 >= 0 THEN
+        |    CAST((2 * ((q2 - q1) * r1 * 100) + q1) // (2 * q1)
+        |         AS DOUBLE) / 10000.0
+        |  ELSE
+        |    -(CAST((2 * (-((q2 - q1) * r1) * 100) + q1) // (2 * q1)
+        |           AS DOUBLE) / 10000.0)
+        |  END AS volume_effect,
+        |  CASE WHEN r2 * q1 - q2 * r1 >= 0 THEN
+        |    CAST((2 * ((r2 * q1 - q2 * r1) * 100) + q1) // (2 * q1)
+        |         AS DOUBLE) / 10000.0
+        |  ELSE
+        |    -(CAST((2 * (-(r2 * q1 - q2 * r1) * 100) + q1)
+        |           // (2 * q1) AS DOUBLE) / 10000.0)
+        |  END AS price_effect
+        |FROM g WHERE q1 > 0 ORDER BY p_brand""".stripMargin)
   )
 }

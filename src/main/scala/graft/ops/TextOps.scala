@@ -481,6 +481,66 @@ object TextOps extends OpGroup {
         |FROM g ORDER BY lang""".stripMargin),
 
     Q(
+      // HEAD-COVERAGE of the 3-gram distribution: what share of all
+      // trigram OCCURRENCES the top-100 / top-1000 grams carry — the
+      // sizing number for caches, codebooks, and truncated
+      // vocabularies ("how much of the stream does a head table
+      // absorb"), the mass-weighted complement of Heaps' distinct
+      // counting. Grams ranked by (count DESC, gram ASC); both
+      // cutoffs ride the ranked frame as conditional sums; shares
+      // exact half-up integer ratios.
+      // Scale shape: one gram hash-agg; the rank window runs over
+      // the gram-count frame (vocabulary-sized, not corpus-sized);
+      // 1-row output.
+      "q_text_head_coverage",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(graft.api.Dedup.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(0, size(w) - 3), " +
+              "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+        val cnt = tok.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        val wr = Window.orderBy(col("c").desc, col("g"))
+        cnt.withColumn("rk", row_number().over(wr))
+          .agg(count(lit(1)).as("n_grams"),
+               sum(col("c")).as("total_occ"),
+               sum(when(col("rk") <= 100, col("c")).otherwise(0L))
+                 .as("_t100"),
+               sum(when(col("rk") <= 1000, col("c")).otherwise(0L))
+                 .as("_t1000"))
+          .select(col("n_grams"), col("total_occ"),
+                  intRatio4(col("_t100") * 10000L, col("total_occ"))
+                    .as("top100_share4"),
+                  intRatio4(col("_t1000") * 10000L, col("total_occ"))
+                    .as("top1000_share4"))
+      },
+      s"""WITH tok AS (
+        |  SELECT ${toksSql("text")} AS w FROM documents),
+        |t AS (
+        |  SELECT concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS g
+        |  FROM (SELECT w, unnest(range(0, len(w) - 2)) AS i
+        |        FROM tok WHERE len(w) >= 3)),
+        |c AS (SELECT g, COUNT(*) AS c FROM t GROUP BY g),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, g ASC) AS rk
+        |  FROM c),
+        |a AS (
+        |  SELECT COUNT(*) AS n_grams,
+        |    CAST(SUM(c) AS BIGINT) AS total_occ,
+        |    CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END)
+        |         AS BIGINT) AS t100,
+        |    CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END)
+        |         AS BIGINT) AS t1000
+        |  FROM r)
+        |SELECT n_grams, total_occ,
+        |  CAST((2 * (t100 * 10000) + total_occ) // (2 * total_occ)
+        |       AS DOUBLE) / 10000.0 AS top100_share4,
+        |  CAST((2 * (t1000 * 10000) + total_occ) // (2 * total_occ)
+        |       AS DOUBLE) / 10000.0 AS top1000_share4
+        |FROM a""".stripMargin),
+
+    Q(
       // rolling-hash document fingerprint: position-weighted polynomial
       // hash over md5-derived word values, mod 2^31-1 — pure integer
       // math, identical in both engines. Fingerprint collisions = exact
