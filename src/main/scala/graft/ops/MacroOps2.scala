@@ -1118,7 +1118,81 @@ object MacroOps2 extends OpGroup {
         |  ELSE
         |    -(CAST((2 * (-(r2 * q1 - q2 * r1) * 100) + q1)
         |           // (2 * q1) AS DOUBLE) / 10000.0)
-        |  END AS price_effect
-        |FROM g WHERE q1 > 0 ORDER BY p_brand""".stripMargin)
+        |  END + 0 AS price_effect
+        |FROM g WHERE q1 > 0 ORDER BY p_brand""".stripMargin),
+
+    Q(
+      // AGGREGATION-BIAS audit (the Simpson's-paradox guardrail): per
+      // market segment, the revenue-WEIGHTED discount rate
+      // (Σ disc·price / Σ price) next to the unweighted mean line
+      // discount (Σ disc / n) and their gap — the two "average
+      // discount" numbers a dashboard can silently swap, diverging
+      // exactly when discounts correlate with ticket size. Both
+      // rates and the SIGNED gap are exact: numerators/denominators
+      // are integer cent/1e-2 sums, every division is the
+      // sign-mirrored wide half-up form.
+      // Scale shape: one fact⋈customer-keyed hash-agg (dim
+      // broadcast); segment-sized math after.
+      "q_macro_agg_bias",
+      (s, d) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+                  .select(col("o_orderkey"), col("o_custkey")),
+                col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+                  .select(col("c_custkey"), col("c_mktsegment"))),
+                col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"),
+                  (money("l_discount") * 100).cast("long").as("dc"),
+                  (money("l_extendedprice") * 100).cast("long")
+                    .as("pc"))
+        val g = li.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("dc")).as("sd"),
+               sum(col("pc")).as("sp"),
+               sum(col("dc").cast(D) * col("pc")).as("sdp"))
+        g.select(col("c_mktsegment"), col("n"),
+                 intRatio4Wide(col("sdp") * 100, col("sp"))
+                   .as("weighted_rate4"),
+                 intRatio4Wide(col("sd").cast(D) * 100, col("n"))
+                   .as("unweighted_rate4"),
+                 intRatio4Wide(
+                   (col("sdp") * col("n") -
+                    col("sd").cast(D) * col("sp")) * 100,
+                   col("sp").cast(D) * col("n")).as("gap4"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """WITH li AS (
+        |  SELECT c_mktsegment,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS dc,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS pc
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(dc) AS HUGEINT) AS sd,
+        |    CAST(SUM(pc) AS HUGEINT) AS sp,
+        |    CAST(SUM(CAST(dc AS HUGEINT) * pc) AS HUGEINT) AS sdp
+        |  FROM li GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n,
+        |  CAST((2 * (sdp * 100) + sp) // (2 * sp) AS DOUBLE)
+        |    / 10000.0 AS weighted_rate4,
+        |  CAST((2 * (sd * 100) + CAST(n AS HUGEINT))
+        |       // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 10000.0
+        |    AS unweighted_rate4,
+        |  CASE WHEN sdp * n - sd * sp >= 0 THEN
+        |    CAST((2 * ((sdp * n - sd * sp) * 100) + sp * n)
+        |         // (2 * (sp * CAST(n AS HUGEINT))) AS DOUBLE)
+        |      / 10000.0
+        |  ELSE
+        |    -(CAST((2 * (-(sdp * n - sd * sp) * 100) + sp * n)
+        |           // (2 * (sp * CAST(n AS HUGEINT))) AS DOUBLE)
+        |      / 10000.0)
+        |  END + 0 AS gap4
+        |FROM g ORDER BY c_mktsegment""".stripMargin)
   )
 }

@@ -771,6 +771,17 @@ class PlanSpec extends SparkSpec {
       s"constant-size stack to rows missing:\n$plan")
   }
 
+  test("copresence: interval pairs ride the hour-bucket equi key, never all-pairs") {
+    val df = SparkEntry.queries("q_events_copresence")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"session-pair candidates must come from the bucket equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+           || plan.contains("BroadcastHashJoin"),
+      s"bucket equi-join missing:\n$plan")
+  }
+
   test("quantile norm: CDF block table broadcasts; no single-partition corpus window") {
     val df = SparkEntry.queries("q_curate_quantile_norm")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
