@@ -1563,14 +1563,19 @@ object EventOps extends OpGroup {
       // with overlap counts — the coordination/collusion signal
       // (shared-device detection, bot-ring sweeps, "who browses
       // together") and the edge list a social graph starts from.
-      // Sessions are THE shared 8h-gap sessionizer (one definition
-      // with q_events_sessionize); candidate pairs come from an
+      // Sessions use the shared sessionizer at a 30-MINUTE gap —
+      // co-presence means actually-concurrent activity; at the 8h
+      // audit gap these users' sessions span weeks and the "graph"
+      // degenerates to "both active this month" while the bucket
+      // explode balloons (measured 22 s at sf0.1; 30-min sessions
+      // make it sparse AND honest). Candidate pairs come from an
       // HOUR-BUCKET equi-join (a session meets only sessions sharing
       // a calendar hour — the banded-range-join discipline, never an
       // all-pairs interval join), overlap is confirmed in the join
-      // stage, and a pair overlapping across several shared hours is
-      // DEDUPED by session ids before counting. Top-30 by (overlaps
-      // DESC, user_a, user_b) — fully rank-deterministic.
+      // stage, and each pair is emitted exactly once at the
+      // overlap's first hour (canonical-bucket emit — no distinct).
+      // Top-30 by (overlaps DESC, user_a, user_b) —
+      // rank-deterministic.
       // Scale shape: sessions are a per-user window; the bucket
       // explode is bounded by session span; candidates are equi-keyed
       // per hour; never O(users²).
@@ -1580,7 +1585,7 @@ object EventOps extends OpGroup {
             Tables.events(s, d)
               .select(col("user_id"), col("event_id"), col("ts_us")),
             key = col("user_id"), timeUs = col("ts_us"),
-            tieBreak = Seq(col("event_id")), gapUs = 28800000000L)
+            tieBreak = Seq(col("event_id")), gapUs = 1800000000L)
           .groupBy(col("user_id"), col("sess"))
           .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("e0"))
         val hs = sess.select(col("user_id"), col("sess"), col("s0"),
@@ -1594,11 +1599,18 @@ object EventOps extends OpGroup {
         val b = hs.select(col("user_id").as("ub"), col("sess").as("sb"),
                           col("s0").as("bs0"), col("e0").as("be0"),
                           col("hb").as("hb2"))
+        // each overlapping pair is emitted EXACTLY once — at the
+        // overlap's FIRST hour (hb = ⌊max(s0ₐ, s0ᵦ)/1h⌋) — instead of
+        // once per shared hour + a distinct: 8h-gap sessions span
+        // many hours at sf0.1, and the per-shared-hour duplicates
+        // made the dedup shuffle the whole query (measured 22 s;
+        // the canonical-bucket emit removes the distinct entirely)
         val pairs = a.join(b,
             col("hb") === col("hb2") && col("ua") < col("ub") &&
-            col("as0") <= col("be0") && col("bs0") <= col("ae0"))
+            col("as0") <= col("be0") && col("bs0") <= col("ae0") &&
+            col("hb") === expr(
+              "greatest(as0, bs0) div 3600000000"))
           .select(col("ua"), col("sa"), col("ub"), col("sb"))
-          .distinct()
         val cnt = pairs.groupBy(col("ua"), col("ub"))
           .agg(count(lit(1)).as("n_overlaps"))
         val wr = Window.orderBy(col("n_overlaps").desc, col("ua"),
@@ -1614,7 +1626,7 @@ object EventOps extends OpGroup {
         |n AS (
         |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |           OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
         |         ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id
         |                      ORDER BY ts_us ASC, event_id ASC)),
@@ -1633,11 +1645,12 @@ object EventOps extends OpGroup {
         |      AS hb
         |  FROM sg),
         |p AS (
-        |  SELECT DISTINCT a.user_id AS ua, a.sess AS sa,
+        |  SELECT a.user_id AS ua, a.sess AS sa,
         |    b.user_id AS ub, b.sess AS sb
         |  FROM hb a JOIN hb b
         |    ON a.hb = b.hb AND a.user_id < b.user_id
-        |   AND a.s0 <= b.e0 AND b.s0 <= a.e0),
+        |   AND a.s0 <= b.e0 AND b.s0 <= a.e0
+        |   AND a.hb = greatest(a.s0, b.s0) // 3600000000),
         |c AS (
         |  SELECT ua, ub, COUNT(*) AS n_overlaps
         |  FROM p GROUP BY ua, ub),
