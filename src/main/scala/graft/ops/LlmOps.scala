@@ -267,14 +267,17 @@ object LlmOps extends OpGroup {
           .groupBy(col("root"))
           .agg(count(lit(1)).as("sz"),
                countDistinct(col("lang")).as("nl"))
-        val wr = Window.orderBy(col("nl").desc, col("root"))
-        val worst = cl.withColumn("rk", row_number().over(wr))
-          .filter(col("rk") === 1)
-          .select(col("root").as("_wr"), col("nl").as("_wl"))
+        // worst offender = max(struct(nl, -root)): same (nl DESC,
+        // root ASC) rank-1 row as a window would pick, but as a
+        // plain hash-agg max — no single-partition sort over the
+        // cluster frame (which grows with the corpus), no crossJoin
         cl.agg(count(lit(1)).as("n_clusters"),
                sum(when(col("nl") === 1, 1L).otherwise(0L))
-                 .as("n_pure"))
-          .crossJoin(broadcast(worst))
+                 .as("n_pure"),
+               max(struct(col("nl"), (-col("root")).as("nr")))
+                 .as("_w"))
+          .withColumn("_wr", -col("_w.nr"))
+          .withColumn("_wl", col("_w.nl"))
           .select(col("n_clusters"), col("n_pure"),
                   (col("n_clusters") - col("n_pure")).as("n_mixed"),
                   intRatio4((col("n_clusters") - col("n_pure")) *

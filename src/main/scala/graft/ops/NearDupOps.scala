@@ -1256,12 +1256,17 @@ object NearDupOps extends OpGroup {
       // Scale shape: gram-keyed hash-agg → broadcast-able semi-join →
       // per-doc window; no self-join, nothing O(n²) (Scaladoc at the
       // api entry); countDistinct collapses map-side per gram.
+      // NOTE on `span_token_sum`: it is the SUM of per-span token
+      // widths, which intentionally double-counts tokens where two
+      // spans' n-gram windows overlap — the per-doc COVERED token
+      // mass (union-merged, no double count) is what
+      // q_dedup_substring_mass computes via coveredTokenMass.
       "q_dedup_substring",
       (s, d) => graft.api.Dedup.sharedNgramSpans(
           Tables.documents(s, d), col("doc_id"), col("text"), n = 7)
         .groupBy(col("doc").as("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
-             sum(col("n_tokens")).as("shared_tokens"),
+             sum(col("n_tokens")).as("span_token_sum"),
              max(col("n_tokens")).cast("long").as("widest"),
              min(col("span_start")).cast("long").as("first_pos"))
         .orderBy(col("doc_id")),
@@ -1289,7 +1294,7 @@ object NearDupOps extends OpGroup {
         |  SELECT doc_id, MIN(p) AS s0, MAX(p) AS e0
         |  FROM isl GROUP BY doc_id, grp)
         |SELECT doc_id, COUNT(*) AS n_spans,
-        |  CAST(SUM(e0 - s0 + 7) AS BIGINT) AS shared_tokens,
+        |  CAST(SUM(e0 - s0 + 7) AS BIGINT) AS span_token_sum,
         |  CAST(MAX(e0 - s0 + 7) AS BIGINT) AS widest,
         |  CAST(MIN(s0) AS BIGINT) AS first_pos
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
@@ -1513,11 +1518,14 @@ object NearDupOps extends OpGroup {
           isQuery = col("vec_id") < 60, k = 3)
         val indeg = ranked.groupBy(col("cand_id"))
           .agg(count(lit(1)).as("indeg"))
-        val wr = Window.orderBy(col("indeg").desc, col("cand_id"))
-        val hub = indeg.withColumn("rk", row_number().over(wr))
-          .filter(col("rk") === 1)
-          .select(col("cand_id").as("_hid"),
-                  col("indeg").as("_hdeg"))
+        // max hub = max(struct(indeg, -cand_id)): the (indeg DESC,
+        // cand_id ASC) rank-1 row as a 1-row hash-agg max instead of
+        // a global window sort over the in-degree frame
+        val hub = indeg
+          .agg(max(struct(col("indeg"), (-col("cand_id")).as("nid")))
+            .as("_h"))
+          .select((-col("_h.nid")).as("_hid"),
+                  col("_h.indeg").as("_hdeg"))
         indeg.groupBy(col("indeg"))
           .agg(count(lit(1)).as("n_vectors"))
           .crossJoin(broadcast(hub))

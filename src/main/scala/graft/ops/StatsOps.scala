@@ -2197,7 +2197,9 @@ object StatsOps extends OpGroup {
       // tie-ambiguous — everything emitted here is rank- or
       // integer-decided).
       // Scale shape: corpus → day domain in one hash-agg; every
-      // window runs over ~30 day rows.
+      // window runs over the ~2,400-row orders day domain (the
+      // ~30-row frames are the events-based queries) — bounded by
+      // the calendar either way, never by the corpus.
       "q_win_drawdown",
       (s, d) => {
         val daily = Tables.orders(s, d)

@@ -486,14 +486,20 @@ object TextOps extends OpGroup {
       // sizing number for caches, codebooks, and truncated
       // vocabularies ("how much of the stream does a head table
       // absorb"), the mass-weighted complement of Heaps' distinct
-      // counting. Grams ranked by (count DESC, gram ASC); both
-      // cutoffs ride the ranked frame as conditional sums; shares
-      // exact half-up integer ratios.
-      // Scale shape: one gram hash-agg; the rank window runs over
-      // the gram-count frame (vocabulary-sized, not corpus-sized);
-      // 1-row output.
+      // counting. Head mass via the bounded-heap `topk_by_long`
+      // aggregate, NOT a vocabulary-wide rank window: the cutoff sum
+      // only needs the top-1000 COUNTS, and equal-count grams at the
+      // boundary contribute the same mass whichever the tiebreak
+      // admits, so sum-over-top-k is tiebreak-invariant and the
+      // oracle's (count DESC, gram ASC) ranking agrees exactly.
+      // Shares exact half-up integer ratios.
+      // Scale shape: one gram hash-agg, then ONE agg with map-side
+      // 1000-slot heap partials — no single-partition sort even when
+      // the trigram vocabulary grows with the corpus (q_text_heaps
+      // shows it does); 1-row output.
       "q_text_head_coverage",
       (s, d) => {
+        graft.functions.TopKByLong.register(s)
         val tok = Tables.documents(s, d)
           .select(graft.api.Dedup.tokens(col("text")).as("w"))
           .filter(size(col("w")) >= 3)
@@ -501,19 +507,17 @@ object TextOps extends OpGroup {
             "transform(sequence(0, size(w) - 3), " +
               "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
         val cnt = tok.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        val wr = Window.orderBy(col("c").desc, col("g"))
-        cnt.withColumn("rk", row_number().over(wr))
-          .agg(count(lit(1)).as("n_grams"),
-               sum(col("c")).as("total_occ"),
-               sum(when(col("rk") <= 100, col("c")).otherwise(0L))
-                 .as("_t100"),
-               sum(when(col("rk") <= 1000, col("c")).otherwise(0L))
-                 .as("_t1000"))
+        cnt.agg(count(lit(1)).as("n_grams"),
+                sum(col("c")).as("total_occ"),
+                expr("topk_by_long(c, c, 1000)").as("_top"))
           .select(col("n_grams"), col("total_occ"),
-                  intRatio4(col("_t100") * 10000L, col("total_occ"))
-                    .as("top100_share4"),
-                  intRatio4(col("_t1000") * 10000L, col("total_occ"))
-                    .as("top1000_share4"))
+                  intRatio4(
+                    expr("aggregate(slice(_top, 1, 100), 0L," +
+                      " (a, x) -> a + x)") * 10000L,
+                    col("total_occ")).as("top100_share4"),
+                  intRatio4(
+                    expr("aggregate(_top, 0L, (a, x) -> a + x)") * 10000L,
+                    col("total_occ")).as("top1000_share4"))
       },
       s"""WITH tok AS (
         |  SELECT ${toksSql("text")} AS w FROM documents),

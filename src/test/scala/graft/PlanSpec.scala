@@ -791,8 +791,13 @@ class PlanSpec extends SparkSpec {
     // row_number over the corpus would print 'Window' with an empty
     // partition spec; assert every Window in the plan carries one
     val windows = plan.linesIterator.filter(_.contains("Window")).toList
-    assert(windows.exists(_.contains("source")),
-      s"per-source rank window missing:\n$plan")
+    // every corpus-frame Window must partition by source; the one
+    // allowed unpartitioned window is the block-CDF cumsum (`cum`),
+    // which runs over the BOUNDED value-block table, not the corpus
+    assert(windows.nonEmpty && windows.forall(w =>
+        w.contains("source") || w.contains("AS cum#")),
+      s"unexpected unpartitioned corpus Window (only the bounded " +
+        s"block-CDF cumsum may omit a partition spec):\n$plan")
   }
 
 }
