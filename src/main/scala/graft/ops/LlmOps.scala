@@ -554,6 +554,65 @@ object LlmOps extends OpGroup {
         |  COUNT(DISTINCT digest) AS n_distinct_blobs,
         |  MIN(digest) AS min_digest,
         |  COUNT(*) - COUNT(DISTINCT digest) AS n_dup_blobs
-        |FROM b GROUP BY source ORDER BY source""".stripMargin)
+        |FROM b GROUP BY source ORDER BY source""".stripMargin),
+
+    Q(
+      // REAL image codec under the hash gate: per doc, encode a
+      // deterministic grayscale test-card PNG (pixel(x,y) =
+      // (doc_id*31 + 7x + 13y) mod 256, dims from doc_id) through the
+      // JDK ImageIO PNG ENCODER, decode it back through the ImageIO
+      // READER (graft.multimodal.MediaCodec.decodeImage), and report
+      // the reader-sniffed format, true raster dims, and the EXACT
+      // decoded gray-pixel sum. The DuckDB oracle recomputes dims and
+      // pixel sums from the closed-form generator alone — it never
+      // sees the bytes — so a broken or fake codec (wrong dims, lossy
+      // round-trip, header-only "decode") hash-mismatches. This is
+      // the oracle-gated twin of the ⊘ multimodal pipeline suite.
+      // Scale shape: codec runs inside the scan stage's mapPartitions
+      // (per-blob CPU, no shuffle — only 5 small decoded columns reach
+      // the exchange); one source×format hash-agg; output is
+      // source-sized.
+      "q_multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val decoded = Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, src) =>
+              val w = 16 + (id % 17).toInt
+              val h = 12 + (id % 11).toInt
+              val png = graft.multimodal.MediaCodec.encodeTestCardPng(id, w, h)
+              val dec = graft.multimodal.MediaCodec.decodeImage(png)
+                .getOrElse(graft.multimodal.DecodedImage("none", -1, -1, -1L))
+              (src, dec.format, dec.width.toLong, dec.height.toLong,
+                dec.graySum)
+            }
+          }.toDF("source", "fmt", "w", "h", "gsum")
+        decoded.groupBy(col("source"), col("fmt"))
+          .agg(count(lit(1)).as("n_imgs"),
+               sum(col("w")).as("sum_w"),
+               sum(col("h")).as("sum_h"),
+               sum(col("gsum")).as("sum_gray"))
+          .orderBy(col("source"), col("fmt"))
+      },
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    16 + doc_id % 17 AS w, 12 + doc_id % 11 AS h
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, w, h, unnest(range(0, w)) AS x FROM p),
+        |e2 AS (
+        |  SELECT doc_id, source, w, h, x, unnest(range(0, h)) AS y
+        |  FROM e),
+        |g AS (
+        |  SELECT doc_id, source, w, h,
+        |    CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+        |      AS gsum
+        |  FROM e2 GROUP BY doc_id, source, w, h)
+        |SELECT source, 'png' AS fmt, COUNT(*) AS n_imgs,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(h) AS BIGINT) AS sum_h,
+        |  CAST(SUM(gsum) AS BIGINT) AS sum_gray
+        |FROM g GROUP BY source ORDER BY source, fmt""".stripMargin)
   )
 }

@@ -65,6 +65,45 @@ class MultimodalPipelineSpec extends SparkSpec {
       again.map(t => (t._1, t._2, t._3.toSeq)).sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("real codec: planted PNG decodes to true dims and exact pixels") {
+    val png = MediaCodec.encodeTestCardPng(7L, 64, 48)
+    // a real PNG came out of the encoder (magic bytes), and the real
+    // ImageIO reader identifies + decodes it losslessly
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
+    val dec = MediaCodec.decodeImage(png).get
+    assert(dec.format == "png" && dec.width == 64 && dec.height == 48)
+    var expect = 0L
+    for (y <- 0 until 48; x <- 0 until 64)
+      expect += (7L * 31 + x * 7 + y * 13) % 256
+    assert(dec.graySum == expect)
+    // undecodable bytes → None, so the pipeline takes the stub fallback
+    assert(MediaCodec.decodeImage(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+  }
+
+  test("real resize: decoded output really is newW x newH") {
+    val png = MediaCodec.encodeTestCardPng(3L, 64, 48)
+    val ds = Seq(MediaDoc(0L, MediaMeta("png", 64, 48, 0L), png)).toDS()
+    val out = Multimodal.resize(ds, 32, 24).collect().head
+    assert(out.meta.width == 32 && out.meta.height == 24 &&
+      out.meta.format == "png")
+    val dec = MediaCodec.decodeImage(out.payload).get
+    assert(dec.width == 32 && dec.height == 24 && dec.format == "png")
+  }
+
+  test("real embed: histogram features match the decoded pixel formula") {
+    val png = MediaCodec.encodeTestCardPng(11L, 40, 30)
+    val emb = MediaCodec.embed(png)
+    assert(emb.length == MediaCodec.Dim)
+    // exact expected histogram from the generator formula — identical
+    // float arithmetic (count/n) so equality is exact, and any lossy
+    // or fake decode would shift bins
+    val counts = new Array[Long](MediaCodec.Dim)
+    for (y <- 0 until 30; x <- 0 until 40)
+      counts((((11L * 31 + 7 * x + 13 * y) % 256).toInt
+        * MediaCodec.Dim / 256)) += 1
+    assert(emb.toSeq == counts.map(_.toFloat / 1200).toSeq)
+  }
+
   test("resize rewrites metadata and shrinks payloads proportionally") {
     val ds = docs(8).toDS()
     val resized = Multimodal.resize(ds, 32, 24).collect().sortBy(_.mediaId)
