@@ -188,9 +188,21 @@ object Dedup {
       maxShingleDocFreq: Option[Int] = None,
       maxShingleDocFrac: Option[Double] = None,
       fastHash: Boolean = false): DataFrame = {
-    val sig = minhashSignatures(df, id, text, shingle,
-                                maxShingleDocFreq, maxShingleDocFrac,
-                                fastHash)
+    minhashPairsFromSignatures(
+      minhashSignatures(df, id, text, shingle,
+                        maxShingleDocFreq, maxShingleDocFrac, fastHash),
+      minMatch)
+  }
+
+  /** Self-match candidate pairs from an EXISTING signature frame —
+    * freshly computed or read back from a persisted signature store
+    * (the materialized seam: compute [[minhashSignatures]] once, write
+    * them keyed by (k, mh), and every later dedup/CC/audit pass starts
+    * HERE instead of re-shingling the corpus). [[minhashPairs]]
+    * delegates to this, so stored-seam runs and ad-hoc runs are the
+    * same join by construction. */
+  def minhashPairsFromSignatures(
+      sig: DataFrame, minMatch: Int = 8): DataFrame = {
     val a = sig.select(col("doc_id").as("doc_a"), col("k"), col("mh"))
     val b = sig.select(col("doc_id").as("doc_b"),
                        col("k").as("k2"), col("mh").as("mh2"))

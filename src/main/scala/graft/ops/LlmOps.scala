@@ -245,6 +245,41 @@ object LlmOps extends OpGroup {
         |ORDER BY sz""".stripMargin),
 
     Q(
+      // Dedup from the PERSISTED signature seam, end-to-end under the
+      // hash gate: compute Dedup.minhashSignatures ONCE, write them to
+      // a parquet signature store partitioned by slot k (the
+      // materialized-seam layout — at 100 TB the corpus's signatures
+      // are computed once and every later dedup/audit pass starts from
+      // the store instead of re-shingling 100 TB of text), read the
+      // store back, then candidate pairs + connected components run
+      // purely from STORED signatures (minhashPairsFromSignatures —
+      // the same join minhashPairs delegates to, so ad-hoc and stored
+      // runs cannot drift). Oracle = the ad-hoc pair/CC CTEs: the gate
+      // proves store-roundtrip dedup ≡ recompute dedup exactly.
+      "q_dedup_from_signatures",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_sigstore").toString
+        graft.api.Dedup.minhashSignatures(
+            Tables.documents(s, d), col("doc_id"), col("text"))
+          .write.mode("overwrite").partitionBy("k").parquet(store)
+        val stored = s.read.parquet(store)
+        val pairs = graft.api.Dedup.minhashPairsFromSignatures(
+          stored, minMatch = K / 2)
+        graft.api.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("cluster_size"),
+               concat_ws(",", sort_array(collect_list(col("doc"))))
+                 .as("members"))
+          .orderBy(col("root"))
+      },
+      s"""WITH RECURSIVE $minhashPairsSql,
+        |$ccCompSql
+        |SELECT root, COUNT(*) AS cluster_size,
+        |  array_to_string(list_sort(list(doc)), ',') AS members
+        |FROM comp GROUP BY root ORDER BY root""".stripMargin),
+
+    Q(
       // Near-dup cluster LANGUAGE PURITY — the dedup-QA gate: a
       // cluster whose members span several languages is usually not
       // duplication but a shingle-collision artifact (or
