@@ -702,6 +702,46 @@ class ApiSpec extends SparkSpec {
     assert(wide.agg(sum("n_members")).as[Long].collect().head == 30L)
   }
 
+  test("kmeansFit is partition-count invariant (1/7/13)") {
+    // the same discipline the sketch aggregates pass: physical layout
+    // must never leak into the model. Fit + assign on 1, 7, and 13
+    // input partitions must produce byte-identical centroid tables and
+    // assignments (init is an orderBy-limit, updates are hash-aggs —
+    // both layout-free; this pins it).
+    val base = plantedVecs.toDF()
+    val runs = Seq(1, 7, 13).map { p =>
+      val df = base.repartition(p)
+      val model = Sim.kmeansFit(df, col("vec_id"), col("embedding"),
+                                k = 3, iters = 4)
+      val cents = model.orderBy("cell")
+        .as[(Int, Array[Float], Long)].collect()
+        .map { case (c, e, n) => (c, e.toSeq, n) }.toSeq
+      val assign = Sim.kmeansAssign(df, col("vec_id"), col("embedding"),
+          model.select("cell", "centroid"))
+        .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+      (cents, assign)
+    }
+    assert(runs(0) == runs(1), "1 vs 7 partitions diverged")
+    assert(runs(0) == runs(2), "1 vs 13 partitions diverged")
+  }
+
+  test("bpeTrain is partition-count invariant (1/7/13)") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // spread the corpus over many rows so repartition actually moves
+    // data (the single-row doc of the classic test can't)
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val runs = Seq(1, 7, 13).map(p =>
+      graft.api.Text.bpeTrain(docs.repartition(p), col("text"),
+        merges = 4))
+    assert(runs(0) == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L)), runs(0).toString)
+    assert(runs(0) == runs(1) && runs(0) == runs(2),
+      s"merge tables diverged across partitionings: $runs")
+  }
+
   test("kmeansFit centroids drive ivfTopK (the advertised wiring)") {
     val df = plantedVecs.toDF()
     val cents = Sim.kmeansFit(df, col("vec_id"), col("embedding"),

@@ -99,4 +99,53 @@ class ModelSpec extends SparkSpec {
     assert(back(1).isNullAt(1),
       "null sub-message must stay null, not become a struct of defaults")
   }
+
+  test("catalog chains schema versions: same / additive / incompatible") {
+    val cat = new graft.model.Catalog(spark, tmpDir("cat") + "/_metadata")
+    val v1 = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", DoubleType)))
+    val m1 = cat.register("/r1/pose", "geometry_msgs/Pose", v1)
+    assert(m1.version == 1 && m1.chain == m1.fingerprint)
+
+    // SAME schema re-registered → idempotent, chain untouched
+    val again = cat.register("/r1/pose", "geometry_msgs/Pose", v1)
+    assert(again == m1 && cat.history("/r1/pose").size == 1)
+
+    // ADDITIVE evolution (new nullable field) → version 2, chained fp
+    val v2 = v1.add(StructField("z", DoubleType, nullable = true))
+    val m2 = cat.register("/r1/pose", "geometry_msgs/Pose", v2)
+    assert(m2.version == 2)
+    assert(m2.chain == graft.model.Catalog.chainStep(m1.chain, m2.fingerprint))
+    assert(cat.history("/r1/pose").map(_.version) == Seq(1, 2))
+    // latest-per-topic view and readback verify the NEW schema...
+    assert(cat.all().map(_.topic) == Seq("/r1/pose"))
+    assert(cat.verified("/r1/pose", v2).version == 2)
+    // ...while a stale reader is told WHICH historical version it holds
+    val stale = intercept[IllegalArgumentException](
+      cat.verified("/r1/pose", v1))
+    assert(stale.getMessage.contains("HISTORICAL v1"))
+
+    // INCOMPATIBLE changes refuse to register, naming the violation
+    val dropped = StructType(v2.fields.filterNot(_.name == "y"))
+    assert(intercept[IllegalStateException](
+      cat.register("/r1/pose", "geometry_msgs/Pose", dropped))
+      .getMessage.contains("dropped"))
+    val retyped = StructType(v2.fields.map(f =>
+      if (f.name == "y") f.copy(dataType = StringType) else f))
+    assert(intercept[IllegalStateException](
+      cat.register("/r1/pose", "geometry_msgs/Pose", retyped))
+      .getMessage.contains("type changed"))
+    val newNonNull = v2.add(StructField("w", LongType, nullable = false))
+    assert(intercept[IllegalStateException](
+      cat.register("/r1/pose", "geometry_msgs/Pose", newNonNull))
+      .getMessage.contains("must be nullable"))
+    // failed registrations must not have touched the chain
+    assert(cat.history("/r1/pose").map(_.version) == Seq(1, 2))
+
+    // a second topic's chain is independent and survives the other's
+    // evolution (the read-then-overwrite keeps every version row)
+    val mS = cat.register("/r1/sensor", "sensor_msgs/Imu", v1)
+    assert(mS.version == 1 && cat.allVersions().size == 3)
+  }
 }
