@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for the driver fixtures: replicates every
+  * table `factor`× with disjoint key spaces, producing an sf×factor
+  * dataset for SCALING-CURVE measurement (TESTDATA.md ships sf ≤ 0.1;
+  * the 100 TB narrative needs a measured growth curve, so we
+  * manufacture sf1.0 from sf0.1 — VERDICT r4 "next round" #1).
+  *
+  * Replication rules (replica 0 is the untouched original):
+  *  - facts & dims (customer/supplier/part/orders/lineitem/events):
+  *    key columns get a per-replica offset, so FK joins stay 1:1 and
+  *    per-key fanouts keep their sf0.1 shape; dates/timestamps are
+  *    KEPT (10× rows per day — the honest way volume grows: a bigger
+  *    business on the same calendar, not a longer one).
+  *  - region/nation: fixed domain tables, copied once (as TPC-H does).
+  *  - documents: every word of replica k>0 gets an `_rk` suffix, so
+  *    shingle/minhash/simhash spaces are DISJOINT across replicas —
+  *    within-replica duplicate structure is preserved exactly and the
+  *    near-dup pair count scales ×factor. Naive identical copies would
+  *    make every doc a 10-way duplicate (pair count ×factor², CC
+  *    clusters bridging replicas) — a different, denser corpus, not a
+  *    scaled one. n_chars is recomputed from the rewritten text.
+  *  - embeddings: replica k applies a deterministic per-(k, dim) sign
+  *    flip. Within a replica, every dot product / cosine / L2 is
+  *    EXACTLY preserved (the same flip hits both sides); across
+  *    replicas, vectors decorrelate (random-sign inner products ≈ 0),
+  *    so threshold families (semantic dedup, radius search) also grow
+  *    ×factor, not ×factor². Query-slice predicates (vec_id < 60,
+  *    doc_id < N) keep their original size — the query set does not
+  *    scale with the corpus, exactly like production ANN serving.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val K = 10000000L // per-replica key offset (dims/docs/vectors)
+    val KO = 100000000L // orders/lineitem orderkey offset
+    val KE = 1000000000L // event id offset
+
+    def scaled(table: String)(per: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val all = (0 until factor).map(k => per(base, k))
+        .reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table x$factor written")
+    }
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    scaled("customer") { (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(k * K))
+    }
+    scaled("supplier") { (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * K))
+    }
+    scaled("part") { (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * K))
+    }
+    scaled("orders") { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * KO))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * K))
+    }
+    scaled("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * KO))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * K))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * K))
+    }
+    scaled("events") { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * KE))
+        .withColumn("user_id", col("user_id") + lit(k * K))
+    }
+    scaled("documents") { (df, k) =>
+      val moved =
+        if (k == 0) df
+        else df.withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            w => concat(w, lit(s"_r$k"))), " "))
+      moved.withColumn("doc_id", col("doc_id") + lit(k * K))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    scaled("embeddings") { (df, k) =>
+      val moved =
+        if (k == 0) df
+        else df.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> " +
+          s"IF(pmod(xxhash64(i, $k), 2) = 0, x, CAST(-x AS FLOAT)))"))
+      moved.withColumn("vec_id", col("vec_id") + lit(k * K))
+    }
+    spark.stop()
+  }
+}

@@ -55,14 +55,19 @@ object Recorder {
     (meta, q)
   }
 
-  /** Record a typed stream into partitioned parquet — the scale path. */
+  /** Record a typed stream into partitioned parquet — the scale path.
+    * `trigger` defaults to AvailableNow (drain-and-stop, the batch
+    * backfill shape); pass ProcessingTime for a LIVE sustained ingest
+    * (the e2e throughput demo in StreamingSpec runs ~1M events/s
+    * through this seam — see SCALE.md). */
   def recordParquet[T: Encoder](
       stream: Dataset[T],
       topic: String,
       msgType: String,
       catalog: Catalog,
       baseDir: String,
-      checkpointDir: String): (TopicMeta, StreamingQuery) = {
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): (TopicMeta, StreamingQuery) = {
     val meta = catalog.register(topic, msgType, stream.schema)
     // receipt metadata on BOTH sinks (it was JDBC-only, leaving the
     // documented 100 TB path with no ingest-time column); readback's
@@ -72,7 +77,7 @@ object Recorder {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .option("path", s"$baseDir/${meta.table}")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .format("parquet")
       .start()
     (meta, q)

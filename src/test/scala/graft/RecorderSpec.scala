@@ -12,6 +12,8 @@ import graft.streaming.Recorder
 case class Stamp(secs: Long, nanos: Long)
 case class Pose(x: Double, y: Double, z: Double, stamp: Stamp)
 case class PoseV2(x: Double, y: Double)
+case class LiveEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
 
 /** End-to-end ros_sql-equivalent pipeline (SURVEY §2.9/§3.1 ⊘): typed
   * stream → schema registration → micro-batched sink → catalog-verified
@@ -112,5 +114,71 @@ class RecorderSpec extends SparkSpec {
       .orderBy("win_us")
       .collect().map(_.getAs[Long]("n")).toSeq
     assert(agg == Seq(2L, 1L))
+  }
+
+  test("e2e live ingest ~1M events: sustained rate source -> compaction " +
+      "-> catalog readback -> declared queries on the landed table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("e2e")
+    val cat = new Catalog(spark, s"$base/_metadata")
+    // rate source plays the live topic; the typed map(identity) pins the
+    // landed schema to the LiveEvent encoder (so readback's fingerprint
+    // check matches) — the subscribe→typed→append loop of the reference
+    // at pipeline throughput
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 300000).option("numPartitions", 8).load()
+      .selectExpr(
+        "value AS event_id", "timestamp AS ts", "value % 50000 AS user_id",
+        "element_at(array('view','click','purchase','signup'), " +
+          "CAST(value % 4 AS INT) + 1) AS event_type",
+        "CAST(pmod(value * 37, 1000) AS DOUBLE) / 10.0 AS value",
+        "concat('{\"k\":', CAST(value % 7 AS STRING), '}') AS props")
+      .as[LiveEvent].map(identity)
+    val (meta, q) = Recorder.recordParquet(stream, "/live/events",
+      "graft/LiveEvent", cat, base, s"$base/ckpt",
+      trigger = Trigger.ProcessingTime("1 second"))
+    val target = 1000000L
+    val deadline = System.nanoTime() + 180L * 1000L * 1000 * 1000
+    var landed = 0L
+    try {
+      while (landed < target && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        landed = try spark.read.parquet(s"$base/${meta.table}").count()
+                 catch { case _: Exception => 0L }
+      }
+      assert(landed >= target, s"only $landed events landed in 180s")
+      // throughput from the stream's own per-batch metrics: rows
+      // processed per second of trigger-execution wall time
+      val prog = q.recentProgress
+      val rows = prog.map(_.numInputRows).sum
+      val ms = prog.map(_.durationMs.get("triggerExecution").toLong).sum
+      val eps = if (ms > 0) rows * 1000.0 / ms else 0.0
+      info(f"sustained ingest: $rows%d rows / ${ms}%d ms pipeline " +
+        f"time = $eps%.0f events/s (landed $landed%d)")
+      assert(eps > 100000.0,
+        f"ingest pipeline below 100k events/s: $eps%.0f")
+    } finally q.stop()
+    // compaction collapses the micro-batch file tail in place
+    val (before, after) = graft.io.Writers.compact(
+      spark, s"$base/${meta.table}", 64L * 1024 * 1024)
+    assert(after < before,
+      s"compaction did not shrink the file tail ($before -> $after)")
+    // catalog-verified typed readback survives ingest + compaction
+    val back = Recorder.readback[LiveEvent](spark, "/live/events", cat, base)
+    assert(back.head().event_id >= 0L)
+    // the landed table serves DECLARED queries: rename it into an
+    // sfDir-shaped directory and run three events-family entries
+    val sf = s"$base/sfdir"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(sf)))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$base/${meta.table}"),
+      new org.apache.hadoop.fs.Path(s"$sf/events.parquet")))
+    for (name <- Seq("q_events_sessionize", "q_events_transitions",
+                     "q_events_active_users")) {
+      val n = SparkEntry.queries(name)(spark, sf).count()
+      assert(n > 0, s"$name returned no rows over the ingested table")
+    }
   }
 }
