@@ -16,10 +16,17 @@ object Bench {
     // measured query isn't charged ~4s of one-time JVM cost. Warm on the
     // BENCH dataset (not a hardcoded fixture path) and never let a warmup
     // failure kill the run before any JSON is emitted.
-    try SparkEntry.queries("q_agg_group")(spark, sfDir).count()
-    catch { case NonFatal(e) =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
+    // Two warmups: a plain agg (codegen/session init) AND one CC-family
+    // query — r4's driver re-run showed the first connected-components
+    // queries paying ~15 s of one-time JIT/class-load that the agg
+    // warmup does not touch (BENCH_r04 182.8 vs 228.6 s reconciliation,
+    // SCALE.md r5): the fixpoint loop, accumulator plumbing, and
+    // localCheckpoint paths only compile on first use.
+    for (w <- Seq("q_agg_group", "q_dedup_cluster"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
+      }
     // this box's run-to-run wall-clock variance is measured at ±60%
     // (SCALE.md) — a single run per query mostly benchmarks the noise.
     // Report the MEDIAN of `reps` runs per query, with the reps loop
