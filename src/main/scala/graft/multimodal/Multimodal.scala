@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   * `MediaCodec.resizeImage` run the JDK's `javax.imageio` PNG/JPEG/GIF/BMP
   * readers (zero new dependencies), so planted PNGs decode to their true
   * dimensions and pixels, and resize produces a genuinely rescaled,
-  * re-encoded PNG. Payloads that no installed reader recognizes (raw
-  * bytes, audio, video — this container ships no AV codecs) fall back to
-  * the deterministic byte-domain stubs, clearly named `*Stub`, so the
-  * pipeline contract (fixed-dim features, shrinking resize, bounded
-  * frames) holds for every payload. Frame sampling stays a stub: there is
-  * no video demuxer on the JVM classpath.
+  * re-encoded PNG. Frame sampling decodes REAL frames for multi-image
+  * containers the JDK reads (animated GIF), and `probeAudio` parses
+  * REAL WAV/AIFF/AU headers via `javax.sound.sampled` (true sample
+  * rate / channels / duration). Payloads with no installed reader
+  * (raw bytes, mp3/ogg, true video — this container ships no AV
+  * demuxers) fall back to the deterministic byte-domain stubs,
+  * clearly named `*Stub`, so the pipeline contract (fixed-dim
+  * features, shrinking resize, bounded frames) holds for every
+  * payload.
   *
   * Scale notes (100 TB of media):
   *  - payloads dominate size → repartition by id range so tasks get
@@ -221,8 +224,64 @@ object MediaCodec {
     out
   }
 
-  /** STUB "frame-sample": every stride-th byte window stands in for a
-    * frame — no video demuxer ships on this JVM classpath. */
+  /** REAL frame sampling for multi-image containers the JDK can read
+    * (animated GIF — the one multi-frame format javax.imageio ships a
+    * reader for): sample `frames` evenly spaced frames from the
+    * sequence and re-encode each as PNG. None when the payload is not
+    * a multi-frame image (true video needs a demuxer this classpath
+    * does not have — those fall back to [[frameSampleStub]]). */
+  def frameSampleImage(payload: Array[Byte], frames: Int)
+      : Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.length < 8 || frames < 1) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        if (n < 2) None // single image: not a frame sequence
+        else {
+          val take = math.min(frames, n)
+          val idxs = (0 until take).map(f => f * n / take)
+          Some(idxs.map { i =>
+            val out = new ByteArrayOutputStream()
+            ImageIO.write(reader.read(i), "png", out)
+            out.toByteArray
+          })
+        }
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Audio metadata probe on JDK `javax.sound.sampled` (WAV/AIFF/AU —
+    * the parsers every JRE ships): true sample rate, channel count,
+    * frame count → duration. None for formats with no installed
+    * provider (mp3/ogg — those keep their caller-supplied metadata). */
+  def probeAudio(payload: Array[Byte]): Option[MediaMeta] = {
+    if (payload == null || payload.length < 12) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength
+      val durMs =
+        if (frames > 0 && fmt.getFrameRate > 0)
+          (frames * 1000L / fmt.getFrameRate.toLong)
+        else 0L
+      Some(MediaMeta(
+        aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
+        // width/height carry sampleRate/channels for audio rows — the
+        // schema stays one struct across modalities (documented shape)
+        fmt.getSampleRate.toInt, fmt.getChannels, durMs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** FALLBACK "frame-sample": every stride-th byte window stands in
+    * for a frame — for payloads with no multi-frame reader (true
+    * video). */
   def frameSampleStub(payload: Array[Byte], frames: Int): Seq[Array[Byte]] = {
     if (payload.isEmpty || frames < 1) Seq.empty
     else {
@@ -281,9 +340,12 @@ object Multimodal {
                    frames: Int): Dataset[(Long, Int, Array[Byte])] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { batch =>
-      // real impl: open the demuxer once per partition here
+      // multi-frame images (GIF) decode for real; anything without a
+      // frame-sequence reader takes the byte-window fallback
       batch.flatMap { doc =>
-        MediaCodec.frameSampleStub(doc.payload, frames).zipWithIndex
+        MediaCodec.frameSampleImage(doc.payload, frames)
+          .getOrElse(MediaCodec.frameSampleStub(doc.payload, frames))
+          .zipWithIndex
           .map { case (frame, idx) => (doc.mediaId, idx, frame) }
       }
     }

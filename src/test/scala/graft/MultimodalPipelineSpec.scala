@@ -104,6 +104,62 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(emb.toSeq == counts.map(_.toFloat / 1200).toSeq)
   }
 
+  test("real frame sampling: animated GIF decodes to true frames") {
+    import javax.imageio.{IIOImage, ImageIO}
+    // build a 6-frame animated GIF through the JDK's own GIF writer;
+    // frame f is a solid 10x8 gray level f*40
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 6) {
+      val img = new java.awt.image.BufferedImage(
+        10, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 8; x <- 0 until 10) r.setSample(x, y, 0, f * 40)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = out.toByteArray
+    // 3 of 6 frames, evenly spaced (0, 2, 4), each a REAL decoded image
+    val frames = MediaCodec.frameSampleImage(gif, 3).get
+    assert(frames.length == 3)
+    val decoded = frames.map(f => MediaCodec.decodeImage(f).get)
+    assert(decoded.forall(d => d.width == 10 && d.height == 8))
+    // GIF palettizes: levels survive approximately; frame order must be
+    // strictly increasing brightness (0 < 80 < 160 picks, not byte soup)
+    val sums = decoded.map(_.graySum)
+    assert(sums == sums.sorted && sums.distinct.length == 3, sums.toString)
+    // a single-frame PNG is NOT a frame sequence; raw bytes neither
+    assert(MediaCodec.frameSampleImage(
+      MediaCodec.encodeTestCardPng(1L, 8, 8), 3).isEmpty)
+    assert(MediaCodec.frameSampleImage(
+      Array.tabulate[Byte](64)(_.toByte), 3).isEmpty)
+    // and the Dataset operator routes GIFs through the real path
+    val ds = Seq(MediaDoc(7L, MediaMeta("gif", 10, 8, 0L), gif)).toDS()
+    val sampled = Multimodal.sampleFrames(ds, 3).collect()
+    assert(sampled.length == 3 &&
+      sampled.forall(t => MediaCodec.decodeImage(t._3).isDefined))
+  }
+
+  test("real audio probe: planted WAV header yields true rate/channels") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](8000 * 2) // exactly 1 s of 16-bit mono
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val meta = MediaCodec.probeAudio(out.toByteArray).get
+    // width/height carry sampleRate/channels for audio (documented)
+    assert(meta.format == "wav" && meta.width == 8000 &&
+      meta.height == 1 && meta.durationMs == 1000L, meta.toString)
+    // non-audio payloads probe as None (callers keep their metadata)
+    assert(MediaCodec.probeAudio(
+      MediaCodec.encodeTestCardPng(1L, 8, 8)).isEmpty)
+  }
+
   test("resize rewrites metadata and shrinks payloads proportionally") {
     val ds = docs(8).toDS()
     val resized = Multimodal.resize(ds, 32, 24).collect().sortBy(_.mediaId)
