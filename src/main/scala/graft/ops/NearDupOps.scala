@@ -387,11 +387,16 @@ object NearDupOps extends OpGroup {
       // assignment is a max_by aggregation (argmax of (ccos, -cent_id),
       // same ordering as the oracle's row_number): partial aggregation
       // collapses the n×k candidate rows to one per vector MAP-SIDE —
-      // see graft.api.Sim.ivfTopK
+      // see graft.api.Sim.ivfTopK. The centroid set is FIXED (16 rows,
+      // like ivfpq's codebook rule) — the r5 sf10 sweep caught the old
+      // vec_id % 200 rule growing the codebook linearly with the
+      // corpus, which made assignment O(n²/200) (210x wall at 100x
+      // data); real IVF builds a fixed-k codebook per index, so the
+      // fixed rule is both the honest semantics and the linear plan.
       (s, d) => graft.api.Sim.ivfTopK(
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 10,
-          isCentroid = col("vec_id") % 200 === 0, k = 3)
+          isCentroid = col("vec_id") < 16, k = 3)
         .orderBy(col("q_id"), col("rn")),
       """WITH e0 AS (
         |  SELECT vec_id, embedding,
@@ -401,7 +406,7 @@ object NearDupOps extends OpGroup {
         |e AS (SELECT * FROM e0 WHERE nrm > 0),
         |cent AS (
         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-        |  FROM e WHERE vec_id % 200 = 0),
+        |  FROM e WHERE vec_id < 16),
         |assign AS (
         |  SELECT vec_id, embedding, nrm, cell FROM (
         |    SELECT v.vec_id, v.embedding, v.nrm, c.cent_id AS cell,
