@@ -35,8 +35,6 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, fStr) = args
-    val factor = fStr.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +42,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, fStr.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, out: String, factor: Int)
+      : Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
 
     val K = 10000000L // per-replica key offset (dims/docs/vectors)
     val KO = 100000000L // orders/lineitem orderkey offset
@@ -100,6 +105,5 @@ object ScaleUp {
           s"IF(pmod(xxhash64(i, $k), 2) = 0, x, CAST(-x AS FLOAT)))"))
       moved.withColumn("vec_id", col("vec_id") + lit(k * K))
     }
-    spark.stop()
   }
 }

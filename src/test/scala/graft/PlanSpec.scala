@@ -782,6 +782,46 @@ class PlanSpec extends SparkSpec {
       s"bucket equi-join missing:\n$plan")
   }
 
+  test("multimodal decode scan prunes text; codec adds no shuffle of blobs") {
+    val df = SparkEntry.queries("q_multimodal_decode")(spark, sfDir)
+    val plan = formatted(df)
+    val read = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).mkString("\n")
+    // the codec generates its OWN payloads from doc_id — the documents
+    // scan must not materialize the text column for it
+    assert(read.contains("doc_id") && read.contains("source") &&
+      !read.contains("text"),
+      s"decode query should read only (doc_id, source): $read")
+  }
+
+  test("dedup-from-signatures consumes the STORE, never re-shingles") {
+    // pin the PAIRS stage itself (the declared query's final plan only
+    // shows the post-CC checkpointed labels — the store scan runs
+    // inside the fixpoint): signatures written to a store, read back,
+    // pairs built purely from the stored frame
+    val store = tmpDir("sigstore") + "/sig"
+    graft.api.Dedup.minhashSignatures(
+        graft.io.Tables.documents(spark, sfDir),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .write.mode("overwrite").partitionBy("k").parquet(store)
+    val pairs = graft.api.Dedup.minhashPairsFromSignatures(
+      spark.read.parquet(store), minMatch = 8)
+    val plan = formatted(pairs)
+    assert(plan.contains("sigstore"),
+      s"pairs must scan the signature store:\n${plan.take(1200)}")
+    // no shingle explode / md5-slot hashing anywhere in the plan —
+    // the corpus text is never touched again
+    assert(!plan.toLowerCase.contains("explode") && !plan.contains("md5"),
+      s"stored-seam pairs must not re-shingle or re-hash:\n${plan.take(1200)}")
+    // and it is a real bucket equi-join, not a cartesian shape
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"pairs join missing:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("quantile norm: CDF block table broadcasts; no single-partition corpus window") {
     val df = SparkEntry.queries("q_curate_quantile_norm")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
