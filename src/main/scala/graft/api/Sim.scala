@@ -687,6 +687,29 @@ object Sim {
   /** SRP-LSH embedding near-duplicate pairs: `bits`-bit sign bucket
     * prunes ~2^bits×, exact cosine ≥ minCos confirms within buckets.
     * Returns (a_id, b_id, cos) with a_id < b_id. */
+  /** Sign-bucket width that keeps EXPECTED SRP bucket occupancy near
+    * `targetBucket` as the collection grows:
+    * bits = clamp(⌈log₂(n / targetBucket)⌉, minBits, 30).
+    *
+    * WHY this must scale with n: with FIXED bits the sign-bucket
+    * candidate join generates ~n²/2^bits pairs — quadratic in n. The
+    * r5 sf10 sweep measured it: the bits=8 declared threshold sweep
+    * grew 233× in wall time at 100× data (BENCH_SF10 notes, SCALE.md).
+    * Re-sizing bits per decade keeps expected candidates ≈
+    * n·targetBucket/2 — linear. The trade: more bits lower
+    * single-table recall; production recovers it with multiprobe
+    * ([[lshTopKMultiProbe]]'s flip-1-bit expansion) or a second hash
+    * table — the standard LSH tuning. The DECLARED queries keep their
+    * frozen bits so the oracle contract stays byte-stable; operators
+    * composing this API at scale pass `bits = bitsFor(n)`. */
+  def bitsFor(n: Long, targetBucket: Int = 64, minBits: Int = 8): Int = {
+    require(n >= 0 && targetBucket >= 1 && minBits >= 1 && minBits <= 30)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt
+    math.min(30, math.max(minBits, needed))
+  }
+
   def embeddingNearDupPairs(
       df: DataFrame, id: Column, emb: Column,
       bits: Int = 16, minCos: Double = 0.9): DataFrame = {
