@@ -471,13 +471,32 @@ object Dedup {
                 when(col(s"_v$k") > 0, lit(1L << (k - 1)))
                   .otherwise(0L)).reduce(_ + _).as("sig"))
 
+  /** 64-bit SimHash signature as a BIGINT — fastHash-only (64
+    * independent bits need one xxhash64 per token; md5 provides only
+    * 32 hex digits), so not cross-engine oracle-portable. The
+    * corpus-scale signature: see [[simhashHammingPairs64]]. */
+  def simhashSig64(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhashVotes(df, id, text, 64, fastHash = true)
+      .select(col("doc_id"),
+              (1 to 64).map(k =>
+                when(col(s"_v$k") > 0, lit(1L << (k - 1)))
+                  .otherwise(0L)).reduce(_ + _).as("sig"))
+
   /** SimHash near-duplicate pairs within `maxHamming` bit flips,
     * via BYTE BANDING (the pigeonhole trick): signatures within
     * Hamming ≤ 3 must agree on at least one of the four 8-bit bands,
     * so candidates come from an equi-join on (band index, band value) —
     * never an all-pairs scan — and `bit_count(a XOR b)` (codegen'd
     * integer built-in) confirms exactly. Returns
-    * (doc_a, doc_b, hamming), doc_a < doc_b. */
+    * (doc_a, doc_b, hamming), doc_a < doc_b.
+    *
+    * SCALE NOTE (r5 sf10 sweep): the 32-bit signature's 8-bit bands
+    * give only 256 band-bucket values, so the candidate join is
+    * ~n²/2^8 per band — quadratic with a small denominator (measured
+    * 189 s at 500k docs). At corpus scale use
+    * [[simhashHammingPairs64]] (same guarantee, 2^16 buckets); this
+    * 32-bit form is the md5-portable twin the declared oracle query
+    * needs. */
   def simhashHammingPairs(
       df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, fastHash: Boolean = false): DataFrame = {
@@ -496,6 +515,39 @@ object Dedup {
     // space), the candidate fan-out is large, and filtering map-side
     // means only true near-dup pairs ever shuffle (measured 2× at
     // sf0.1 vs grouping all candidates first)
+    a.join(bb.hint("MERGE"),
+           col("b") === col("b2") && col("bv") === col("bv2") &&
+           col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Corpus-scale SimHash Hamming pairs: the SAME 4-band pigeonhole
+    * guarantee (any two signatures within Hamming ≤ 3 agree on at
+    * least one band) over the 64-bit [[simhashSig64]] with 16-bit
+    * bands — 2^16 band-bucket values vs the 32-bit form's 2^8, so the
+    * candidate join stays ~n²/2^16 per band (256× fewer collisions;
+    * the r5 sf10 measurement that motivated it is in SCALE.md).
+    * fastHash-only, therefore test-tier (ApiSpec brute-force
+    * equivalence), not oracle-declared. */
+  def simhashHammingPairs64(
+      df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val sig = simhashSig64(df, id, text)
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      // arithmetic >> sign-extends for band 3 of a negative sig; the
+      // & 65535 mask keeps exactly bits 16b..16b+15 either way
+      .withColumn("bv", expr("(sig >> (16 * b)) & 65535"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+                         col("b"), col("bv"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+                          col("b").as("b2"), col("bv").as("bv2"))
     a.join(bb.hint("MERGE"),
            col("b") === col("b2") && col("bv") === col("bv2") &&
            col("doc_a") < col("doc_b"))

@@ -338,6 +338,30 @@ class ApiSpec extends SparkSpec {
     assert(m.keySet == brute.toSet)
   }
 
+  test("simhashHammingPairs64: brute-force equivalence, bands mask right") {
+    // the corpus-scale 64-bit variant must find EXACTLY the pairs a
+    // brute-force 64-bit Hamming scan finds (pigeonhole recall at
+    // <= 3), including signatures with bit 63 set (band 3's arithmetic
+    // shift sign-extends — the mask must still slice bits 48..63)
+    val pairs = Dedup.simhashHammingPairs64(
+      docs, col("doc_id"), col("text"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0) // exact dups agree on all 64 bits
+    val sigs = Dedup.simhashSig64(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(m == brute, s"64-bit banding missed/invented pairs: " +
+      s"got ${m.keySet}, brute ${brute.keySet}")
+    // negative signatures (bit 63 set) really occur in this corpus —
+    // otherwise the sign-extension path went untested
+    assert(sigs.values.exists(_ < 0L),
+      "fixture produced no negative sig64; strengthen the corpus")
+  }
+
   test("simhash: token-less docs have no signature (mirror the oracle)") {
     // an empty/whitespace doc would otherwise get a fabricated all-zero
     // signature while the oracle's unnest drops it before the CTE
