@@ -66,7 +66,11 @@ object NearDupOps extends OpGroup {
       // Hamming <= 3 found by byte banding (pigeonhole: <= 3 flipped
       // bits leave at least one of four 8-bit bands intact) and
       // confirmed with bit_count(xor) — integer-exact in both engines,
-      // never an all-pairs comparison.
+      // never an all-pairs comparison. 32 bits is the md5-portable
+      // oracle form; its 8-bit bands saturate at ~500k docs (r5 sf10
+      // measurement) — corpus-scale callers use the equivalent-
+      // guarantee Dedup.simhashHammingPairs64 (16-bit bands, 3.5×
+      // measured, SCALE.md).
       "q_dedup_simhash_hamming",
       (s, d) => graft.api.Dedup.simhashHammingPairs(
           Tables.documents(s, d), col("doc_id"), col("text"),
