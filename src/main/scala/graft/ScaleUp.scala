@@ -33,6 +33,20 @@ import org.apache.spark.sql.functions._
   *    scale with the corpus, exactly like production ANN serving.
   */
 object ScaleUp {
+
+  /** Replica-k word suffixing for documents. Suffixes only NON-EMPTY
+    * tokens: split on " " turns runs of consecutive spaces into empty
+    * tokens, and suffixing those would inject bare "_rk" words replica
+    * 0 doesn't have — breaking the "within-replica duplicate structure
+    * preserved exactly" invariant for texts that aren't single-space
+    * normalized (ScaleUpSpec pins the doubled-space case). */
+  private[graft] def suffixWords(text: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    array_join(
+      transform(split(text, " "),
+        w => when(w === "", w).otherwise(concat(w, lit(s"_r$k")))),
+      " ")
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, fStr) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,9 +105,7 @@ object ScaleUp {
     scaled("documents") { (df, k) =>
       val moved =
         if (k == 0) df
-        else df.withColumn("text", array_join(
-          transform(split(col("text"), " "),
-            w => concat(w, lit(s"_r$k"))), " "))
+        else df.withColumn("text", suffixWords(col("text"), k))
       moved.withColumn("doc_id", col("doc_id") + lit(k * K))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }

@@ -534,7 +534,7 @@ object Text {
   /** Edit-distance similarity join: all unordered pairs of DISTINCT
     * values of `str` within Levenshtein distance `maxDist`, WITHOUT the
     * quadratic cross join — the record-linkage / typo-clustering
-    * primitive (merge "anthropic.com" with "antropic.com" variants).
+    * primitive (merge "example.com" with "exmaple.com" variants).
     * Returns (name_a, name_b, dist) with name_a < name_b.
     *
     * Candidate generation is the Gravano-style q-gram COUNT FILTER:

@@ -17,6 +17,26 @@ object EtlOps extends OpGroup {
 
   private val DayUs = 86400000000L
 
+  /** Fresh-per-construction TxTable dir for q_etl_snapshot_diff, at a
+    * FIXED per-sfDir path (LlmOps.sigStorePath discipline): wiped on
+    * each construction so bench/verify reps never accumulate commits,
+    * removed on JVM exit by a one-time shutdown hook. */
+  private val txDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[ops] def txDiffPath(sfDir: String): String = {
+    val p = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_txdiff_" + Integer.toHexString(sfDir.hashCode)).toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+    if (txDirs.add(p)) Runtime.getRuntime.addShutdownHook(new Thread {
+      override def run(): Unit = rm(new java.io.File(p))
+    })
+    p
+  }
+
   def qs: Seq[Q] = Seq(
     Q(
       // keep-latest order per customer — api.Dedup.keepLatest: ONE
@@ -478,18 +498,29 @@ object EtlOps extends OpGroup {
       // keys %11==0 (added since), carries a $1.00-stale price on
       // %7==0 (changed), and the "new" version dropped %13==0
       // (removed). Output: per-class count + key checksum.
+      // The two versions are REAL table snapshots, not filter views
+      // (r6): both are committed to a graft.model.TxTable (v1 = old,
+      // v2 = overwrite to new) and read back via TIME TRAVEL
+      // (readAt) — the q_dedup_from_signatures pattern: the commit→
+      // snapshot-read roundtrip sits in the measured plan, and the
+      // oracle (which derives both versions from `orders` directly)
+      // proves the time-travel reads are lossless and the diff over
+      // them ≡ the diff over the definitions.
       "q_etl_snapshot_diff",
       (s, d) => {
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus"),
                   (money("o_totalprice") * 100).cast("long").as("cents"))
-        val oldSnap = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        val oldDef = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
           .withColumn("cents",
             when(pmod(col("o_orderkey"), lit(7)) === 0,
                  col("cents") - 100).otherwise(col("cents")))
-        val newSnap = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        val newDef = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        val tx = graft.model.TxTable(s, EtlOps.txDiffPath(d))
+        val v1 = tx.overwrite(oldDef)   // snapshot 1: the stale table
+        val v2 = tx.overwrite(newDef)   // snapshot 2: after the loads
         graft.api.Etl.snapshotDiff(
-            oldSnap, newSnap,
+            tx.readAt(v1), tx.readAt(v2),
             keys = Seq("o_orderkey"),
             payload = Seq("o_orderstatus", "cents"))
           .groupBy(col("change"))

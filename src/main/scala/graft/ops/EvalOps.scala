@@ -654,14 +654,22 @@ object EvalOps extends OpGroup {
       // cumulative share of positives captured (gains) — the
       // campaign-targeting table every uplift deck shows, and the
       // rank-based completion of q_eval_auc (AUC integrates what
-      // this tabulates). Deciles by row_number over (score, doc_id)
-      // — never ntile-on-floats; lift = pos·N/(n·P) and gains =
-      // cum_pos/P are EXACT rationals through the wide half-up
-      // division. (The near-1.0 lifts ARE the finding: the quality
-      // score barely ranks English — consistent with κ≈0.045.)
-      // Scale shape: one scored pass; rank window partitions by
-      // nothing but runs on the corpus — the documented exception is
-      // bounded here (ranking is the operator); decile rollup after.
+      // this tabulates). Deciles by exact global rank over (score
+      // DESC, doc_id) — never ntile-on-floats; lift = pos·N/(n·P)
+      // and gains = cum_pos/P are EXACT rationals through the wide
+      // half-up division. (The near-1.0 lifts ARE the finding: the
+      // quality score barely ranks English — consistent with
+      // κ≈0.045.)
+      // Scale shape (de-weakened r6): the rank is assembled from a
+      // BLOCK CDF, the q_curate_quantile_norm discipline — group by
+      // distinct score value (value-domain-bounded, ≪ corpus), one
+      // cumulative window over those blocks, then each doc's global
+      // rank = block base (broadcast equi-join on the score bits,
+      // both sides computed by the identical expression) + its
+      // within-score rank from a PARTITIONED window (partition =
+      // score ties). No unpartitioned per-row window anywhere; the
+      // only global sorts touch |distinct scores| blocks and the 10
+      // decile rows.
       "q_eval_lift",
       (s, d) => {
         val D = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -670,11 +678,21 @@ object EvalOps extends OpGroup {
           .select(col("doc_id"),
                   (col("lang") === "en").cast("long").as("pos1"),
                   col("score"))
-        val wr = Window.orderBy(col("score").desc, col("doc_id"))
         val tot = scored.agg(count(lit(1)).as("_N"),
                              sum(col("pos1")).as("_P"))
+        val blocks = scored.groupBy(col("score").as("v"))
+          .agg(count(lit(1)).as("_c"))
+        val wb = Window.orderBy(col("v").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = blocks
+          .withColumn("cum", sum(col("_c")).over(wb))
+          .select(col("v"), (col("cum") - col("_c")).as("base"))
+        val wsc = Window.partitionBy(col("score"))
+          .orderBy(col("doc_id"))
         val dec = scored
-          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("wr", row_number().over(wsc).cast("long"))
+          .join(broadcast(cdf), col("score") === col("v"))
+          .withColumn("rk", col("base") + col("wr"))
           .crossJoin(broadcast(tot))
           .withColumn("decile", expr("((rk - 1) * 10) div _N"))
           .groupBy(col("decile"), col("_N"), col("_P"))

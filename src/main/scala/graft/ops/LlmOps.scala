@@ -34,6 +34,27 @@ object LlmOps extends OpGroup {
 
   private val K = 16 // minhash signature length
 
+  /** Fixed per-sfDir signature-store path with a ONE-TIME recursive
+    * shutdown-hook cleanup: overwrite-to-same-path bounds disk across
+    * verify/bench reps (File.deleteOnExit can't remove non-empty
+    * parquet dirs, hence the hook; registered once per distinct path). */
+  private val sigStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[ops] def sigStorePath(sfDir: String): String = {
+    val p = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_sigstore_" + Integer.toHexString(sfDir.hashCode)).toString
+    if (sigStores.add(p)) Runtime.getRuntime.addShutdownHook(new Thread {
+      override def run(): Unit = {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }
+    })
+    p
+  }
+
   /** MinHash/LSH near-dup candidate pairs (doc_a < doc_b, n_match) —
     * shared by q_dedup_near_minhash and q_dedup_cluster; delegates to
     * the public parameterized API (graft.api.Dedup.minhashPairs). Shape
@@ -258,8 +279,12 @@ object LlmOps extends OpGroup {
       // proves store-roundtrip dedup ≡ recompute dedup exactly.
       "q_dedup_from_signatures",
       (s, d) => {
-        val store = java.nio.file.Files
-          .createTempDirectory("graft_sigstore").toString
+        // fixed per-sfDir location, mode=overwrite: every rep rewrites
+        // the SAME store (the write+readback IS the measured seam) but
+        // disk stays bounded across verify/bench reps, and a one-time
+        // shutdown hook removes it — a fresh createTempDirectory per
+        // construction leaked one full signature copy per rep
+        val store = LlmOps.sigStorePath(d)
         graft.api.Dedup.minhashSignatures(
             Tables.documents(s, d), col("doc_id"), col("text"))
           .write.mode("overwrite").partitionBy("k").parquet(store)
@@ -311,6 +336,11 @@ object LlmOps extends OpGroup {
                  .as("n_pure"),
                max(struct(col("nl"), (-col("root")).as("nr")))
                  .as("_w"))
+          // degenerate-corpus edge: with zero clusters the global agg
+          // still emits one row (null worst, 0/0 share) while the
+          // oracle's CROSS JOIN against an empty `worst` CTE yields
+          // none — match it by dropping the row when no cluster exists
+          .filter(col("n_clusters") > 0)
           .withColumn("_wr", -col("_w.nr"))
           .withColumn("_wl", col("_w.nl"))
           .select(col("n_clusters"), col("n_pure"),

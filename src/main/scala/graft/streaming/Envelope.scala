@@ -82,8 +82,13 @@ object Envelope {
       pmod(hash(key), lit(partitions)).cast("int").as("partition"),
       // per-partition offsets are assigned by the bus; the harness
       // uses a deterministic surrogate (callers replaying captured
-      // envelopes carry the real ones)
-      xxhash64(key, ts.cast("long")).as("offset"),
+      // envelopes carry the real ones). The surrogate hashes the
+      // PAYLOAD and the microsecond timestamp, not just (key,
+      // whole-second ts): two distinct records sharing a key within
+      // one second must NOT collide, or dedupOffsets would drop one
+      // as a fake redelivery — silent data loss in the producer twin
+      xxhash64(key, to_json(struct(payloadCols: _*)),
+               unix_micros(ts.cast("timestamp"))).as("offset"),
       ts.cast("timestamp").as("timestamp"),
       lit(0).as("timestampType"),
       array().cast(headerType).as("headers"))

@@ -72,11 +72,20 @@ object Recorder {
     // receipt metadata on BOTH sinks (it was JDBC-only, leaving the
     // documented 100 TB path with no ingest-time column); readback's
     // .as[T] binds by name, so the extra _recv_us column is transparent
-    // to typed consumers and available to audits
+    // to typed consumers and available to audits.
+    //
+    // VERSION-SCOPED sink dir (v1, v2, …): FileStreamSink keeps a
+    // per-directory manifest keyed by batchId, so a NEW recording
+    // session (fresh checkpoint) writing into the directory of an old
+    // one would find its batch 0 "already committed" and SILENTLY skip
+    // the write — data loss, not an error. Each schema version gets
+    // its own sink dir + manifest; resuming the SAME version must
+    // reuse the original checkpoint (the standard Structured Streaming
+    // contract — checkpoint is the session identity).
     val q = withReceipt(stream.toDF()).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .option("path", s"$baseDir/${meta.table}")
+      .option("path", s"$baseDir/${meta.table}/v${meta.version}")
       .trigger(trigger)
       .format("parquet")
       .start()
@@ -85,7 +94,14 @@ object Recorder {
 
   /** Readback: table rows → typed objects (the reference's sql2msg,
     * without the N+1 child-table fetches — nesting is native). Fails on
-    * schema drift via the catalog fingerprint. */
+    * schema drift via the catalog fingerprint.
+    *
+    * Reads with the VERIFIED version's DDL pinned as the scan schema —
+    * not parquet footer sampling: after an additive v1→v2 evolution the
+    * topic directory mixes v1/v2 files, and a sampled v1 footer would
+    * nondeterministically drop (or fail analysis on) the v2 column.
+    * With the catalog schema pinned, v1-era rows surface the added
+    * nullable columns as NULL — the documented evolution contract. */
   def readback[T: Encoder](
       spark: SparkSession,
       topic: String,
@@ -93,7 +109,9 @@ object Recorder {
       baseDir: String): Dataset[T] = {
     val enc = implicitly[Encoder[T]]
     val meta = catalog.verified(topic, enc.schema)
-    spark.read.parquet(s"$baseDir/${meta.table}").as[T](enc)
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl))
+      .parquet(s"$baseDir/${meta.table}/v*").as[T](enc)
   }
 
   /** Typed readback from a FLAT JDBC table (the true sql2msg analog:

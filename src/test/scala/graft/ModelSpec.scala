@@ -148,4 +148,88 @@ class ModelSpec extends SparkSpec {
     val mS = cat.register("/r1/sensor", "sensor_msgs/Imu", v1)
     assert(mS.version == 1 && cat.allVersions().size == 3)
   }
+
+  // ---- TxTable: the minimal ACID commit-log layer (r6 task 4) ----
+
+  test("txlog: append/overwrite commits are atomic and versioned") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-basic"))
+    assert(t.currentVersion() == 0)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    t.append(Seq((3L, "c")).toDF("k", "s"))
+    assert(t.versions() == Seq(1L, 2L))
+    assert(t.read().count() == 3)
+    t.overwrite(Seq((9L, "z")).toDF("k", "s"))
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // schema gate: appends must evolve additively
+    assert(intercept[IllegalStateException](
+      t.append(Seq(1L).toDF("k")))
+      .getMessage.contains("dropped"))
+  }
+
+  test("txlog: time travel — every historical snapshot stays readable") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-tt"))
+    t.append(Seq((1L, 10L)).toDF("k", "v"))   // v1
+    t.append(Seq((2L, 20L)).toDF("k", "v"))   // v2
+    t.overwrite(Seq((3L, 30L)).toDF("k", "v")) // v3
+    assert(t.readAt(1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.readAt(2).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(t.readAt(3).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("txlog: concurrent appends serialize; conflicting rewrites abort") {
+    val dir = tmpDir("tx-race")
+    val t = graft.model.TxTable(spark, dir)
+    t.append(Seq((0L, 0L)).toDF("k", "v"))
+    // two writers race 8 appends each through the SAME version space:
+    // the no-overwrite link publish forces losers to rebase, so all 16
+    // commits land, serialized, none lost
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        val mine = graft.model.TxTable(spark, dir)
+        for (i <- 1 to 8)
+          mine.append(Seq((w * 100L + i, i.toLong)).toDF("k", "v"))
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(t.currentVersion() == 17, s"lost commits: ${t.versions()}")
+    assert(t.read().count() == 17)
+    // overwrite prepared against a now-stale snapshot must conflict,
+    // not silently clobber the append that landed meanwhile
+    val staleBase = t.currentVersion()
+    t.append(Seq((999L, 9L)).toDF("k", "v"))
+    intercept[graft.model.TxConflictException] {
+      t.overwrite(Seq((1000L, 1L)).toDF("k", "v"), base = staleBase)
+    }
+    // the conflicting overwrite left no trace; the append survived
+    assert(t.read().filter($"k" === 999L).count() == 1)
+    assert(t.read().filter($"k" === 1000L).count() == 0)
+  }
+
+  test("txlog: reader pinned before compaction is isolated from it") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-compact"))
+    for (i <- 1 to 4) t.append(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    val preV = t.currentVersion()
+    val pinned = t.readAt(preV) // resolves the file list NOW
+    val preFiles = t.filesAt(preV).size
+    val postV = t.compact(smallBytes = 64L * 1024 * 1024)
+    assert(postV == preV + 1)
+    assert(t.filesAt(postV).size < preFiles,
+      s"compaction should shrink the live file set")
+    // the pinned reader still sees exactly its snapshot — the old
+    // files are unlisted by the compact commit, never deleted
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // a compaction prepared before a concurrent commit must abort —
+    // its removes-list may no longer describe the live file set
+    t.append(Seq((9L, 9L)).toDF("k", "v"))
+    t.append(Seq((10L, 10L)).toDF("k", "v"))
+    val staleBase = t.currentVersion() // ≥2 small live files here
+    t.append(Seq((11L, 11L)).toDF("k", "v")) // head moves past it
+    intercept[graft.model.TxConflictException] {
+      t.compact(64L * 1024 * 1024, base = staleBase)
+    }
+  }
 }

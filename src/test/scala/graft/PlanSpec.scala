@@ -774,9 +774,15 @@ class PlanSpec extends SparkSpec {
   test("copresence: interval pairs ride the hour-bucket equi key, never all-pairs") {
     val df = SparkEntry.queries("q_events_copresence")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-           !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       s"session-pair candidates must come from the bucket equi-join:\n$plan")
+    // the only nested-loop join allowed is the 1-row accounting cross
+    // (broadcast n_capped_slots onto the ≤30-row top-k) — it must sit
+    // ABOVE the pair count agg, never on the pair-generation side
+    val bnl = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toList
+    assert(bnl.size <= 1 && bnl.forall(_.contains("Cross")),
+      s"only the single-row accounting cross may nest-loop:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
            || plan.contains("BroadcastHashJoin"),
       s"bucket equi-join missing:\n$plan")
@@ -838,6 +844,44 @@ class PlanSpec extends SparkSpec {
         w.contains("source") || w.contains("AS cum#")),
       s"unexpected unpartitioned corpus Window (only the bounded " +
         s"block-CDF cumsum may omit a partition spec):\n$plan")
+  }
+
+  test("copresence: every window partitioned; top-30 is the bounded heap agg") {
+    // r5's worst scaler: the global row_number top-30 forced every pair
+    // count through ONE task (336× wall at 100× data). The rebuilt plan
+    // must carry ZERO unpartitioned windows — sessionize partitions by
+    // user, the density cap by hour bucket — and take the top-30 with
+    // the 30-slot topk_pairs_by_long heap (map-side partials), never a
+    // single-partition sort
+    val df = SparkEntry.queries("q_events_copresence")(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(wins.nonEmpty, "expected the sessionize/cap windows")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned Window in copresence:\n$w"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("topk_pairs_by_long"),
+      s"top-30 must ride the bounded-heap aggregate:\n${phys.take(1500)}")
+    assert(!phys.contains("CartesianProduct"))
+  }
+
+  test("eval lift: rank from block CDF — no unpartitioned per-row window") {
+    // deciles come from base(score block) + within-score rank: the only
+    // unpartitioned windows run over AGGREGATED frames (distinct-score
+    // blocks; 10 decile rows), never per-document rows
+    val df = SparkEntry.queries("q_eval_lift")(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    def hasAggBelow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(wins.nonEmpty, "expected the block-CDF and decile windows")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty || hasAggBelow(w.child),
+      s"unpartitioned per-row Window in eval_lift:\n$w"))
+    // the CDF block table joins back by score equality on a broadcast
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"block-CDF join should broadcast:\n${phys.take(1500)}")
   }
 
 }

@@ -12,6 +12,8 @@ import graft.streaming.Recorder
 case class Stamp(secs: Long, nanos: Long)
 case class Pose(x: Double, y: Double, z: Double, stamp: Stamp)
 case class PoseV2(x: Double, y: Double)
+case class PoseEvolved(x: Double, y: Double, z: Double, stamp: Stamp,
+                       frame: Option[String])
 case class LiveEvent(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
@@ -41,6 +43,37 @@ class RecorderSpec extends SparkSpec {
     val back = Recorder.readback[Pose](spark, "/robot1/pose", cat, base)
       .collect().toSet
     assert(back == msgs.toSet) // lossless roundtrip incl. ns stamp
+  }
+
+  test("additive evolution: v1-era rows read back under v2 with nulls") {
+    // the documented evolution contract at the READ path (ADVICE r5):
+    // after v1->v2 the topic dir mixes v1/v2 parquet files, and a
+    // footer-sampled read can nondeterministically miss (or fail on)
+    // the added column — readback must pin the catalog schema instead
+    implicit val ctx = spark.sqlContext
+    val base = tmpDir("evolve")
+    val cat = new Catalog(spark, s"$base/_metadata")
+    val in1 = MemoryStream[Pose]
+    in1.addData(Pose(1.0, 2.0, 3.0, Stamp(1700000000L, 1L)))
+    val (_, q1) = Recorder.recordParquet(
+      in1.toDS(), "/robot1/pose", "geometry_msgs/Pose", cat,
+      base, s"$base/_ckpt1")
+    q1.awaitTermination()
+    val in2 = MemoryStream[PoseEvolved]
+    in2.addData(PoseEvolved(4.0, 5.0, 6.0, Stamp(1700000001L, 2L),
+                            Some("map")))
+    val (meta2, q2) = Recorder.recordParquet(
+      in2.toDS(), "/robot1/pose", "geometry_msgs/Pose", cat,
+      base, s"$base/_ckpt2")
+    q2.awaitTermination()
+    assert(meta2.version == 2)
+    val back = Recorder
+      .readback[PoseEvolved](spark, "/robot1/pose", cat, base)
+      .collect().toSet
+    assert(back == Set(
+      PoseEvolved(1.0, 2.0, 3.0, Stamp(1700000000L, 1L), None),
+      PoseEvolved(4.0, 5.0, 6.0, Stamp(1700000001L, 2L), Some("map"))),
+      s"v1 rows must surface the v2 column as null: $back")
   }
 
   test("readback fails fast on schema drift (md5-check analog)") {
@@ -109,7 +142,7 @@ class RecorderSpec extends SparkSpec {
     // windowed analytics straight over the recorded log (the "query the
     // logged tables with standard tools" half of the reference contract)
     val agg = graft.streaming.Windowed.tumble(
-        spark.read.parquet(s"$base/${m2.table}"),
+        spark.read.parquet(s"$base/${m2.table}/v*"),
         org.apache.spark.sql.functions.col("ts"), "10 minutes")
       .orderBy("win_us")
       .collect().map(_.getAs[Long]("n")).toSeq
@@ -143,7 +176,7 @@ class RecorderSpec extends SparkSpec {
     try {
       while (landed < target && System.nanoTime() < deadline) {
         Thread.sleep(500)
-        landed = try spark.read.parquet(s"$base/${meta.table}").count()
+        landed = try spark.read.parquet(s"$base/${meta.table}/v1").count()
                  catch { case _: Exception => 0L }
       }
       assert(landed >= target, s"only $landed events landed in 180s")
@@ -160,7 +193,7 @@ class RecorderSpec extends SparkSpec {
     } finally q.stop()
     // compaction collapses the micro-batch file tail in place
     val (before, after) = graft.io.Writers.compact(
-      spark, s"$base/${meta.table}", 64L * 1024 * 1024)
+      spark, s"$base/${meta.table}/v1", 64L * 1024 * 1024)
     assert(after < before,
       s"compaction did not shrink the file tail ($before -> $after)")
     // catalog-verified typed readback survives ingest + compaction
@@ -173,7 +206,7 @@ class RecorderSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.mkdirs(new org.apache.hadoop.fs.Path(sf)))
     assert(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$base/${meta.table}"),
+      new org.apache.hadoop.fs.Path(s"$base/${meta.table}/v1"),
       new org.apache.hadoop.fs.Path(s"$sf/events.parquet")))
     for (name <- Seq("q_events_sessionize", "q_events_transitions",
                      "q_events_active_users")) {

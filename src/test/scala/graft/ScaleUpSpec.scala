@@ -43,6 +43,17 @@ class ScaleUpSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("word suffixing survives doubled spaces: no bare _rk tokens") {
+    // "a  b" splits to ["a", "", "b"] — the empty token must stay
+    // empty, so replica k's token/shingle structure is exactly replica
+    // 0's with the _rk suffix, whatever the whitespace normalization
+    val got = Seq("a  b", " lead", "trail ", "x").toDF("text")
+      .select(ScaleUp.suffixWords(col("text"), 2).as("t"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a_r2  b_r2", " lead_r2", "trail_r2 ", "x_r2"),
+      s"empty split tokens must not become bare _rk words: $got")
+  }
+
   test("embedding sign-flip preserves within-replica dot products exactly") {
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]

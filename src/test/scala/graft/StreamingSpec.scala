@@ -585,6 +585,26 @@ class StreamingSpec extends SparkSpec {
       s"redelivered offsets must collapse to one row each: $rows")
   }
 
+  test("surrogate offsets: same key within one second never collide") {
+    import graft.streaming.Envelope
+    // two DISTINCT records, same key, same timestamp: the surrogate
+    // offset hashes the payload too, so dedupOffsets must keep both —
+    // a (key, whole-second) surrogate collided here and silently
+    // dropped one as a fake redelivery (ADVICE r5)
+    val df = Seq(Ev(ts(1), "a", 1.0), Ev(ts(1), "a", 2.0)).toDF()
+    val env = Envelope.encodeJson(df, "events", col("user"), col("ts"))
+    assert(env.select("offset").distinct().count() == 2,
+      "distinct payloads sharing (key, ts) must get distinct offsets")
+    val kept = Envelope.dedupOffsets(
+      Envelope.decodeJson(env, df.schema), withinWatermark = false)
+    assert(kept.count() == 2)
+    // true redelivery (identical record) still collapses
+    val redeliver = env.unionAll(env.limit(1))
+    assert(Envelope.dedupOffsets(
+      Envelope.decodeJson(redeliver, df.schema),
+      withinWatermark = false).count() == 2)
+  }
+
   test("file stream replaying captured envelopes feeds the same decode") {
     import graft.streaming.Envelope
     val base = tmpDir("envreplay")
