@@ -646,7 +646,7 @@ object EventOps extends OpGroup {
           .withColumn("nt", col("nc") + col("nv"))
         val wCum = Window.orderBy(col("vc"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val ranked = byVal
+        val ranked = boundedDomain(byVal, "q_events_mannwhitney")
           .withColumn("cum", coalesce(sum(col("nt")).over(wCum), lit(0L)))
           .withColumn("r2", lit(2) * col("cum") + col("nt") + 1)
         ranked.agg(
@@ -731,7 +731,7 @@ object EventOps extends OpGroup {
         // totals ride the same (small, distinct-cents) frame as a
         // whole-frame window — no second scan, no nested aggregate
         val wAll = Window.partitionBy()
-        val cum = byVal
+        val cum = boundedDomain(byVal, "q_events_ks")
           .withColumn("c1", sum(col("nc")).over(wCum))
           .withColumn("c2", sum(col("nv")).over(wCum))
           .withColumn("n1", sum(col("nc")).over(wAll))
@@ -1022,15 +1022,15 @@ object EventOps extends OpGroup {
                sum(col("vc") - col("a")).as("sg"),
                (sum(dd * dd) * 10000).cast(D38).as("ss4"))
           .select(col("ng"), col("sg"), col("ss4"),
-                  halfUpDivWide(col("sg").cast(D38) * col("sg") * 10000,
-                                col("ng")).as("tg"))
+                  halfUpDivWideDec(col("sg").cast(D38) * col("sg") * 10000,
+                                   col("ng")).as("tg"))
         grp.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
                 sum(col("sg")).as("st"), sum(col("ss4")).as("sss4"),
                 sum(col("tg")).as("sumt"))
           .select(col("k"), col("n"), col("st"), col("sss4"),
                   col("sumt"),
-                  halfUpDivWide(col("st").cast(D38) * col("st") * 10000,
-                                col("n")).as("tall"))
+                  halfUpDivWideDec(col("st").cast(D38) * col("st") * 10000,
+                                   col("n")).as("tall"))
           .select(col("k").as("n_groups"), col("n"),
                   greatest(col("sumt") - col("tall"), lit(0L))
                     .cast(D38).as("ssb4"),
@@ -1109,7 +1109,9 @@ object EventOps extends OpGroup {
                   (money("value") * 100).cast("long").as("vc"))
         val bvt = e.groupBy(col("vc"), col("event_type"))
           .agg(count(lit(1)).as("cnt"))
-        val bv = bvt.groupBy(col("vc")).agg(sum(col("cnt")).as("nt"))
+        val bv = boundedDomain(
+          bvt.groupBy(col("vc")).agg(sum(col("cnt")).as("nt")),
+          "q_events_kruskal")
         val wCum = Window.orderBy(col("vc"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val r2f = bv
@@ -1121,8 +1123,8 @@ object EventOps extends OpGroup {
           .agg(sum(col("cnt")).as("ng"),
                sum(col("cnt") * col("r2")).as("rg2"))
           .select(col("ng"),
-                  halfUpDivWide(col("rg2").cast(D38) * col("rg2") * 10000,
-                                col("ng") * 4).as("tg"))
+                  halfUpDivWideDec(col("rg2").cast(D38) * col("rg2") * 10000,
+                                   col("ng") * 4).as("tg"))
         val ties = bv.agg(
           sum(col("nt") * col("nt") * col("nt") - col("nt")).as("t_ties"))
         grp.agg(count(lit(1)).as("n_groups"), sum(col("ng")).as("n"),

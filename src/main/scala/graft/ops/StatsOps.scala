@@ -25,7 +25,8 @@ object StatsOps extends OpGroup {
   private def rank2Map(df: org.apache.spark.sql.DataFrame, v: String) = {
     val w = Window.orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+    boundedDomain(df.groupBy(col(v)).agg(count(lit(1)).as("cnt")),
+        s"rank2Map($v)")
       .withColumn("r2", lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
         + col("cnt") + 1)
       .select(col(v), col("r2"))
@@ -1717,14 +1718,14 @@ object StatsOps extends OpGroup {
                sum(col("dd")).as("sg"),
                (sum(dD * dD) * 10000).cast(D38).as("ss4"))
           .select(col("ng"), col("sg"), col("ss4"),
-                  halfUpDivWide(col("sg").cast(D38) * col("sg") * 10000,
-                                col("ng")).as("tg"))
+                  halfUpDivWideDec(col("sg").cast(D38) * col("sg") * 10000,
+                                   col("ng")).as("tg"))
         grp.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
                 sum(col("sg")).as("st"), sum(col("ss4")).as("sss4"),
                 sum(col("tg")).as("sumt"))
           .select(col("k"), col("n"), col("sss4"), col("sumt"),
-                  halfUpDivWide(col("st").cast(D38) * col("st") * 10000,
-                                col("n")).as("tall"))
+                  halfUpDivWideDec(col("st").cast(D38) * col("st") * 10000,
+                                   col("n")).as("tall"))
           .select(col("k").as("n_groups"), col("n"),
                   greatest(col("sumt") - col("tall"), lit(0L))
                     .cast(D38).as("ssb4"),
@@ -1814,8 +1815,8 @@ object StatsOps extends OpGroup {
                   (col("a").cast("double") +
                    col("sg").cast("double") / col("n")).as("mc"),
                   (col("ss4") -
-                   halfUpDivWide(col("sg") * col("sg") * 10000,
-                                 col("n"))).cast(D38).as("ssg4"))
+                   halfUpDivWideDec(col("sg").cast(D38) * col("sg") * 10000,
+                                    col("n"))).cast(D38).as("ssg4"))
         val tot = st.agg(sum(col("ssg4")).cast("double").as("_ssw4"),
                          sum(col("n")).as("_nn"),
                          count(lit(1)).as("_k"))

@@ -405,4 +405,56 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("value-domain windows: the cent domain grows ≪ corpus, and the guard is live") {
+    // VERDICT r6 task 6. The rank-statistics family (Spearman, Mann-
+    // Whitney, KS, Kruskal) runs its cumulative windows over the
+    // DISTINCT value-cents frame — fine only while that domain stays
+    // ≪ corpus. Three probes:
+    // (a) measured: across the real fixtures rows grow 100× (sf0.001 →
+    //     sf0.1) while distinct cents grows ≤ ~a few × (the price
+    //     domain saturates) — the documented bound, now a number
+    val probe = Seq("sf0.001", "sf0.01", "sf0.1").map { sf =>
+      val e = Tables.events(spark, s"/root/testdata/$sf")
+        .select((col("value").cast(graft.Determinism.Money) * 100)
+          .cast("long").as("vc"))
+      val r = e.agg(count(lit(1)), countDistinct(col("vc"))).head()
+      (sf, r.getLong(0), r.getLong(1))
+    }
+    val (_, rows0, dom0) = probe.head
+    val (_, rows2, dom2) = probe.last
+    info(probe.map { case (sf, n, d) => s"$sf: rows=$n domain=$d" }
+      .mkString("; "))
+    assert(rows2 >= 90 * rows0, "fixtures should span ~100× rows")
+    // measured r6: 952 → 17792 distinct cents for 1000 → 100000 rows —
+    // 18.7× domain for 100× rows, density 0.95 → 0.18. The bound is
+    // DENSITY DECAY (each decade of rows at least halves rows-per-
+    // distinct-value... inverted: distinct/rows falls ≥2× per 100×),
+    // plus an absolute headroom check against the in-code cap
+    assert(dom2.toDouble / rows2 < 0.5 * dom0.toDouble / rows0,
+      s"value-domain density must decay with scale: " +
+      s"$dom0/$rows0 → $dom2/$rows2")
+    assert(dom2 * 4 <= rows2,
+      s"domain must stay ≪ corpus at the largest fixture: $dom2 vs $rows2")
+    // (b) enforced: a frame past the cap fails LOUDLY (assert_true),
+    //     not silently-degrades into a corpus-sized one-task sort
+    val wide = spark.range(5000L).toDF("vc")
+    val ex = intercept[Exception] {
+      graft.Determinism.boundedDomain(wide, "probe", cap = 1000L)
+        .count()
+    }
+    assert(ex.getMessage != null &&
+           ex.toString.contains("bounded-domain") ||
+           Option(ex.getCause).exists(_.toString.contains("bounded-domain")),
+      s"guard must raise its own message, got: $ex")
+    // (c) in-plan: the guard survives optimization inside a declared
+    //     query (an unreferenced assert would be pruned away)
+    // the optimizer rewrites assert_true into its raise_error form —
+    // pin the guard's own message text
+    val mw = SparkEntry.queries("q_events_mannwhitney")(spark, sfDir)
+    assert(mw.queryExecution.optimizedPlan.toString
+             .contains("value-domain frame exceeded"),
+      "the domain guard must sit in the optimized plan")
+    mw.collect() // and pass at fixture scale
+  }
 }

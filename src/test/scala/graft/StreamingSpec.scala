@@ -553,6 +553,42 @@ class StreamingSpec extends SparkSpec {
       "corrupt payload must be flagged, not dropped")
   }
 
+  test("envelope schema contract: field-for-field the kafka source schema") {
+    // VERDICT r6 task 7 (no broker / connector jar in this sandbox):
+    // pin the contract itself. The expected schema below is transcribed
+    // from the published Structured Streaming + Kafka integration
+    // contract (spark-sql-kafka's fixed output schema) — if Envelope
+    // ever drifts from it, a production swap to format("kafka") would
+    // break analytics code silently; this test makes the drift loud.
+    import org.apache.spark.sql.types._
+    import graft.streaming.Envelope
+    val kafkaSourceSchema = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType),
+      StructField("headers", ArrayType(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", BinaryType))), containsNull = false))))
+    // name + type + order, not just names
+    assert(Envelope.schema.map(f => (f.name, f.dataType)) ==
+           kafkaSourceSchema.map(f => (f.name, f.dataType)),
+      s"Envelope.schema drifted from the kafka source contract:\n" +
+      s"  got      ${Envelope.schema.toDDL}\n" +
+      s"  expected ${kafkaSourceSchema.toDDL}")
+    // and the producer twin actually EMITS that schema (types included):
+    // a matching constant with a mismatched encoder would still break
+    // the transport swap
+    val df = Seq(Ev(ts(1), "a", 1.0)).toDF()
+    val emitted = Envelope.encodeJson(df, "events", col("user"), col("ts"))
+      .schema.map(f => (f.name, f.dataType))
+    assert(emitted == kafkaSourceSchema.map(f => (f.name, f.dataType)),
+      s"encodeJson output schema drifted: $emitted")
+  }
+
   test("envelope redelivery dedups on the (topic,partition,offset) cursor") {
     import graft.streaming.Envelope
     implicit val ctx = spark.sqlContext

@@ -61,8 +61,15 @@ def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; ScaleUp dirs are
+        # <table>.parquet/part-*.parquet — read either layout.
+        # (Read-path only: comparator semantics stay driver-strict.)
+        p = f"{sf}/{t}.parquet"
+        import os
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
