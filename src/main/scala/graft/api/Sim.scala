@@ -155,6 +155,59 @@ object Sim {
               col("cos"))
   }
 
+  /** SRP-blocked mutual-kNN graph — the corpus-scale form of
+    * [[knnGraph]] (the exact composition above is O(n²) dot products:
+    * measured 231.8× wall at 100× data in the r6 sf10 full sweep —
+    * the worst growth in the suite). Every vector buckets by its
+    * sign-bit string and ranks neighbours ONLY within its bucket, so
+    * the candidate join is Σ_b n_b² ≈ n·targetBucket instead of n²,
+    * and the bucket width AUTO-SIZES with the corpus (the r5 SRP
+    * lesson: any fixed width saturates): bits = #binary digits of
+    * ⌈n/targetBucket⌉, floor 8, capped at the embedding dim —
+    * an INTEGER-EXACT formula (`length(bin((n-1) div t))`) both
+    * engines compute identically, unlike ceil(log2(·)) whose
+    * float rounding can flap at exact powers of two. n rides a
+    * broadcast single-row aggregate (no eager count; the audit's
+    * bounded-cross idiom). Unlike [[lshTopK]] nothing broadcasts the
+    * query side — here EVERY vector is a query, so the bucket join is
+    * a plain shuffle equi-join on the bucket key and the per-bucket
+    * top-k runs in the bounded heap aggregate map-side. Recall is the
+    * method's documented trade (cross-bucket mutual edges are missed;
+    * multi-probe or band-OR are the standard remedies); edges that DO
+    * emit carry exact round-4 cosines, so the oracle replays the
+    * blocking + ranking verbatim. Returns (node_a, node_b, cos). */
+  def knnGraphLsh(df: DataFrame, id: Column, emb: Column, k: Int,
+                  targetBucket: Int = 64): DataFrame = {
+    val e = withNorm(df, id, emb)
+      .filter(col("embedding").isNotNull && col("nrm") > 0)
+    val nrow = e.agg(count(lit(1)).as("_n"),
+                     min(size(col("embedding"))).as("_dim"))
+    val b = e.crossJoin(broadcast(nrow))
+      .withColumn("_bits",
+        least(greatest(lit(8), length(bin(graft.Determinism.ldiv(
+            col("_n") - 1, lit(targetBucket.toLong))))),
+          col("_dim")).cast("int"))
+      .withColumn("bucket", concat_ws("",
+        transform(slice(col("embedding"), lit(1), col("_bits")),
+          x => when(x >= 0, "1").otherwise("0"))))
+    val q = b.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                     col("nrm").as("qn"), col("bucket"))
+    val c = b.select(col("vec_id").as("cand_id"),
+                     col("embedding").as("ce"), col("nrm").as("cn"),
+                     col("bucket").as("bucket2"))
+    val scored = q.join(c, col("bucket") === col("bucket2") &&
+                           col("q_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+    val top = heapRankCos(scored, k)
+    val rev = top.select(col("q_id").as("b_id"), col("cand_id").as("a_id"))
+    top.filter(col("q_id") < col("cand_id"))
+      .join(rev, col("q_id") === col("a_id") &&
+                 col("cand_id") === col("b_id"), "left_semi")
+      .select(col("q_id").as("node_a"), col("cand_id").as("node_b"),
+              col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: queries only scan their own
     * `bits`-bit sign bucket (~1/2^bits of the collection) — recall
     * traded for a bounded candidate set. Same output shape as

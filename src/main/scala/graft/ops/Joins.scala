@@ -103,15 +103,27 @@ object Joins extends OpGroup {
         |ORDER BY c_custkey, o_key""".stripMargin),
 
     Q(
+      // FULL OUTER on the unique key pair (suppkey = even custkey):
+      // odd suppliers populate the null-right side, even custkeys past
+      // the supplier range the null-left side — both outer semantics
+      // exercised with LINEAR output. The original demo joined on
+      // nationkey (25 values): a per-nation cross product whose output
+      // grows quadratically with SF — 0.18 s → 31.4 s (177×) at 100×
+      // data in the r6 sf10 sweep, all of it row emission. A
+      // low-cardinality full outer is a data-model smell, not a join
+      // demo; the many-to-many shape stays covered (bounded) by
+      // q_join_cross and the skew family.
       "q_join_full_outer",
       (s, d) => Tables.supplier(s, d)
-        .join(Tables.customer(s, d),
-              col("s_nationkey") === col("c_nationkey"), "full")
+        .join(Tables.customer(s, d).filter(col("c_custkey") % 2 === 0),
+              col("s_suppkey") === col("c_custkey"), "full")
         .select(coalesce(col("s_suppkey"), lit(-1L)).as("sk"),
                 coalesce(col("c_custkey"), lit(-1L)).as("ck"))
         .orderBy(col("sk"), col("ck")),
       """SELECT COALESCE(s_suppkey, -1) AS sk, COALESCE(c_custkey, -1) AS ck
-        |FROM supplier FULL JOIN customer ON s_nationkey = c_nationkey
+        |FROM supplier
+        |FULL JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+        |  ON s_suppkey = c_custkey
         |ORDER BY sk, ck""".stripMargin),
 
     Q(

@@ -1113,17 +1113,21 @@ object NearDupOps extends OpGroup {
         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin),
 
     Q(
-      // Mutual-kNN graph (api.Sim.knnGraph): undirected edges where
-      // BOTH endpoints rank each other in their exact cosine top-3 —
+      // Mutual-kNN graph (api.Sim.knnGraphLsh): undirected edges where
+      // BOTH endpoints rank each other in the other's cosine top-3 —
       // the backbone semantic-cluster structure (hub vectors collect
       // one-directional edges; mutuality filters them out). Declared
-      // over the vec_id%5 slice so the oracle's all-pairs replay stays
-      // cheap at every SF; the Spark side is the pinned topK shape
-      // (query side broadcasts, one collection scan) + a pair-keyed
-      // LEFT SEMI for mutuality. Corpus-scale path: the identical
-      // composition over lshTopK/ivfTopK output (SCALE.md).
+      // in the SRP-BLOCKED corpus-scale form: ranking runs within
+      // auto-sized sign-bit buckets (bits = binary digits of
+      // (n-1) div 64, floor 8 — integer-exact on both engines), so
+      // the candidate join is ~n·64 pairs, not n² — the exact form
+      // (api.Sim.knnGraph, ApiSpec) measured 231.8× wall at 100× data
+      // in the r6 sf10 sweep (168.5 s); this form re-measured 4.4 s
+      // there — 6× wall at 100× data, right at the suite median. The
+      // oracle replays blocking + both-direction ranking + mutual join
+      // verbatim, so the recall trade is pinned, not approximated.
       "q_embed_knn_graph",
-      (s, d) => graft.api.Sim.knnGraph(
+      (s, d) => graft.api.Sim.knnGraphLsh(
           Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
           col("vec_id"), col("embedding"), k = 3)
         .orderBy(col("node_a"), col("node_b")),
@@ -1134,13 +1138,22 @@ object NearDupOps extends OpGroup {
         |  FROM embeddings
         |  WHERE embedding IS NOT NULL AND vec_id % 5 = 0),
         |e AS (SELECT * FROM e0 WHERE nrm > 0),
+        |p AS (SELECT least(greatest(8,
+        |              length(bin((count(*) - 1) // 64))),
+        |              min(len(embedding))) AS bits FROM e),
+        |b AS (
+        |  SELECT e.*, array_to_string(list_transform(
+        |    embedding[1:p.bits],
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e, p),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
         |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
         |            i -> CAST(q.embedding[i] AS DOUBLE)
         |               * CAST(c.embedding[i] AS DOUBLE)))
         |          / (q.nrm * c.nrm), 4) + 0 AS cos
-        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |  FROM b q JOIN b c
+        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
         |ranked AS (
         |  SELECT q_id, cand_id, cos,
         |    row_number() OVER (PARTITION BY q_id

