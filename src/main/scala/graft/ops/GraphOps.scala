@@ -546,27 +546,32 @@ object GraphOps extends OpGroup {
         .kCore(coSupplyEdges(s, d), "src", "dst", k = 3, maxRounds = 3)
         .select(col("node").as("s_suppkey"), col("deg"))
         .orderBy(col("s_suppkey")),
+      // every peel level is AS MATERIALIZED: c_{i+1} references c_i
+      // three times (itself + the two k_i membership subqueries), so
+      // an inlining planner re-expands the whole prefix ~3^depth
+      // times — the r6 sf1 oracle run OOM'd DuckDB at 84 GiB on this
+      // exact query until the CTEs were pinned to evaluate once
       s"""WITH $coSupplyEdgesSql,
-        |c0 AS (SELECT src, dst FROM e WHERE src < dst),
+        |c0 AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst),
         |d0 AS (SELECT v, COUNT(*) AS d FROM (
         |         SELECT src AS v FROM c0
         |         UNION ALL SELECT dst FROM c0) GROUP BY v),
-        |k0 AS (SELECT v FROM d0 WHERE d >= 3),
-        |c1 AS (SELECT * FROM c0
+        |k0 AS MATERIALIZED (SELECT v FROM d0 WHERE d >= 3),
+        |c1 AS MATERIALIZED (SELECT * FROM c0
         |       WHERE src IN (SELECT v FROM k0)
         |         AND dst IN (SELECT v FROM k0)),
         |d1 AS (SELECT v, COUNT(*) AS d FROM (
         |         SELECT src AS v FROM c1
         |         UNION ALL SELECT dst FROM c1) GROUP BY v),
-        |k1 AS (SELECT v FROM d1 WHERE d >= 3),
-        |c2 AS (SELECT * FROM c1
+        |k1 AS MATERIALIZED (SELECT v FROM d1 WHERE d >= 3),
+        |c2 AS MATERIALIZED (SELECT * FROM c1
         |       WHERE src IN (SELECT v FROM k1)
         |         AND dst IN (SELECT v FROM k1)),
         |d2 AS (SELECT v, COUNT(*) AS d FROM (
         |         SELECT src AS v FROM c2
         |         UNION ALL SELECT dst FROM c2) GROUP BY v),
-        |k2 AS (SELECT v FROM d2 WHERE d >= 3),
-        |c3 AS (SELECT * FROM c2
+        |k2 AS MATERIALIZED (SELECT v FROM d2 WHERE d >= 3),
+        |c3 AS MATERIALIZED (SELECT * FROM c2
         |       WHERE src IN (SELECT v FROM k2)
         |         AND dst IN (SELECT v FROM k2))
         |SELECT v AS s_suppkey, COUNT(*) AS deg FROM (

@@ -422,11 +422,19 @@ object MacroOps2 extends OpGroup {
                   .select(col("n_nationkey"))),
                 col("s_nationkey") === col("n_nationkey"), "left_semi")
           .select(col("s_suppkey"), col("s_name"))
+        // pre-aggregate per suppKEY (map-side-combinable, shrinks the
+        // frame before the broadcast join), then RE-group by s_name —
+        // the oracle's Q21 grouping. The two differ whenever names are
+        // not unique per key: the r6 sf1 oracle gate caught exactly
+        // that (ScaleUp replicas share s_name → spark=310 vs
+        // oracle=31 rows), a semantic mismatch invisible at any SF
+        // with unique names.
         po.filter(col("ns") > 1 && col("nl") === 1)
           .groupBy(col("lone"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(count(lit(1)).as("nw"))
           .join(broadcast(natSup), col("lone") === col("s_suppkey"))
-          .select(col("s_name"), col("numwait"))
+          .groupBy(col("s_name"))
+          .agg(sum(col("nw")).cast("long").as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
       },
       """WITH po AS (

@@ -60,6 +60,11 @@ def dtype_class(dt):
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # let big oracle CTEs (the unrolled k-core peel at sf1+) spill to
+    # disk instead of dying at the in-memory ceiling. Resource config
+    # only — comparator semantics stay driver-strict.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='90GB'")
     for t in TABLES:
         # driver fixtures are single files; ScaleUp dirs are
         # <table>.parquet/part-*.parquet — read either layout.
