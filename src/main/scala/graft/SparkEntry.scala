@@ -15,7 +15,7 @@ object SparkEntry {
     Scans, Filters, Joins, Aggs, Windows, SetOps, SqlOps, Scalars, LlmOps,
     NearDupOps, TextOps, ScrubOps, PrivacyOps, PipelineOps, CurateOps,
     Streaming, EventOps, EtlOps, MacroOps, MacroOps2, GraphOps, StatsOps,
-    EvalOps, MiningOps, Udx
+    EvalOps, MiningOps, Udx, SignalOps, TrainOps, InferOps
   )
 
   private def all: Seq[Q] = groups.flatMap(_.qs)

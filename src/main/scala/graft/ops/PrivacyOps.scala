@@ -239,6 +239,52 @@ object PrivacyOps extends OpGroup {
         |  CAST((2 * (SUM(CASE WHEN n < k.k THEN n ELSE 0 END) * 10000)
         |        + t.tot) // (2 * t.tot) AS DOUBLE) / 10000.0 AS loss4
         |FROM k CROSS JOIN cls CROSS JOIN t
-        |GROUP BY k.k, t.tot ORDER BY k""".stripMargin)
+        |GROUP BY k.k, t.tot ORDER BY k""".stripMargin),
+
+    Q(
+      // Differential-privacy-style noisy release of the per-segment
+      // customer counts — the Laplace mechanism (sensitivity 1, scale
+      // b = 20 ⇒ ε = 1/b = 0.05 per released count) with the noise
+      // draw DERANDOMIZED through the shared hash16 uniform: u =
+      // (hash16(segment‖':dp') + 0.5)/65536 ∈ (0,1) strictly (the
+      // +0.5 offset means u ≠ 0.5 exactly, so the inverse-CDF
+      // noise −b·sign(u−½)·ln(1−2|u−½|) is always finite), making the
+      // released values reproducible run-to-run and engine-to-engine —
+      // the property a privacy AUDIT of the mechanism needs (a
+      // production release would swap hash16 for a real RNG at this
+      // one seam). Work: one hash-agg to the 5-segment grid; the noise
+      // math runs on 5 rows. True n is emitted alongside for the
+      // oracle gate — this query audits the mechanism, it is not
+      // itself the private release.
+      "q_privacy_dp_counts",
+      (s, d) => {
+        val g = Tables.customer(s, d)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"))
+        val u = (graft.api.Pipeline.hash16(
+          concat(col("segment"), lit(":dp"))).cast("double") + 0.5) /
+          65536.0
+        val noise = -lit(20.0) * signum(u - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+        g.select(col("segment"), col("n"),
+                 r4(noise).as("noise4"),
+                 r4(col("n") + noise).as("noisy4"),
+                 lit(0.05).as("epsilon"))
+          .orderBy(col("segment"))
+      },
+      s"""WITH g AS (
+        |  SELECT c_mktsegment AS segment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT segment, n,
+        |    ((${u16Sql("segment || ':dp'")}) + 0.5) / 65536.0 AS u
+        |  FROM g)
+        |SELECT segment, n,
+        |  round(-20.0 * sign(u - 0.5)
+        |        * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0 AS noise4,
+        |  round(n + (-20.0 * sign(u - 0.5)
+        |             * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0 AS noisy4,
+        |  CAST(0.05 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY segment""".stripMargin)
   )
 }

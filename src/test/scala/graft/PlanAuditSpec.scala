@@ -52,7 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_recall_report", "q_embed_centroid_coherence",
     "q_embed_silhouette", "q_text_bpe_pairs", "q_curate_lm_gate",
     "q_graph_kcore", "q_graph_lpa", "q_graph_modularity",
-    "q_etl_snapshot_diff")
+    "q_etl_snapshot_diff", "q_embed_mmr")
 
   /** A Cross-join side the author has bounded. Three recognized forms,
     * in decreasing strength: (a) the OPTIMIZER bounds it (maxRows ≤ 64
