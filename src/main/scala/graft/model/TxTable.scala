@@ -139,6 +139,62 @@ final class TxTable private (
     publishOrThrow(Manifest(b + 1, "compact", adds, removes, ""), b)
   }
 
+  /** MERGE (upsert) `batch` into the snapshot at `base` by `keyCol`:
+    * rows whose key exists are REPLACED by the batch's version,
+    * unmatched batch rows INSERT; the result commits as ONE atomic
+    * overwrite prepared against `base` (same optimistic-concurrency
+    * token as [[overwrite]] — a racing commit aborts, never a lost
+    * update). Returns (newVersion, nUpdated, nInserted).
+    *
+    * Distributed shape: the batch's key set drives one broadcast
+    * left_anti join against the current snapshot (batches are deltas —
+    * small relative to the table; a table-sized batch would flip to a
+    * shuffle join under AQE, which is the right plan there too), then
+    * a union write. The driver carries only the two action counts. */
+  def merge(batch: DataFrame, keyCol: String, base: Long = -1L)
+      : (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.broadcast
+    val b = if (base < 0) currentVersion() else base
+    val cur = readAt(b)
+    val nUpd = batch.join(cur.select(keyCol), Seq(keyCol), "left_semi")
+      .count()
+    val nIns = batch.count() - nUpd
+    val kept = cur.join(broadcast(batch.select(keyCol)), Seq(keyCol),
+                        "left_anti")
+    val v = overwrite(kept.unionByName(batch), b)
+    (v, nUpd, nIns)
+  }
+
+  /** Write–Audit–Publish: stage `df`'s data files (INVISIBLE — no
+    * manifest names them yet), read the staged files back, run the
+    * audit on exactly the bytes that would go live, and only then
+    * publish the append manifest. A failing audit abandons the staged
+    * files unreferenced (a vacuum concern, never a correctness one)
+    * and returns Left(reason) — the table head never moves. This is
+    * the WAP gate a production pipeline runs between "the job wrote
+    * output" and "dashboards can see it", carried entirely by the
+    * files-are-invisible-until-manifest property. */
+  def writeAuditPublish(df: DataFrame)(
+      audit: DataFrame => Option[String]): Either[String, Long] = {
+    val base = currentVersion()
+    if (base > 0) {
+      val tbl = StructType.fromDDL(schemaDdlAt(base))
+      Catalog.additiveDrift(tbl, df.schema).foreach { why =>
+        return Left(s"schema gate: $why")
+      }
+    }
+    val adds = writeData(df, base + 1)
+    val staged = spark.read.schema(df.schema)
+      .parquet(adds.map(rel => s"$dir/$rel"): _*)
+    audit(staged) match {
+      case Some(reason) => Left(reason)
+      case None =>
+        val ddl = if (base == 0) df.schema.toDDL else ""
+        Right(publishOrThrow(
+          Manifest(base + 1, "append", adds, Seq.empty, ddl), base))
+    }
+  }
+
   // ---- internals ----
 
   private def commitWithRetry(

@@ -458,6 +458,107 @@ object InferOps extends OpGroup {
         |SELECT CAST(n AS BIGINT) AS n_days,
         |  round((rr - ru) * (n - 3) / ru, 4) + 0 AS f4,
         |  round(1.0 - ru / rr, 4) + 0 AS partial_r2_4
-        |FROM rs""".stripMargin)
+        |FROM rs""".stripMargin),
+
+    Q(
+      // Ljung–Box portmanteau test at lags 1..5 on the daily revenue
+      // series — "is there ANY autocorrelation structure left?" (the
+      // residual-whiteness gate behind every forecasting model).
+      // Corpus → day domain in one hash-agg; the five lag alignments
+      // ride ONE equi-join (day × exploded lag literal against the
+      // lagged day domain); every autocovariance is assembled from
+      // exact DECIMAL(38,0) sums via the n²-scaled identity
+      // A_k = n²·Σy·y₋ₖ − n·S·(P+L) + m·S², B = n·(n·Syy − S²), so
+      // ρ_k = A_k/B divides exact integers; each Q term
+      // ρ²/(n−k) quantizes to an exact 1e-12 long BEFORE the 5-term
+      // sum (no float summation order), and Q = n(n+2)·Σ is the one
+      // final double.
+      "q_ts_ljung_box",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(ldiv(unix_micros(col("o_orderdate").cast("timestamp")),
+                       lit(86400000000L)).as("dday"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("dday")).agg(sum(col("vc")).as("y"))
+        val tot = daily.agg(count(lit(1)).as("n"),
+                            sum(col("y").cast(D38)).as("sv"),
+                            sum((col("y").cast(D38) * col("y"))
+                                  .cast(D38)).as("svv"))
+        val lagd = daily.select(col("dday").as("dl"), col("y").as("yl"))
+        val perK = daily
+          .select(col("dday"), col("y"),
+                  explode(typedLit((1L to 5L).toSeq)).as("k"))
+          .join(lagd, col("dday") === col("dl") + col("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("m"),
+               sum((col("y").cast(D38) * col("yl")).cast(D38)).as("spy"),
+               sum(col("y").cast(D38)).as("p"),
+               sum(col("yl").cast(D38)).as("l"))
+        val rho = perK.crossJoin(broadcast(tot))
+          .withColumn("a",
+            ((col("n").cast(D38) * col("n") * col("spy")).cast(D38) -
+             (col("n").cast(D38) * col("sv") * (col("p") + col("l")))
+               .cast(D38) +
+             (col("m").cast(D38) * col("sv") * col("sv")).cast(D38))
+              .cast(D38))
+          .withColumn("b",
+            (col("n").cast(D38) *
+             ((col("n").cast(D38) * col("svv")).cast(D38) -
+              (col("sv") * col("sv")).cast(D38))).cast(D38))
+          .withColumn("rho", col("a").cast("double") /
+                             col("b").cast("double"))
+          .withColumn("t12",
+            round(col("rho") * col("rho") /
+                  (col("n") - col("k")).cast("double") *
+                  lit(1000000000000L), 0).cast("long"))
+        rho.groupBy(col("n"))
+          .agg(max(when(col("k") === 1, r4(col("rho")))).as("rho1_4"),
+               max(when(col("k") === 2, r4(col("rho")))).as("rho2_4"),
+               max(when(col("k") === 3, r4(col("rho")))).as("rho3_4"),
+               max(when(col("k") === 4, r4(col("rho")))).as("rho4_4"),
+               max(when(col("k") === 5, r4(col("rho")))).as("rho5_4"),
+               sum(col("t12")).as("t12s"))
+          .select(col("n").as("n_days"), col("rho1_4"), col("rho2_4"),
+                  col("rho3_4"), col("rho4_4"), col("rho5_4"),
+                  r4(col("n").cast("double") * (col("n") + 2) *
+                     (col("t12s").cast("double") / 1e12)).as("q5_4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS dday,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS sv,
+        |    SUM(CAST(y AS HUGEINT) * y) AS svv
+        |  FROM daily),
+        |ks(k) AS (VALUES (1), (2), (3), (4), (5)),
+        |perk AS (
+        |  SELECT ks.k, COUNT(*) AS m,
+        |    SUM(CAST(a.y AS HUGEINT) * b.y) AS spy,
+        |    SUM(CAST(a.y AS HUGEINT)) AS p,
+        |    SUM(CAST(b.y AS HUGEINT)) AS l
+        |  FROM ks, daily a, daily b WHERE a.dday = b.dday + ks.k
+        |  GROUP BY ks.k),
+        |rho AS (
+        |  SELECT k, n,
+        |    CAST(CAST(n AS HUGEINT) * n * spy
+        |         - CAST(n AS HUGEINT) * sv * (p + l)
+        |         + CAST(m AS HUGEINT) * sv * sv AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT)
+        |           * (CAST(n AS HUGEINT) * svv - sv * sv) AS DOUBLE)
+        |      AS rho
+        |  FROM perk, tot)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  MAX(CASE WHEN k = 1 THEN round(rho, 4) + 0 END) AS rho1_4,
+        |  MAX(CASE WHEN k = 2 THEN round(rho, 4) + 0 END) AS rho2_4,
+        |  MAX(CASE WHEN k = 3 THEN round(rho, 4) + 0 END) AS rho3_4,
+        |  MAX(CASE WHEN k = 4 THEN round(rho, 4) + 0 END) AS rho4_4,
+        |  MAX(CASE WHEN k = 5 THEN round(rho, 4) + 0 END) AS rho5_4,
+        |  round(CAST(n AS DOUBLE) * (n + 2)
+        |        * (CAST(SUM(CAST(round(rho * rho / (n - k)
+        |                 * 1000000000000, 0) AS BIGINT)) AS DOUBLE)
+        |           / 1e12), 4) + 0 AS q5_4
+        |FROM rho GROUP BY n""".stripMargin)
   )
 }

@@ -41,10 +41,10 @@ object TrainOps extends OpGroup {
     * disk stays bounded, one shutdown hook removes it). */
   private val txDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private[ops] def txDemoPath(sfDir: String): String = {
+  private[ops] def txDemoPath(sfDir: String, tag: String = ""): String = {
     val p = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_txdemo_" + Integer.toHexString(sfDir.hashCode)).toString
+      "graft_txdemo_" + tag + Integer.toHexString(sfDir.hashCode)).toString
     if (txDirs.add(p)) Runtime.getRuntime.addShutdownHook(new Thread {
       override def run(): Unit = TrainOps.rmTree(new java.io.File(p))
     })
@@ -608,6 +608,129 @@ object TrainOps extends OpGroup {
         |        + sum_chars)
         |       // (2*sum_chars) AS DOUBLE) / 10000.0
         |    AS multibyte_ratio4
-        |FROM g ORDER BY lang, source""".stripMargin)
+        |FROM g ORDER BY lang, source""".stripMargin),
+
+    Q(
+      // MERGE (upsert) into the TxTable, action counts and the merged
+      // snapshot UNDER THE HASH GATE: the table starts as the
+      // pre-1997 order book; the batch carries price corrections for
+      // its even-keyed rows (+$1.00 each) AND all the 1997+ orders as
+      // inserts; TxTable.merge replaces matched keys, inserts the
+      // rest, and commits the rewrite as one atomic optimistic
+      // overwrite. The oracle recomputes the update/insert counts and
+      // the merged revenue from the raw orders table, so the key
+      // matching, the anti-join rewrite, and the commit-log read must
+      // reproduce the upsert EXACTLY (rows + cents) or the hash
+      // flips. The batch's key set drives a broadcast anti-join —
+      // deltas never shuffle the whole table.
+      "q_etl_merge_upsert",
+      (s, d) => {
+        val dir = txDemoPath(d, "m")
+        rmTree(new java.io.File(dir))
+        val t = graft.model.TxTable(s, dir)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"),
+                  year(col("o_orderdate").cast("timestamp")).as("y"))
+        t.overwrite(o.filter(col("y") < 1997))
+        val batch = o
+          .filter(col("y") < 1997 && col("o_orderkey") % 2 === 0)
+          .withColumn("cents", col("cents") + 100L)
+          .unionByName(o.filter(col("y") >= 1997))
+        val (v, nUpd, nIns) = t.merge(batch, "o_orderkey")
+        t.read()
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("cents").cast(D38)).as("sc"))
+          .select(lit(v).as("version"), lit(nUpd).as("n_updated"),
+                  lit(nIns).as("n_inserted"), col("n_rows"),
+                  (col("sc").cast("double") / 100.0).as("rev_usd"))
+      },
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents,
+        |    year(o_orderdate) AS y
+        |  FROM orders),
+        |upd AS (SELECT COUNT(*) AS n_updated FROM o
+        |        WHERE y < 1997 AND o_orderkey % 2 = 0),
+        |ins AS (SELECT COUNT(*) AS n_inserted FROM o WHERE y >= 1997)
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |  CAST(upd.n_updated AS BIGINT) AS n_updated,
+        |  CAST(ins.n_inserted AS BIGINT) AS n_inserted,
+        |  (SELECT COUNT(*) FROM o) AS n_rows,
+        |  CAST((SELECT SUM(CAST(cents AS HUGEINT)) FROM o)
+        |       + CAST(upd.n_updated AS HUGEINT) * 100 AS DOUBLE) / 100.0
+        |    AS rev_usd
+        |FROM upd, ins""".stripMargin),
+
+    Q(
+      // Write–Audit–Publish over the TxTable: attempt 1 stages a
+      // CORRUPT 1998+ batch (negated cents) whose data files land
+      // invisibly, fails the audit ("no negative cents"), and is
+      // abandoned WITHOUT moving the table head; attempt 2 stages the
+      // clean batch, passes, and publishes. Each output row carries
+      // the post-attempt head version and the table aggregates AT that
+      // head, so the oracle (which recomputes both states from raw
+      // orders) proves the failed publish left v1 bit-identical and
+      // the successful one appended exactly the batch — the
+      // files-invisible-until-manifest property under the hash gate.
+      "q_etl_wap",
+      (s, d) => {
+        val dir = txDemoPath(d, "w")
+        rmTree(new java.io.File(dir))
+        val t = graft.model.TxTable(s, dir)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"),
+                  year(col("o_orderdate").cast("timestamp")).as("y"))
+        t.overwrite(o.filter(col("y") < 1998))
+        def audit(df: DataFrame): Option[String] = {
+          val r = df.agg(min(col("cents")).as("mn"),
+                         count(lit(1)).as("n")).head()
+          if (r.getAs[Long]("n") == 0L) Some("empty batch")
+          else if (r.getAs[Long]("mn") < 0L) Some("negative cents")
+          else None
+        }
+        val late = o.filter(col("y") >= 1998)
+        val bad = t.writeAuditPublish(
+          late.withColumn("cents", -col("cents")))(audit)
+        val badHead = t.currentVersion()
+        val good = t.writeAuditPublish(late)(audit)
+        val goodHead = t.currentVersion()
+        def state(attempt: Long, published: Long, verdict: String,
+                  ver: Long) =
+          t.readAt(ver)
+            .agg(count(lit(1)).as("n_rows"),
+                 sum(col("cents").cast(D38)).as("sc"))
+            .select(lit(attempt).as("attempt"),
+                    lit(verdict).as("verdict"),
+                    lit(published).as("published"),
+                    lit(ver).as("head_version"), col("n_rows"),
+                    (col("sc").cast("double") / 100.0).as("rev_usd"))
+        state(1L, if (bad.isRight) 1L else 0L,
+              bad.left.getOrElse("ok"), badHead)
+          .unionAll(state(2L, if (good.isRight) 1L else 0L,
+                          good.left.getOrElse("ok"), goodHead))
+          .orderBy(col("attempt"))
+      },
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents,
+        |    year(o_orderdate) AS y
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS attempt,
+        |  'negative cents' AS verdict,
+        |  CAST(0 AS BIGINT) AS published,
+        |  CAST(1 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |    AS rev_usd
+        |FROM o WHERE y < 1998
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'ok', CAST(1 AS BIGINT),
+        |  CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |FROM o
+        |ORDER BY attempt""".stripMargin)
   )
 }

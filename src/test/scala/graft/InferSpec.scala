@@ -104,6 +104,41 @@ class InferSpec extends SparkSpec {
     }
   }
 
+  test("ljung-box: autocorrelations in [-1,1], Q >= 0") {
+    val r = q("q_ts_ljung_box").head()
+    assert(r.getAs[Long]("n_days") > 100)
+    for (k <- 1 to 5) {
+      val rho = r.getAs[Double](s"rho${k}_4")
+      assert(rho >= -1.0001 && rho <= 1.0001, s"rho$k $rho out of range")
+    }
+    assert(r.getAs[Double]("q5_4") >= 0.0)
+  }
+
+  test("merge upsert: counts partition the batch, revenue shifts by the corrections") {
+    val r = q("q_etl_merge_upsert").head()
+    assert(r.getAs[Long]("version") == 2L)
+    val o = graft.io.Tables.orders(spark, sfDir)
+    assert(r.getAs[Long]("n_rows") == o.count())
+    // each of the n_updated rows gained exactly $1.00
+    import org.apache.spark.sql.functions._
+    val raw = o.agg(sum(graft.Determinism.money("o_totalprice")))
+      .head().getDecimal(0).doubleValue()
+    val expect = raw + r.getAs[Long]("n_updated") * 1.0
+    assert(math.abs(r.getAs[Double]("rev_usd") - expect) < 0.01)
+  }
+
+  test("wap: failed audit leaves the head pinned, success appends") {
+    val rows = q("q_etl_wap").collect().sortBy(_.getAs[Long]("attempt"))
+    val Array(a1, a2) = rows
+    assert(a1.getAs[Long]("published") == 0L)
+    assert(a1.getAs[String]("verdict") == "negative cents")
+    assert(a1.getAs[Long]("head_version") == 1L)
+    assert(a2.getAs[Long]("published") == 1L)
+    assert(a2.getAs[String]("verdict") == "ok")
+    assert(a2.getAs[Long]("head_version") == 2L)
+    assert(a2.getAs[Long]("n_rows") > a1.getAs[Long]("n_rows"))
+  }
+
   test("dp counts: noisy = n + noise, Laplace tail bounded by the grid") {
     val rows = q("q_privacy_dp_counts").collect()
     assert(rows.length == 5)
