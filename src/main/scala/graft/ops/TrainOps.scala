@@ -491,16 +491,24 @@ object TrainOps extends OpGroup {
           .orderBy(col("pick_order"))
       },
       {
-        def selIds(k: Int): String =
-          (1 until k).map(i => s"SELECT vec_id FROM p$i")
-            .mkString("(", " UNION ALL ", ")")
-        def step(k: Int): String =
-          s"""d$k AS (
+        // The selected set is pre-filtered into a tiny MATERIALIZED
+        // CTE before the j-equi-join, and the done-set exclusion runs
+        // as NOT EXISTS at the 1-row pick stage — a `vec_id NOT IN`
+        // inside the join WHERE forces DuckDB into a null-aware join
+        // over the UNFILTERED qv×qv j-join (~1e12 intermediate rows:
+        // found by the sf1 gate as a spill-to-disk death, not a wrong
+        // answer).
+        def step(k: Int): String = {
+          val sel = (1 until k).map(i => s"SELECT vec_id FROM p$i")
+            .mkString(" UNION ALL ")
+          s"""sel$k AS (SELECT vec_id FROM ($sel)),
+             |sq$k AS MATERIALIZED (
+             |  SELECT vec_id, j, q FROM qv
+             |  WHERE vec_id IN (SELECT vec_id FROM sel$k)),
+             |d$k AS (
              |  SELECT q.vec_id, v.vec_id AS svid,
              |    SUM(CAST(q.q AS HUGEINT) * v.q) AS dot
-             |  FROM qv q JOIN qv v ON q.j = v.j
-             |  WHERE v.vec_id IN ${selIds(k)}
-             |    AND q.vec_id NOT IN ${selIds(k)}
+             |  FROM qv q JOIN sq$k v ON q.j = v.j
              |  GROUP BY q.vec_id, v.vec_id),
              |m$k AS (SELECT vec_id, MAX(dot) AS mx FROM d$k
              |        GROUP BY vec_id),
@@ -508,7 +516,10 @@ object TrainOps extends OpGroup {
              |  SELECT $k AS pick_order, r.vec_id, r.rel, m.mx,
              |    2*r.rel - m.mx AS score
              |  FROM rel r JOIN m$k m ON r.vec_id = m.vec_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel$k s
+             |                    WHERE s.vec_id = r.vec_id)
              |  ORDER BY 2*r.rel - m.mx DESC, r.vec_id LIMIT 1)"""
+        }
         s"""WITH e AS (
           |  SELECT vec_id,
           |    list_transform(embedding, x ->
