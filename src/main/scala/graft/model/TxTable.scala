@@ -195,6 +195,37 @@ final class TxTable private (
     }
   }
 
+  /** Data files (dir-relative) that NO manifest references — the debris
+    * of crashed or audit-failed writers ([[writeAuditPublish]] leaves
+    * these behind by design). Safe to delete at ANY time: no reader
+    * can reach a file no manifest names. */
+  def unreferencedFiles(): Seq[String] = {
+    val referenced = versions()
+      .flatMap(TxLog.readManifest(dir, _).adds).toSet
+    allDataFiles().filterNot(referenced)
+  }
+
+  /** Data files referenced by SOME manifest but not live at the head —
+    * time-travel debt: deleting them breaks `readAt` for the versions
+    * that list them, so a vacuum only reclaims these past its
+    * retention horizon. */
+  def unlistedFiles(): Seq[String] = {
+    val live = filesAt(currentVersion()).map(_.stripPrefix(s"$dir/")).toSet
+    val referenced = versions()
+      .flatMap(TxLog.readManifest(dir, _).adds).distinct
+    referenced.filterNot(live)
+  }
+
+  private def allDataFiles(): Seq[String] = {
+    val dataRoot = Paths.get(dir, "data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    Option(dataRoot.toFile.listFiles()).toSeq.flatten.flatMap { sub =>
+      Option(sub.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"data/${sub.getName}/${f.getName}")
+    }.sorted
+  }
+
   // ---- internals ----
 
   private def commitWithRetry(

@@ -742,6 +742,167 @@ object TrainOps extends OpGroup {
         |  CAST(2 AS BIGINT), COUNT(*),
         |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
         |FROM o
-        |ORDER BY attempt""".stripMargin)
+        |ORDER BY attempt""".stripMargin),
+
+    Q(
+      // Vacuum audit over the TxTable data directory — the maintenance
+      // report a real lakehouse runs before reclaiming space, with all
+      // three file populations UNDER THE HASH GATE: live (named by the
+      // head manifest), unlisted (named by an older manifest only —
+      // time-travel debt, reclaimable past the retention horizon), and
+      // unreferenced (no manifest at all — audit-failed/crashed writer
+      // debris, deletable immediately). The demo builds one of each:
+      // v1 overwrite (pre-1996, unlisted by v2), v2 overwrite (1996),
+      // and an always-rejected WAP stage (1997+, cents negated). The
+      // oracle recomputes every category's rows + cents from raw
+      // orders, so the manifest-set algebra (referenced-minus-live,
+      // all-minus-referenced) must classify every file correctly or a
+      // whole year band lands in the wrong bucket and the hash flips.
+      "q_etl_vacuum_audit",
+      (s, d) => {
+        val dir = txDemoPath(d, "v")
+        rmTree(new java.io.File(dir))
+        val t = graft.model.TxTable(s, dir)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"),
+                  year(col("o_orderdate").cast("timestamp")).as("y"))
+        t.overwrite(o.filter(col("y") < 1996))
+        t.overwrite(o.filter(col("y") === 1996))
+        val staged = t.writeAuditPublish(
+          o.filter(col("y") >= 1997).withColumn("cents", -col("cents")))(
+          _ => Some("vacuum demo: always reject"))
+        require(staged.isLeft, "the demo stage must be abandoned")
+        val ddl = org.apache.spark.sql.types.StructType
+          .fromDDL(t.schemaDdlAt(t.currentVersion()))
+        def readRel(files: Seq[String]): DataFrame =
+          if (files.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ddl)
+          else s.read.schema(ddl).parquet(files.map(f => s"$dir/$f"): _*)
+        def cat(name: String, df: DataFrame) = df
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("cents").cast(D38)).as("sc"))
+          .select(lit(name).as("category"), col("n_rows"),
+                  (coalesce(col("sc"), lit(0).cast(D38)).cast("double")
+                     / 100.0).as("rev_usd"))
+        cat("live", t.read())
+          .unionAll(cat("unlisted", readRel(t.unlistedFiles())))
+          .unionAll(cat("unreferenced", readRel(t.unreferencedFiles())))
+          .orderBy(col("category"))
+      },
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents,
+        |    year(o_orderdate) AS y
+        |  FROM orders)
+        |SELECT 'live' AS category, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |    AS rev_usd
+        |FROM o WHERE y = 1996
+        |UNION ALL
+        |SELECT 'unlisted', COUNT(*),
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |FROM o WHERE y < 1996
+        |UNION ALL
+        |SELECT 'unreferenced', COUNT(*),
+        |  CAST(SUM(CAST(-cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |FROM o WHERE y >= 1997
+        |ORDER BY category""".stripMargin),
+
+    Q(
+      // Contrastive hard-example mining over the labeled embedding
+      // corpus — for each of the 5 lowest-id anchors: the hardest
+      // NEGATIVE (max inner product among other-label vectors) and the
+      // hardest POSITIVE (min inner product among same-label vectors),
+      // plus the margin between them — the batch-construction
+      // primitive behind every triplet/contrastive training loop. All
+      // dots are exact integers over 1e-6-quantized coordinates; both
+      // argpicks are exact-integer max/min-struct decisions with
+      // vec_id tiebreaks, so the mined ids are bit-stable. One
+      // corpus-linear pass: the 5 anchors broadcast (≤320 rows of
+      // exploded coordinates), dots group by (anchor, vector), two
+      // bounded argpick aggs.
+      "q_embed_hard_negatives",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull &&
+                  size(col("embedding")) === 64)
+        val qv = base
+          .select(col("vec_id"), col("label"),
+                  posexplode(transform(col("embedding"), x =>
+                    round(x.cast("double") * 1000000).cast("long")))
+                    .as(Seq("j", "q")))
+        val anchors = base.select(col("vec_id").as("aid"),
+                                  col("label").as("albl"))
+          .orderBy(col("aid")).limit(5)
+        val aqv = qv.join(broadcast(anchors), col("vec_id") === col("aid"))
+          .select(col("aid"), col("albl"), col("j").as("aj"),
+                  col("q").as("aq"))
+        val dots = qv.join(broadcast(aqv), col("j") === col("aj"))
+          .filter(col("vec_id") =!= col("aid"))
+          .groupBy(col("aid"), col("albl"), col("vec_id"), col("label"))
+          .agg(sum((col("q").cast(D38) * col("aq")).cast(D38)).as("dot"))
+        val hn = dots.filter(col("label") =!= col("albl"))
+          .groupBy(col("aid"))
+          .agg(max(struct(col("dot"), (-col("vec_id")).as("negid")))
+                 .as("b"))
+          .select(col("aid").as("_h"), (-col("b.negid")).as("hard_neg_id"),
+                  col("b.dot").as("hnd"))
+        val hp = dots.filter(col("label") === col("albl"))
+          .groupBy(col("aid"))
+          .agg(min(struct(col("dot"), col("vec_id").as("pid"))).as("b"))
+          .select(col("aid").as("_p"), col("b.pid").as("hard_pos_id"),
+                  col("b.dot").as("hpd"))
+        anchors.join(hn, col("aid") === col("_h"))
+          .join(hp, col("aid") === col("_p"))
+          .select(col("aid").as("anchor_id"), col("albl").as("label"),
+                  col("hard_neg_id"),
+                  col("hnd").cast("long").as("hard_neg_dot"),
+                  col("hard_pos_id"),
+                  col("hpd").cast("long").as("hard_pos_dot"),
+                  (col("hpd") - col("hnd")).cast("long").as("margin"))
+          .orderBy(col("anchor_id"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |qv AS MATERIALIZED (
+        |  SELECT vec_id, label, i - 1 AS j, xq[i] AS q
+        |  FROM (SELECT vec_id, label, xq,
+        |          unnest(generate_series(1, 64)) AS i FROM e)),
+        |anchors AS MATERIALIZED (
+        |  SELECT vec_id AS aid, label AS albl FROM e
+        |  ORDER BY vec_id LIMIT 5),
+        |aqv AS MATERIALIZED (
+        |  SELECT a.aid, a.albl, q.j AS aj, q.q AS aq
+        |  FROM qv q JOIN anchors a ON q.vec_id = a.aid),
+        |dots AS MATERIALIZED (
+        |  SELECT v.aid, v.albl, q.vec_id, q.label,
+        |    SUM(CAST(q.q AS HUGEINT) * v.aq) AS dot
+        |  FROM qv q JOIN aqv v ON q.j = v.aj
+        |  WHERE q.vec_id <> v.aid
+        |  GROUP BY v.aid, v.albl, q.vec_id, q.label),
+        |hn AS (
+        |  SELECT aid, vec_id AS hard_neg_id, dot AS hnd FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY aid ORDER BY dot DESC, vec_id) AS rn
+        |    FROM dots WHERE label <> albl) WHERE rn = 1),
+        |hp AS (
+        |  SELECT aid, vec_id AS hard_pos_id, dot AS hpd FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY aid ORDER BY dot, vec_id) AS rn
+        |    FROM dots WHERE label = albl) WHERE rn = 1)
+        |SELECT a.aid AS anchor_id, a.albl AS label,
+        |  hn.hard_neg_id, CAST(hn.hnd AS BIGINT) AS hard_neg_dot,
+        |  hp.hard_pos_id, CAST(hp.hpd AS BIGINT) AS hard_pos_dot,
+        |  CAST(hp.hpd - hn.hnd AS BIGINT) AS margin
+        |FROM anchors a
+        |JOIN hn ON a.aid = hn.aid
+        |JOIN hp ON a.aid = hp.aid
+        |ORDER BY anchor_id""".stripMargin)
   )
 }

@@ -139,6 +139,34 @@ class InferSpec extends SparkSpec {
     assert(a2.getAs[Long]("n_rows") > a1.getAs[Long]("n_rows"))
   }
 
+  test("vacuum audit: the three categories partition the order book") {
+    val rows = q("q_etl_vacuum_audit").collect()
+    val byCat = rows.map(r => r.getAs[String]("category") -> r).toMap
+    assert(byCat.keySet == Set("live", "unlisted", "unreferenced"))
+    val total = graft.io.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    // the abandoned stage carries negated cents
+    assert(byCat("unreferenced").getAs[Double]("rev_usd") <= 0.0)
+    assert(byCat("live").getAs[Double]("rev_usd") > 0.0)
+  }
+
+  test("hard negatives: 5 lowest-id anchors, margin identity, no self-picks") {
+    val rows = q("q_embed_hard_negatives").collect()
+      .sortBy(_.getAs[Long]("anchor_id"))
+    assert(rows.length == 5)
+    val expectIds = graft.io.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) === 64)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.take(5).toSeq
+    assert(rows.map(_.getAs[Long]("anchor_id")).toSeq == expectIds)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin")
+        == r.getAs[Long]("hard_pos_dot") - r.getAs[Long]("hard_neg_dot"))
+      assert(r.getAs[Long]("hard_neg_id") != r.getAs[Long]("anchor_id"))
+      assert(r.getAs[Long]("hard_pos_id") != r.getAs[Long]("anchor_id"))
+    }
+  }
+
   test("dp counts: noisy = n + noise, Laplace tail bounded by the grid") {
     val rows = q("q_privacy_dp_counts").collect()
     assert(rows.length == 5)
