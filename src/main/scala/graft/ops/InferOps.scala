@@ -559,6 +559,207 @@ object InferOps extends OpGroup {
         |        * (CAST(SUM(CAST(round(rho * rho / (n - k)
         |                 * 1000000000000, 0) AS BIGINT)) AS DOUBLE)
         |           / 1e12), 4) + 0 AS q5_4
-        |FROM rho GROUP BY n""".stripMargin)
+        |FROM rho GROUP BY n""".stripMargin),
+
+    Q(
+      // Cochran–Armitage trend test: does the finished-order RATE move
+      // monotonically across the ORDERED priority tiers 1..5? (The
+      // proportions sibling of Page's L — the test behind "does the
+      // defect rate rise with severity bucket".) Corpus → five (n, k)
+      // cells in one hash-agg; the z-statistic's numerator
+      // A = N·Σwk − K·Σwn and variance core
+      // B = K(N−K)·(N·Σnw² − (Σnw)²) are exact DECIMAL(38,0) (B
+      // passes int64 at ~10⁶ rows — the widening is load-bearing);
+      // z = A·√N/√B is the one double, identical shape both engines.
+      "q_stats_cochran_armitage",
+      (s, d) => {
+        val cell = Tables.orders(s, d)
+          .groupBy(substring(col("o_orderpriority"), 1, 1).cast("long")
+                     .as("w"))
+          .agg(count(lit(1)).as("n"),
+               sum((col("o_orderstatus") === "F").cast("long")).as("k"))
+        val m = cell.agg(
+          sum(col("n")).as("nn"), sum(col("k")).as("kk"),
+          sum(col("w") * col("k")).as("swk"),
+          sum(col("w") * col("n")).as("swn"),
+          sum((col("w") * col("w") * col("n")).cast(D38)).as("swwn"))
+        m.select(col("nn").cast("long").as("n_orders"),
+                 col("kk").cast("long").as("n_f"),
+                 ((col("nn").cast(D38) * col("swk")).cast(D38) -
+                  (col("kk").cast(D38) * col("swn")).cast(D38))
+                   .cast(D38).as("a"),
+                 ((col("kk").cast(D38) * (col("nn") - col("kk")))
+                    .cast(D38) *
+                  ((col("nn").cast(D38) * col("swwn")).cast(D38) -
+                   (col("swn").cast(D38) * col("swn")).cast(D38))
+                    .cast(D38)).cast(D38).as("b"))
+          .select(col("n_orders"), col("n_f"),
+                  r4(col("a").cast("double") *
+                     sqrt(col("n_orders").cast("double")) /
+                     sqrt(col("b").cast("double"))).as("z4"))
+      },
+      """WITH cell AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS k
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT SUM(n) AS nn, SUM(k) AS kk,
+        |    SUM(w * k) AS swk, SUM(w * n) AS swn,
+        |    SUM(CAST(w AS HUGEINT) * w * n) AS swwn
+        |  FROM cell),
+        |ab AS (
+        |  SELECT CAST(nn AS BIGINT) AS n_orders,
+        |    CAST(kk AS BIGINT) AS n_f,
+        |    CAST(nn AS HUGEINT) * swk - CAST(kk AS HUGEINT) * swn AS a,
+        |    (CAST(kk AS HUGEINT) * (nn - kk))
+        |      * (CAST(nn AS HUGEINT) * swwn
+        |         - CAST(swn AS HUGEINT) * swn) AS b
+        |  FROM m)
+        |SELECT n_orders, n_f,
+        |  round(CAST(a AS DOUBLE) * sqrt(CAST(n_orders AS DOUBLE))
+        |        / sqrt(CAST(b AS DOUBLE)), 4) + 0 AS z4
+        |FROM ab""".stripMargin),
+
+    Q(
+      // Seasonal Mann–Kendall on daily revenue: the MK trend test run
+      // WITHIN each calendar month-of-year (season) and combined —
+      // the standard way to ask "is revenue trending?" without the
+      // annual cycle masquerading as trend. Same exact-integer
+      // machinery as q_stats_mann_kendall (sign pairs, tie-corrected
+      // var×18, ±1 continuity correction), but pairs only form within
+      // a season: the pair grid is Σ_m n_m² ≈ n²/12 — still a
+      // calendar constant. S and var18 sum across seasons as exact
+      // longs.
+      "q_stats_seasonal_mk",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(ldiv(unix_micros(col("o_orderdate").cast("timestamp")),
+                       lit(86400000000L)).as("x"),
+                  month(col("o_orderdate").cast("timestamp")).as("m"),
+                  (money("o_totalprice") * 100).cast("long").as("vc"))
+          .groupBy(col("x"), col("m")).agg(sum(col("vc")).as("y"))
+        val a = daily.select(col("m").as("ma"), col("x").as("xi"),
+                             col("y").as("yi"))
+        val b = daily.select(col("m").as("mb"), col("x").as("xj"),
+                             col("y").as("yj"))
+        val sStat = a.join(b, col("ma") === col("mb") &&
+                              col("xj") > col("xi"))
+          .agg(sum(when(col("yj") > col("yi"), 1L)
+                     .when(col("yj") < col("yi"), -1L)
+                     .otherwise(0L)).as("s_stat"))
+        val perSeason = daily.groupBy(col("m"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("m"))
+          .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+                 .as("tt"),
+               sum(col("t")).as("nm"))
+          .agg(sum(col("nm") * (col("nm") - 1) * (col("nm") * 2 + 5) -
+                   col("tt")).as("var18"),
+               sum(col("nm")).as("n_days"),
+               count(lit(1)).as("n_seasons"))
+        sStat.crossJoin(broadcast(perSeason))
+          .select(col("n_days"), col("n_seasons"), col("s_stat"),
+                  col("var18"),
+                  r4(when(col("s_stat") > 0,
+                       (col("s_stat") - 1).cast("double") /
+                         sqrt(col("var18").cast("double") / 18.0))
+                     .when(col("s_stat") < 0,
+                       (col("s_stat") + 1).cast("double") /
+                         sqrt(col("var18").cast("double") / 18.0))
+                     .otherwise(lit(0.0))).as("z4"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS x,
+        |    month(o_orderdate) AS m,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |                       WHEN b.y < a.y THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.m = b.m AND b.x > a.x),
+        |pert AS (
+        |  SELECT m, COUNT(*) AS t FROM daily GROUP BY m, y),
+        |per AS (
+        |  SELECT m, SUM(t * (t - 1) * (t * 2 + 5)) AS tt,
+        |    SUM(t) AS nm
+        |  FROM pert GROUP BY m),
+        |v AS (
+        |  SELECT CAST(SUM(nm * (nm - 1) * (nm * 2 + 5) - tt) AS BIGINT)
+        |    AS var18,
+        |    CAST(SUM(nm) AS BIGINT) AS n_days,
+        |    COUNT(*) AS n_seasons
+        |  FROM per)
+        |SELECT n_days, n_seasons, s_stat, var18,
+        |  round(CASE WHEN s_stat > 0 THEN
+        |          CAST(s_stat - 1 AS DOUBLE)
+        |            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        WHEN s_stat < 0 THEN
+        |          CAST(s_stat + 1 AS DOUBLE)
+        |            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        ELSE 0.0 END, 4) + 0 AS z4
+        |FROM s CROSS JOIN v""".stripMargin),
+
+    Q(
+      // Hill tail-index estimator over the per-user activity
+      // distribution — "how heavy is the power-law tail?" (the number
+      // that says whether a handful of users dominate the event
+      // volume; α ≤ 2 means infinite variance, plan for skew).
+      // Corpus → per-user counts in one hash-agg; the estimator uses
+      // only the top k+1 = 101 order statistics (orderBy+LIMIT — a
+      // bounded TopK, never a global sort of all users);
+      // α = k / Σ ln(x_i/x_{k+1}) with each ln-term quantized to an
+      // exact 1e-9 long before the 100-term sum, so no float
+      // summation order exists and the two engines agree to the last
+      // bit before the final division.
+      "q_events_hill_tail",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        val top = act.orderBy(col("c").desc, col("user_id")).limit(101)
+        val wR = Window.orderBy(col("c").desc, col("user_id"))
+        val ranked = top
+          .withColumn("rn", row_number().over(wR).cast("long"))
+        // adaptive k: fewer than 102 users (tiny fixtures) shrinks the
+        // estimator to k = n−1 instead of emitting a degenerate row
+        val xmin = ranked
+          .agg(max(struct(col("rn"), col("c").as("cc"))).as("b"))
+          .select(col("b.rn").as("mxrn"), col("b.cc").as("x_kp1"))
+        ranked.crossJoin(broadcast(xmin)).filter(col("rn") < col("mxrn"))
+          .agg(sum(round((log(col("c").cast("double")) -
+                          log(col("x_kp1").cast("double"))) *
+                         lit(1000000000L), 0).cast("long")).as("s9"),
+               max(col("x_kp1")).as("x_kp1_out"),
+               count(lit(1)).as("k"))
+          .select(col("k"), col("x_kp1_out").as("x_kp1"),
+                  col("s9").as("sum_ln9"),
+                  r4(col("k").cast("double") /
+                     (col("s9").cast("double") / 1e9)).as("alpha4"))
+      },
+      """WITH act AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+        |top AS (
+        |  SELECT c, user_id FROM act
+        |  ORDER BY c DESC, user_id LIMIT 101),
+        |ranked AS (
+        |  SELECT c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn
+        |  FROM top),
+        |xmin AS (
+        |  SELECT rn AS mxrn, c AS x_kp1 FROM ranked
+        |  ORDER BY rn DESC LIMIT 1)
+        |SELECT COUNT(*) AS k,
+        |  CAST(MAX(x_kp1) AS BIGINT) AS x_kp1,
+        |  CAST(SUM(CAST(round((ln(CAST(c AS DOUBLE))
+        |        - ln(CAST(x_kp1 AS DOUBLE))) * 1000000000, 0)
+        |        AS BIGINT)) AS BIGINT) AS sum_ln9,
+        |  round(CAST(COUNT(*) AS DOUBLE)
+        |        / (CAST(SUM(CAST(round((ln(CAST(c AS DOUBLE))
+        |             - ln(CAST(x_kp1 AS DOUBLE))) * 1000000000, 0)
+        |             AS BIGINT)) AS DOUBLE) / 1e9), 4) + 0 AS alpha4
+        |FROM ranked, xmin WHERE rn < mxrn""".stripMargin)
   )
 }

@@ -167,6 +167,32 @@ class InferSpec extends SparkSpec {
     }
   }
 
+  test("cochran-armitage: counts consistent, z finite") {
+    val r = q("q_stats_cochran_armitage").head()
+    assert(r.getAs[Long]("n_f") <= r.getAs[Long]("n_orders"))
+    assert(!r.getAs[Double]("z4").isNaN)
+  }
+
+  test("seasonal mk: 12 seasons, positive variance, |S| bounded by the pair grid") {
+    val r = q("q_stats_seasonal_mk").head()
+    assert(r.getAs[Long]("n_seasons") == 12L)
+    assert(r.getAs[Long]("var18") > 0L)
+    val n = r.getAs[Long]("n_days")
+    // pairs only form within seasons, so |S| < n²/2 trivially
+    assert(math.abs(r.getAs[Long]("s_stat")) < n * n / 2)
+  }
+
+  test("hill tail: adaptive k order statistics, alpha positive") {
+    val r = q("q_events_hill_tail").head()
+    val users = graft.io.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("k") == math.min(100L, users - 1))
+    assert(r.getAs[Long]("x_kp1") >= 1L)
+    // every top-100 count >= the 101st, so all ln terms >= 0
+    assert(r.getAs[Long]("sum_ln9") >= 0L)
+    assert(r.getAs[Double]("alpha4") > 0.0)
+  }
+
   test("dp counts: noisy = n + noise, Laplace tail bounded by the grid") {
     val rows = q("q_privacy_dp_counts").collect()
     assert(rows.length == 5)
