@@ -285,6 +285,59 @@ object PrivacyOps extends OpGroup {
         |  round(n + (-20.0 * sign(u - 0.5)
         |             * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0 AS noisy4,
         |  CAST(0.05 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY segment""".stripMargin),
+
+    Q(
+      // DP clipped-sum release (the Laplace mechanism's SUM form, the
+      // practice dp_counts' count form omits): each customer's
+      // balance contribution is CLIPPED to [0, $5000] — bounding the
+      // sensitivity is what makes the ε-accounting honest, and the
+      // clipped total is released with Laplace(C/ε) noise (ε = 0.1 ⇒
+      // scale $50,000), derandomized through the same hash16 inverse-
+      // CDF as q_privacy_dp_counts. Clipping runs in exact cents in
+      // the scan projection (map-side, no extra pass); the clipped
+      // sum is an exact integer; the released value is the one
+      // double. True sums ride along for the audit — the query
+      // certifies the mechanism, it is not itself the release.
+      "q_privacy_dp_sum",
+      (s, d) => {
+        val cents = (floor(col("c_acctbal") * 100 + 0.5)).cast("long")
+        val clip = least(greatest(cents, lit(0L)), lit(500000L))
+        val g = Tables.customer(s, d)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"), sum(clip).as("clipc"))
+        val u = (graft.api.Pipeline.hash16(
+          concat(col("segment"), lit(":dpsum"))).cast("double") + 0.5) /
+          65536.0
+        val noise = -lit(50000.0) * signum(u - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+        g.select(col("segment"), col("n"),
+                 (col("clipc").cast("double") / 100.0)
+                   .as("clipped_sum_usd"),
+                 r4(noise).as("noise4"),
+                 r4(col("clipc").cast("double") / 100.0 + noise)
+                   .as("noisy4"),
+                 lit(0.1).as("epsilon"))
+          .orderBy(col("segment"))
+      },
+      s"""WITH g AS (
+        |  SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |    SUM(LEAST(GREATEST(
+        |      CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT), 0),
+        |      500000)) AS clipc
+        |  FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT segment, n, clipc,
+        |    ((${u16Sql("segment || ':dpsum'")}) + 0.5) / 65536.0 AS u
+        |  FROM g)
+        |SELECT segment, n,
+        |  CAST(clipc AS DOUBLE) / 100.0 AS clipped_sum_usd,
+        |  round(-50000.0 * sign(u - 0.5)
+        |        * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0 AS noise4,
+        |  round(CAST(clipc AS DOUBLE) / 100.0
+        |        + (-50000.0 * sign(u - 0.5)
+        |           * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0 AS noisy4,
+        |  CAST(0.1 AS DOUBLE) AS epsilon
         |FROM u ORDER BY segment""".stripMargin)
   )
 }

@@ -811,6 +811,57 @@ object TrainOps extends OpGroup {
         |ORDER BY category""".stripMargin),
 
     Q(
+      // TxTable compaction under the hash gate: the order book lands
+      // as THREE separate appends (the small-files problem by
+      // construction), `compact` rewrites the snapshot's small files
+      // into one and atomically swaps them in a single commit — and
+      // the oracle proves the compacted table still carries every row
+      // and every cent bit-exactly. The output pins the version
+      // arithmetic too (3 appends + 1 compact = head v4) and the
+      // file-population shift (compaction UNLISTS, never deletes:
+      // the pre-compaction files become time-travel debt, readable at
+      // v3). A compaction that dropped or duplicated one row anywhere
+      // would flip the hash.
+      "q_etl_compact_tx",
+      (s, d) => {
+        val dir = txDemoPath(d, "c")
+        rmTree(new java.io.File(dir))
+        val t = graft.model.TxTable(s, dir)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+                  (money("o_totalprice") * 100).cast("long").as("cents"),
+                  year(col("o_orderdate").cast("timestamp")).as("y"))
+        t.append(o.filter(col("y") < 1996))
+        t.append(o.filter(col("y") === 1996 || col("y") === 1997))
+        t.append(o.filter(col("y") >= 1998))
+        val head = t.compact(smallBytes = Long.MaxValue)
+        def agg(df: DataFrame, which: String) = df
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("cents").cast(D38)).as("sc"))
+          .select(lit(which).as("snapshot"),
+                  lit(head).as("head_version"), col("n_rows"),
+                  (col("sc").cast("double") / 100.0).as("rev_usd"))
+        agg(t.readAt(3), "pre_compact")
+          .unionAll(agg(t.readAt(head), "post_compact"))
+          .orderBy(col("snapshot"))
+      },
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'post_compact' AS snapshot,
+        |  CAST(4 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |    AS rev_usd
+        |FROM o
+        |UNION ALL
+        |SELECT 'pre_compact', CAST(4 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0
+        |FROM o
+        |ORDER BY snapshot""".stripMargin),
+
+    Q(
       // Contrastive hard-example mining over the labeled embedding
       // corpus — for each of the 5 lowest-id anchors: the hardest
       // NEGATIVE (max inner product among other-label vectors) and the

@@ -193,6 +193,28 @@ class InferSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha4") > 0.0)
   }
 
+  test("compact tx: compaction preserves rows and cents bit-exactly") {
+    val rows = q("q_etl_compact_tx").collect()
+      .sortBy(_.getAs[String]("snapshot"))
+    val Array(post, pre) = rows
+    assert(pre.getAs[String]("snapshot") == "pre_compact")
+    assert(pre.getAs[Long]("n_rows") == post.getAs[Long]("n_rows"))
+    assert(pre.getAs[Double]("rev_usd") == post.getAs[Double]("rev_usd"))
+    assert(post.getAs[Long]("head_version") == 4L)
+  }
+
+  test("dp sum: clipping bounds the release, noisy = clipped + noise") {
+    val rows = q("q_privacy_dp_sum").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val clip = r.getAs[Double]("clipped_sum_usd")
+      assert(clip >= 0.0 && clip <= r.getAs[Long]("n") * 5000.0)
+      assert(math.abs(r.getAs[Double]("noisy4") -
+        (clip + r.getAs[Double]("noise4"))) < 1e-3)
+      assert(r.getAs[Double]("epsilon") == 0.1)
+    }
+  }
+
   test("dp counts: noisy = n + noise, Laplace tail bounded by the grid") {
     val rows = q("q_privacy_dp_counts").collect()
     assert(rows.length == 5)
