@@ -884,4 +884,46 @@ class PlanSpec extends SparkSpec {
       s"block-CDF join should broadcast:\n${phys.take(1500)}")
   }
 
+  test("char-ngram sim: the corpus tokenizes at most twice") {
+    // r6's worst new scaler before the fix: the per-lang norms were a
+    // THIRD reference to the trigram profile and every DataFrame
+    // reference re-executes its subtree — 4 full tokenize passes in
+    // the physical plan (measured 32.2 s at sf10). The rebuilt plan
+    // attaches norms via a lang-partitioned window over the AGGREGATED
+    // profile, so only the self-join's two sides scan documents.
+    val phys = SparkEntry.queries("q_text_char_ngram_sim")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = phys.linesIterator
+      .count(l => l.contains("ReadSchema") && l.contains("documents"))
+    assert(scans <= 2, s"char-ngram profile re-tokenizes the corpus: " +
+      s"$scans document scans in the plan")
+  }
+
+  test("dsir: one corpus-sized token agg; bucket LMs derive from it") {
+    // the bucket LMs and corpus totals must re-aggregate the
+    // (doc,lang,source,bucket) counts, never re-explode the tokens —
+    // a stats branch rooted at the raw explode adds a full tokenize
+    // pass per reference (3 scans pre-fix)
+    val phys = SparkEntry.queries("q_curate_dsir")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = phys.linesIterator
+      .count(l => l.contains("ReadSchema") && l.contains("documents"))
+    assert(scans <= 2, s"dsir re-tokenizes the corpus: $scans scans")
+  }
+
+  test("mmr: declared frame is the k-row literal — greedy ran at construction") {
+    // the kmeans-trainer shape: the 5 greedy argmaxes execute as
+    // construction-time jobs (each a corpus-linear pass against a
+    // broadcast ≤5-vector side) and the DECLARED DataFrame is the
+    // 5-row literal result — no corpus subtree may survive into it,
+    // or every downstream consumer would re-run the whole greedy loop
+    val df = SparkEntry.queries("q_embed_mmr")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LocalTableScan"),
+      s"mmr should declare the collected picks:\n${phys.take(1200)}")
+    assert(!phys.contains("ReadSchema"),
+      "no file scan may survive into the declared mmr frame")
+    assert(df.count() == 5)
+  }
+
 }
