@@ -660,16 +660,22 @@ object EvalOps extends OpGroup {
       // half-up division. (The near-1.0 lifts ARE the finding: the
       // quality score barely ranks English — consistent with
       // κ≈0.045.)
-      // Scale shape (de-weakened r6): the rank is assembled from a
-      // BLOCK CDF, the q_curate_quantile_norm discipline — group by
-      // distinct score value (value-domain-bounded, ≪ corpus), one
-      // cumulative window over those blocks, then each doc's global
-      // rank = block base (broadcast equi-join on the score bits,
-      // both sides computed by the identical expression) + its
-      // within-score rank from a PARTITIONED window (partition =
-      // score ties). No unpartitioned per-row window anywhere; the
-      // only global sorts touch |distinct scores| blocks and the 10
-      // decile rows.
+      // Scale shape (r7, the REAL de-weakening): the raw quality
+      // score is a double of (chars, n_tok, n_stop) whose distinct
+      // count GROWS with the corpus (measured 82% of docs at sf0.1) —
+      // so r6's group-by-raw-score block CDF was still a corpus-sized
+      // single-task sort on diverse data. The ranker now quantizes
+      // the score to the 1e-4 grid FIRST (the q_curate_lm_gate "gate
+      // currency" discipline): score ∈ [0,1] by construction, so the
+      // block frame is ≤ 10⁴+1 rows AT ANY CORPUS SIZE — bounded by
+      // the grid, not by the data — and the bound is ENFORCED
+      // in-plan by Determinism.boundedDomain (fails loudly, never
+      // degrades). Rank = block base from the cumulative window over
+      // those ≤10⁴ blocks (broadcast equi-join on the grid value) +
+      // within-block row_number from a PARTITIONED window whose
+      // partitions are the grid cells. No unpartitioned per-row
+      // window anywhere; the only global sorts touch ≤10⁴ blocks and
+      // the 10 decile rows.
       "q_eval_lift",
       (s, d) => {
         val D = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -677,11 +683,13 @@ object EvalOps extends OpGroup {
             Tables.documents(s, d), col("text"), col("n_chars"))
           .select(col("doc_id"),
                   (col("lang") === "en").cast("long").as("pos1"),
-                  col("score"))
+                  r4(col("score")).as("score"))
         val tot = scored.agg(count(lit(1)).as("_N"),
                              sum(col("pos1")).as("_P"))
-        val blocks = scored.groupBy(col("score").as("v"))
-          .agg(count(lit(1)).as("_c"))
+        val blocks = boundedDomain(
+          scored.groupBy(col("score").as("v"))
+            .agg(count(lit(1)).as("_c")),
+          "q_eval_lift block CDF", cap = 20000L)
         val wb = Window.orderBy(col("v").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cdf = blocks
@@ -718,10 +726,10 @@ object EvalOps extends OpGroup {
         |sc AS (
         |  SELECT doc_id,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos1,
-        |    least(chars / 500.0, 1.0) * 0.4 +
-        |    (1.0 - n_stop / n_tok) * 0.3 +
-        |    least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3
-        |      AS score
+        |    round(least(chars / 500.0, 1.0) * 0.4 +
+        |          (1.0 - n_stop / n_tok) * 0.3 +
+        |          least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3,
+        |          4) AS score
         |  FROM f),
         |t AS (SELECT COUNT(*) AS nn, CAST(SUM(pos1) AS BIGINT) AS pp
         |      FROM sc),

@@ -371,8 +371,14 @@ object SignalOps extends OpGroup {
         val daily = Tables.orders(s, d)
           .select(oDay.as("dday"), oCents.as("vc"))
           .groupBy(col("dday")).agg(sum(col("vc")).as("sc"))
+        // scale converts the input unit to micents: 10000 for the
+        // cents-input price passes, 1 for the signal pass whose input
+        // (the derived MACD series) is ALREADY micents — without it the
+        // signal line comes out 10^4 too large and hist = macd - sig is
+        // dominated by -sig.
         def ema(src: org.apache.spark.sql.DataFrame, vCol: String,
-                idCol: String, taps: Seq[Long], out: String) = {
+                idCol: String, taps: Seq[Long], out: String,
+                scale: Long) = {
           val vals = src.select(col(idCol).as("_sd"), col(vCol).as("_sv"))
           src.select(col(idCol),
                      posexplode(typedLit(taps)).as(Seq("j", "w")))
@@ -382,17 +388,17 @@ object SignalOps extends OpGroup {
             .agg(sum((col("_sv").cast(D38) * col("w")).cast(D38))
                    .as("_num"),
                  sum(col("w")).as("_den"))
-            .withColumn(out, sHalfUp(col("_num") * 10000, col("_den")))
+            .withColumn(out, sHalfUp(col("_num") * scale, col("_den")))
             .drop("_num", "_den")
         }
-        val e12 = ema(daily, "sc", "dday", kernel(12, 48), "ema12")
-        val e26 = ema(daily, "sc", "dday", kernel(26, 64), "ema26")
+        val e12 = ema(daily, "sc", "dday", kernel(12, 48), "ema12", 10000L)
+        val e26 = ema(daily, "sc", "dday", kernel(26, 64), "ema26", 10000L)
           .withColumnRenamed("dday", "dday26")
         val macd = e12.join(e26, col("dday") === col("dday26"))
           .select(col("dday"), col("ema12"), col("ema26"),
                   (col("ema12") - col("ema26")).as("macd"))
         val sig = ema(macd.select(col("dday"), col("macd")),
-                      "macd", "dday", kernel(9, 32), "sig")
+                      "macd", "dday", kernel(9, 32), "sig", 1L)
           .withColumnRenamed("dday", "ddays")
         macd.join(sig, col("dday") === col("ddays"))
           .select(col("dday"),
@@ -430,7 +436,7 @@ object SignalOps extends OpGroup {
           |  FROM e12 JOIN e26 ON e12.dday = e26.dday),
           |sig AS (
           |  SELECT d.dday,
-          |    ${sHalfUpSql("SUM(CAST(v.macd AS HUGEINT) * w.w) * 10000",
+          |    ${sHalfUpSql("SUM(CAST(v.macd AS HUGEINT) * w.w)",
                             "SUM(CAST(w.w AS HUGEINT))")} AS sig
           |  FROM macd d, w9 w, macd v
           |  WHERE v.dday = d.dday - w.j

@@ -884,6 +884,34 @@ class PlanSpec extends SparkSpec {
       s"block-CDF join should broadcast:\n${phys.take(1500)}")
   }
 
+  test("eval lift: block domain is grid-quantized AND guard-enforced") {
+    // r6's de-weakening was nominal: blocking on the RAW double score
+    // left the block frame at 82% of the corpus (4,121 distinct values
+    // / 5,000 docs measured at sf0.1) — corpus-sized single-task sort
+    // on diverse data. The r7 plan quantizes the score to the 1e-4
+    // grid FIRST (≤ 10⁴+1 blocks at ANY corpus size, bounded by the
+    // grid, not the data) and enforces it with the boundedDomain
+    // assert_true guard, so outgrowing the bound fails loudly instead
+    // of degrading. Both properties pinned here.
+    val df = SparkEntry.queries("q_eval_lift")(spark, sfDir)
+    // assert_true is RuntimeReplaceable (expands to if/raise_error at
+    // analysis), so the guard is pinned by its synthetic count column
+    // and its error-message literal surviving into the optimized plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("_dom_n") &&
+           opt.contains("value-domain frame exceeded"),
+      s"boundedDomain guard missing from eval_lift plan:\n${opt.take(1500)}")
+    assert(opt.contains("round"),
+      "score must be quantized to the 1e-4 grid before blocking")
+    // and the guard's bound actually holds on the fixture
+    import spark.implicits._
+    val blocks = graft.api.Text.qualityScore(
+        Tables.documents(spark, sfDir), col("text"), col("n_chars"))
+      .select(round(col("score"), 4).as("s4"))
+      .agg(countDistinct(col("s4"))).as[Long].head()
+    assert(blocks <= 10001L, s"grid quantization bound violated: $blocks")
+  }
+
   test("char-ngram sim: the corpus tokenizes at most twice") {
     // r6's worst new scaler before the fix: the per-lang norms were a
     // THIRD reference to the trigram profile and every DataFrame
