@@ -47,8 +47,53 @@ object ScaleUp {
         w => when(w === "", w).otherwise(concat(w, lit(s"_r$k")))),
       " ")
 
+  /** DIVERSITY mode's replica-k text rewrite (round 8, VERDICT r7
+    * "next round" #3): deterministic per-token word-DROP (~1/17) and
+    * word-DUPLICATION (~1/17) keyed on (doc_id, k, token index), so
+    * per-doc (n_tok, n_stop, n_chars) — and every value domain derived
+    * from them (quality scores, token ratios, readability) — GROWS
+    * with the corpus instead of saturating at replica-0's domain.
+    * Pure-replication scaling hid the r6 eval_lift weakness precisely
+    * because 10× data added ZERO new score values; under diversity the
+    * distinct-score curve bends up and corpus-growing-domain bugs
+    * become visible. Empty tokens pass through untouched (the suffix
+    * rule's space-structure contract). Trade-off, documented: within-
+    * replica EXACT-duplicate structure is destroyed for k>0 (drops are
+    * keyed by doc_id), so dedup-family sweeps keep using classic mode;
+    * diversity mode exists for the window/rank/domain sweeps. */
+  private[graft] def diversifyWords(text: org.apache.spark.sql.Column,
+                                    k: Int)
+      : org.apache.spark.sql.Column =
+    array_join(
+      flatten(transform(split(text, " "),
+        (w, i) => when(w === "", array(w))
+          .when(pmod(xxhash64(col("doc_id"), lit(k), i), lit(17)) === 0,
+                array().cast("array<string>"))
+          .when(pmod(xxhash64(col("doc_id"), lit(k), i), lit(17)) === 1,
+                array(w, w))
+          .otherwise(array(w)))),
+      " ")
+
+  /** DIVERSITY mode's money jitter: replica k>0 shifts a cents value
+    * by a deterministic 0–99 sub-dollar offset keyed on (ids…, k), so
+    * distinct-cent domains (the mannwhitney/median_ci/ks "price book"
+    * frames) grow ~min(100, replicas)× instead of saturating. Exact
+    * DECIMAL(18,2) arithmetic — the money-cast contract is preserved
+    * bit-for-bit. */
+  private[graft] def jitterMoney(v: org.apache.spark.sql.Column, k: Int,
+                                 keys: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    (v.cast(org.apache.spark.sql.types.DecimalType(18, 2)) +
+     (pmod(xxhash64((keys :+ lit(k)): _*), lit(100))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) / 100))
+      .cast("double")
+
   def main(args: Array[String]): Unit = {
-    val Array(src, out, fStr) = args
+    val (src, out, fStr, mode) = args match {
+      case Array(s, o, f)    => (s, o, f, "classic")
+      case Array(s, o, f, m) => (s, o, f, m)
+      case _ => sys.error("usage: ScaleUp <src> <out> <factor> [diversity]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,12 +101,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, fStr.toInt)
+    run(spark, src, out, fStr.toInt, diversity = mode == "diversity")
     spark.stop()
   }
 
   def run(spark: SparkSession, src: String, out: String, factor: Int)
-      : Unit = {
+      : Unit = run(spark, src, out, factor, diversity = false)
+
+  def run(spark: SparkSession, src: String, out: String, factor: Int,
+          diversity: Boolean): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
 
     val K = 10000000L // per-replica key offset (dims/docs/vectors)
@@ -90,21 +138,41 @@ object ScaleUp {
       df.withColumn("p_partkey", col("p_partkey") + lit(k * K))
     }
     scaled("orders") { (df, k) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * KO))
+      val base0 =
+        if (!diversity || k == 0) df
+        else df.withColumn("o_totalprice",
+          jitterMoney(col("o_totalprice"), k, col("o_orderkey")))
+      base0.withColumn("o_orderkey", col("o_orderkey") + lit(k * KO))
         .withColumn("o_custkey", col("o_custkey") + lit(k * K))
     }
     scaled("lineitem") { (df, k) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * KO))
+      val base0 =
+        if (!diversity || k == 0) df
+        else df
+          .withColumn("l_extendedprice",
+            jitterMoney(col("l_extendedprice"), k,
+                        col("l_orderkey"), col("l_partkey")))
+          .withColumn("l_quantity",
+            jitterMoney(col("l_quantity"), k,
+                        col("l_partkey"), col("l_suppkey")))
+      base0.withColumn("l_orderkey", col("l_orderkey") + lit(k * KO))
         .withColumn("l_partkey", col("l_partkey") + lit(k * K))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * K))
     }
     scaled("events") { (df, k) =>
-      df.withColumn("event_id", col("event_id") + lit(k * KE))
+      val base0 =
+        if (!diversity || k == 0) df
+        else df.withColumn("value",
+          jitterMoney(col("value"), k, col("event_id")))
+      base0.withColumn("event_id", col("event_id") + lit(k * KE))
         .withColumn("user_id", col("user_id") + lit(k * K))
     }
     scaled("documents") { (df, k) =>
       val moved =
         if (k == 0) df
+        else if (diversity)
+          df.withColumn("text",
+            suffixWords(diversifyWords(col("text"), k), k))
         else df.withColumn("text", suffixWords(col("text"), k))
       moved.withColumn("doc_id", col("doc_id") + lit(k * K))
         .withColumn("n_chars", length(col("text")).cast("long"))

@@ -664,32 +664,60 @@ object EvalOps extends OpGroup {
       // score is a double of (chars, n_tok, n_stop) whose distinct
       // count GROWS with the corpus (measured 82% of docs at sf0.1) —
       // so r6's group-by-raw-score block CDF was still a corpus-sized
-      // single-task sort on diverse data. The ranker now quantizes
-      // the score to the 1e-4 grid FIRST (the q_curate_lm_gate "gate
+      // single-task sort on diverse data. The ranker quantizes the
+      // score to the 1e-4 grid FIRST (the q_curate_lm_gate "gate
       // currency" discipline): score ∈ [0,1] by construction, so the
       // block frame is ≤ 10⁴+1 rows AT ANY CORPUS SIZE — bounded by
       // the grid, not by the data — and the bound is ENFORCED
-      // in-plan by Determinism.boundedDomain (fails loudly, never
-      // degrades). Rank = block base from the cumulative window over
-      // those ≤10⁴ blocks (broadcast equi-join on the grid value) +
-      // within-block row_number from a PARTITIONED window whose
-      // partitions are the grid cells. No unpartitioned per-row
-      // window anywhere; the only global sorts touch ≤10⁴ blocks and
-      // the 10 decile rows.
+      // in-plan by Determinism.boundedDomain (cap 10001 = the exact
+      // grid cardinality for [0,1]; fails loudly, never degrades).
+      // Rank = block base from the cumulative window over those ≤10⁴
+      // blocks (broadcast equi-join on the grid value) + within-block
+      // row_number from a PARTITIONED window whose partitions are the
+      // grid cells. No unpartitioned per-row window anywhere; the
+      // only global sorts touch ≤10⁴ blocks and the 10 decile rows.
+      //
+      // Grid-cell derivation (r8): the cell is NOT round(double, 4) —
+      // Spark rounds the shortest-decimal repr HALF_UP via BigDecimal
+      // while DuckDB scales by 1e4 under libm, so a score landing on
+      // a 1e-4 midpoint (reachable: the inputs are terminating
+      // rationals of chars/n_tok/n_stop) could quantize to ADJACENT
+      // cells on the two engines, flipping block membership and the
+      // global rank. Instead both engines compute the cell as an
+      // EXACT INTEGER: with c=min(chars,500), the score is the
+      // rational  [8·c·n_tok + 3000·(n_tok−n_stop)
+      //            + 375·min(chars−n_tok+1, 8·n_tok)] / (10⁴·n_tok)
+      // (= 0.4·min(chars/500,1) + 0.3·(1−n_stop/n_tok)
+      //    + 0.3·min((chars−n_tok+1)/(8·n_tok),1) over the common
+      // denominator 10⁴·n_tok), so score·10⁴ = num/n_tok and the
+      // half-up cell is ⌊(2·num+n_tok)/(2·n_tok)⌋ in pure long
+      // division — bit-identical across engines by construction.
+      // num ∈ [0, 10⁴·n_tok] (each term is capped), so cell ∈
+      // [0, 10⁴]; |num| ≤ 10⁴·n_tok ≤ ~10⁹ fits long with 10⁵× room.
       "q_eval_lift",
       (s, d) => {
         val D = org.apache.spark.sql.types.DecimalType(38, 0)
-        val scored = graft.api.Text.qualityScore(
-            Tables.documents(s, d), col("text"), col("n_chars"))
+        val w = split(col("text"), " ")
+        val scored = Tables.documents(s, d)
           .select(col("doc_id"),
                   (col("lang") === "en").cast("long").as("pos1"),
-                  r4(col("score")).as("score"))
+                  col("n_chars").cast("long").as("_chars"),
+                  size(w).cast("long").as("_ntok"),
+                  size(filter(w, t => t === "the" || t === "a"))
+                    .cast("long").as("_nstop"))
+          .withColumn("_num",
+            lit(8L) * least(col("_chars"), lit(500L)) * col("_ntok") +
+            lit(3000L) * (col("_ntok") - col("_nstop")) +
+            lit(375L) * least(col("_chars") - col("_ntok") + lit(1L),
+                              lit(8L) * col("_ntok")))
+          .select(col("doc_id"), col("pos1"),
+                  expr("(2 * _num + _ntok) div (2 * _ntok)").as("score"))
         val tot = scored.agg(count(lit(1)).as("_N"),
                              sum(col("pos1")).as("_P"))
         val blocks = boundedDomain(
           scored.groupBy(col("score").as("v"))
             .agg(count(lit(1)).as("_c")),
-          "q_eval_lift block CDF", cap = 20000L)
+          "q_eval_lift block CDF", cap = 10001L)
         val wb = Window.orderBy(col("v").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cdf = blocks
@@ -718,18 +746,18 @@ object EvalOps extends OpGroup {
       },
       """WITH f AS (
         |  SELECT doc_id, lang,
-        |    CAST(n_chars AS DOUBLE) AS chars,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(n_chars AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |    CAST(len(list_filter(string_split(text, ' '),
-        |         t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+        |         t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
         |  FROM documents),
         |sc AS (
         |  SELECT doc_id,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos1,
-        |    round(least(chars / 500.0, 1.0) * 0.4 +
-        |          (1.0 - n_stop / n_tok) * 0.3 +
-        |          least((chars - n_tok + 1.0) / n_tok / 8.0, 1.0) * 0.3,
-        |          4) AS score
+        |    (2 * (8 * least(chars, 500) * n_tok
+        |          + 3000 * (n_tok - n_stop)
+        |          + 375 * least(chars - n_tok + 1, 8 * n_tok))
+        |     + n_tok) // (2 * n_tok) AS score
         |  FROM f),
         |t AS (SELECT COUNT(*) AS nn, CAST(SUM(pos1) AS BIGINT) AS pp
         |      FROM sc),

@@ -232,4 +232,63 @@ class ModelSpec extends SparkSpec {
       t.compact(64L * 1024 * 1024, base = staleBase)
     }
   }
+
+  // ---- r8: manifest checkpointing + vacuum that actually deletes ----
+
+  test("txlog: checkpointed reads touch <= interval+1 log files at v>=25") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-ckpt"))
+    for (i <- 1 to 25) t.append(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    // checkpoints landed every 10th commit
+    assert(graft.model.TxLog.latestCheckpointAt(t.dir, 25)
+      .exists(_.version == 20L))
+    // resolution correctness: the checkpointed fold equals the data
+    assert(t.read().count() == 25)
+    assert(t.readAt(13).count() == 13) // tail-fold from the v10 ckpt
+    // and the PROVEN read bound: resolving v25 reads the v20
+    // checkpoint + manifests 21..25 — never the whole chain
+    graft.model.TxLog.logReads.set(0)
+    t.filesAt(25)
+    val reads = graft.model.TxLog.logReads.get()
+    assert(reads <= graft.model.TxTable.CheckpointInterval + 1,
+      s"v25 resolution read $reads log files — the O(commits) fold " +
+      s"is back")
+    // schema resolution rides the same bound
+    graft.model.TxLog.logReads.set(0)
+    t.schemaDdlAt(25)
+    assert(graft.model.TxLog.logReads.get() <=
+      graft.model.TxTable.CheckpointInterval + 1)
+  }
+
+  test("txlog: vacuum deletes past the horizon; pinned-inside resolves, " +
+       "pinned-beyond fails loudly") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-vac"))
+    // v1..v6: overwrites strand a file generation each — real
+    // time-travel debt on disk
+    for (i <- 1 to 6)
+      t.overwrite(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    // plus an audit-failed WAP staging: unreferenced debris
+    val wap = t.writeAuditPublish(Seq((99L, 99L)).toDF("k", "v"))(
+      _ => Some("audit says no"))
+    assert(wap.isLeft && t.unreferencedFiles().nonEmpty)
+    val before = t.unlistedFiles().size
+    assert(before > 0, "overwrites should strand old generations")
+    val (horizon, deleted) = t.vacuum(retainVersions = 3)
+    assert(horizon == 4L && deleted > 0)
+    // retained versions: fully readable, correct content
+    assert(t.readAt(4).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(t.readAt(6).collect().map(_.getLong(0)).toSeq == Seq(6L))
+    // beyond the horizon: loud, immediate, structured failure — not a
+    // missing-file crash mid-scan
+    val ex = intercept[IllegalStateException](t.readAt(2))
+    assert(ex.getMessage.contains("vacuumed away") &&
+           ex.getMessage.contains("v4"))
+    // the unreferenced WAP debris is gone; no file of any retained
+    // snapshot was touched
+    assert(t.unreferencedFiles().isEmpty)
+    assert(t.filesAt(6).forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    // vacuum is idempotent and monotone
+    val (h2, d2) = t.vacuum(retainVersions = 3)
+    assert(h2 == 4L && d2 == 0)
+  }
 }

@@ -1,0 +1,749 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** MIRRORED-ORACLE AUDIT (round 8, VERDICT r7 "next round" #2).
+  *
+  * The correctness gate proves "Spark plan ≡ the hand-written DuckDB
+  * twin" — NOT "the operator computes the right thing". The r7
+  * q_ts_macd bug (signal line 10⁴ too large, green for a full round
+  * because the oracle mirrored the same `* 10000`) demonstrated the
+  * failure mode: any operator whose oracle shares derived constants or
+  * algebra with the plan can carry a semantic bug both engines agree
+  * on.
+  *
+  * Every test here recomputes an operator's output INDEPENDENTLY, in
+  * plain Scala on the collected sf0.001 fixture, from the textbook
+  * definition of the statistic — never by calling the shared
+  * Determinism/SignalOps/api helpers the plans use. Exact-integer
+  * outputs must match exactly (BigInt replay); 1e-4-rounded doubles
+  * must match within TOL (half a grid step + float headroom), which
+  * still catches every unit-scale (×10⁴), sign, and constant
+  * (1.96 vs 1.64) error class.
+  *
+  * Families covered (the VERDICT's shared-derivation risk list):
+  * EMA kernels (macd, ewma, rsi, decayed_sum), frozen z/q constants
+  * (wilson, power, tukey_hsd, 2prop), rank statistics (mannwhitney,
+  * mann_kendall, runs, spearman, auc), moment statistics (jarque_bera,
+  * ab_ttest, linreg, gini, kl, benford, mcnemar), fixed-point PageRank,
+  * DP inverse-CDF noise, and the eval_lift exact-rational grid ranker.
+  */
+class OracleAuditSpec extends SparkSpec {
+
+  /** Half a 1e-4 grid step plus float headroom: a plan output rounded
+    * half-up at scale 4 sits within 5e-5 of the unrounded value; the
+    * independent double recompute adds ≤ ~1e-9. */
+  private val TOL = 6e-5
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  /** Exact cents of a money double — the DECIMAL(18,2) cast contract
+    * (half-up at scale 2), recomputed via the JDK, not Catalyst. */
+  private def cents(v: Double): Long =
+    BigDecimal(java.lang.Double.toString(v).toDouble)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(100).toLongExact
+
+  /** Textbook half-up integer division: round(num/den) with den > 0,
+    * negative numerators half-away-from-zero. */
+  private def halfUp(num: BigInt, den: BigInt): BigInt = {
+    require(den > 0)
+    if (num >= 0) (num * 2 + den) / (den * 2)
+    else -((-num * 2 + den) / (den * 2))
+  }
+
+  /** Standard normal CDF by adaptive Simpson integration of the
+    * density — deliberately NOT the A&S erfc polynomial the plans
+    * freeze, so the z-constant audits are derivation-independent. */
+  private def normCdf(z: Double): Double = {
+    if (z < -12) return 0.0
+    if (z > 12) return 1.0
+    val lo = math.min(0.0, z); val hi = math.max(0.0, z)
+    val n = 20000
+    val h = (hi - lo) / n
+    var s = 0.0
+    def f(x: Double) = math.exp(-x * x / 2) / math.sqrt(2 * math.Pi)
+    for (i <- 0 until n)
+      s += (f(lo + i * h) + 4 * f(lo + (i + 0.5) * h) +
+            f(lo + (i + 1) * h)) * h / 6
+    if (z >= 0) 0.5 + s else 0.5 - s
+  }
+
+  /** Inverse standard normal CDF by bisection over [[normCdf]]. */
+  private def normInv(p: Double): Double = {
+    var lo = -12.0; var hi = 12.0
+    while (hi - lo > 1e-10) {
+      val mid = (lo + hi) / 2
+      if (normCdf(mid) < p) lo = mid else hi = mid
+    }
+    (lo + hi) / 2
+  }
+
+  // ----- shared fixture collections (tiny at sf0.001) -----
+
+  private lazy val ordersRows: Seq[(Long, Long, String, Long, Long)] =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              // o_orderdate is parquet TIMESTAMP_NTZ (FIXTURES.md); the
+              // epoch-day here must be derived OUTSIDE Catalyst's date
+              // functions to stay independent — epoch µs floor-divided
+              // by the day length, same integer contract as the oracle
+              expr("unix_micros(cast(o_orderdate as timestamp))"),
+              col("o_totalprice"))
+      .collect().toSeq.map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2),
+         Math.floorDiv(r.getLong(3), 86400000000L),
+         cents(r.getDouble(4)))
+      }
+
+  private lazy val eventsRows: Seq[(String, Long, Long, Long, Long)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+              col("ts_us"), col("value"))
+      .collect().toSeq.map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         cents(r.getDouble(4)))
+      }
+
+  private lazy val docRows: Seq[(Long, String, String, Long, String)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              col("text"))
+      .collect().toSeq.map { r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+         r.getString(4))
+      }
+
+  /** Daily revenue cents keyed by epoch day — the series the signal
+    * family consumes. */
+  private lazy val dailyRev: Map[Long, Long] =
+    ordersRows.groupMapReduce(_._4)(_._5)(_ + _)
+
+  // =========================================================== EMA family
+
+  /** Truncated renormalized EMA from the textbook definition:
+    * w_j = round((1-α)^j·1e9), α = 2/(span+1); EMA(d) =
+    * halfUp(Σ_{present j} w_j·v_{d-j} · scale, Σ_{present j} w_j). */
+  private def truncEma(series: Map[Long, BigInt], span: Int, taps: Int,
+                       scale: Long): Map[Long, BigInt] = {
+    val w = (0 until taps)
+      .map(j => BigInt(math.round(math.pow(1.0 - 2.0 / (span + 1), j) * 1e9)))
+    series.keys.map { d =>
+      var num = BigInt(0); var den = BigInt(0)
+      for (j <- 0 until taps; v <- series.get(d - j)) {
+        num += v * w(j); den += w(j)
+      }
+      d -> halfUp(num * scale, den)
+    }.toMap
+  }
+
+  test("audit: q_ts_macd — EMA(12/26/9) replayed exactly from the definition") {
+    val daily = dailyRev.map { case (k, v) => k -> BigInt(v) }
+    val e12 = truncEma(daily, 12, 48, 10000L)
+    val e26 = truncEma(daily, 26, 64, 10000L)
+    val macd = daily.keys.map(d => d -> (e12(d) - e26(d))).toMap
+    val sig = truncEma(macd, 9, 32, 1L)
+    val expected = daily.keys.toSeq.sorted.map { d =>
+      (d, e12(d).toLong, e26(d).toLong, macd(d).toLong,
+       (macd(d) - sig(d)).toLong, sig(d).toLong)
+    }
+    val got = q("q_ts_macd").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"macd row mismatch: got $g expected $e")
+    }
+  }
+
+  test("audit: q_ts_ewma — 8-tap α=1/2 smoother replayed per event type") {
+    val expected = eventsRows.groupBy(_._1).toSeq.flatMap {
+      case (typ, rows) =>
+        val seq = rows.sortBy(r => (r._4, r._2)) // (ts_us, event_id)
+        seq.indices.map { i =>
+          var num = 0L; var den = 0L
+          for (j <- 0 to math.min(7, i)) {
+            num += seq(i - j)._5 * (1L << (7 - j)); den += 1L << (7 - j)
+          }
+          (typ, seq(i)._2, num.toDouble / den / 100.0)
+        }
+    }.sortBy(r => (r._1, r._2))
+    val got = q("q_ts_ewma").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && math.abs(g._3 - e._3) < 1e-9,
+        s"ewma mismatch: got $g expected $e")
+    }
+  }
+
+  test("audit: q_agg_decayed_sum — half-life shift ladder replayed exactly") {
+    val anchor = ordersRows.map(_._4).max
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySeg = ordersRows.groupBy(o => seg(o._2)).toSeq.map {
+      case (segment, os) =>
+        val dec = os.map { o =>
+          val b = (anchor - o._4) / 180
+          if (b >= 62) 0L else o._5 / (1L << b)
+        }.sum
+        (segment, os.size.toLong, os.map(_._5).sum.toDouble / 100.0,
+         dec.toDouble / 100.0)
+    }.sortBy(_._1)
+    val got = q("q_agg_decayed_sum").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got == bySeg, s"decayed_sum mismatch:\n got $got\n exp $bySeg")
+  }
+
+  test("audit: q_win_rsi — Wilder ratio over 14-row gain/loss sums, exact") {
+    val days = dailyRev.keys.toSeq.sorted
+    val diffs = days.sliding(2).collect {
+      case Seq(p, c) => (c, dailyRev(c) - dailyRev(p))
+    }.toSeq
+    val expected = diffs.indices.drop(13).map { i =>
+      val win = diffs.slice(i - 13, i + 1)
+      val g14 = BigInt(win.map(d => math.max(d._2, 0L)).sum)
+      val l14 = BigInt(win.map(d => math.max(-d._2, 0L)).sum)
+      val rsi = if (g14 + l14 > 0)
+        Some(halfUp(g14 * 100 * 10000, g14 + l14).toDouble / 10000.0)
+      else None
+      (diffs(i)._1, rsi)
+    }
+    val got = q("q_win_rsi").collect().toSeq.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 &&
+        ((g._2.isEmpty && e._2.isEmpty) ||
+         math.abs(g._2.get - e._2.get) < 1e-12),
+        s"rsi mismatch: got $g expected $e")
+    }
+  }
+
+  // ================================================ rank-statistic family
+
+  private lazy val clickView: (Seq[Long], Seq[Long]) = {
+    val cv = eventsRows.filter(r => r._1 == "click" || r._1 == "view")
+    (cv.filter(_._1 == "click").map(_._5), cv.filter(_._1 == "view").map(_._5))
+  }
+
+  test("audit: q_events_mannwhitney — U and tie-corrected z from pooled ranks") {
+    val (clicks, views) = clickView
+    val n1 = clicks.size.toLong; val n2 = views.size.toLong
+    val pooled = (clicks ++ views).sorted
+    // textbook average ranks, held in exact 2× units
+    val tieSizes = pooled.groupBy(identity).view.mapValues(_.size.toLong)
+    val rank2 = {
+      var before = 0L
+      pooled.distinct.sorted.map { v =>
+        val t = tieSizes(v)
+        val r2 = 2 * before + t + 1
+        before += t
+        v -> r2
+      }.toMap
+    }
+    val r1x2 = clicks.map(rank2).sum
+    val u2 = r1x2 - n1 * (n1 + 1) // = 2·U_click
+    val tsum = tieSizes.values.map(t => t * t * t - t).sum
+    val n = n1 + n2
+    val sigma = math.sqrt(n1.toDouble * n2 / 12.0 *
+      ((n + 1).toDouble - tsum.toDouble / (n.toDouble * (n - 1))))
+    val z = (u2.toDouble / 2.0 - n1.toDouble * n2 / 2.0) / sigma
+    val row = q("q_events_mannwhitney").head()
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getLong(2) == u2, s"U×2: got ${row.getLong(2)} expected $u2")
+    assert(math.abs(row.getDouble(3) - z) < TOL,
+      s"z: got ${row.getDouble(3)} expected $z")
+  }
+
+  test("audit: q_stats_mann_kendall — S, tie-corrected variance, z") {
+    val daily = eventsRows.groupBy(_._4 / 86400000000L).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val s0 = (for {
+      i <- daily.indices; j <- daily.indices if j > i
+    } yield math.signum(daily(j)._2.toDouble - daily(i)._2).toLong).sum
+    val n = daily.size.toLong
+    val ties = daily.groupBy(_._2).values.map(_.size.toLong)
+    val var18 = n * (n - 1) * (2 * n + 5) -
+      ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val z =
+      if (s0 > 0) (s0 - 1).toDouble / math.sqrt(var18 / 18.0)
+      else if (s0 < 0) (s0 + 1).toDouble / math.sqrt(var18 / 18.0)
+      else 0.0
+    val row = q("q_stats_mann_kendall").head()
+    assert(row.getLong(0) == n && row.getLong(1) == s0 &&
+           row.getLong(2) == var18,
+      s"MK integers: got $row expected ($n, $s0, $var18)")
+    assert(math.abs(row.getDouble(3) - z) < TOL)
+  }
+
+  test("audit: q_stats_runs_test — Wald–Wolfowitz runs count and z") {
+    val daily = eventsRows.groupBy(_._4 / 86400000000L).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1).map(_._2)
+    val signs = daily.sliding(2).collect {
+      case Seq(p, c) if c != p => if (c > p) 1 else -1
+    }.toSeq
+    val nUp = signs.count(_ == 1).toLong
+    val nDown = signs.count(_ == -1).toLong
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count {
+        case Seq(a, b) => a != b; case _ => false }
+    val n = nUp + nDown; val p2 = 2.0 * nUp * nDown
+    val z = (runs - (1.0 + p2 / n)) /
+      math.sqrt(p2 * (p2 - n) / (n.toDouble * n * (n - 1)))
+    val row = q("q_stats_runs_test").head()
+    assert(row.getLong(0) == nUp && row.getLong(1) == nDown &&
+           row.getLong(2) == runs,
+      s"runs integers: got $row expected ($nUp, $nDown, $runs)")
+    assert(math.abs(row.getDouble(3) - z) < TOL)
+  }
+
+  test("audit: q_stats_spearman — ρ from textbook average ranks") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .collect().toSeq.map(r => (cents(r.getDouble(0)), cents(r.getDouble(1))))
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      val firstIdx = scala.collection.mutable.Map.empty[Long, Int]
+      sorted.zipWithIndex.foreach { case (v, i) =>
+        if (!firstIdx.contains(v)) firstIdx(v) = i
+      }
+      val counts = vs.groupBy(identity).view.mapValues(_.size)
+      counts.map { case (v, c) =>
+        v -> (firstIdx(v) + 1 + (firstIdx(v) + c)) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(base.map(_._1)); val ry = avgRanks(base.map(_._2))
+    val n = base.size
+    val xs = base.map(b => rx(b._1)); val ys = base.map(b => ry(b._2))
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum
+    val vy = ys.map(b => (b - my) * (b - my)).sum
+    val rho = cov / math.sqrt(vx * vy)
+    val row = q("q_stats_spearman").head()
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - rho) < TOL,
+      s"rho: got ${row.getDouble(1)} expected $rho")
+  }
+
+  test("audit: q_eval_auc — rank AUC per source from average positive ranks") {
+    val expected = docRows.groupBy(_._3).toSeq.flatMap {
+      case (source, docs) =>
+        val nPos = docs.count(_._2 == "en").toLong
+        val nNeg = docs.size - nPos
+        if (nPos == 0 || nNeg == 0) None
+        else {
+          // average rank of each doc under score = n_chars ascending
+          val sorted = docs.map(_._4).sorted
+          val firstIdx = scala.collection.mutable.Map.empty[Long, Int]
+          sorted.zipWithIndex.foreach { case (v, i) =>
+            if (!firstIdx.contains(v)) firstIdx(v) = i
+          }
+          val counts = docs.groupBy(_._4).view.mapValues(_.size)
+          val avgRank = counts.map { case (v, c) =>
+            v -> (firstIdx(v) + 1 + (firstIdx(v) + c)) / 2.0
+          }.toMap
+          val rPos = docs.filter(_._2 == "en").map(d => avgRank(d._4)).sum
+          val auc = (rPos - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+          Some((source, nPos, nNeg, auc))
+        }
+    }.sortBy(_._1)
+    val got = q("q_eval_auc").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+             math.abs(g._4 - e._4) < TOL,
+        s"auc mismatch: got $g expected $e")
+    }
+  }
+
+  // ================================================ moment / test family
+
+  test("audit: q_events_ab_ttest — Welch t from two-pass mean/variance") {
+    val (clicks, views) = clickView
+    def stats(v: Seq[Long]): (Double, Double) = {
+      val m = v.map(BigInt(_)).sum.toDouble / v.size
+      val s2 = v.map(x => (x - m) * (x - m)).sum / (v.size - 1).toDouble
+      (m, s2)
+    }
+    val (m1, v1) = stats(clicks); val (m2, v2) = stats(views)
+    val t = (m1 - m2) / math.sqrt(v1 / clicks.size + v2 / views.size)
+    val row = q("q_events_ab_ttest").head()
+    assert(row.getLong(0) == clicks.size.toLong &&
+           row.getLong(1) == views.size.toLong)
+    assert(math.abs(row.getDouble(2) - m1 / 100.0) < TOL)
+    assert(math.abs(row.getDouble(3) - m2 / 100.0) < TOL)
+    assert(math.abs(row.getDouble(4) - t) < TOL,
+      s"t: got ${row.getDouble(4)} expected $t")
+  }
+
+  test("audit: q_stats_jarque_bera — JB from two-pass central moments") {
+    val expected = eventsRows.groupBy(_._1).toSeq.map { case (typ, rows) =>
+      val v = rows.map(_._5)
+      val n = v.size
+      val m = v.map(BigInt(_)).sum.toDouble / n
+      val m2 = v.map(x => math.pow(x - m, 2)).sum / n
+      val m3 = v.map(x => math.pow(x - m, 3)).sum / n
+      val m4 = v.map(x => math.pow(x - m, 4)).sum / n
+      val g1 = m3 / math.pow(m2, 1.5)
+      val g2 = m4 / (m2 * m2) - 3.0
+      (typ, n.toLong, n / 6.0 * (g1 * g1 + g2 * g2 / 4.0))
+    }.sortBy(_._1)
+    val got = q("q_stats_jarque_bera").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 &&
+        math.abs(g._3 - e._3) < math.max(TOL, 1e-6 * math.abs(e._3)),
+        s"jb mismatch: got $g expected $e")
+    }
+  }
+
+  test("audit: q_stats_linreg — OLS slope/intercept from exact moments") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().toSeq.map(r =>
+        (r.getString(0), cents(r.getDouble(1)) / 100, cents(r.getDouble(2))))
+    val expected = base.groupBy(_._1).toSeq.map { case (flag, rows) =>
+      val n = rows.size
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val sxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val sxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val num = (BigInt(n) * sxy - sx * sy).toDouble
+      val den = (BigInt(n) * sxx - sx * sx).toDouble
+      val slope = num / den
+      val icept = (sy.toDouble - slope * sx.toDouble) / n
+      (flag, n.toLong, slope, icept)
+    }.sortBy(_._1)
+    val got = q("q_stats_linreg").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 &&
+        math.abs(g._3 - e._3) < TOL &&
+        math.abs(g._4 - e._4) < math.max(TOL, 1e-9 * math.abs(e._4)),
+        s"linreg mismatch: got $g expected $e")
+    }
+  }
+
+  test("audit: q_stats_mcnemar — discordant pairs and χ², exact") {
+    val byCust = ordersRows.groupBy(_._2)
+    val b10 = byCust.values.count(os =>
+      os.exists(_._3 == "F") && !os.exists(_._3 == "O")).toLong
+    val b01 = byCust.values.count(os =>
+      !os.exists(_._3 == "F") && os.exists(_._3 == "O")).toLong
+    val chi2 = halfUp(BigInt(b10 - b01).pow(2) * 10000, BigInt(b10 + b01))
+      .toDouble / 10000.0
+    val row = q("q_stats_mcnemar").head()
+    assert(row.getLong(0) == byCust.size.toLong &&
+           row.getLong(1) == b10 && row.getLong(2) == b01)
+    assert(math.abs(row.getDouble(3) - chi2) < 1e-12)
+  }
+
+  test("audit: q_stats_gini — inequality coefficient from the sorted sum") {
+    val rev = ordersRows.groupBy(_._2).toSeq
+      .map { case (ck, os) => (ck, os.map(_._5).sum) }
+      .sortBy(r => (r._2, r._1))
+    val n = rev.size
+    val sx = rev.map(r => BigInt(r._2)).sum
+    val six = rev.zipWithIndex.map { case (r, i) =>
+      BigInt(i + 1) * BigInt(r._2) }.sum
+    val gini = (BigInt(2) * six - BigInt(n + 1) * sx).toDouble /
+      (BigInt(n) * sx).toDouble
+    val row = q("q_stats_gini").head()
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - gini) < TOL)
+  }
+
+  test("audit: q_mix_kl — divergence vs the declared target mix") {
+    val target = Map("de" -> 0.15, "en" -> 0.40, "es" -> 0.10,
+                     "fr" -> 0.15, "zh" -> 0.20)
+    val n = docRows.size.toDouble
+    val kl = target.toSeq.sortBy(_._1).map { case (l, qp) =>
+      val c = docRows.count(_._2 == l)
+      if (c == 0) 0.0 else (c / n) * math.log(c / n / qp)
+    }.sum
+    val row = q("q_mix_kl").head()
+    assert(row.getLong(0) == docRows.size.toLong)
+    assert(math.abs(row.getDouble(1) - kl) < TOL,
+      s"kl: got ${row.getDouble(1)} expected $kl")
+  }
+
+  test("audit: q_stats_benford — leading digit shares and log10 expectation") {
+    val digits = ordersRows.map(_._5.toString.head.asDigit)
+    val tot = digits.size.toLong
+    val expected = digits.groupBy(identity).toSeq.map { case (d, xs) =>
+      (d, xs.size.toLong,
+       halfUp(BigInt(xs.size) * 10000, BigInt(tot)).toDouble / 10000.0,
+       math.log10(1.0 + 1.0 / d))
+    }.sortBy(_._1)
+    val got = q("q_stats_benford").collect().toSeq.map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 &&
+        math.abs(g._3 - e._3) < 1e-12 && math.abs(g._4 - e._4) < TOL,
+        s"benford mismatch: got $g expected $e")
+    }
+  }
+
+  // ======================================== frozen-constant family
+
+  test("audit: q_stats_wilson — interval recomputed with textbook z=1.96") {
+    // funnel population recomputed independently: n = users with a
+    // view; k = those with a purchase strictly after their first view
+    val byUser = eventsRows.groupBy(_._3)
+    val viewers = byUser.collect {
+      case (u, evs) if evs.exists(_._1 == "view") =>
+        u -> evs.filter(_._1 == "view").map(_._4).min
+    }
+    val n = viewers.size.toLong
+    val k = viewers.count { case (u, mv) =>
+      byUser(u).exists(e => e._1 == "purchase" && e._4 > mv)
+    }.toLong
+    val z2 = 1.96 * 1.96
+    val ctr = (k + z2 / 2) / (n + z2)
+    val hw = 1.96 / (n + z2) * math.sqrt(k.toDouble * (n - k) / n + z2 / 4)
+    val row = q("q_stats_wilson").head()
+    assert(row.getLong(0) == n && row.getLong(1) == k,
+      s"wilson counts: got (${row.getLong(0)}, ${row.getLong(1)}) " +
+      s"expected ($n, $k)")
+    assert(math.abs(row.getDouble(2) - k.toDouble / n) < TOL)
+    assert(math.abs(row.getDouble(3) - (ctr - hw)) < TOL)
+    assert(math.abs(row.getDouble(4) - (ctr + hw)) < TOL)
+  }
+
+  test("audit: q_stats_2prop — pooled two-proportion z from exact counts") {
+    def yearOf(epochDay: Long) =
+      java.time.LocalDate.ofEpochDay(epochDay).getYear
+    val g = ordersRows.filter(o => Set(1997, 1998)(yearOf(o._4)))
+      .groupBy(o => yearOf(o._4))
+    val (n1, k1) = (g(1997).size.toLong, g(1997).count(_._3 == "F").toLong)
+    val (n2, k2) = (g(1998).size.toLong, g(1998).count(_._3 == "F").toLong)
+    val p1 = k1.toDouble / n1; val p2 = k2.toDouble / n2
+    val pp = (k1 + k2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    val row = q("q_stats_2prop").head()
+    assert(row.getLong(0) == n1 && row.getLong(1) == k1 &&
+           row.getLong(2) == n2 && row.getLong(3) == k2)
+    assert(math.abs(row.getDouble(4) - p1) < TOL)
+    assert(math.abs(row.getDouble(5) - p2) < TOL)
+    assert(math.abs(row.getDouble(6) - z) < TOL)
+  }
+
+  test("audit: q_stats_power — the frozen 7.849 IS (z₀.₉₇₅+z₀.₈₀)², and nreq") {
+    // the z constants re-derived by numeric inversion of an integrated
+    // normal CDF — no erfc polynomial, no stats library
+    val zsum = normInv(0.975) + normInv(0.80)
+    assert(math.abs(zsum * zsum - 7.849) < 5e-4,
+      s"frozen constant drifted from first principles: (z975+z80)^2 = " +
+      s"${zsum * zsum}, plan froze 7.849")
+    val (clicks, views) = clickView
+    def stats(v: Seq[Long]): (Double, Double) = {
+      val m = v.map(BigInt(_)).sum.toDouble / v.size
+      (m, v.map(x => (x - m) * (x - m)).sum / (v.size - 1).toDouble)
+    }
+    val (m1, v1) = stats(clicks); val (m2, v2) = stats(views)
+    val nreq = math.ceil(7.849 * (v1 + v2) / ((m1 - m2) * (m1 - m2))).toLong
+    val row = q("q_stats_power").head()
+    assert(row.getLong(0) == clicks.size.toLong &&
+           row.getLong(1) == views.size.toLong)
+    assert(math.abs(row.getDouble(2) - math.abs(m1 - m2) / 100.0) < TOL)
+    assert(row.getLong(3) == nreq,
+      s"n_required: got ${row.getLong(3)} expected $nreq")
+    assert(row.getBoolean(4) ==
+      (clicks.size >= nreq && views.size >= nreq))
+  }
+
+  test("audit: q_stats_tukey_hsd — pairwise HSD from two-pass group stats") {
+    val byLang = docRows.groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+    val k = byLang.size
+    val nn = docRows.size
+    val means = byLang.view.mapValues(v =>
+      v.map(BigInt(_)).sum.toDouble / v.size).toMap
+    val ssw = byLang.map { case (l, v) =>
+      v.map(x => math.pow(x - means(l), 2)).sum }.sum
+    val msw = ssw / (nn - k)
+    val langs = byLang.keys.toSeq.sorted
+    val expected = for {
+      a <- langs; b <- langs if a < b
+    } yield {
+      val hsd = 3.478 * math.sqrt(
+        msw * (1.0 / byLang(a).size + 1.0 / byLang(b).size) / 2.0)
+      val diff = math.abs(means(a) - means(b))
+      (a, b, byLang(a).size.toLong, byLang(b).size.toLong,
+       diff, hsd, diff > hsd)
+    }
+    val got = q("q_stats_tukey_hsd").collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+       r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+        s"tukey key mismatch: got $g expected $e")
+      assert(math.abs(g._5 - e._5) < math.max(TOL, 1e-9 * e._5) &&
+             math.abs(g._6 - e._6) < math.max(TOL, 1e-9 * e._6) &&
+             g._7 == e._7,
+        s"tukey stats mismatch: got $g expected $e")
+    }
+  }
+
+  test("audit: q_privacy_dp_counts — Laplace inverse-CDF noise on the u16 grid") {
+    val custSeg = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment")).collect().toSeq.map(_.getString(0))
+    val counts = custSeg.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    // u recomputed via the JDK's MD5, not Catalyst's
+    def u16(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      Integer.parseInt(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = counts.map { case (seg, n) =>
+      val u = (u16(seg + ":dp") + 0.5) / 65536.0
+      val noise = -20.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      (seg, n, noise, n + noise)
+    }
+    val got = q("q_privacy_dp_counts").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+       r.getDouble(4)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 &&
+        math.abs(g._3 - e._3) < TOL && math.abs(g._4 - e._4) < TOL &&
+        g._5 == 0.05,
+        s"dp_counts mismatch: got $g expected $e")
+      // and the released noise really is Laplace(b=20): inverting the
+      // CDF must land back on the (j+0.5)/65536 grid
+      val uBack = if (e._3 >= 0) 0.5 - (1 - math.exp(-e._3 / 20.0)) / 2
+                  else 0.5 + (1 - math.exp(e._3 / 20.0)) / 2
+      val gridPos = uBack * 65536.0 - 0.5
+      assert(math.abs(gridPos - math.round(gridPos)) < 1e-6,
+        s"noise for ${e._1} is not an inverse-CDF draw on the u16 grid")
+    }
+  }
+
+  // ======================================== fixed-point / graph family
+
+  test("audit: q_graph_pagerank — fixed-point ranks track a double PageRank") {
+    // co-supply graph recomputed from raw tables
+    val wk = ordersRows.filter { o =>
+      val d = java.time.LocalDate.ofEpochDay(o._4)
+      !d.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
+      d.isBefore(java.time.LocalDate.of(1997, 1, 8))
+    }.map(_._1).toSet
+    val ls = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(r => wk(r._1)).distinct
+    val byOrder = ls.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val edges = byOrder.values.flatMap(ss =>
+      for (a <- ss; b <- ss if a != b) yield (a, b)).toSet
+    assert(edges.nonEmpty, "co-supply graph empty at sf0.001 — audit moot")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val c = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      edges.foreach { case (s0, d0) => c(d0) += r(s0) / odeg(s0) }
+      r = nodes.map(n => n -> (0.15 + 0.85 * c(n))).toMap
+    }
+    val got = q("q_graph_pagerank").collect().toSeq.map(x =>
+      (x.getLong(0), x.getLong(1)))
+    assert(got.size == nodes.size)
+    got.foreach { case (node, rankE12) =>
+      val mine = r(node)
+      assert(math.abs(rankE12 / 1e12 - mine) < 1e-5,
+        s"pagerank($node): got ${rankE12 / 1e12} expected $mine")
+    }
+  }
+
+  // ======================================== exact-rational grid ranker
+
+  test("audit: q_eval_lift — decile lift/gains replayed with exact rationals") {
+    val scored = docRows.map { d =>
+      val toks = d._5.split(" ", -1)
+      val ntok = toks.length.toLong
+      val nstop = toks.count(t => t == "the" || t == "a").toLong
+      val chars = d._4
+      val num = 8 * math.min(chars, 500L) * ntok +
+        3000 * (ntok - nstop) +
+        375 * math.min(chars - ntok + 1, 8 * ntok)
+      val cell = (2 * num + ntok) / (2 * ntok)
+      (d._1, if (d._2 == "en") 1L else 0L, cell)
+    }
+    val n = scored.size.toLong
+    val p = scored.map(_._2).sum
+    val ranked = scored.sortBy(s => (-s._3, s._1)).zipWithIndex
+    val byDecile = ranked.groupBy { case (_, i) => i.toLong * 10 / n }
+      .toSeq.sortBy(_._1)
+    var cpos = 0L
+    val expected = byDecile.map { case (dec, rows) =>
+      val nd = rows.size.toLong
+      val pos = rows.map(_._1._2).sum
+      cpos += pos
+      val lift = halfUp(BigInt(pos) * n * 10000, BigInt(nd) * p)
+        .toDouble / 10000.0
+      val gains = halfUp(BigInt(cpos) * 10000, BigInt(p)).toDouble / 10000.0
+      (dec, nd, pos, lift, gains)
+    }
+    val got = q("q_eval_lift").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+       r.getDouble(4)))
+    assert(got == expected,
+      s"eval_lift mismatch:\n got $got\n exp $expected")
+  }
+
+  // ====================================== engine-independent golden pins
+  //
+  // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
+  // key) were LOCKSTEP edits — the exact failure mode the mirrored-
+  // oracle audit exists for. These literals freeze the sf0.001 results
+  // as verified by the independent replays above on 2026-08-15: a
+  // future lockstep edit of plan AND oracle AND replay cannot silently
+  // change semantics without tripping one of these rows.
+
+  test("golden: q_ts_macd sf0.001 — pinned literal rows (micents)") {
+    val rows = q("q_ts_macd").collect()
+    assert(rows.length == 1094)
+    val pin = Map(
+      9131L -> (142449310000L, 142449310000L, 0L, 0L, 0L),
+      9134L -> (123212096530L, 125228290501L, -2016193971L,
+                -682732350L, -1333461621L),
+      9135L -> (163875048576L, 160515836519L, 3359212057L,
+                2568907531L, 790304526L),
+      11534L -> (385192523839L, 406499431216L, -21306907377L,
+                 -15219770112L, -6087137265L),
+      11535L -> (402728595113L, 414056097480L, -11327502367L,
+                 -3934000267L, -7393502100L))
+    rows.filter(r => pin.contains(r.getLong(0))).foreach { r =>
+      val e = pin(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5)) == e,
+        s"macd golden row ${r.getLong(0)} drifted: got $r expected $e")
+    }
+  }
+
+  test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
+    val expected = Seq(
+      (0L, 50L, 21L, 1.0881, 0.1088), (1L, 50L, 15L, 0.7772, 0.1865),
+      (2L, 50L, 13L, 0.6736, 0.2539), (3L, 50L, 19L, 0.9845, 0.3523),
+      (4L, 50L, 21L, 1.0881, 0.4611), (5L, 50L, 19L, 0.9845, 0.5596),
+      (6L, 50L, 22L, 1.1399, 0.6736), (7L, 50L, 20L, 1.0363, 0.7772),
+      (8L, 50L, 23L, 1.1917, 0.8964), (9L, 50L, 20L, 1.0363, 1.0))
+    val got = q("q_eval_lift").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+       r.getDouble(4)))
+    assert(got == expected,
+      s"eval_lift golden table drifted:\n got $got\n exp $expected")
+  }
+}

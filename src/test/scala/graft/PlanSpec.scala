@@ -901,14 +901,39 @@ class PlanSpec extends SparkSpec {
     assert(opt.contains("_dom_n") &&
            opt.contains("value-domain frame exceeded"),
       s"boundedDomain guard missing from eval_lift plan:\n${opt.take(1500)}")
-    assert(opt.contains("round"),
-      "score must be quantized to the 1e-4 grid before blocking")
-    // and the guard's bound actually holds on the fixture
+    // The block key must be the EXACT-INTEGER grid cell (long), never a
+    // raw or round()ed double: a DoubleType grouping key anywhere in
+    // this plan means either the corpus-growing raw-score block CDF is
+    // back or the cross-engine round(double,4) midpoint hazard is.
+    // (The r7 pin was a substring match on "round" — satisfiable by any
+    // alias or literal; this inspects the actual grouping expressions.)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "expected the block-CDF aggregate")
+    aggs.foreach(a => a.groupingExpressions.foreach(ge =>
+      assert(ge.dataType != DoubleType,
+        s"eval_lift groups on a double — the exact-integer 1e-4 grid " +
+        s"cell was removed: $ge")))
+    assert(aggs.exists(a => a.groupingExpressions.size >= 1 &&
+             a.groupingExpressions.exists(_.dataType == LongType)),
+      "expected a long-typed (grid-cell) grouping key in eval_lift")
+    // and the guard's bound actually holds on the fixture, measured via
+    // the same exact-integer cell derivation (not round(double,4))
     import spark.implicits._
-    val blocks = graft.api.Text.qualityScore(
-        Tables.documents(spark, sfDir), col("text"), col("n_chars"))
-      .select(round(col("score"), 4).as("s4"))
-      .agg(countDistinct(col("s4"))).as[Long].head()
+    val w = split(col("text"), " ")
+    val blocks = Tables.documents(spark, sfDir)
+      .select(col("n_chars").cast("long").as("_chars"),
+              size(w).cast("long").as("_ntok"),
+              size(filter(w, t => t === "the" || t === "a"))
+                .cast("long").as("_nstop"))
+      .withColumn("_num",
+        lit(8L) * least(col("_chars"), lit(500L)) * col("_ntok") +
+        lit(3000L) * (col("_ntok") - col("_nstop")) +
+        lit(375L) * least(col("_chars") - col("_ntok") + lit(1L),
+                          lit(8L) * col("_ntok")))
+      .select(expr("(2 * _num + _ntok) div (2 * _ntok)").as("cell"))
+      .agg(countDistinct(col("cell"))).as[Long].head()
     assert(blocks <= 10001L, s"grid quantization bound violated: $blocks")
   }
 
