@@ -231,6 +231,59 @@ object Determinism {
     * rows. Default cap 2²² ≈ 4.2M rows ≈ 64 MiB of (long, long)
     * frame — past that a single-task window stops being negligible
     * and the query belongs on the block-CDF / heap-agg path. */
+  /** Distributed inclusive prefix sums over a COLLAPSED (one row per
+    * distinct `v`) frame — the scale-safe replacement for the
+    * single-task `Window.orderBy(v)` that every rank/CDF statistic
+    * used to run over its value domain (round 8: the ScaleUp
+    * diversity sweep proved those domains GROW with the corpus on
+    * diverse data — q_stats_spearman's price-cents frame blew the
+    * 2²² boundedDomain cap at 10× — so the "bounded price book"
+    * assumption does not survive contact with un-replicated data).
+    *
+    * Two-pass prefix sum: range-partition by `v` (equal keys
+    * co-locate; per-partition frames are ~|domain|/parts), compute
+    * per-partition running sums with a PARTITIONED window, then add
+    * each partition's exclusive offset from a broadcast ≤`parts`-row
+    * frame. Output columns: `cum_<c>` (inclusive running Σc in `v`
+    * order) and `tot_<c>` (grand total — derived from the tiny
+    * offsets frame, NOT from a second corpus-frame pass) per input
+    * count column.
+    *
+    * Determinism: `cum`/`tot` are pure functions of the data — the
+    * (run-varying) range boundaries only decide WHERE the prefix sum
+    * is stitched, never its values; the input being collapsed means
+    * no intra-value tie order exists to leak in. Requires every count
+    * column non-null (true of agg outputs). */
+  def distCumSums(df: org.apache.spark.sql.DataFrame, v: String,
+                  cnts: Seq[String], parts: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(parts, col(v))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = W.partitionBy(col("_pid")).orderBy(col(v))
+      .rowsBetween(Long.MinValue, 0)
+    val within = cnts.foldLeft(ranged)((acc, c) =>
+      acc.withColumn(s"_ci_$c", sum(col(c)).over(wIn)))
+    val perPid = within.groupBy(col("_pid"))
+      .agg(sum(col(cnts.head)).as(s"_t_${cnts.head}"),
+           cnts.tail.map(c => sum(col(c)).as(s"_t_$c")): _*)
+    // ≤ `parts` rows: the unpartitioned windows here are over a frame
+    // bounded by a LITERAL, not by the data
+    val wOff = W.orderBy(col("_pid")).rowsBetween(Long.MinValue, -1)
+    val wTot = W.partitionBy()
+    val off = cnts.foldLeft(perPid)((acc, c) =>
+      acc.withColumn(s"_off_$c",
+           coalesce(sum(col(s"_t_$c")).over(wOff), lit(0L)))
+         .withColumn(s"tot_$c", sum(col(s"_t_$c")).over(wTot)))
+      .select(col("_pid").as("_pid2") +:
+        cnts.flatMap(c => Seq(col(s"_off_$c"), col(s"tot_$c"))): _*)
+    val joined = within.join(broadcast(off), col("_pid") === col("_pid2"))
+    cnts.foldLeft(joined)((acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"_ci_$c") + col(s"_off_$c")))
+      .drop("_pid" +: "_pid2" +:
+        cnts.flatMap(c => Seq(s"_ci_$c", s"_off_$c")): _*)
+  }
+
   def boundedDomain(df: org.apache.spark.sql.DataFrame, what: String,
                     cap: Long = 1L << 22)
       : org.apache.spark.sql.DataFrame = {

@@ -644,11 +644,13 @@ object EventOps extends OpGroup {
                sum(when(col("event_type") === "view", 1L)
                  .otherwise(0L)).as("nv"))
           .withColumn("nt", col("nc") + col("nv"))
-        val wCum = Window.orderBy(col("vc"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ranked = boundedDomain(byVal, "q_events_mannwhitney")
-          .withColumn("cum", coalesce(sum(col("nt")).over(wCum), lit(0L)))
-          .withColumn("r2", lit(2) * col("cum") + col("nt") + 1)
+        // distributed rank map (r8): the distinct-cents frame grows
+        // with the corpus on diverse data (diversity-sweep finding),
+        // so the 2×-rank encoding rides the range-partitioned prefix
+        // sum instead of a single-task ordered window:
+        // 2·cum_before + nt + 1 ≡ 2·cum_incl − nt + 1
+        val ranked = distCumSums(byVal, "vc", Seq("nt"))
+          .withColumn("r2", lit(2) * col("cum_nt") - col("nt") + 1)
         ranked.agg(
             sum(col("nc")).as("n_click"),
             sum(col("nv")).as("n_view"),
@@ -726,16 +728,15 @@ object EventOps extends OpGroup {
                  .otherwise(0L)).as("nc"),
                sum(when(col("event_type") === "view", 1L)
                  .otherwise(0L)).as("nv"))
-        val wCum = Window.orderBy(col("vc"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // totals ride the same (small, distinct-cents) frame as a
-        // whole-frame window — no second scan, no nested aggregate
-        val wAll = Window.partitionBy()
-        val cum = boundedDomain(byVal, "q_events_ks")
-          .withColumn("c1", sum(col("nc")).over(wCum))
-          .withColumn("c2", sum(col("nv")).over(wCum))
-          .withColumn("n1", sum(col("nc")).over(wAll))
-          .withColumn("n2", sum(col("nv")).over(wAll))
+        // distributed CDFs (r8): both cumulative counts AND the grand
+        // totals come from the range-partitioned two-pass prefix sum
+        // (totals derive from its ≤64-row per-partition offsets frame
+        // — still no second corpus scan); the distinct-cents frame
+        // grows with the corpus on diverse data, so no single-task
+        // ordered window and no fixed cap
+        val cum = distCumSums(byVal, "vc", Seq("nc", "nv"))
+          .withColumn("c1", col("cum_nc")).withColumn("c2", col("cum_nv"))
+          .withColumn("n1", col("tot_nc")).withColumn("n2", col("tot_nv"))
         val dnum = abs(col("c1").cast(D38) * col("n2").cast(D38) -
                        col("c2").cast(D38) * col("n1").cast(D38))
         cum.groupBy(col("n1"), col("n2"))

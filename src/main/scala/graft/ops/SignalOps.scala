@@ -466,10 +466,13 @@ object SignalOps extends OpGroup {
         val vals = Tables.orders(s, d)
           .select(oCents.as("vc"))
           .groupBy(col("vc")).agg(count(lit(1)).as("c"))
-        val wC = Window.orderBy(col("vc"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = boundedDomain(vals, "q_stats_median_ci")
-          .withColumn("cum", sum(col("c")).over(wC))
+        // distributed CDF (r8): the distinct-cents frame is NOT
+        // constant under diverse data (×9.4 at 10× in the diversity
+        // sweep — it would blow any fixed cap at 100×), so the
+        // cumulative counts come from the range-partitioned two-pass
+        // prefix sum instead of a single-task ordered window
+        val cum = distCumSums(vals, "vc", Seq("c"))
+          .withColumnRenamed("cum_c", "cum")
         val ranks = vals.agg(sum(col("c")).as("n"))
           .select(col("n"), expr("(n + 1) div 2").as("r_med"),
                   greatest(lit(1L),

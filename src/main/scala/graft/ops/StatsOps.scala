@@ -21,14 +21,18 @@ object StatsOps extends OpGroup {
 
   /** 2×average-rank per distinct value: ties share the mean of their
     * rank block, doubled so it stays integral (the Mann-Whitney r2
-    * encoding: 2·cum_before + cnt + 1). */
+    * encoding: 2·cum_before + cnt + 1). Ranks come from the
+    * DISTRIBUTED prefix sum (r8): the old single-task
+    * `Window.orderBy(v)` assumed the value domain is a bounded "price
+    * book", but the diversity-mode scale sweep measured it GROWING
+    * with the corpus (4.4M distinct price cents at 10× diverse data —
+    * the 2²² boundedDomain guard fired); the two-pass range-
+    * partitioned form scales with the domain and yields identical
+    * ranks (2·cum_incl − cnt + 1 ≡ 2·cum_before + cnt + 1). */
   private def rank2Map(df: org.apache.spark.sql.DataFrame, v: String) = {
-    val w = Window.orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    boundedDomain(df.groupBy(col(v)).agg(count(lit(1)).as("cnt")),
-        s"rank2Map($v)")
-      .withColumn("r2", lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
-        + col("cnt") + 1)
+    val counts = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+    distCumSums(counts, v, Seq("cnt"))
+      .withColumn("r2", lit(2) * col("cum_cnt") - col("cnt") + 1)
       .select(col(v), col("r2"))
   }
 
@@ -114,7 +118,7 @@ object StatsOps extends OpGroup {
       (s, d) => {
         val base = Tables.lineitem(s, d)
           .select(col("l_returnflag"),
-                  money("l_quantity").cast("long").as("x"),
+                  floor(money("l_quantity")).cast("long").as("x"),
                   (money("l_extendedprice") * 100).cast("long").as("y"))
         val m = base.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).cast("long").as("n"),
@@ -136,7 +140,8 @@ object StatsOps extends OpGroup {
       },
       """WITH base AS (
         |  SELECT l_returnflag,
-        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+        |    CAST(FLOOR(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+        |      AS x,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      AS y
         |  FROM lineitem),
@@ -170,7 +175,7 @@ object StatsOps extends OpGroup {
         val base = Tables.lineitem(s, d)
           .select(col("l_returnflag"),
                   (money("l_extendedprice") * 100).cast("long").as("vc"),
-                  money("l_quantity").cast("long").as("wq"))
+                  floor(money("l_quantity")).cast("long").as("wq"))
         val byVal = base.groupBy(col("l_returnflag"), col("vc"))
           .agg(sum(col("wq")).as("w"))
         val wCum = Window.partitionBy(col("l_returnflag"))
@@ -190,7 +195,8 @@ object StatsOps extends OpGroup {
         |  SELECT l_returnflag,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      AS vc,
-        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS wq
+        |    CAST(FLOOR(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+        |      AS wq
         |  FROM lineitem),
         |bv AS (
         |  SELECT l_returnflag, vc, CAST(SUM(wq) AS BIGINT) AS w

@@ -450,11 +450,27 @@ class ScaleSpec extends SparkSpec {
     // (c) in-plan: the guard survives optimization inside a declared
     //     query (an unreferenced assert would be pruned away)
     // the optimizer rewrites assert_true into its raise_error form —
-    // pin the guard's own message text
-    val mw = SparkEntry.queries("q_events_mannwhitney")(spark, sfDir)
-    assert(mw.queryExecution.optimizedPlan.toString
+    // pin the guard's own message text. eval_lift carries the guard on
+    // its grid-bounded block frame (mannwhitney's rank frame moved to
+    // the distributed prefix sum in r8 and needs no cap at all).
+    val gl = SparkEntry.queries("q_eval_lift")(spark, sfDir)
+    assert(gl.queryExecution.optimizedPlan.toString
              .contains("value-domain frame exceeded"),
       "the domain guard must sit in the optimized plan")
+    // (d) r8: the rank-statistics family runs NO unpartitioned window
+    //     over a data-sized frame at all — every Window in the
+    //     mannwhitney plan is partitioned (the distCumSums per-range
+    //     frames) or sits above the ≤64-row per-partition offsets
+    //     aggregate, so there is nothing for a cap to save
+    val mw = SparkEntry.queries("q_events_mannwhitney")(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    def hasAggBelow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val wins = mw.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(wins.nonEmpty, "expected the distributed rank windows")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty || hasAggBelow(w.child),
+      s"unpartitioned data-sized window in mannwhitney:\n$w"))
     mw.collect() // and pass at fixture scale
   }
 }
