@@ -38,6 +38,30 @@ object Bench {
     val reps = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
       .getOrElse(3).max(1)
+    // Box-state calibration (r9, SCALE.md r8: cross-round totals
+    // measure code × box-state with the box swinging ±40%): a FIXED
+    // piece of work — pure built-in scan+agg over lineitem, no graft
+    // operator in the path — timed the same way as the queries
+    // (median of `reps`). Future rounds divide totals by this to
+    // normalize out the box; the number changes only when the box or
+    // Spark itself does, never when query code does.
+    val calibration = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          import org.apache.spark.sql.functions._
+          graft.io.Tables.lineitem(spark, sfDir)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
+                 count(lit(1)))
+            .count()
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.size / 2)
+    }
     var failed = List.empty[String]
     // Builder-side fast path mirroring Verify's SPARK_GRAFT_ONLY: time
     // a subset while iterating on a hot query. The driver sets no such
@@ -81,7 +105,7 @@ object Bench {
     // plus the slowest per-query timings that fit a fixed budget.
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     System.err.println(s"[bench-full] $full")
     try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case NonFatal(e) =>
@@ -96,7 +120,7 @@ object Bench {
       kept += e; used += e.length + 1
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -256,11 +256,34 @@ object Determinism {
     * column non-null (true of agg outputs). */
   def distCumSums(df: org.apache.spark.sql.DataFrame, v: String,
                   cnts: Seq[String], parts: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    distCumSumsBy(df, Seq(v), cnts, parts)
+
+  /** [[distCumSums]] over a COMPOSITE ordering key (e.g. (value,
+    * tiebreak-id) for rank frames where equal values must still order
+    * totally — gini's (rc, custkey), abc's (−rev, partkey)). The input
+    * must be collapsed to one row per distinct key TUPLE; the prefix
+    * sum runs in the lexicographic order of `vs`. */
+  def distCumSumsBy(df: org.apache.spark.sql.DataFrame, vs: Seq[String],
+                    cnts: Seq[String], parts: Int = 64)
       : org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val ranged = df.repartitionByRange(parts, col(v))
+    val ord = vs.map(col)
+    // persist() is CORRECTNESS here, not caching (round-9 advisory):
+    // `within` feeds two plan branches — the per-pid offsets aggregate
+    // and the probe side of the broadcast join — and both must see the
+    // SAME range boundaries / pid assignment. Without a pin that only
+    // holds if ReuseExchange happens to canonicalize the two branches
+    // identically (an optimization, not a contract; AQE or a future
+    // refactor could split them into two exchanges with independently
+    // sampled RangePartitioners → silently shifted ranks). A persisted
+    // frame is ONE InMemoryRelation — one exchange, one partitioner —
+    // in every consumer by construction; eviction recompute re-reads
+    // the same shuffle output, so pids stay stable.
+    val ranged = df.repartitionByRange(parts, ord: _*)
       .withColumn("_pid", spark_partition_id())
-    val wIn = W.partitionBy(col("_pid")).orderBy(col(v))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = W.partitionBy(col("_pid")).orderBy(ord: _*)
       .rowsBetween(Long.MinValue, 0)
     val within = cnts.foldLeft(ranged)((acc, c) =>
       acc.withColumn(s"_ci_$c", sum(col(c)).over(wIn)))

@@ -221,8 +221,10 @@ final class TxTable private (
 
   /** Data files (dir-relative) that NO manifest references — the debris
     * of crashed or audit-failed writers ([[writeAuditPublish]] leaves
-    * these behind by design). Safe to delete at ANY time: no reader
-    * can reach a file no manifest names. */
+    * these behind by design) — OR of an in-flight writer that staged
+    * but hasn't published yet. No reader can reach one, but deleting a
+    * FRESH one can race a publish that lands moments later; reclaim
+    * only past [[TxTable.VacuumStagedGraceMs]] (see [[vacuum]]). */
   def unreferencedFiles(): Seq[String] = {
     val referenced = versions()
       .flatMap(TxLog.readManifest(dir, _).adds).toSet
@@ -249,19 +251,36 @@ final class TxTable private (
   /** VACUUM with real deletion (round 8, VERDICT r7 #4 — the r6/r7
     * layer only *classified*): retains the last `retainVersions`
     * versions (head inclusive) and DELETES from disk
-    *   1. every data file unreachable from ANY retained version's
-    *      snapshot (old-only time-travel debt), and
-    *   2. every unreferenced staged file (crashed / audit-failed
-    *      writers — always safe).
+    *   1. time-travel debt — files referenced by some manifest ≤ head
+    *      but by no retained snapshot. Safe once the horizon is
+    *      persisted: commits only ever ADD freshly staged paths, so no
+    *      future manifest can resurrect a pre-horizon file.
+    *   2. unreferenced staged files (crashed / audit-failed writers) —
+    *      but ONLY those older than `stagedGraceMs`. A fresh staged
+    *      file may belong to an IN-FLIGHT writer (writeAuditPublish /
+    *      prepare stage parquet BEFORE publishing the manifest);
+    *      deleting it can race a publish that lands moments later,
+    *      yielding a readable version with missing files (round-9
+    *      advisory — the old "always safe" claim was wrong under
+    *      concurrency). Belt and braces, the log is re-read AFTER the
+    *      scan so anything a just-landed commit references is spared.
+    *      The resulting writer contract mirrors Delta's vacuum
+    *      retention: a writer must publish (or abandon) within the
+    *      grace window of staging.
     * The horizon is persisted FIRST (monotonic, atomic overwrite is
     * fine — it only ever moves up), so a crash between marker and
     * deletion leaves a horizon that's merely conservative, never a
     * readable version with missing files. Returns (newHorizon,
     * deleted file count). Readers pinned at ≥ horizon are unaffected:
     * their whole file closure is retained. */
-  def vacuum(retainVersions: Int): (Long, Int) = {
+  def vacuum(retainVersions: Int,
+             stagedGraceMs: Long = TxTable.VacuumStagedGraceMs)
+      : (Long, Int) = {
     require(retainVersions >= 1, "must retain at least the head")
     val head = currentVersion()
+    // empty table: nothing published, nothing reclaimable — a no-op,
+    // not a confusing foldedAt(1) failure (round-9 advisory)
+    if (head == 0) return (0L, 0)
     val horizon = math.max(1L, head - retainVersions + 1)
     // union of live sets across every retained version: fold once from
     // the horizon snapshot, accumulating — O(retained) manifest reads
@@ -274,7 +293,22 @@ final class TxTable private (
       keep ++= live
     }
     TxLog.writeHorizon(dir, horizon)
-    val doomed = allDataFiles().filterNot(keep)
+    // referenced-by-≤head only: a commit that lands DURING this scan
+    // must not push its adds into the "debt" class (they'd be deleted
+    // unconditionally) — post-head adds fall through to the staged
+    // class, where grace + the late-commit re-check protect them
+    val referenced = listVersions(dir).filter(_ <= head)
+      .flatMap(readManifest(dir, _).adds).toSet
+    val all = allDataFiles()
+    val debt = all.filterNot(keep).filter(referenced)
+    val cutoff = System.currentTimeMillis() - stagedGraceMs
+    val staged = all.filterNot(keep).filterNot(referenced).filter { rel =>
+      val p = Paths.get(dir, rel)
+      Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoff
+    }
+    val lateAdds = listVersions(dir).filter(_ > head)
+      .flatMap(readManifest(dir, _).adds).toSet
+    val doomed = (debt ++ staged.filterNot(lateAdds)).distinct
     doomed.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     // sweep now-empty per-commit directories so the data root doesn't
     // accumulate husks
@@ -366,6 +400,13 @@ object TxTable {
     * 3-year-old table resolves in ≤ 11 log reads instead of ~1100. */
   val CheckpointInterval: Int = 10
 
+  /** How long an unreferenced staged file must sit on disk before
+    * [[TxTable.vacuum]] may reclaim it — the writer contract: publish
+    * (or abandon) within this window of staging. Generous by default
+    * because deleting early corrupts a racing publish, while deleting
+    * late only delays reclaim; tests pass 0 for determinism. */
+  val VacuumStagedGraceMs: Long = 24L * 60 * 60 * 1000
+
   /** Open (or lazily create on first commit) a transactional table. */
   def apply(spark: SparkSession, dir: String): TxTable = {
     Files.createDirectories(Paths.get(dir, "_txlog"))
@@ -424,25 +465,74 @@ private[graft] object TxLog {
     logReads.incrementAndGet()
     val raw = new String(Files.readAllBytes(ckptPath(dir, v)), UTF_8)
     val ver = raw.replaceAll("""^\{"version":(\d+).*""", "$1").toLong
-    def arrField(name: String): Seq[String] = {
-      val k = s""""$name":["""
-      val i = raw.indexOf(k)
-      require(i >= 0, s"checkpoint v$v missing $name")
-      val body = raw.substring(i + k.length, raw.indexOf(']', i + k.length))
-      if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.map(s =>
-        unesc(s.trim.stripPrefix("\"").stripSuffix("\"")))
+    Checkpoint(ver, arrField(raw, "files", s"checkpoint v$v"),
+      strField(raw, "schemaDdl", s"checkpoint v$v"))
+  }
+
+  // ---- escape-aware field scanners (round-9 advisory: the old
+  // comma-split array parser and the `charAt(j-1) == '\\'` closing-
+  // quote scan disagreed with esc() on paths containing ',' and on
+  // strings ending in an escaped backslash — writer and reader must
+  // share one string domain, and a malformed log must fail loudly,
+  // never silently yield a wrong file set) ----
+
+  /** Decode the JSON string whose OPENING quote is at `raw(at)`;
+    * returns (decoded, index just past the closing quote). Tracks
+    * escapes left-to-right, so `\\"` closes and `\\\\"` doesn't
+    * confuse it. */
+  private def scanString(raw: String, at: Int, what: String)
+      : (String, Int) = {
+    require(at < raw.length && raw.charAt(at) == '"',
+      s"$what: expected string at offset $at")
+    val b = new StringBuilder
+    var i = at + 1
+    while (i < raw.length && raw.charAt(i) != '"') {
+      raw.charAt(i) match {
+        case '\\' =>
+          require(i + 1 < raw.length, s"$what: dangling escape")
+          raw.charAt(i + 1) match {
+            case 'n' => b += '\n'; i += 2
+            case 'r' => b += '\r'; i += 2
+            case 't' => b += '\t'; i += 2
+            case 'u' =>
+              b += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c => b += c; i += 2
+          }
+        case c => b += c; i += 1
+      }
     }
-    def strField(name: String): String = {
-      val k = s""""$name":""""
-      val i = raw.indexOf(k)
-      require(i >= 0, s"checkpoint v$v missing $name")
-      val from = i + k.length
-      var j = from
-      while (raw.charAt(j) != '"' || raw.charAt(j - 1) == '\\') j += 1
-      unesc(raw.substring(from, j))
+    require(i < raw.length, s"$what: unterminated string")
+    (b.toString, i + 1)
+  }
+
+  private def strField(raw: String, name: String, what: String): String = {
+    val k = s""""$name":"""
+    val i = raw.indexOf(k)
+    require(i >= 0, s"$what missing $name")
+    scanString(raw, i + k.length, s"$what $name")._1
+  }
+
+  private def arrField(raw: String, name: String, what: String)
+      : Seq[String] = {
+    val k = s""""$name":["""
+    val i = raw.indexOf(k)
+    require(i >= 0, s"$what missing $name")
+    var j = i + k.length
+    val out = Seq.newBuilder[String]
+    var first = true
+    while (j < raw.length && raw.charAt(j) != ']') {
+      if (!first) {
+        require(raw.charAt(j) == ',', s"$what $name: expected ',' at $j")
+        j += 1
+      }
+      val (s, next) = scanString(raw, j, s"$what $name")
+      out += s
+      j = next
+      first = false
     }
-    Checkpoint(ver, arrField("files"), strField("schemaDdl"))
+    require(j < raw.length, s"$what $name: unterminated array")
+    out.result()
   }
 
   /** Publish a checkpoint with the same no-overwrite link discipline
@@ -494,27 +584,6 @@ private[graft] object TxLog {
     case c => c.toString
   } + "\""
 
-  private def unesc(s: String): String = {
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\\' if i + 1 < s.length =>
-          s.charAt(i + 1) match {
-            case 'n' => b += '\n'; i += 2
-            case 'r' => b += '\r'; i += 2
-            case 't' => b += '\t'; i += 2
-            case 'u' =>
-              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
-              i += 6
-            case c => b += c; i += 2
-          }
-        case c => b += c; i += 1
-      }
-    }
-    b.toString
-  }
-
   private def render(m: Manifest): String = {
     def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
     s"""{"version":${m.version},"action":${esc(m.action)},""" +
@@ -526,30 +595,12 @@ private[graft] object TxLog {
     logReads.incrementAndGet()
     val raw = new String(Files.readAllBytes(logPath(dir, v)), UTF_8)
     // fixed field order (we wrote it); a tolerant parser would hide
-    // corruption — fail loudly on anything unexpected
-    def strField(name: String): String = {
-      val k = s""""$name":""""
-      val i = raw.indexOf(k)
-      require(i >= 0, s"manifest v$v missing $name")
-      val from = i + k.length
-      var j = from
-      while (raw.charAt(j) != '"' || raw.charAt(j - 1) == '\\') j += 1
-      unesc(raw.substring(from, j))
-    }
-    def arrField(name: String): Seq[String] = {
-      val k = s""""$name":["""
-      val i = raw.indexOf(k)
-      require(i >= 0, s"manifest v$v missing $name")
-      val from = i + k.length
-      val to = raw.indexOf(']', from)
-      val body = raw.substring(from, to)
-      if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.map(s =>
-        unesc(s.trim.stripPrefix("\"").stripSuffix("\"")))
-    }
+    // corruption — the shared escape-aware scanners fail loudly on
+    // anything unexpected
     val ver = raw.replaceAll("""^\{"version":(\d+).*""", "$1").toLong
-    Manifest(ver, strField("action"), arrField("adds"),
-      arrField("removes"), strField("schemaDdl"))
+    val what = s"manifest v$v"
+    Manifest(ver, strField(raw, "action", what), arrField(raw, "adds", what),
+      arrField(raw, "removes", what), strField(raw, "schemaDdl", what))
   }
 
   /** Atomically publish a manifest; false when version already taken.

@@ -807,9 +807,13 @@ object MacroOps2 extends OpGroup {
       // cross-multiplication (cum·100 ≤ tot·80), never a rounded
       // share, so a part can't flap classes across engines; the
       // cumulative runs over a total (rev DESC, partkey) order.
-      // Scale shape: lineitem collapses per-part in one hash-agg; the
-      // rank/cumsum window runs on the part dimension (bounded), and
-      // the output is 3 rows.
+      // Scale shape (r9): the part frame is a KEY dimension (200k·SF —
+      // it grows with the corpus), so the cumulative revenue comes
+      // from the DISTRIBUTED two-pass prefix sum ordered on
+      // (−rev, partkey) — lexicographic ascending on the negated
+      // revenue IS the (rev DESC, partkey) total order — never a
+      // single-task window; the 3-row class rollup stays a literal-
+      // bounded window.
       "q_macro_abc",
       (s, d) => {
         val D = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -820,15 +824,13 @@ object MacroOps2 extends OpGroup {
                     .as("rev"))
           .groupBy(col("l_partkey"))
           .agg((sum(col("rev")) * 10000).cast(D).as("c"))
-        val wc = Window.orderBy(col("c").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.partitionBy(lit(1))
-        val cls = perPart
-          .withColumn("cum", sum(col("c")).over(wc))
-          .withColumn("tot", sum(col("c")).over(wAll))
+        val cls = graft.Determinism.distCumSumsBy(
+            perPart.withColumn("negc", (col("c") * -1).cast(D)),
+            Seq("negc", "l_partkey"), Seq("c"))
           .withColumn("cls",
-            when(col("cum") * 100 <= col("tot") * 80, "A")
-              .when(col("cum") * 100 <= col("tot") * 95, "B")
+            when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
+              .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
               .otherwise("C"))
         cls.groupBy(col("cls"))
           .agg(count(lit(1)).as("n_parts"), sum(col("c")).as("_crev"))

@@ -585,19 +585,23 @@ object StatsOps extends OpGroup {
       // broken by custkey — any total order over equal values yields
       // the same G, the tiebreak just makes both engines sort
       // identically). Rank·revenue products in DECIMAL(38,0); one
-      // double at the end. The window runs over the CUSTOMER frame
-      // (already collapsed from orders by a hash-agg).
+      // double at the end. Scale shape (r9): the customer frame is a
+      // KEY dimension — it grows linearly with the corpus (150k·SF),
+      // so the rank comes from the DISTRIBUTED two-pass prefix sum
+      // over the composite (rc, custkey) order, never a single-task
+      // row_number window; each row is unique by that tuple, so the
+      // cumulative count IS the 1-based rank.
       "q_stats_gini",
       (s, d) => {
         val rev = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg((sum(money("o_totalprice")) * 100).cast("long").as("rc"))
-        val w = Window.orderBy(col("rc").asc, col("o_custkey").asc)
-        val ranked = rev.withColumn("i", row_number().over(w))
+        val ranked = distCumSumsBy(rev.withColumn("one", lit(1L)),
+                                   Seq("rc", "o_custkey"), Seq("one"))
         val m = ranked.agg(
           count(lit(1)).cast("long").as("n"),
           sum(col("rc").cast(D38)).as("sx"),
-          sum((col("i").cast(D38) * col("rc").cast(D38)).cast(D38))
+          sum((col("cum_one").cast(D38) * col("rc").cast(D38)).cast(D38))
             .as("six"))
         val nD = col("n").cast(D38)
         m.select(col("n").as("n_cust"),

@@ -272,7 +272,9 @@ class ModelSpec extends SparkSpec {
     assert(wap.isLeft && t.unreferencedFiles().nonEmpty)
     val before = t.unlistedFiles().size
     assert(before > 0, "overwrites should strand old generations")
-    val (horizon, deleted) = t.vacuum(retainVersions = 3)
+    // grace 0: this test WANTS the fresh audit-failed debris reclaimed
+    // deterministically (the grace-window behavior has its own test)
+    val (horizon, deleted) = t.vacuum(retainVersions = 3, stagedGraceMs = 0L)
     assert(horizon == 4L && deleted > 0)
     // retained versions: fully readable, correct content
     assert(t.readAt(4).collect().map(_.getLong(0)).toSeq == Seq(4L))
@@ -288,7 +290,137 @@ class ModelSpec extends SparkSpec {
     assert(t.filesAt(6).forall(f =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
     // vacuum is idempotent and monotone
-    val (h2, d2) = t.vacuum(retainVersions = 3)
+    val (h2, d2) = t.vacuum(retainVersions = 3, stagedGraceMs = 0L)
     assert(h2 == 4L && d2 == 0)
+  }
+
+  // ---- r9: vacuum-vs-writer safety (advisory: deleting fresh staged
+  // files can race an imminent publish → readable version with
+  // missing files) ----
+
+  test("txlog: vacuum on an empty table is a no-op, not an error") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-vac-empty"))
+    assert(t.vacuum(retainVersions = 3) == (0L, 0))
+    assert(t.vacuumHorizon() == 0L)
+  }
+
+  test("txlog: vacuum spares fresh staged files (grace window) — an " +
+       "in-flight writer's publish lands intact") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-vac-grace"))
+    t.append(Seq((1L, 1L)).toDF("k", "v"))
+    t.overwrite(Seq((2L, 2L)).toDF("k", "v")) // strands v1's generation
+    // the deterministic interleaving that used to corrupt: the audit
+    // callback runs EXACTLY between staging and publish — a vacuum
+    // fired there sees the staged files as unreferenced
+    val res = t.writeAuditPublish(Seq((3L, 3L)).toDF("k", "v")) { _ =>
+      val (_, deletedWhileStaged) = t.vacuum(retainVersions = 1)
+      // time-travel debt (v1's files) IS reclaimed; the freshly staged
+      // parquet survives the default grace
+      assert(deletedWhileStaged > 0)
+      None // audit passes → publish proceeds against intact files
+    }
+    assert(res.isRight, s"publish failed: $res")
+    // the published version reads back complete — no missing files
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(t.filesAt(t.currentVersion()).forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    // and an ABANDONED staging (audit fail) is reclaimed once stale:
+    // grace 0 models "older than the window"
+    val wap = t.writeAuditPublish(Seq((9L, 9L)).toDF("k", "v"))(
+      _ => Some("no"))
+    assert(wap.isLeft && t.unreferencedFiles().nonEmpty)
+    t.vacuum(retainVersions = 1, stagedGraceMs = 0L)
+    assert(t.unreferencedFiles().isEmpty)
+  }
+
+  test("txlog: committers racing repeated vacuums never lose a file " +
+       "of any readable retained version") {
+    val dir = tmpDir("tx-vac-race")
+    val t = graft.model.TxTable(spark, dir)
+    t.append(Seq((0L, 0L)).toDF("k", "v"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val writer = new Thread(() => {
+      try {
+        val mine = graft.model.TxTable(spark, dir)
+        for (i <- 1 to 12)
+          mine.append(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+      } catch { case e: Throwable => failures.add(s"writer: $e"): Unit }
+    })
+    val sweeper = new Thread(() => {
+      try {
+        val mine = graft.model.TxTable(spark, dir)
+        for (_ <- 1 to 8) { mine.vacuum(retainVersions = 2): Unit }
+      } catch { case e: Throwable => failures.add(s"vacuum: $e"): Unit }
+    })
+    writer.start(); sweeper.start()
+    writer.join(); sweeper.join()
+    assert(failures.isEmpty, failures.toString)
+    // every commit landed and the head snapshot is fully on disk
+    assert(t.currentVersion() == 13L)
+    assert(t.read().count() == 13)
+    assert(t.filesAt(13).forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    // horizon is within bounds and respected
+    assert(t.vacuumHorizon() <= 13L)
+  }
+
+  test("txlog: crash between horizon write and deletion is conservative " +
+       "— re-vacuum converges, reads fail loudly only below horizon") {
+    val t = graft.model.TxTable(spark, tmpDir("tx-vac-crash"))
+    for (i <- 1 to 5)
+      t.overwrite(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    // simulate the crash: the horizon marker lands, the deletes don't
+    graft.model.TxLog.writeHorizon(t.dir, 4L)
+    // nothing was deleted, but pre-horizon reads already fail loudly
+    // (conservative: no reader can observe missing files later)
+    val ex = intercept[IllegalStateException](t.readAt(2))
+    assert(ex.getMessage.contains("vacuumed away"))
+    // retained versions read fine off the intact files
+    assert(t.readAt(5).collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // replaying the vacuum converges: debt reclaimed, horizon monotone
+    val (h, d) = t.vacuum(retainVersions = 2, stagedGraceMs = 0L)
+    assert(h == 4L && d > 0)
+    assert(t.readAt(4).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    val (h2, d2) = t.vacuum(retainVersions = 2, stagedGraceMs = 0L)
+    assert(h2 == 4L && d2 == 0)
+  }
+
+  // ---- r9: escape-aware log parsing (advisory: comma-split arrays
+  // and the naive closing-quote scan disagreed with esc() on paths
+  // containing ',' and strings ending in '\') ----
+
+  test("txlog: manifest round-trips paths with commas and a DDL ending " +
+       "in a backslash") {
+    val dir = tmpDir("tx-parse-m")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_txlog"))
+    val m = graft.model.TxLog.Manifest(
+      1L, "append",
+      adds = Seq("data/c1-x/part-a,b.parquet", "data/c1-x/q\"r.parquet"),
+      removes = Seq.empty,
+      schemaDdl = "k BIGINT, s STRING \\")
+    assert(graft.model.TxLog.tryPublish(dir, m))
+    val back = graft.model.TxLog.readManifest(dir, 1L)
+    assert(back == m, s"round-trip mismatch: $back")
+  }
+
+  test("txlog: checkpoint round-trips commas, quotes and trailing " +
+       "backslashes in files and DDL") {
+    val dir = tmpDir("tx-parse-c")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_txlog"))
+    val c = graft.model.TxLog.Checkpoint(
+      10L,
+      files = Seq("data/c1-y/p,0.parquet", "data/c2-y/p\\1.parquet",
+                   "data/c3-y/p\"2.parquet"),
+      schemaDdl = "k BIGINT, note STRING \\")
+    assert(graft.model.TxLog.tryWriteCheckpoint(dir, c))
+    val back = graft.model.TxLog.latestCheckpointAt(dir, 10L)
+    assert(back.contains(c), s"round-trip mismatch: $back")
+    // and the empty-array / empty-string edges still parse
+    val c0 = graft.model.TxLog.Checkpoint(20L, Seq.empty, "")
+    assert(graft.model.TxLog.tryWriteCheckpoint(dir, c0))
+    assert(graft.model.TxLog.latestCheckpointAt(dir, 20L).contains(c0))
   }
 }

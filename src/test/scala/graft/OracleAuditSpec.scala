@@ -733,6 +733,147 @@ class OracleAuditSpec extends SparkSpec {
     }
   }
 
+  // r9 (VERDICT r8 #5): extend the pins from 2 to one per audited
+  // family. Each literal below was produced by the operator at
+  // sf0.001 AND cross-checked by this spec's independent textbook
+  // replay on 2026-08-15; a lockstep plan+oracle+replay edit now has
+  // to tamper with a frozen constant to stay green. Values compare
+  // typed (exact integers, bit-exact doubles — the same doubles the
+  // DuckDB hash gate already matches).
+  private def pinned(name: String, expect: Seq[Seq[Any]],
+                     keep: Row => Boolean = _ => true): Unit = {
+    val got = q(name).collect().toSeq.filter(keep).map(_.toSeq)
+    assert(got == expect,
+      s"$name golden rows drifted:\n got $got\n exp $expect")
+  }
+
+  test("golden: q_ts_ewma sf0.001 — pinned click rows") {
+    pinned("q_ts_ewma",
+      Seq(Seq("click", 11L, 0.6), Seq("click", 23L, 14.726666666666667),
+          Seq("click", 25L, 171.47714285714287)),
+      r => r.getString(0) == "click" && Set(11L, 23L, 25L)(r.getLong(1)))
+  }
+
+  test("golden: q_agg_decayed_sum sf0.001 — pinned segment table") {
+    pinned("q_agg_decayed_sum", Seq(
+      Seq("AUTOMOBILE", 226L, 56846345.81, 9514862.61),
+      Seq("BUILDING", 342L, 80389802.88, 10720961.22),
+      Seq("FURNITURE", 403L, 101849260.91, 14952157.26),
+      Seq("HOUSEHOLD", 224L, 60582938.79, 9906988.89),
+      Seq("MACHINERY", 305L, 74778443.22, 8992198.72)))
+  }
+
+  test("golden: q_win_rsi sf0.001 — pinned first days") {
+    pinned("q_win_rsi",
+      Seq(Seq(9164L, 62.6943), Seq(9165L, 56.3255),
+          Seq(9169L, 54.2792), Seq(9170L, 56.7114)),
+      r => r.getLong(0) <= 9170L)
+  }
+
+  test("golden: q_events_mannwhitney sf0.001 — pinned U and z") {
+    pinned("q_events_mannwhitney",
+      Seq(Seq(210L, 188L, 37822L, -0.7236)))
+  }
+
+  test("golden: q_stats_mann_kendall sf0.001 — pinned S/var/z") {
+    pinned("q_stats_mann_kendall",
+      Seq(Seq(30L, -80L, 56292L, -1.4127)))
+  }
+
+  test("golden: q_stats_runs_test sf0.001 — pinned runs and z") {
+    pinned("q_stats_runs_test", Seq(Seq(17L, 12L, 15L, -0.0269)))
+  }
+
+  test("golden: q_stats_spearman sf0.001 — pinned rho") {
+    pinned("q_stats_spearman", Seq(Seq(6000L, -0.0098)))
+  }
+
+  test("golden: q_eval_auc sf0.001 — pinned source rows") {
+    pinned("q_eval_auc",
+      Seq(Seq("src0", 6L, 19L, 0.7544), Seq("src11", 8L, 17L, 0.25),
+          Seq("src19", 10L, 15L, 0.48)),
+      r => Set("src0", "src11", "src19")(r.getString(0)))
+  }
+
+  test("golden: q_events_ab_ttest sf0.001 — pinned Welch t") {
+    pinned("q_events_ab_ttest",
+      Seq(Seq(210L, 188L, 49.0986, 50.8006, -0.3505)))
+  }
+
+  test("golden: q_stats_jarque_bera sf0.001 — pinned JB table") {
+    pinned("q_stats_jarque_bera", Seq(
+      Seq("click", 210L, 629.7048), Seq("error", 201L, 105.8346),
+      Seq("purchase", 202L, 171.739), Seq("signup", 199L, 114.7259),
+      Seq("view", 188L, 382.9822)))
+  }
+
+  test("golden: q_stats_linreg sf0.001 — pinned OLS table") {
+    pinned("q_stats_linreg", Seq(
+      Seq("A", 1962L, -4256.1751, 5290676.046),
+      Seq("N", 2070L, -2112.0325, 5389011.5298),
+      Seq("R", 1968L, 65.978, 5345494.9302)))
+  }
+
+  test("golden: q_stats_mcnemar sf0.001 — pinned discordant chi2") {
+    pinned("q_stats_mcnemar", Seq(Seq(150L, 2L, 5L, 1.2857)))
+  }
+
+  test("golden: q_stats_gini sf0.001 — pinned coefficient") {
+    pinned("q_stats_gini", Seq(Seq(150L, 0.2154)))
+  }
+
+  test("golden: q_mix_kl sf0.001 — pinned divergence") {
+    pinned("q_mix_kl", Seq(Seq(500L, 0.0237)))
+  }
+
+  test("golden: q_stats_benford sf0.001 — pinned digit rows") {
+    pinned("q_stats_benford",
+      Seq(Seq(1, 323L, 0.2153, 0.301), Seq(5, 32L, 0.0213, 0.0792),
+          Seq(9, 32L, 0.0213, 0.0458)),
+      r => Set(1, 5, 9)(r.getInt(0)))
+  }
+
+  test("golden: q_stats_wilson sf0.001 — pinned interval") {
+    pinned("q_stats_wilson", Seq(Seq(15L, 15L, 1.0, 0.7961, 1.0)))
+  }
+
+  test("golden: q_stats_2prop sf0.001 — pinned pooled z") {
+    pinned("q_stats_2prop",
+      Seq(Seq(219L, 74L, 246L, 78L, 0.3379, 0.3171, 0.4779)))
+  }
+
+  test("golden: q_stats_power sf0.001 — pinned n_required") {
+    pinned("q_stats_power",
+      Seq(Seq(210L, 188L, 1.702, 12712L, false)))
+  }
+
+  test("golden: q_stats_tukey_hsd sf0.001 — pinned pair rows") {
+    pinned("q_stats_tukey_hsd",
+      Seq(Seq("de", "en", 71L, 193L, 18.9766, 48.9808, false),
+          Seq("en", "fr", 193L, 82L, 36.3371, 46.5171, false),
+          Seq("fr", "zh", 82L, 74L, 27.2933, 56.5811, false)),
+      r => Set(("de", "en"), ("en", "fr"), ("fr", "zh"))(
+        (r.getString(0), r.getString(1))))
+  }
+
+  test("golden: q_privacy_dp_counts sf0.001 — pinned noisy table") {
+    pinned("q_privacy_dp_counts", Seq(
+      Seq("AUTOMOBILE", 23L, -7.7705, 15.2295, 0.05),
+      Seq("BUILDING", 34L, -6.2467, 27.7533, 0.05),
+      Seq("FURNITURE", 40L, 6.1469, 46.1469, 0.05),
+      Seq("HOUSEHOLD", 23L, 84.4476, 107.4476, 0.05),
+      Seq("MACHINERY", 30L, -21.9671, 8.0329, 0.05)))
+  }
+
+  test("golden: q_graph_pagerank sf0.001 — pinned fixed-point ranks") {
+    pinned("q_graph_pagerank", Seq(
+      Seq(8L, 1638502418148L), Seq(4L, 1095118370000L),
+      Seq(7L, 1095118370000L), Seq(2L, 944780944405L),
+      Seq(3L, 944780944405L), Seq(6L, 944780944405L),
+      Seq(9L, 944780944405L), Seq(0L, 794827726400L),
+      Seq(1L, 597309337796L)))
+  }
+
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
     val expected = Seq(
       (0L, 50L, 21L, 1.0881, 0.1088), (1L, 50L, 15L, 0.7772, 0.1865),

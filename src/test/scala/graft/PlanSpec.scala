@@ -628,11 +628,18 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("q_stats_spearman")(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
-    // every Window node must sit above an Aggregate (the distinct-value
-    // collapse) — a window directly over the scan would sort the corpus
+    // every Window node must sit above the distinct-value collapse — a
+    // window directly over the scan would sort the corpus. Since r9 the
+    // collapse hides behind distCumSums' pid-pinning persist(), so the
+    // probe looks through InMemoryRelation into its cached plan (the
+    // HashAggregate must be what was cached).
     def hasAggBelow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Boolean =
-      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+        : Boolean = p match {
+      case _: Aggregate => true
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        imr.cachedPlan.toString.contains("HashAggregate")
+      case other => other.children.exists(hasAggBelow)
+    }
     val wins = plan.collect { case w: LW => w }
     assert(wins.nonEmpty, "expected rank-map windows")
     wins.foreach(w => assert(hasAggBelow(w.child),

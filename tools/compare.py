@@ -21,7 +21,7 @@ This script reproduces those semantics exactly:
     match: identical dtypes are the only way to *guarantee* identical
     stringification, so we force canonical output types on every query.
 """
-import sys, json, glob
+import sys, json, glob, os
 import duckdb
 import pandas as pd
 
@@ -59,6 +59,27 @@ def dtype_class(dt):
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
+    # Optional artifact emission (round 9 — VERDICT r8 "what's wrong" #3:
+    # artifact provenance must be MECHANICAL, not a hand-written note):
+    #   --artifact <path>   write a CORRECTNESS_*-style JSON, stamped with
+    #                       the exact `git rev-parse HEAD` of the sweep
+    #   --note <text>       human context prepended to the stamp
+    #   --only-present      skip queries with no spark output instead of
+    #                       failing them (subset sweeps via SPARK_GRAFT_ONLY)
+    artifact = note = None
+    only_present = False
+    args = sys.argv[3:]
+    while args:
+        a = args.pop(0)
+        if a == "--artifact":
+            artifact = args.pop(0)
+        elif a == "--note":
+            note = args.pop(0)
+        elif a == "--only-present":
+            only_present = True
+        else:
+            sys.exit(f"unknown arg {a}")
+    results = {}
     con = duckdb.connect()
     # let big oracle CTEs (the unrolled k-core peel at sf1+) spill to
     # disk instead of dying at the in-memory ceiling. Resource config
@@ -77,10 +98,18 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+
+    def rec(name, rows_match, schema_match, hash_match, rows, err):
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "rows": rows, "err": err}
+
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
+            if only_present:
+                continue
             print(f"FAIL {name}: no spark output")
+            rec(name, False, False, False, 0, "no spark output")
             n_fail += 1
             continue
         try:
@@ -88,21 +117,26 @@ def main():
             odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            rec(name, False, False, False, 0, f"exec error: {e}")
             n_fail += 1
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL {name}: columns spark={sorted(sdf.columns)} "
                   f"oracle={sorted(odf.columns)}")
+            rec(name, len(sdf) == len(odf), False, False, len(sdf), None)
             n_fail += 1
             continue
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            rec(name, False, True, False, len(sdf), None)
             n_fail += 1
             continue
         try:
             sdf, odf = norm(sdf), norm(odf)
         except Exception as e:
             print(f"FAIL {name}: sort error (driver 'err'): {type(e).__name__}: {e}")
+            rec(name, True, True, False, len(sdf),
+                f"sort error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         sd, od = dict(sdf.dtypes), dict(odf.dtypes)
@@ -110,6 +144,7 @@ def main():
         if dt_bad:
             detail = ", ".join(f"{c}: spark={sd[c]} oracle={od[c]}" for c in dt_bad)
             print(f"FAIL {name}: dtype mismatch ({detail})")
+            rec(name, True, False, False, len(sdf), None)
             n_fail += 1
             continue
         srows, orows = cells(sdf), cells(odf)
@@ -119,11 +154,32 @@ def main():
             print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first@{i}:")
             print(f"  spark : {a}")
             print(f"  oracle: {b}")
+            rec(name, True, True, False, len(srows), None)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
+            rec(name, True, True, True, len(srows), None)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if artifact:
+        import subprocess, datetime
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "status", "--porcelain", "--", "src", "tools"],
+            capture_output=True, text=True).stdout.strip()
+        stamp = (f"swept at commit {commit}"
+                 + (" (src/tools DIRTY at sweep time)" if dirty else " (clean)")
+                 + f" on {datetime.date.today().isoformat()}")
+        body = {"sf_dir": sf,
+                "note": ((note + " — ") if note else "") + stamp,
+                "n_pass": n_pass, "n_fail": n_fail, "queries": results}
+        with open(artifact, "w") as f:
+            json.dump(body, f, indent=1)
+        print(f"artifact -> {artifact} [{stamp}]")
     sys.exit(1 if n_fail else 0)
 
 
