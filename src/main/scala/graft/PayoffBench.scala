@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the distCumSums trade explicitly (round 9, VERDICT r8
+  * "next round" #8): the same cumulative-count frame — the rank/CDF
+  * input of spearman/mannwhitney/ks/median_ci — computed two ways on
+  * the same dir:
+  *
+  *   single : the pre-r8 shape, one unpartitioned `Window.orderBy(v)`
+  *            over the collapsed distinct-value frame (all values
+  *            through ONE task — the shape that stops scaling once
+  *            the domain grows with the corpus);
+  *   dist   : `Determinism.distCumSums` — range-partition + per-
+  *            partition window + broadcast offsets (two extra
+  *            exchanges at toy scale, parallel at every scale).
+  *
+  * Run it against a CLASSIC dir (domain frozen at the sf0.1 price
+  * book) and a DIVERSITY dir (domain grows with the corpus) to see
+  * both regimes. Emits one JSON line per (dir, variant) with the
+  * domain size, so SCALE.md's payoff table is reproducible from the
+  * repo. Usage: PayoffBench <dir1> [dir2 ...]
+  */
+object PayoffBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PayoffBench <sfDir> [sfDir ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
+      .getOrElse(3).max(1)
+
+    def collapsed(dir: String) = graft.io.Tables.lineitem(spark, dir)
+      .select((col("l_extendedprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+
+    def time(f: => Long): (Double, Long) = {
+      var out = 0L
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        out = f
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (runs(runs.size / 2), out)
+    }
+
+    for (dir <- args) {
+      val domain = collapsed(dir).count()
+      // checksum forces full evaluation of every cum value and pins
+      // the two variants to the same answer
+      val (tSingle, sumSingle) = time {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(Long.MinValue, 0)
+        collapsed(dir).withColumn("cum", sum(col("cnt")).over(w))
+          .agg(sum(expr("cum % 1000000007")).cast("long"))
+          .head().getLong(0)
+      }
+      val (tDist, sumDist) = time {
+        Determinism.distCumSums(collapsed(dir), "v", Seq("cnt"))
+          .agg(sum(expr("cum_cnt % 1000000007")).cast("long"))
+          .head().getLong(0)
+      }
+      require(sumSingle == sumDist,
+        s"variants disagree on $dir: $sumSingle vs $sumDist")
+      println(s"""{"dir":"$dir","domain":$domain,""" +
+        s""""single_task_s":${f"$tSingle%.3f"},""" +
+        s""""dist_cumsums_s":${f"$tDist%.3f"},"checksum":$sumDist}""")
+    }
+    spark.stop()
+  }
+}

@@ -606,27 +606,29 @@ object MacroOps2 extends OpGroup {
       // Pareto 80/20 headline: what revenue share do the top 20% (and
       // top 10%) of customers hold — the concentration number next to
       // q_stats_gini's coefficient. Customer revenue collapses to the
-      // hash-agg'd customer frame first (the gini posture — the ONE
-      // global rank runs over the collapsed frame, never raw orders);
-      // count cutoffs k = ⌊n/5⌋, ⌊n/10⌋ with (revenue desc, custkey)
-      // total rank; shares exact cents through intRatio4Wide.
+      // hash-agg'd customer frame first; the rank comes from the
+      // DISTRIBUTED prefix count over the (revenue desc, custkey)
+      // total order (r9 — the customer frame is a KEY dimension,
+      // 150k·SF: a single-task row_number there was the gini weakness
+      // wearing a different name), and the customer count rides the
+      // prefix sum's own grand total, so no separate count frame or
+      // cross join exists at all. Count cutoffs k = ⌊n/5⌋, ⌊n/10⌋;
+      // shares exact cents through intRatio4Wide.
       "q_macro_pareto_share",
       (s, d) => {
         val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val cust = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg((sum(money("o_totalprice")) * 100).cast("long").as("vc"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("vc").desc, col("o_custkey"))
-        val nf = cust.agg(count(lit(1)).as("nn"))
-        val ranked = cust.withColumn("rn", row_number().over(w)
-          .cast("long")).crossJoin(broadcast(nf))
+        val ranked = graft.Determinism.distCumSumsBy(
+          cust.withColumn("negv", -col("vc")).withColumn("one", lit(1L)),
+          Seq("negv", "o_custkey"), Seq("one"))
         val m = ranked.agg(
           count(lit(1)).as("n_customers"),
           sum(col("vc")).cast(D38).as("tot"),
-          sum(when(col("rn") <= expr("nn div 5"),
+          sum(when(col("cum_one") <= expr("tot_one div 5"),
             col("vc")).otherwise(0L)).cast(D38).as("t20"),
-          sum(when(col("rn") <= expr("nn div 10"),
+          sum(when(col("cum_one") <= expr("tot_one div 10"),
             col("vc")).otherwise(0L)).cast(D38).as("t10"))
         m.select(col("n_customers"),
                  intRatio4Wide(col("t20") * 10000, col("tot"))

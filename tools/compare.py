@@ -68,6 +68,7 @@ def main():
     #                       failing them (subset sweeps via SPARK_GRAFT_ONLY)
     artifact = note = None
     only_present = False
+    skip = set()
     args = sys.argv[3:]
     while args:
         a = args.pop(0)
@@ -77,6 +78,10 @@ def main():
             note = args.pop(0)
         elif a == "--only-present":
             only_present = True
+        elif a == "--skip":
+            # defer named queries (e.g. multi-hour DuckDB twins run in
+            # their own phase); they are reported as SKIP, never PASS
+            skip |= {s for s in args.pop(0).split(",") if s}
         else:
             sys.exit(f"unknown arg {a}")
     results = {}
@@ -104,6 +109,9 @@ def main():
                          "hash_match": hash_match, "rows": rows, "err": err}
 
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name} (deferred by --skip)")
+            continue
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             if only_present:
