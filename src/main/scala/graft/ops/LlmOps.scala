@@ -103,20 +103,63 @@ object LlmOps extends OpGroup {
 
   private[ops] val minhashPairsSql: String = minhashPairsSqlWith("")
 
-  /** THE recursive-CTE transitive closure over `pairs` — shared by
-    * q_dedup_cluster and q_dedup_canonical so the CC walk cannot drift
-    * between the two oracles (same rule as minhashPairsSql for the
-    * pair generation). Yields `comp(doc, root)`. */
-  private[ops] val ccCompSql: String =
-    """edges AS (
-      |  SELECT doc_a, doc_b FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |walk(doc, root) AS (
-      |  SELECT DISTINCT doc_a, doc_a FROM edges
-      |  UNION
-      |  SELECT e.doc_b, w.root FROM walk w
-      |  JOIN edges e ON e.doc_a = w.doc),
-      |comp AS (SELECT doc, MIN(root) AS root FROM walk GROUP BY doc)""".stripMargin
+  /** THE connected-components CTE over `pairs` — ONE definition shared
+    * by every CC-consuming oracle (cluster, canonical, cluster_sizes,
+    * pr_report, lang_purity, soft_weights, leakage_safe, funnel) so
+    * the component walk cannot drift between twins.
+    *
+    * r9 rewrite: the old `WITH RECURSIVE walk` transitive closure kept
+    * every (doc, seen-root) pair as working state — at sf10 (500k
+    * docs) DuckDB spilled it without bound (r8 measured >70 GB on
+    * lang_purity; r9's per-query harness spill-killed funnel at 35 GB).
+    * This is the same defect class the Spark side never had (its CC is
+    * iterative min-label propagation with |V| state per round), so the
+    * twin now mirrors that shape in plain bounded CTEs: `rounds`
+    * alternating hop (take the min label over neighbors) and pointer-
+    * jump (take your label's label) steps — radius at least doubles
+    * per round, so 12 rounds cover any component diameter to ~4k hops
+    * with per-step state of exactly |V| rows. Labels are monotone
+    * non-increasing and the component-minimum node keeps its own id,
+    * so at convergence every component carries its min doc id — the
+    * identical `comp(doc, root)` contract as the recursive walk.
+    * Convergence is PROVEN in-query, not assumed: if any edge still
+    * joins two labels after the last round, `error(...)` fails the
+    * oracle loudly (bounded + loud, never silently wrong). */
+  private[ops] val ccCompSql: String = {
+    // AS MATERIALIZED on every round is load-bearing: each step
+    // references its predecessor TWICE, so an inlining planner would
+    // expand the chain to 2^(2*rounds) scans of the base tables (the
+    // first run died binding "too many open files"); materialization
+    // pins the plan to `rounds` linear passes of |V| rows.
+    val rounds = 12
+    val steps = (1 to rounds).map { k =>
+      s"""h$k AS MATERIALIZED (
+         |  SELECT d.doc,
+         |    LEAST(d.root, COALESCE(MIN(n.root), d.root)) AS root
+         |  FROM l${k - 1} d
+         |  LEFT JOIN edges e ON e.doc_a = d.doc
+         |  LEFT JOIN l${k - 1} n ON n.doc = e.doc_b
+         |  GROUP BY d.doc, d.root),
+         |l$k AS MATERIALIZED (
+         |  SELECT a.doc, LEAST(a.root, COALESCE(b.root, a.root)) AS root
+         |  FROM h$k a LEFT JOIN h$k b ON b.doc = a.root)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_a AS doc, doc_a AS root FROM edges),
+       |$steps,
+       |unconv AS (
+       |  SELECT COUNT(*) AS bad FROM edges e
+       |  JOIN l$rounds a ON a.doc = e.doc_a
+       |  JOIN l$rounds b ON b.doc = e.doc_b
+       |  WHERE a.root <> b.root),
+       |comp AS (
+       |  SELECT doc, root FROM l$rounds
+       |  WHERE (SELECT bad FROM unconv) = 0
+       |     OR error('cc label propagation not converged in $rounds rounds'))""".stripMargin
+  }
 
   /** Capped variant: shingles present in more than 5 docs are dropped
     * before hashing — mirrors maxShingleDocFreq = Some(5). */

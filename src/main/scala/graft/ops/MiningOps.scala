@@ -85,11 +85,22 @@ object MiningOps extends OpGroup {
         |  SELECT item FROM ic, n WHERE n_i * 25 >= nn),
         |fitems AS (
         |  SELECT * FROM items WHERE item IN (SELECT item FROM freq)),
+        |-- pair generation from per-basket SORTED item lists (r9): the
+        |-- former fitems x fitems self-join hash-built the whole corpus
+        |-- item table against itself and spilled without bound at sf10
+        |-- (~55M rows each side); unnesting i<j positions of a <=|items|
+        |-- list generates exactly the same (item_a < item_b) pair
+        |-- multiset with per-basket fan-out only - the oracle twin of
+        |-- the Spark side's within-basket quadratic discipline
+        |bk AS (
+        |  SELECT ok, list_sort(list(item)) AS li FROM fitems GROUP BY ok),
+        |x1 AS (
+        |  SELECT li, unnest(range(0, len(li))) AS i FROM bk),
+        |x2 AS (
+        |  SELECT li, i, unnest(range(i + 1, len(li))) AS j FROM x1),
         |pairs AS (
-        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
-        |  FROM fitems a JOIN fitems b
-        |    ON a.ok = b.ok AND a.item < b.item
-        |  GROUP BY a.item, b.item)
+        |  SELECT li[i+1] AS item_a, li[j+1] AS item_b, COUNT(*) AS n_ab
+        |  FROM x2 GROUP BY 1, 2)
         |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
         |  CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
         |  CAST((2*(n_ab*10000) + nn) // (2*nn) AS DOUBLE) / 10000.0

@@ -69,6 +69,7 @@ def main():
     artifact = note = None
     only_present = False
     skip = set()
+    only = None
     args = sys.argv[3:]
     while args:
         a = args.pop(0)
@@ -82,6 +83,11 @@ def main():
             # defer named queries (e.g. multi-hour DuckDB twins run in
             # their own phase); they are reported as SKIP, never PASS
             skip |= {s for s in args.pop(0).split(",") if s}
+        elif a == "--only":
+            # restrict to the named queries (per-query harness driving:
+            # one twin per process so a spilling monster can be timed
+            # out and killed without losing the batch)
+            only = {s for s in args.pop(0).split(",") if s}
         else:
             sys.exit(f"unknown arg {a}")
     results = {}
@@ -109,6 +115,8 @@ def main():
                          "hash_match": hash_match, "rows": rows, "err": err}
 
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             print(f"SKIP {name} (deferred by --skip)")
             continue

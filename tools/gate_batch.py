@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Per-query driver for the big-SF oracle gate (round 9).
+
+Runs tools/compare.py ONE QUERY PER PROCESS so a DuckDB twin that
+spills without bound (e.g. an all-pairs CTE at 100x) can be killed by
+timeout without losing the batch, and the spill dir is wiped between
+queries. Results accumulate as JSON lines in --log; queries already in
+the log are skipped, so the driver is resumable.
+
+Usage:
+  python3 tools/gate_batch.py <sfDir> <verifyOut> --log <file>
+      [--queries a,b,c] [--timeout SECONDS]
+"""
+import sys, json, os, shutil, subprocess, time
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    log_path = None
+    queries = None
+    timeout = 900
+    args = sys.argv[3:]
+    while args:
+        a = args.pop(0)
+        if a == "--log":
+            log_path = args.pop(0)
+        elif a == "--queries":
+            queries = [q for q in args.pop(0).split(",") if q]
+        elif a == "--timeout":
+            timeout = int(args.pop(0))
+        else:
+            sys.exit(f"unknown arg {a}")
+    assert log_path, "--log required"
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if queries is None:
+        queries = sorted(oracle)
+    done = set()
+    if os.path.exists(log_path):
+        for line in open(log_path):
+            try:
+                done.add(json.loads(line)["query"])
+            except Exception:
+                pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(log_path, "a") as log:
+        for q in queries:
+            if q in done:
+                continue
+            shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
+            t0 = time.time()
+            p = subprocess.Popen(
+                [sys.executable, os.path.join(here, "compare.py"),
+                 sf, out, "--only", q],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            # watchdog: timeout OR unbounded spill (a twin that wrote
+            # SPILL_CAP_GB of temp is not going to finish inside the
+            # budget; kill it before it takes the box's disk down)
+            SPILL_CAP_GB = 35
+            status = None
+            while True:
+                rc = p.poll()
+                if rc is not None:
+                    break
+                if time.time() - t0 > timeout:
+                    p.kill()
+                    status = "TIMEOUT"
+                    break
+                spill = 0
+                try:
+                    with os.scandir("/tmp/duckdb_spill") as it:
+                        spill = sum(e.stat().st_size for e in it
+                                    if e.is_file())
+                except FileNotFoundError:
+                    pass
+                if spill > SPILL_CAP_GB * (1 << 30):
+                    p.kill()
+                    status = "SPILL_KILL"
+                    break
+                time.sleep(5)
+            out_txt, _ = p.communicate()
+            took = round(time.time() - t0, 1)
+            if status is None:
+                ok = p.returncode == 0
+                tail = (out_txt.strip().splitlines() or ["?"])[-2:]
+                rec = {"query": q, "status": "PASS" if ok else "FAIL",
+                       "seconds": took, "detail": " | ".join(tail)}
+            else:
+                rec = {"query": q, "status": status, "seconds": took,
+                       "detail": f"killed ({status.lower()})"}
+            shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
+            print(f"[gate] {rec['status']} {q} ({rec['seconds']}s)",
+                  flush=True)
+
+if __name__ == "__main__":
+    main()
