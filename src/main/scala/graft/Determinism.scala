@@ -264,6 +264,36 @@ object Determinism {
     * totally — gini's (rc, custkey), abc's (−rev, partkey)). The input
     * must be collapsed to one row per distinct key TUPLE; the prefix
     * sum runs in the lexicographic order of `vs`. */
+  /** Pinned frames [[distCumSumsBy]] has persisted and not yet
+    * released. Unpersist is CORRECTNESS-SAFE at any time — the
+    * InMemoryRelation keeps its one cached RDD instance, so recompute
+    * of evicted/unpersisted partitions re-runs the SAME lineage
+    * against the SAME RangePartitioner (pids cannot shift) — it only
+    * trades cache hits for recompute. What is NOT safe is unbounded
+    * growth: each rank/CDF query pins one frame for the life of the
+    * session (round-10 advisory), so a 391-query sweep would
+    * accumulate storage until ContextCleaner GC. Two bounds:
+    * (a) the queue caps at [[MaxPinned]] — the oldest frame (from a
+    * query whose action already completed in any sequential driver)
+    * is dropped on overflow; (b) harness loops (Verify, Bench) call
+    * [[releaseCumSums]] between queries. */
+  private val pinnedCumFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.DataFrame]()
+  private val MaxPinned = 4
+
+  /** Release every frame [[distCumSumsBy]] still has pinned. Call
+    * after the action that consumed the returned frame (or between
+    * queries in a sweep); safe to call at any time, see
+    * [[pinnedCumFrames]]. */
+  def releaseCumSums(): Unit = {
+    var f = pinnedCumFrames.poll()
+    while (f != null) {
+      scala.util.Try(f.unpersist(blocking = false))
+      f = pinnedCumFrames.poll()
+    }
+  }
+
   def distCumSumsBy(df: org.apache.spark.sql.DataFrame, vs: Seq[String],
                     cnts: Seq[String], parts: Int = 64)
       : org.apache.spark.sql.DataFrame = {
@@ -283,6 +313,10 @@ object Determinism {
     val ranged = df.repartitionByRange(parts, ord: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinnedCumFrames.add(ranged)
+    while (pinnedCumFrames.size > MaxPinned)
+      Option(pinnedCumFrames.poll())
+        .foreach(f => scala.util.Try(f.unpersist(blocking = false)))
     val wIn = W.partitionBy(col("_pid")).orderBy(ord: _*)
       .rowsBetween(Long.MinValue, 0)
     val within = cnts.foldLeft(ranged)((acc, c) =>

@@ -89,10 +89,16 @@ object ScaleUp {
       .cast("double")
 
   def main(args: Array[String]): Unit = {
-    val (src, out, fStr, mode) = args match {
-      case Array(s, o, f)    => (s, o, f, "classic")
-      case Array(s, o, f, m) => (s, o, f, m)
-      case _ => sys.error("usage: ScaleUp <src> <out> <factor> [diversity]")
+    val (src, out, fStr, mode, tables) = args match {
+      case Array(s, o, f)    => (s, o, f, "classic", None)
+      case Array(s, o, f, m) => (s, o, f, m, None)
+      // targeted projections (e.g. the PayoffBench sf100-diversity
+      // point needs ONLY lineitem — writing all ten tables at ×1000
+      // would burn disk and hours for columns nothing reads)
+      case Array(s, o, f, m, ts) =>
+        (s, o, f, m, Some(ts.split(",").map(_.trim).toSet))
+      case _ => sys.error(
+        "usage: ScaleUp <src> <out> <factor> [diversity] [tables-csv]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -101,7 +107,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, fStr.toInt, diversity = mode == "diversity")
+    run(spark, src, out, fStr.toInt, diversity = mode == "diversity",
+        only = tables)
     spark.stop()
   }
 
@@ -109,14 +116,20 @@ object ScaleUp {
       : Unit = run(spark, src, out, factor, diversity = false)
 
   def run(spark: SparkSession, src: String, out: String, factor: Int,
-          diversity: Boolean): Unit = {
+          diversity: Boolean): Unit =
+    run(spark, src, out, factor, diversity, only = None)
+
+  def run(spark: SparkSession, src: String, out: String, factor: Int,
+          diversity: Boolean, only: Option[Set[String]]): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    def wanted(table: String): Boolean = only.forall(_.contains(table))
 
     val K = 10000000L // per-replica key offset (dims/docs/vectors)
     val KO = 100000000L // orders/lineitem orderkey offset
     val KE = 1000000000L // event id offset
 
     def scaled(table: String)(per: (DataFrame, Int) => DataFrame): Unit = {
+      if (!wanted(table)) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val all = (0 until factor).map(k => per(base, k))
         .reduce(_ unionByName _)
@@ -124,7 +137,7 @@ object ScaleUp {
       println(s"[scaleup] $table x$factor written")
     }
 
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if wanted(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 

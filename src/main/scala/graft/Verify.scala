@@ -38,6 +38,11 @@ object Verify {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // rank/CDF queries pin a range-partitioned frame for plan-shape
+      // determinism; release between queries so a full sweep never
+      // accumulates storage (round-10 advisory: unbounded
+      // InMemoryRelation growth across a 391-query session)
+      Determinism.releaseCumSums()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

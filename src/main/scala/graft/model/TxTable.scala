@@ -304,7 +304,12 @@ final class TxTable private (
     val cutoff = System.currentTimeMillis() - stagedGraceMs
     val staged = all.filterNot(keep).filterNot(referenced).filter { rel =>
       val p = Paths.get(dir, rel)
-      Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoff
+      // exists + mtime is non-atomic: a concurrent vacuum (or writer
+      // cleanup) can delete the file between the two calls, and the
+      // resulting NoSuchFileException must not abort THIS vacuum — a
+      // vanished file is simply not reclaimable this pass
+      scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+        .getOrElse(false)
     }
     val lateAdds = listVersions(dir).filter(_ > head)
       .flatMap(readManifest(dir, _).adds).toSet

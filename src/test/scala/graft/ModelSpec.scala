@@ -334,6 +334,45 @@ class ModelSpec extends SparkSpec {
     assert(t.unreferencedFiles().isEmpty)
   }
 
+  test("txlog: vacuum reclaims a staged file once its mtime AGES past " +
+       "the grace window — the cutoff arithmetic itself") {
+    // the grace tests above exercise grace=default (spared) and
+    // grace=0 (reclaimed); this one pins the boundary: same default
+    // window, but the file's mtime is pushed BEYOND it, so
+    // `mtime < now - grace` must flip from false to true (r9 verdict
+    // task: the aging case was untested — a sign error in the cutoff
+    // subtraction would pass both existing tests)
+    val t = graft.model.TxTable(spark, tmpDir("tx-vac-aging"))
+    t.append(Seq((1L, 1L)).toDF("k", "v"))
+    val wap = t.writeAuditPublish(Seq((2L, 2L)).toDF("k", "v"))(
+      _ => Some("audit says no")) // abandon → files stay staged
+    assert(wap.isLeft)
+    val staged = t.unreferencedFiles()
+    assert(staged.nonEmpty)
+    val grace = graft.model.TxTable.VacuumStagedGraceMs
+    // 1) just INSIDE the window (half the grace ago): spared
+    staged.foreach { rel =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(t.dir, rel),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - grace / 2))
+    }
+    t.vacuum(retainVersions = 1)
+    assert(t.unreferencedFiles().toSet == staged.toSet,
+      "a staged file inside the grace window was reclaimed")
+    // 2) just PAST the window (grace + 1 min ago): reclaimed, with the
+    // grace parameter left at its default — only the mtime moved
+    staged.foreach { rel =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(t.dir, rel),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - grace - 60000L))
+    }
+    t.vacuum(retainVersions = 1)
+    assert(t.unreferencedFiles().isEmpty,
+      "a staged file aged past the grace window survived the vacuum")
+  }
+
   test("txlog: committers racing repeated vacuums never lose a file " +
        "of any readable retained version") {
     val dir = tmpDir("tx-vac-race")

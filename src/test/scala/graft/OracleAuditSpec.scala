@@ -703,6 +703,205 @@ class OracleAuditSpec extends SparkSpec {
       s"eval_lift mismatch:\n got $got\n exp $expected")
   }
 
+  // ============== r10: the inferential batch-5-7 family (VERDICT r9
+  // #6 — granger, ljung_box, cochran_armitage, seasonal_mk, page_trend,
+  // fdr_bh leaned on the hash gate alone; the MACD lesson says a
+  // mirrored oracle can be green while wrong). Plain-Scala textbook
+  // replays, no shared helpers with the plans.
+
+  /** Orders with the fields this family consumes: epoch day, calendar
+    * month/ym from java.time (NOT Catalyst's year()/month()), the
+    * priority's leading digit parsed from the raw string, status, and
+    * exact cents. */
+  private lazy val prioRows: Seq[(Long, Int, Long, Long, String, Long)] =
+    Tables.orders(spark, sfDir)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp))"),
+              col("o_orderpriority"), col("o_orderstatus"),
+              col("o_totalprice"))
+      .collect().toSeq.map { r =>
+        val day = Math.floorDiv(r.getLong(0), 86400000000L)
+        val date = java.time.LocalDate.ofEpochDay(day)
+        (day, date.getMonthValue,
+         date.getYear.toLong * 100 + date.getMonthValue,
+         r.getString(1).takeWhile(_.isDigit).toLong,
+         r.getString(2), cents(r.getDouble(3)))
+      }
+
+  test("audit: q_ts_granger — lag-1 F test from a plain two-variable " +
+       "OLS on the daily series") {
+    val daily = prioRows.groupBy(_._1).view.mapValues(rs =>
+      (rs.size.toLong, rs.map(r => BigInt(r._6)).sum)).toMap
+    val pairs = daily.toSeq.flatMap { case (d, (_, y)) =>
+      daily.get(d - 1).map { case (xl, yl) =>
+        (y.toDouble, yl.toDouble, xl.toDouble) }
+    }
+    val n = pairs.size
+    def mean(v: Seq[Double]) = v.sum / v.size
+    val (ys, yls, xls) = (pairs.map(_._1), pairs.map(_._2),
+                          pairs.map(_._3))
+    val (my, myl, mxl) = (mean(ys), mean(yls), mean(xls))
+    def c(a: Seq[Double], ma: Double, b: Seq[Double], mb: Double) =
+      a.zip(b).map { case (x, z) => (x - ma) * (z - mb) }.sum
+    val cyy = c(ys, my, ys, my); val cylyl = c(yls, myl, yls, myl)
+    val cxlxl = c(xls, mxl, xls, mxl); val cyyl = c(ys, my, yls, myl)
+    val cyxl = c(ys, my, xls, mxl); val cylxl = c(yls, myl, xls, mxl)
+    val rssR = cyy - cyyl * cyyl / cylyl
+    val det = cylyl * cxlxl - cylxl * cylxl
+    val b1 = (cyyl * cxlxl - cyxl * cylxl) / det
+    val b2 = (cyxl * cylyl - cyyl * cylxl) / det
+    val rssU = cyy - b1 * cyyl - b2 * cyxl
+    val f = (rssR - rssU) * (n - 3) / rssU
+    val pr2 = 1.0 - rssU / rssR
+    val row = q("q_ts_granger").head()
+    assert(row.getLong(0) == n.toLong, s"n_days ${row.getLong(0)} != $n")
+    assert(math.abs(row.getDouble(1) - f) < TOL,
+      s"f4: got ${row.getDouble(1)} expected $f")
+    assert(math.abs(row.getDouble(2) - pr2) < TOL,
+      s"partial_r2: got ${row.getDouble(2)} expected $pr2")
+  }
+
+  test("audit: q_ts_ljung_box — lag 1..5 autocorrelations and Q from " +
+       "mean-centered pair sums") {
+    val daily = prioRows.groupMapReduce(_._1)(r => BigInt(r._6))(_ + _)
+    val n = daily.size
+    val mu = daily.values.sum.toDouble / n
+    val denom = daily.values.map(v => (v.toDouble - mu) *
+                                      (v.toDouble - mu)).sum
+    val rhos = (1 to 5).map { k =>
+      daily.toSeq.flatMap { case (d, y) =>
+        daily.get(d - k).map(yl =>
+          (y.toDouble - mu) * (yl.toDouble - mu))
+      }.sum / denom
+    }
+    val q5 = n.toDouble * (n + 2) *
+      rhos.zipWithIndex.map { case (r, i) => r * r / (n - i - 1) }.sum
+    val row = q("q_ts_ljung_box").head()
+    assert(row.getLong(0) == n.toLong)
+    rhos.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(row.getDouble(1 + i) - r) < TOL,
+        s"rho${i + 1}: got ${row.getDouble(1 + i)} expected $r")
+    }
+    assert(math.abs(row.getDouble(6) - q5) < 2e-3,
+      // Q multiplies Σρ²/(n−k) by n(n+2) ≈ 2.5e5 at sf0.001, so the
+      // 1e-4 output grid is the binding precision, not the replay
+      s"q5: got ${row.getDouble(6)} expected $q5")
+  }
+
+  test("audit: q_stats_cochran_armitage — trend z from the textbook " +
+       "score-test form") {
+    val cells = prioRows.groupBy(_._4).view.mapValues(rs =>
+      (rs.size.toLong, rs.count(_._5 == "F").toLong)).toSeq
+    val nn = cells.map(_._2._1).sum
+    val kk = cells.map(_._2._2).sum
+    val pbar = kk.toDouble / nn
+    val t = cells.map { case (w, (nw, kw)) =>
+      w * (kw - nw * pbar) }.sum
+    val varT = pbar * (1 - pbar) *
+      (cells.map { case (w, (nw, _)) => w.toDouble * w * nw }.sum -
+       math.pow(cells.map { case (w, (nw, _)) => w.toDouble * nw }.sum,
+                2) / nn)
+    val z = t / math.sqrt(varT)
+    val row = q("q_stats_cochran_armitage").head()
+    assert(row.getLong(0) == nn && row.getLong(1) == kk)
+    assert(math.abs(row.getDouble(2) - z) < TOL,
+      s"z4: got ${row.getDouble(2)} expected $z")
+  }
+
+  test("audit: q_stats_seasonal_mk — within-season sign pairs, tie " +
+       "correction, continuity-corrected z") {
+    val daily = prioRows.groupMapReduce(r => (r._1, r._2))(r =>
+      BigInt(r._6))(_ + _)
+    val bySeason = daily.toSeq.map { case ((d, m), y) => (m, d, y) }
+      .groupBy(_._1)
+    var s = 0L; var var18 = BigInt(0); var nDays = 0L
+    bySeason.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size)
+        s += sorted(j)._3.compare(sorted(i)._3).sign
+      val nm = BigInt(rs.size)
+      val ties = rs.groupBy(_._3).values.map(g => BigInt(g.size))
+      var18 += nm * (nm - 1) * (nm * 2 + 5) -
+        ties.map(t => t * (t - 1) * (t * 2 + 5)).sum
+      nDays += rs.size
+    }
+    val z =
+      if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val row = q("q_stats_seasonal_mk").head()
+    assert(row.getLong(0) == nDays &&
+           row.getLong(1) == bySeason.size.toLong &&
+           row.getLong(2) == s && row.getLong(3) == var18.toLong,
+      s"seasonal MK integers: got $row expected " +
+      s"($nDays, ${bySeason.size}, $s, $var18)")
+    assert(math.abs(row.getDouble(4) - z) < TOL)
+  }
+
+  test("audit: q_stats_page_trend — Page's L from within-block " +
+       "average ranks over complete months") {
+    val cell = prioRows.groupMapReduce(r => (r._3, r._4))(r =>
+      BigInt(r._6))(_ + _)
+    val blocks = cell.toSeq.map { case ((ym, j), v) => (ym, j, v) }
+      .groupBy(_._1).filter(_._2.size == 5)
+    var l2 = 0L
+    blocks.values.foreach { rs =>
+      val vs = rs.map(_._3).sorted
+      // average rank of v among the block's 5 values (1-based), doubled
+      def ar2(v: BigInt): Long = {
+        val below = vs.count(_ < v); val eq = vs.count(_ == v)
+        // 2 * avg(below+1 .. below+eq) = 2*below + eq + 1
+        2L * below + eq + 1
+      }
+      rs.foreach { case (_, j, v) => l2 += j * ar2(v) }
+    }
+    val b = blocks.size
+    val z = (l2 - 90.0 * b) / (10.0 * math.sqrt(b.toDouble))
+    val row = q("q_stats_page_trend").head()
+    assert(row.getLong(0) == b.toLong && row.getLong(1) == l2,
+      s"page integers: got $row expected ($b, $l2)")
+    assert(math.abs(row.getDouble(2) - z) < TOL)
+  }
+
+  test("audit: q_stats_fdr_bh — per-nation two-proportion z, normal " +
+       "p-values, Benjamini–Hochberg step-up") {
+    val nationName = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fam = ordersRows.groupBy(o => nationName(o._2)).view
+      .mapValues(os => (os.size.toLong, os.count(_._3 == "F").toLong))
+      .toSeq
+    val tn = fam.map(_._2._1).sum; val tk = fam.map(_._2._2).sum
+    val p0 = tk.toDouble / tn
+    val scored = fam.map { case (nation, (nw, kw)) =>
+      val z = (kw.toDouble / nw - p0) / math.sqrt(p0 * (1 - p0) / nw)
+      // two-sided normal p via the Simpson-integrated CDF — NOT the
+      // A&S erfc polynomial the engines freeze; the polynomial's
+      // ~1.5e-7 absolute error can flip the 1e-6 rounding by one ulp,
+      // hence the ±1 allowance on p6 below
+      val p6 = math.round(2.0 * (1.0 - normCdf(math.abs(z))) * 1e6)
+      (nation, nw, kw, z, p6)
+    }.sortBy(s => (s._5, s._1))
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      (s, i + 1L) }
+    val imax = ranked.filter { case (s, i) => s._5 <= i * 2000 }
+      .map(_._2).maxOption.getOrElse(0L)
+    val got = q("q_stats_fdr_bh").collect().toSeq
+    assert(got.size == ranked.size)
+    got.zip(ranked).foreach { case (g, ((nation, nw, kw, z, p6), rnk)) =>
+      assert(g.getString(0) == nation && g.getLong(1) == nw &&
+             g.getLong(2) == kw && g.getLong(5) == rnk,
+        s"fdr row: got $g expected ($nation, $nw, $kw, rnk=$rnk)")
+      assert(math.abs(g.getDouble(3) - z) < TOL,
+        s"$nation z4: got ${g.getDouble(3)} expected $z")
+      assert(math.abs(g.getLong(4) - p6) <= 1,
+        s"$nation p6: got ${g.getLong(4)} expected $p6")
+      assert(g.getLong(6) == (if (rnk <= imax) 1L else 0L),
+        s"$nation reject flag: got ${g.getLong(6)} rnk=$rnk imax=$imax")
+    }
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -872,6 +1071,43 @@ class OracleAuditSpec extends SparkSpec {
       Seq(3L, 944780944405L), Seq(6L, 944780944405L),
       Seq(9L, 944780944405L), Seq(0L, 794827726400L),
       Seq(1L, 597309337796L)))
+  }
+
+  // r10: one pin per newly-replayed inferential operator (each row
+  // produced by the operator at sf0.001 and cross-checked by the
+  // textbook replays above on 2026-08-15)
+
+  test("golden: q_ts_granger sf0.001 — pinned F and partial R²") {
+    pinned("q_ts_granger", Seq(Seq(500L, 0.4421, 9.0e-4)))
+  }
+
+  test("golden: q_ts_ljung_box sf0.001 — pinned ρ₁..₅ and Q") {
+    pinned("q_ts_ljung_box",
+      Seq(Seq(1094L, 0.0026, 0.0165, -0.0021, -0.0348, -0.0205,
+              2.1083)))
+  }
+
+  test("golden: q_stats_cochran_armitage sf0.001 — pinned trend z") {
+    pinned("q_stats_cochran_armitage", Seq(Seq(1500L, 493L, 0.5331)))
+  }
+
+  test("golden: q_stats_seasonal_mk sf0.001 — pinned S/var18/z") {
+    pinned("q_stats_seasonal_mk",
+      Seq(Seq(1094L, 12L, 695L, 18793530L, 0.6792)))
+  }
+
+  test("golden: q_stats_page_trend sf0.001 — pinned L2 and z") {
+    pinned("q_stats_page_trend", Seq(Seq(69L, 6274L, 0.7705)))
+  }
+
+  test("golden: q_stats_fdr_bh sf0.001 — pinned head + tail of the " +
+       "BH-ranked table") {
+    pinned("q_stats_fdr_bh", Seq(
+      Seq("NATION_3", 40L, 6L, -2.4056, 16145L, 1L, 0L),
+      Seq("NATION_5", 51L, 24L, 2.1577, 30953L, 2L, 0L),
+      Seq("NATION_11", 118L, 49L, 2.0024, 45242L, 3L, 0L),
+      Seq("NATION_13", 83L, 28L, 0.1684, 866267L, 25L, 0L)),
+      r => Set(1L, 2L, 3L, 25L)(r.getLong(5)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {

@@ -66,7 +66,7 @@ def main():
     #   --note <text>       human context prepended to the stamp
     #   --only-present      skip queries with no spark output instead of
     #                       failing them (subset sweeps via SPARK_GRAFT_ONLY)
-    artifact = note = None
+    artifact = note = jsonl = None
     only_present = False
     skip = set()
     only = None
@@ -75,6 +75,12 @@ def main():
         a = args.pop(0)
         if a == "--artifact":
             artifact = args.pop(0)
+        elif a == "--jsonl":
+            # per-query JSON-lines accumulator for the one-query-per-
+            # process harness (gate_batch.py): each completed compare
+            # appends its full record; tools/assemble_gate.py merges the
+            # lines into a CORRECTNESS_* artifact with a mechanical stamp
+            jsonl = args.pop(0)
         elif a == "--note":
             note = args.pop(0)
         elif a == "--only-present":
@@ -177,6 +183,10 @@ def main():
             rec(name, True, True, True, len(srows), None)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if jsonl:
+        with open(jsonl, "a") as f:
+            for name in sorted(results):
+                f.write(json.dumps({"query": name, **results[name]}) + "\n")
     if artifact:
         import subprocess, datetime
         commit = subprocess.run(
@@ -190,8 +200,22 @@ def main():
         stamp = (f"swept at commit {commit}"
                  + (" (src/tools DIRTY at sweep time)" if dirty else " (clean)")
                  + f" on {datetime.date.today().isoformat()}")
+        # Partial sweeps must be distinguishable from full gates (round-10
+        # advisory: a subset artifact stamped like a full one is the r8
+        # stale-artifact failure mode in new clothes): record the exact
+        # invocation flags AND the oracle queries absent from the body.
+        absent = sorted(q for q in oracle if q not in results)
+        invocation = {
+            "only": sorted(only) if only is not None else None,
+            "skip": sorted(skip),
+            "only_present": only_present,
+            "n_oracle_queries": len(oracle),
+            "absent_queries": absent,
+            "partial": bool(absent),
+        }
         body = {"sf_dir": sf,
                 "note": ((note + " — ") if note else "") + stamp,
+                "invocation": invocation,
                 "n_pass": n_pass, "n_fail": n_fail, "queries": results}
         with open(artifact, "w") as f:
             json.dump(body, f, indent=1)

@@ -9,14 +9,20 @@ the log are skipped, so the driver is resumable.
 
 Usage:
   python3 tools/gate_batch.py <sfDir> <verifyOut> --log <file>
-      [--queries a,b,c] [--timeout SECONDS]
+      [--queries a,b,c] [--timeout SECONDS] [--jsonl <file>]
+
+With --jsonl, each per-query compare appends its full record (rows/
+schema/hash match) to the given JSON-lines file; killed queries get a
+record with err=TIMEOUT/SPILL_KILL. tools/assemble_gate.py merges the
+lines into a CORRECTNESS_* artifact with a mechanical git stamp.
 """
-import sys, json, os, shutil, subprocess, time
+import sys, json, os, shutil, subprocess, tempfile, time
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     log_path = None
     queries = None
+    jsonl = None
     timeout = 900
     args = sys.argv[3:]
     while args:
@@ -27,6 +33,8 @@ def main():
             queries = [q for q in args.pop(0).split(",") if q]
         elif a == "--timeout":
             timeout = int(args.pop(0))
+        elif a == "--jsonl":
+            jsonl = args.pop(0)
         else:
             sys.exit(f"unknown arg {a}")
     assert log_path, "--log required"
@@ -47,10 +55,17 @@ def main():
                 continue
             shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
             t0 = time.time()
+            # child output goes to a temp FILE, not a PIPE: a twin that
+            # prints verbose failure rows can fill a 64 KiB pipe buffer
+            # and block forever, which the watchdog would then mislabel
+            # as TIMEOUT (round-10 advisory)
+            tf = tempfile.TemporaryFile(mode="w+")
+            cmd = [sys.executable, os.path.join(here, "compare.py"),
+                   sf, out, "--only", q]
+            if jsonl:
+                cmd += ["--jsonl", jsonl]
             p = subprocess.Popen(
-                [sys.executable, os.path.join(here, "compare.py"),
-                 sf, out, "--only", q],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+                cmd, stdout=tf, stderr=subprocess.STDOUT, text=True)
             # watchdog: timeout OR unbounded spill (a twin that wrote
             # SPILL_CAP_GB of temp is not going to finish inside the
             # budget; kill it before it takes the box's disk down)
@@ -76,7 +91,10 @@ def main():
                     status = "SPILL_KILL"
                     break
                 time.sleep(5)
-            out_txt, _ = p.communicate()
+            p.wait()
+            tf.seek(0)
+            out_txt = tf.read()
+            tf.close()
             took = round(time.time() - t0, 1)
             if status is None:
                 ok = p.returncode == 0
@@ -86,6 +104,17 @@ def main():
             else:
                 rec = {"query": q, "status": status, "seconds": took,
                        "detail": f"killed ({status.lower()})"}
+                if jsonl:
+                    # the killed twin never reached compare.py's own
+                    # writer — record the failure so the assembled
+                    # artifact counts it instead of omitting it
+                    with open(jsonl, "a") as jf:
+                        jf.write(json.dumps({
+                            "query": q, "rows_match": False,
+                            "schema_match": False, "hash_match": False,
+                            "rows": 0,
+                            "err": f"oracle {status.lower()} after "
+                                   f"{took}s"}) + "\n")
             shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
             log.write(json.dumps(rec) + "\n")
             log.flush()
