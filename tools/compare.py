@@ -101,14 +101,23 @@ def main():
     # let big oracle CTEs (the unrolled k-core peel at sf1+) spill to
     # disk instead of dying at the in-memory ceiling. Resource config
     # only — comparator semantics stay driver-strict.
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='90GB'")
+    # GRAFT_DUCKDB_SPILL lets parallel gate workers (gate_batch.py
+    # sharded across processes) give each DuckDB its OWN spill dir —
+    # a shared one would be rmtree'd between queries by a sibling
+    # worker mid-spill.
+    spill_dir = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_spill")
+    con.execute(f"SET temp_directory='{spill_dir}'")
+    # overridable for phases that share the box with a live Spark JVM
+    # (parallel gate workers + a Verify/Bench run): 90GB × N workers
+    # would invite the OOM killer; resource config only, semantics
+    # stay driver-strict.
+    con.execute("SET memory_limit='"
+                + os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "90GB") + "'")
     for t in TABLES:
         # driver fixtures are single files; ScaleUp dirs are
         # <table>.parquet/part-*.parquet — read either layout.
         # (Read-path only: comparator semantics stay driver-strict.)
         p = f"{sf}/{t}.parquet"
-        import os
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(

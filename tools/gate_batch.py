@@ -49,11 +49,16 @@ def main():
             except Exception:
                 pass
     here = os.path.dirname(os.path.abspath(__file__))
+    # each gate_batch process owns ONE spill dir (overridable so
+    # parallel sharded workers don't rmtree each other's mid-spill);
+    # it is passed down to compare.py via the same env var.
+    spill_dir = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_spill")
+    env = {**os.environ, "GRAFT_DUCKDB_SPILL": spill_dir}
     with open(log_path, "a") as log:
         for q in queries:
             if q in done:
                 continue
-            shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
+            shutil.rmtree(spill_dir, ignore_errors=True)
             t0 = time.time()
             # child output goes to a temp FILE, not a PIPE: a twin that
             # prints verbose failure rows can fill a 64 KiB pipe buffer
@@ -65,7 +70,8 @@ def main():
             if jsonl:
                 cmd += ["--jsonl", jsonl]
             p = subprocess.Popen(
-                cmd, stdout=tf, stderr=subprocess.STDOUT, text=True)
+                cmd, stdout=tf, stderr=subprocess.STDOUT, text=True,
+                env=env)
             # watchdog: timeout OR unbounded spill (a twin that wrote
             # SPILL_CAP_GB of temp is not going to finish inside the
             # budget; kill it before it takes the box's disk down)
@@ -81,7 +87,7 @@ def main():
                     break
                 spill = 0
                 try:
-                    with os.scandir("/tmp/duckdb_spill") as it:
+                    with os.scandir(spill_dir) as it:
                         spill = sum(e.stat().st_size for e in it
                                     if e.is_file())
                 except FileNotFoundError:
@@ -115,7 +121,7 @@ def main():
                             "rows": 0,
                             "err": f"oracle {status.lower()} after "
                                    f"{took}s"}) + "\n")
-            shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
+            shutil.rmtree(spill_dir, ignore_errors=True)
             log.write(json.dumps(rec) + "\n")
             log.flush()
             print(f"[gate] {rec['status']} {q} ({rec['seconds']}s)",
