@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   * both regimes. Emits one JSON line per (dir, variant) with the
   * domain size, so SCALE.md's payoff table is reproducible from the
   * repo. Usage: PayoffBench <dir1> [dir2 ...]
+  *
+  * r10 additions for the right edge of the payoff curve:
+  *  - an argument of the form `synth:N` benches a SYNTHETIC collapsed
+  *    frame of ~N distinct values (hash-scrambled spark.range — no
+  *    parquet, no disk). The lineitem money domain physically caps at
+  *    ~10.5M distinct cents (the sub-$105k price book), so no ScaleUp
+  *    factor can push the REAL domain toward 10⁸; the synthetic frame
+  *    is the only honest way to measure that regime.
+  *  - SPARK_GRAFT_PAYOFF_TIMEOUT_S bounds the single-task variant:
+  *    at 10⁸ distinct values one task owns the whole running sum and
+  *    may simply not finish — the job group is cancelled at the bound
+  *    and the variant is recorded as "DNF" (the measurement the 100 TB
+  *    claim wants on record), while dist still reports its time.
   */
 object PayoffBench {
   def main(args: Array[String]): Unit = {
@@ -36,11 +49,20 @@ object PayoffBench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
       .getOrElse(3).max(1)
 
-    def collapsed(dir: String) = graft.io.Tables.lineitem(spark, dir)
-      .select((col("l_extendedprice").cast(
-        org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-        .cast("long").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    def collapsed(dir: String) =
+      if (dir.startsWith("synth:")) {
+        // ~N distinct values (xxhash64 collisions shave a negligible
+        // fraction); cnt varies so the prefix sum is not trivially 1·i
+        val n = dir.stripPrefix("synth:").toLong
+        spark.range(n)
+          .select(xxhash64(col("id")).as("v"),
+                  (pmod(col("id"), lit(7)) + 1).as("cnt"))
+          .groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+      } else graft.io.Tables.lineitem(spark, dir)
+        .select((col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
 
     def time(f: => Long): (Double, Long) = {
       var out = 0L
@@ -52,11 +74,37 @@ object PayoffBench {
       (runs(runs.size / 2), out)
     }
 
+    // Single-task variant at 10⁸ distinct may not finish; bound it by
+    // cancelling its job group at SPARK_GRAFT_PAYOFF_TIMEOUT_S and
+    // record DNF instead of hanging the whole bench. None = DNF.
+    val timeoutS = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_PAYOFF_TIMEOUT_S", "0").trim.toInt)
+      .getOrElse(0)
+    def timeBounded(group: String)(f: => Long)
+        : Option[(Double, Long)] = {
+      if (timeoutS <= 0) Some(time(f))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        val fut = Future {
+          spark.sparkContext.setJobGroup(group, group,
+            interruptOnCancel = true)
+          try time(f) finally spark.sparkContext.clearJobGroup()
+        }
+        try Some(Await.result(fut, timeoutS.seconds))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          None
+        }
+      }
+    }
+
     for (dir <- args) {
       val domain = collapsed(dir).count()
       // checksum forces full evaluation of every cum value and pins
       // the two variants to the same answer
-      val (tSingle, sumSingle) = time {
+      val single = timeBounded("payoff-single") {
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
           .rowsBetween(Long.MinValue, 0)
         collapsed(dir).withColumn("cum", sum(col("cnt")).over(w))
@@ -68,10 +116,15 @@ object PayoffBench {
           .agg(sum(expr("cum_cnt % 1000000007")).cast("long"))
           .head().getLong(0)
       }
-      require(sumSingle == sumDist,
-        s"variants disagree on $dir: $sumSingle vs $sumDist")
+      Determinism.releaseCumSums()
+      single.foreach { case (_, sumSingle) =>
+        require(sumSingle == sumDist,
+          s"variants disagree on $dir: $sumSingle vs $sumDist") }
+      val singleJson = single
+        .map { case (t, _) => f"$t%.3f" }
+        .getOrElse(s""""DNF>${timeoutS}s"""")
       println(s"""{"dir":"$dir","domain":$domain,""" +
-        s""""single_task_s":${f"$tSingle%.3f"},""" +
+        s""""single_task_s":$singleJson,""" +
         s""""dist_cumsums_s":${f"$tDist%.3f"},"checksum":$sumDist}""")
     }
     spark.stop()

@@ -75,7 +75,7 @@ def main():
             # watchdog: timeout OR unbounded spill (a twin that wrote
             # SPILL_CAP_GB of temp is not going to finish inside the
             # budget; kill it before it takes the box's disk down)
-            SPILL_CAP_GB = 35
+            SPILL_CAP_GB = int(os.environ.get("GRAFT_SPILL_CAP_GB", "35"))
             status = None
             while True:
                 rc = p.poll()
