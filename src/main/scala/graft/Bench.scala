@@ -99,6 +99,47 @@ object Bench {
       }.sorted
       runs(runs.size / 2)
     }
+    // IO-bound calibration probe (round-10 verdict: the CPU scan+agg
+    // probe cannot see disk-state drift — r10's disk-heavy family
+    // moved 2–2.6× against a CPU calibration that moved only 1.13×,
+    // and the bench ran an hour after a sweep wrote tens of GB of
+    // DuckDB spill). A FIXED piece of disk work, timed like the
+    // queries (median of `reps`): ~50 MB of incompressible hashed
+    // longs written as parquet to a fresh tmpdir and read fully back.
+    // Cross-round rule (SCALE.md): normalize CPU-bound families by
+    // `calibration_s`, disk-heavy families (localCheckpoint fixpoints,
+    // store write+readback) by `calibration_io_s`. Deletion of the
+    // probe dir is untimed.
+    val calibrationIo = {
+      import org.apache.spark.sql.functions._
+      val runs = (1 to reps).map { _ =>
+        val dir = Files.createTempDirectory("graft-bench-io")
+        val probe = dir.resolve("probe").toString
+        val t0 = System.nanoTime()
+        try {
+          spark.range(0L, 3000000L, 1L, 8)
+            .select(col("id"), xxhash64(col("id")).as("h1"),
+                    xxhash64(col("id"), lit(1)).as("h2"))
+            .write.mode("overwrite").parquet(probe)
+          val r = spark.read.parquet(probe)
+            .agg(sum(col("h1")).as("s"), count(lit(1)).as("n"))
+            .collect()(0)
+          System.err.println(
+            s"[bench] io calibration checksum ${r.getLong(0)} over " +
+              s"${r.getLong(1)} rows")
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] io calibration failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => { Files.deleteIfExists(p); () })
+        } catch { case NonFatal(_) => }
+        dt
+      }.sorted
+      runs(runs.size / 2)
+    }
     var failed = List.empty[String]
     // Builder-side fast path mirroring Verify's SPARK_GRAFT_ONLY: time
     // a subset while iterating on a hot query. The driver sets no such
@@ -107,6 +148,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
+    // Diagnostic arm for the r10 bench anomaly A/B: with KEEP_PINS=1
+    // the pinned rank/CDF frames are NOT released between queries, so
+    // reps 2+ of a distCumSumsBy rider hit the CacheManager-deduped
+    // warm frame exactly as the r9 bits did (MaxPinned=4 still bounds
+    // storage). The driver sets no such var: the official number
+    // keeps the release contract, i.e. measures cold per-query cost.
+    val keepPins = sys.env.get("SPARK_GRAFT_BENCH_KEEP_PINS").contains("1")
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
@@ -124,7 +172,7 @@ object Bench {
       // full-suite run never accumulates storage across queries
       // (round-10 advisory; each bench invocation builds a fresh
       // frame, so the old pin is dead weight by here)
-      Determinism.releaseCumSums()
+      if (!keepPins) Determinism.releaseCumSums()
     }
     val results = names.map { case (name, _) =>
       val sorted = times.getOrElse(name, Nil).sorted
@@ -147,7 +195,18 @@ object Bench {
     // plus the slowest per-query timings that fit a fixed budget.
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // per-query spread (min,med over the reps) for the top cost decile
+    // (round-10 verdict #5): median-of-3 is weakest exactly where the
+    // queries are slowest, so the artifact carries enough to tell a
+    // noisy median from a moved floor without re-running the suite.
+    val okMap = ok.toMap
+    val decile = ok.sortBy(-_._2).take(math.max(1, ok.size / 10))
+    val spreadJson = decile.map { case (k, _) =>
+      val rs = times.getOrElse(k, Nil)
+      val min = if (rs.isEmpty) 0.0 else rs.min
+      "\"" + k + "\":[" + sec(min) + "," + sec(okMap.getOrElse(k, 0.0)) + "]"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"calibration_io_s":${sec(calibrationIo)},"keep_pins":$keepPins,"queries":$fullQs,"spread_min_med":$spreadJson,"failed":$failedJson,"sf":"$sfDir"}"""
     System.err.println(s"[bench-full] $full")
     try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case NonFatal(e) =>
@@ -162,7 +221,7 @@ object Bench {
       kept += e; used += e.length + 1
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"calibration_io_s":${sec(calibrationIo)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

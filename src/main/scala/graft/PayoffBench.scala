@@ -32,8 +32,20 @@ import org.apache.spark.sql.functions._
   *  - SPARK_GRAFT_PAYOFF_TIMEOUT_S bounds the single-task variant:
   *    at 10⁸ distinct values one task owns the whole running sum and
   *    may simply not finish — the job group is cancelled at the bound
-  *    and the variant is recorded as "DNF" (the measurement the 100 TB
+  *    and the variant is recorded as DNF (the measurement the 100 TB
   *    claim wants on record), while dist still reports its time.
+  *    The bound is PER REP (round-10 advisory): each rep runs in its
+  *    own awaited Future, so a variant whose individual rep completes
+  *    under the bound is never mislabeled DNF by the reps loop
+  *    summing past it, and after a timeout no further rep starts.
+  *    On timeout the group is cancelled IN A LOOP until the runner
+  *    thread actually terminates (round-10 advisory: a single
+  *    cancelJobGroup only hits jobs active at that instant — a job
+  *    submitted during driver-side planning right after the cancel
+  *    would run unbounded and contaminate the dist timing that
+  *    follows), so the dist measurement starts on a quiet executor.
+  *    DNF keeps `single_task_s` numeric-typed (null), with the DNF
+  *    flag in its own boolean field (round-10 advisory).
   */
 object PayoffBench {
   def main(args: Array[String]): Unit = {
@@ -74,9 +86,9 @@ object PayoffBench {
       (runs(runs.size / 2), out)
     }
 
-    // Single-task variant at 10⁸ distinct may not finish; bound it by
-    // cancelling its job group at SPARK_GRAFT_PAYOFF_TIMEOUT_S and
-    // record DNF instead of hanging the whole bench. None = DNF.
+    // Single-task variant at 10⁸ distinct may not finish; bound EACH
+    // REP by cancelling its job group at SPARK_GRAFT_PAYOFF_TIMEOUT_S
+    // and record DNF instead of hanging the whole bench. None = DNF.
     val timeoutS = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_PAYOFF_TIMEOUT_S", "0").trim.toInt)
       .getOrElse(0)
@@ -87,16 +99,46 @@ object PayoffBench {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration._
-        val fut = Future {
-          spark.sparkContext.setJobGroup(group, group,
-            interruptOnCancel = true)
-          try time(f) finally spark.sparkContext.clearJobGroup()
+        var out = 0L
+        val runs = scala.collection.mutable.ListBuffer.empty[Double]
+        var dnf = false
+        var rep = 0
+        while (rep < reps && !dnf) {
+          val fut = Future {
+            spark.sparkContext.setJobGroup(group, group,
+              interruptOnCancel = true)
+            try {
+              val t0 = System.nanoTime()
+              val v = f
+              ((System.nanoTime() - t0) / 1e9, v)
+            } finally spark.sparkContext.clearJobGroup()
+          }
+          try {
+            val (t, v) = Await.result(fut, timeoutS.seconds)
+            runs += t; out = v
+          } catch { case _: java.util.concurrent.TimeoutException =>
+            dnf = true
+            // cancel in a loop until the runner thread terminates: a
+            // single cancelJobGroup only cancels jobs active at that
+            // instant, so a job submitted between the cancel and the
+            // future's next action would otherwise run unbounded and
+            // overlap the dist measurement that starts next. 60 s
+            // grace, re-cancelling every 2 s.
+            val deadline = System.nanoTime() + 60L * 1000000000L
+            var terminated = false
+            while (!terminated && System.nanoTime() < deadline) {
+              spark.sparkContext.cancelJobGroup(group)
+              terminated =
+                scala.util.Try(Await.ready(fut, 2.seconds)).isSuccess
+            }
+            if (!terminated) System.err.println(
+              s"[payoff] $group did not terminate within 60s grace " +
+                "after cancel; dist timing may overlap its wind-down")
+          }
+          rep += 1
         }
-        try Some(Await.result(fut, timeoutS.seconds))
-        catch { case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          None
-        }
+        if (dnf) None
+        else { val s = runs.sorted; Some((s(s.size / 2), out)) }
       }
     }
 
@@ -120,11 +162,16 @@ object PayoffBench {
       single.foreach { case (_, sumSingle) =>
         require(sumSingle == sumDist,
           s"variants disagree on $dir: $sumSingle vs $sumDist") }
+      // single_task_s stays number-or-null so numeric consumers never
+      // see a string; the DNF fact rides its own boolean plus the
+      // per-rep bound that was in force (round-10 advisory).
       val singleJson = single
         .map { case (t, _) => f"$t%.3f" }
-        .getOrElse(s""""DNF>${timeoutS}s"""")
+        .getOrElse("null")
       println(s"""{"dir":"$dir","domain":$domain,""" +
         s""""single_task_s":$singleJson,""" +
+        s""""single_task_dnf":${single.isEmpty},""" +
+        s""""single_task_rep_timeout_s":$timeoutS,""" +
         s""""dist_cumsums_s":${f"$tDist%.3f"},"checksum":$sumDist}""")
     }
     spark.stop()

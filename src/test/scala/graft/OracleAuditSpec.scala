@@ -902,6 +902,199 @@ class OracleAuditSpec extends SparkSpec {
     }
   }
 
+  // ---- round-11 additions (VERDICT r10 #4): the next hash-gate-only
+  // tier — survival, isotonic, hill_tail, theil_sen, ks, wmedian.
+  // Same discipline: plain-Scala textbook replays sharing NO helper
+  // with the plans (halfUp/cents above are JDK re-derivations).
+
+  test("audit: q_events_survival — Kaplan–Meier from first-view cohorts") {
+    // textbook KM: cohort = users with a view; event = first purchase
+    // strictly after first view; censor at the corpus horizon.
+    val byUser = eventsRows.groupBy(_._3)
+    val horizon = eventsRows.map(_._4).max
+    // .toSeq first: flatMap on a Map would rebuild a Map keyed by t
+    // and silently collapse users sharing a (t, conv) pair
+    val cohort = byUser.toSeq.flatMap { case (uid, rows) =>
+      val views = rows.filter(_._1 == "view").map(_._4)
+      if (views.isEmpty) None else {
+        val mv = views.min
+        val purch = rows.filter(r => r._1 == "purchase" && r._4 > mv)
+          .map(_._4)
+        val (conv, tEnd) =
+          if (purch.nonEmpty) (true, purch.min) else (false, horizon)
+        Some((Math.floorDiv(tEnd - mv, 86400000000L), conv))
+      }
+    }.toSeq
+    val byT = cohort.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, rs) => (t, rs.size.toLong, rs.count(_._2).toLong)
+    }
+    // n_risk(t) = everyone whose observed time is >= t
+    val nRisk = byT.map { case (t, _, _) =>
+      t -> byT.filter(_._1 >= t).map(_._2).sum
+    }.toMap
+    var s = 1.0
+    var dead = false
+    val expected = byT.map { case (t, nt, dt) =>
+      val nr = nRisk(t)
+      if (dt == nr) dead = true // everyone converts: S pins to 0
+      else if (dt > 0) s *= (nr - dt).toDouble / nr
+      (t, nr, dt, if (dead) 0.0 else s)
+    }
+    val got = q("q_events_survival").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"survival integers: got $g expected $e")
+      assert(math.abs(g._4 - e._4) < TOL,
+        s"survival S(t=${e._1}): got ${g._4} expected ${e._4}")
+    }
+  }
+
+  test("audit: q_stats_isotonic — max–min PAVA identity over textbook " +
+       "quality bins") {
+    // score from the published definition (length, stopword ratio,
+    // avg word length), split on single spaces KEEPING empties
+    case class Bin(n: Long, pos: Long)
+    val binned = docRows.map { case (_, lang, _, nChars, text) =>
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toDouble
+      val nStop = toks.count(t => t == "the" || t == "a").toDouble
+      val chars = nChars.toDouble
+      val score = math.min(chars / 500.0, 1.0) * 0.4 +
+        (1.0 - nStop / nTok) * 0.3 +
+        math.min((chars - nTok + 1.0) / nTok / 8.0, 1.0) * 0.3
+      val bin = math.min(math.floor(score * 10).toInt, 9)
+      (bin, if (lang == "en") 1L else 0L)
+    }
+    val bins = binned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, rs) => b -> Bin(rs.size.toLong, rs.map(_._2).sum)
+    }
+    val present = bins.map(_._1)
+    def segRate4(i: Int, j: Int): Double = {
+      val in = bins.filter { case (b, _) => b >= i && b <= j }
+      val n = in.map(_._2.n).sum
+      val p = in.map(_._2.pos).sum
+      halfUp(BigInt(p) * 10000, BigInt(n)).toDouble / 10000.0
+    }
+    val expected = bins.map { case (k, bn) =>
+      // iso(k) = max_{i<=k} min_{j>=k} rate4(i..j) over PRESENT bins,
+      // min/max over the ALREADY-quantized rates (the plan's contract)
+      val iso = present.filter(_ <= k).map { i =>
+        present.filter(_ >= k).map(j => segRate4(i, j)).min
+      }.max
+      (k, bn.n, bn.pos,
+       halfUp(BigInt(bn.pos) * 10000, BigInt(bn.n)).toDouble / 10000.0,
+       iso)
+    }
+    val got = q("q_stats_isotonic").collect().toSeq.map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+       r.getDouble(4)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"isotonic integers: got $g expected $e")
+      assert(math.abs(g._4 - e._4) < 1e-9 && math.abs(g._5 - e._5) < 1e-9,
+        s"isotonic rates bin ${e._1}: got $g expected $e")
+      // the defining property, independently of values: monotone
+    }
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 <= b._5 + 1e-12,
+        s"isotonic fit not monotone: $a then $b")
+      case _ =>
+    }
+  }
+
+  test("audit: q_events_hill_tail — α from the top-k order statistics") {
+    val act = eventsRows.groupBy(_._3).map { case (u, rs) =>
+      (u, rs.size.toLong)
+    }.toSeq
+    val top = act.sortBy { case (u, c) => (-c, u) }.take(101)
+    val xk1 = top.last._2
+    val terms = top.dropRight(1).map { case (_, c) =>
+      math.round((math.log(c.toDouble) - math.log(xk1.toDouble)) * 1e9)
+    }
+    val k = terms.size.toLong
+    val s9 = terms.sum
+    val alpha = k.toDouble / (s9.toDouble / 1e9)
+    val row = q("q_events_hill_tail").head()
+    assert(row.getLong(0) == k && row.getLong(1) == xk1 &&
+           row.getLong(2) == s9,
+      s"hill integers: got $row expected ($k, $xk1, $s9)")
+    assert(math.abs(row.getDouble(3) - alpha) < TOL,
+      s"alpha: got ${row.getDouble(3)} expected $alpha")
+  }
+
+  test("audit: q_ts_theil_sen — median pairwise slope and intercept") {
+    val daily = eventsRows.groupBy(r => Math.floorDiv(r._4, 86400000000L))
+      .toSeq.map { case (x, rs) => (x, rs.size.toLong) }.sortBy(_._1)
+    val pairs = for {
+      (xi, yi) <- daily; (xj, yj) <- daily if xj > xi
+    } yield (((yj - yi).toDouble / (xj - xi).toDouble), xi, xj)
+    val np = pairs.size.toLong
+    val slope = pairs.sortBy(p => (p._1, p._2, p._3))
+      .apply(((np + 1) / 2 - 1).toInt)._1
+    val ics = daily.map { case (x, y) => (y.toDouble - slope * x.toDouble, x) }
+    val nd = ics.size.toLong
+    val ic = ics.sorted.apply(((nd + 1) / 2 - 1).toInt)._1
+    val row = q("q_ts_theil_sen").head()
+    assert(row.getLong(0) == nd && row.getLong(1) == np,
+      s"theil_sen counts: got $row expected ($nd, $np)")
+    assert(math.abs(row.getDouble(2) - slope) < TOL,
+      s"slope4: got ${row.getDouble(2)} expected $slope")
+    assert(math.abs(row.getDouble(3) - ic) < TOL,
+      s"intercept4: got ${row.getDouble(3)} expected $ic")
+  }
+
+  test("audit: q_events_ks — two-sample D from exact cross-multiplied CDFs") {
+    val cv = eventsRows.filter(r => r._1 == "click" || r._1 == "view")
+    val byVal = cv.groupBy(_._5).toSeq.sortBy(_._1).map { case (vc, rs) =>
+      (vc, rs.count(_._1 == "click").toLong, rs.count(_._1 == "view").toLong)
+    }
+    val n1 = byVal.map(_._2).sum
+    val n2 = byVal.map(_._3).sum
+    var c1 = 0L; var c2 = 0L
+    var dnum = BigInt(0)
+    byVal.foreach { case (_, nc, nv) =>
+      c1 += nc; c2 += nv
+      val d = (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+      if (d > dnum) dnum = d
+    }
+    val d4 = halfUp(dnum * 10000, BigInt(n1) * n2).toDouble / 10000.0
+    val row = q("q_events_ks").head()
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2,
+      s"ks counts: got $row expected ($n1, $n2)")
+    assert(math.abs(row.getDouble(2) - d4) < 1e-9,
+      s"d_ks: got ${row.getDouble(2)} expected $d4")
+  }
+
+  test("audit: q_stats_wmedian — first price where 2·cumweight ≥ total") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_quantity"))
+      .collect().toSeq.map { r =>
+        (r.getString(0), cents(r.getDouble(1)),
+         // floor of the DECIMAL(18,2) quantity, replayed via the JDK
+         BigDecimal(java.lang.Double.toString(r.getDouble(2)).toDouble)
+           .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+           .setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact)
+      }
+    val expected = base.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (flag, rs) =>
+        val byVc = rs.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (vc, xs) => (vc, xs.map(_._3).sum) }
+        val tot = byVc.map(_._2).sum
+        var cum = 0L
+        val wm = byVc.collectFirst {
+          case (vc, w) if { cum += w; cum * 2 >= tot } => vc
+        }.get
+        (flag, wm, tot)
+    }
+    val got = q("q_stats_wmedian").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected, s"wmedian: got $got expected $expected")
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -1108,6 +1301,39 @@ class OracleAuditSpec extends SparkSpec {
       Seq("NATION_11", 118L, 49L, 2.0024, 45242L, 3L, 0L),
       Seq("NATION_13", 83L, 28L, 0.1684, 866267L, 25L, 0L)),
       r => Set(1L, 2L, 3L, 25L)(r.getLong(5)))
+  }
+
+  test("golden: q_events_survival sf0.001 — pinned KM table") {
+    pinned("q_events_survival", Seq(
+      Seq(0L, 15L, 8L, 0.4667), Seq(1L, 7L, 3L, 0.2667),
+      Seq(2L, 4L, 1L, 0.2), Seq(3L, 3L, 1L, 0.1333),
+      Seq(4L, 2L, 1L, 0.0667), Seq(9L, 1L, 1L, 0.0)))
+  }
+
+  test("golden: q_stats_isotonic sf0.001 — pinned bins and monotone fit") {
+    pinned("q_stats_isotonic", Seq(
+      Seq(4, 19L, 8L, 0.4211, 0.386), Seq(5, 106L, 44L, 0.4151, 0.386),
+      Seq(6, 122L, 50L, 0.4098, 0.386), Seq(7, 127L, 46L, 0.3622, 0.386),
+      Seq(8, 126L, 45L, 0.3571, 0.386)))
+  }
+
+  test("golden: q_events_hill_tail sf0.001 — pinned k/x_kp1/sum_ln9/α") {
+    pinned("q_events_hill_tail",
+      Seq(Seq(14L, 51L, 3887291155L, 3.6015)))
+  }
+
+  test("golden: q_ts_theil_sen sf0.001 — pinned slope/intercept") {
+    pinned("q_ts_theil_sen", Seq(Seq(30L, 435L, -0.2, 3980.4)))
+  }
+
+  test("golden: q_events_ks sf0.001 — pinned D") {
+    pinned("q_events_ks", Seq(Seq(210L, 188L, 0.0646)))
+  }
+
+  test("golden: q_stats_wmedian sf0.001 — pinned per-flag medians") {
+    pinned("q_stats_wmedian", Seq(
+      Seq("A", 5049252L, 49341L), Seq("N", 5350643L, 53170L),
+      Seq("R", 5254597L, 49746L)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {

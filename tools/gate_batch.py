@@ -24,6 +24,8 @@ def main():
     queries = None
     jsonl = None
     timeout = 900
+    staged_qs = set()
+    stream_qs = set()
     args = sys.argv[3:]
     while args:
         a = args.pop(0)
@@ -35,6 +37,15 @@ def main():
             timeout = int(args.pop(0))
         elif a == "--jsonl":
             jsonl = args.pop(0)
+        elif a == "--staged-queries":
+            # run these twins through compare.py --staged (chunked
+            # CTE-by-CTE replay in a disk-backed DuckDB — the CC-walk
+            # family whose fused plan exhausts spill at 100×)
+            staged_qs = {q for q in args.pop(0).split(",") if q}
+        elif a == "--stream-queries":
+            # run these through compare.py --stream (ordered stream
+            # compare; only for totally-ORDER-BY'd outputs)
+            stream_qs = {q for q in args.pop(0).split(",") if q}
         else:
             sys.exit(f"unknown arg {a}")
     assert log_path, "--log required"
@@ -67,6 +78,10 @@ def main():
             tf = tempfile.TemporaryFile(mode="w+")
             cmd = [sys.executable, os.path.join(here, "compare.py"),
                    sf, out, "--only", q]
+            if q in staged_qs:
+                cmd += ["--staged"]
+            if q in stream_qs:
+                cmd += ["--stream"]
             if jsonl:
                 cmd += ["--jsonl", jsonl]
             p = subprocess.Popen(
