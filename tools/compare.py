@@ -166,6 +166,105 @@ def stream_compare(files, rb):
             for row in df.itertuples(index=False, name=None):
                 yield tuple(str(v) for v in row)
 
+    # Vectorized typed fast path for outputs with NO float/decimal
+    # columns (e.g. the 197M-row hamming pair table): for integer/
+    # string columns, typed equality after a cast to a common arrow
+    # type is EXACTLY str-equality (ints of any width stringify
+    # identically — the same dtype_class the frame comparator uses),
+    # so aligned arrow slices can be compared wholesale instead of
+    # 2×rows×cols Python str() calls. Floats keep the row-wise str()
+    # path (driver semantics compare repr, and -0.0/NaN make typed
+    # equality diverge from it).
+    import pyarrow as pa
+
+    def common_type(ta, tb):
+        def norm_t(t):
+            if pa.types.is_integer(t):
+                return pa.int64()
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return pa.large_string()
+            if pa.types.is_boolean(t):
+                return pa.bool_()
+            if pa.types.is_date(t):
+                return pa.date32()
+            if pa.types.is_timestamp(t):
+                return pa.timestamp("us")
+            return None
+        na, nb = norm_t(ta), norm_t(tb)
+        return na if na is not None and na == nb else None
+
+    sp_first = pq.ParquetFile(files[0]).schema_arrow
+    cols = sorted(sp_first.names)
+    common = {}
+    for c in cols:
+        ct = common_type(sp_first.field(c).type, rb.schema.field(c).type)
+        if ct is None:
+            common = None
+            break
+        common[c] = ct
+    if common is not None:
+        schema = pa.schema([(c, common[c]) for c in cols])
+
+        class Chunks:
+            def __init__(self, batches):
+                self.it = iter(batches)
+                self.tbl = None
+                self.off = 0
+
+            def take(self, n):
+                """Up to n rows as a Table cast to the common schema;
+                None when exhausted."""
+                if self.tbl is None or self.off >= self.tbl.num_rows:
+                    b = next(self.it, None)
+                    if b is None:
+                        return None
+                    self.tbl = pa.Table.from_batches([b]) \
+                        .select(cols).cast(schema)
+                    self.off = 0
+                out = self.tbl.slice(self.off,
+                                     min(n, self.tbl.num_rows - self.off))
+                self.off += out.num_rows
+                return out
+
+        cs = Chunks(spark_batches())
+        co = Chunks(oracle_batches(rb))
+        ns = no = 0
+        while True:
+            a = cs.take(1 << 20)
+            if a is None:
+                break
+            got = 0
+            parts = []
+            while got < a.num_rows:
+                b = co.take(a.num_rows - got)
+                if b is None:
+                    break
+                parts.append(b)
+                got += b.num_rows
+            b = pa.concat_tables(parts) if parts else None
+            if b is None or b.num_rows < a.num_rows:
+                bn = b.num_rows if b is not None else 0
+                ns += a.num_rows + sum(
+                    t.num_rows for t in iter(lambda: cs.take(1 << 20), None))
+                no += bn
+                return ns, no, (ns if ns < no else no, "<spark row>", None)
+            if not a.equals(b):
+                # locate the first differing row for the report
+                pda, pdb = a.to_pandas(), b.to_pandas()
+                for i in range(len(pda)):
+                    ra = tuple(str(v) for v in pda.iloc[i])
+                    rbo = tuple(str(v) for v in pdb.iloc[i])
+                    if ra != rbo:
+                        return ns + i, no + i, (ns + i, ra, rbo)
+            ns += a.num_rows
+            no += a.num_rows
+        tail = co.take(1)
+        if tail is not None:
+            no += tail.num_rows + sum(
+                t.num_rows for t in iter(lambda: co.take(1 << 20), None))
+            return ns, no, (ns, None, "<oracle row>")
+        return ns, no, None
+
     ns = no = 0
     first_diff = None
     srows = rows(spark_batches())
