@@ -1095,6 +1095,160 @@ class OracleAuditSpec extends SparkSpec {
     assert(got == expected, s"wmedian: got $got expected $expected")
   }
 
+  // ---- round-11 batch 2: grubbs, sign_test, circular_hour, kruskal,
+  // cramers_v, cusum — the argmax/χ²/rank/directional classes not yet
+  // independently replayed.
+
+  test("audit: q_stats_grubbs — extreme-day G from exact moments") {
+    val daily = dailyRev.toSeq.sortBy(_._1)
+    val n = daily.size.toLong
+    val s = daily.map(d => BigInt(d._2)).sum
+    val qq = daily.map(d => BigInt(d._2) * d._2).sum
+    // argmax |n·x − S|, ties to the earliest day
+    val (day, rev) = daily.maxBy { case (d, v) =>
+      ((BigInt(v) * n - s).abs, BigInt(-d))
+    }
+    val mean = s.toDouble / n
+    val sd = math.sqrt((qq.toDouble - s.toDouble * s.toDouble / n) / (n - 1))
+    val g = math.abs(rev.toDouble - mean) / sd
+    val row = q("q_stats_grubbs").head()
+    assert(row.getLong(0) == day && row.getLong(1) == n,
+      s"grubbs ints: got $row expected ($day, $n)")
+    assert(math.abs(row.getDouble(2) - rev / 100.0) < 1e-9)
+    assert(math.abs(row.getDouble(3) - g) < TOL,
+      s"G: got ${row.getDouble(3)} expected $g")
+  }
+
+  test("audit: q_stats_sign_test — lag-7 paired signs and z") {
+    val daily = dailyRev.toSeq.sortBy(_._1)
+    // lag(7) is POSITIONAL over the present-day frame (row 7 back),
+    // not calendar day−7 — replay the same frame semantics
+    val pairs = daily.indices.drop(7).map(i => (daily(i)._2, daily(i - 7)._2))
+      .filter { case (a, b) => a != b }
+    val sPlus = pairs.count { case (a, b) => a > b }.toLong
+    val sMinus = pairs.size - sPlus
+    val z = (2.0 * sPlus - pairs.size) / math.sqrt(pairs.size.toDouble)
+    val row = q("q_stats_sign_test").head()
+    assert(row.getLong(0) == sPlus && row.getLong(1) == sMinus,
+      s"sign ints: got $row expected ($sPlus, $sMinus)")
+    assert(math.abs(row.getDouble(2) - z) < TOL)
+  }
+
+  test("audit: q_stats_circular_hour — mean direction and resultant " +
+       "length from the 24 frozen unit vectors") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        var n = 0L; var sc = 0L; var ss = 0L
+        rs.foreach { r =>
+          val h = ((Math.floorDiv(r._4, 3600000000L)) % 24).toInt
+          n += 1
+          sc += math.round(math.cos(2 * math.Pi * h / 24) * 1e6)
+          ss += math.round(math.sin(2 * math.Pi * h / 24) * 1e6)
+        }
+        val mh = (math.atan2(ss.toDouble, sc.toDouble) * 12.0 /
+                  math.Pi + 24.0) % 24.0
+        val rr = math.sqrt(sc.toDouble * sc + ss.toDouble * ss) / (n * 1e6)
+        (typ, n, mh, rr)
+    }
+    val got = q("q_stats_circular_hour").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"circular: got $g expected $e")
+      assert(math.abs(g._3 - e._3) < TOL && math.abs(g._4 - e._4) < TOL,
+        s"circular ${e._1}: got $g expected $e")
+    }
+  }
+
+  test("audit: q_events_kruskal — H from pooled textbook midranks") {
+    val vals = eventsRows.map(r => (r._1, r._5))
+    val n = vals.size.toLong
+    // average rank of each distinct value over the pooled sample
+    val byV = vals.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val sortedVs = byV.keys.toSeq.sorted
+    var cum = 0L
+    val midrank = sortedVs.map { v =>
+      val r = cum + (byV(v) + 1) / 2.0; cum += byV(v); v -> r
+    }.toMap
+    val groups = vals.groupBy(_._1)
+    val sumR2overN = groups.values.map { rs =>
+      val rg = rs.map(r => midrank(r._2)).sum
+      rg * rg / rs.size
+    }.sum
+    val tTies = byV.values.map(t => t.toLong * t * t - t).sum
+    val h = (12.0 / (n * (n + 1.0)) * sumR2overN - 3.0 * (n + 1)) /
+            (1.0 - tTies.toDouble / (n.toDouble * n * n - n))
+    val row = q("q_events_kruskal").head()
+    assert(row.getLong(0) == n && row.getLong(1) == groups.size.toLong &&
+           row.getLong(2) == tTies,
+      s"kruskal ints: got $row expected ($n, ${groups.size}, $tTies)")
+    assert(math.abs(row.getDouble(3) - h) < TOL,
+      s"H: got ${row.getDouble(3)} expected $h")
+  }
+
+  test("audit: q_stats_cramers_v — χ² identity ladder replayed in " +
+       "exact integers") {
+    val cells = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rSum = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cSum = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    // per-cell o²·10¹²/(r·c) half-up, summed exactly; χ²·10⁴ =
+    // halfUp(n·(t−10¹²), 10⁸) — the textbook identity
+    // χ² = N(Σ o²/(r·c) − 1) on the scale-12 grid
+    val t = cells.map { case ((st, pri), o) =>
+      halfUp(BigInt(o) * o * BigInt("1000000000000"),
+             BigInt(rSum(st)) * cSum(pri))
+    }.sum
+    val chi2s = halfUp(BigInt(n) * (t - BigInt("1000000000000")),
+                       BigInt(100000000L))
+    val chi2 = chi2s.toDouble / 10000.0
+    val nr = rSum.size.toLong
+    val nc = cSum.size.toLong
+    val v = math.sqrt(chi2 / (n * (math.min(nr, nc) - 1)).toDouble)
+    val row = q("q_stats_cramers_v").head()
+    assert(row.getLong(0) == n && row.getLong(1) == nr &&
+           row.getLong(2) == nc,
+      s"cramers ints: got $row expected ($n, $nr, $nc)")
+    assert(math.abs(row.getDouble(3) - chi2) < 1e-9,
+      s"chi2_4: got ${row.getDouble(3)} expected $chi2")
+    assert(math.abs(row.getDouble(4) - v) < TOL)
+  }
+
+  test("audit: q_events_cusum — exact n·S argmax changepoint per type") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        val seq = rs.sortBy(r => (r._4, r._2))
+        val n = seq.size.toLong
+        val tot = seq.map(r => BigInt(r._5)).sum
+        var pre = BigInt(0)
+        var best: (BigInt, Long, BigInt, Long) = null // (|S|, pos, S, ts)
+        seq.zipWithIndex.foreach { case (r, i) =>
+          pre += r._5
+          val sv = pre * n - BigInt(i + 1) * tot
+          val cand = (sv.abs, (i + 1).toLong, sv, r._4)
+          // max |S|, earliest position on ties
+          if (best == null || cand._1 > best._1) best = cand
+        }
+        val cusumAbs = halfUp(best._1 * 100, BigInt(n)).toDouble / 10000.0
+        (typ, n, best._2, best._4, cusumAbs,
+         if (best._3 > 0) "hi" else "lo")
+    }
+    val got = q("q_events_cusum").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getDouble(4), r.getString(5)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+             g._4 == e._4 && g._6 == e._6,
+        s"cusum: got $g expected $e")
+      assert(math.abs(g._5 - e._5) < 1e-9,
+        s"cusum_abs ${e._1}: got ${g._5} expected ${e._5}")
+    }
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -1334,6 +1488,40 @@ class OracleAuditSpec extends SparkSpec {
     pinned("q_stats_wmedian", Seq(
       Seq("A", 5049252L, 49341L), Seq("N", 5350643L, 53170L),
       Seq("R", 5254597L, 49746L)))
+  }
+
+  test("golden: q_stats_grubbs sf0.001 — pinned extreme day and G") {
+    pinned("q_stats_grubbs", Seq(Seq(9300L, 1094L, 1430317.79, 4.7506)))
+  }
+
+  test("golden: q_stats_sign_test sf0.001 — pinned signs and z") {
+    pinned("q_stats_sign_test", Seq(Seq(538L, 549L, -0.3336)))
+  }
+
+  test("golden: q_stats_circular_hour sf0.001 — pinned directions") {
+    pinned("q_stats_circular_hour", Seq(
+      Seq("click", 210L, 2.0453, 0.0187),
+      Seq("error", 201L, 21.6672, 0.0746),
+      Seq("purchase", 202L, 11.7528, 0.0866),
+      Seq("signup", 199L, 17.7207, 0.036),
+      Seq("view", 188L, 19.4503, 0.0421)))
+  }
+
+  test("golden: q_events_kruskal sf0.001 — pinned N/groups/ties/H") {
+    pinned("q_events_kruskal", Seq(Seq(1000L, 5L, 288L, 1.0646)))
+  }
+
+  test("golden: q_stats_cramers_v sf0.001 — pinned χ² and V") {
+    pinned("q_stats_cramers_v", Seq(Seq(1500L, 3L, 5L, 9.4116, 0.056)))
+  }
+
+  test("golden: q_events_cusum sf0.001 — pinned changepoints") {
+    pinned("q_events_cusum", Seq(
+      Seq("click", 210L, 65L, 1704881048690753L, 873.3498, "hi"),
+      Seq("error", 201L, 129L, 1705549433886808L, 525.7945, "hi"),
+      Seq("purchase", 202L, 44L, 1704595184327101L, 488.8846, "lo"),
+      Seq("signup", 199L, 45L, 1704559575525092L, 648.159, "hi"),
+      Seq("view", 188L, 100L, 1705438894078324L, 591.2738, "lo")))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
