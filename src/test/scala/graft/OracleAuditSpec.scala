@@ -1249,6 +1249,165 @@ class OracleAuditSpec extends SparkSpec {
     }
   }
 
+  // ---- round-11 batch 3: the ANOVA/entropy/order-statistic classes —
+  // levene, anova, theil_u, median_ci, skew_kurtosis, markov_entropy.
+
+  /** The exact scale-4 sum-of-squares ladder both F-tests share,
+    * replayed in BigInt from the textbook identities (between-group
+    * SS = Σ T_g − T_all on the 1e-4 grid, T = (Σd)²/n half-up). */
+  private def ssLadder(groups: Seq[(Long, Seq[Long])]) // (ng, devs)
+      : (Long, Long, BigInt, BigInt) = {
+    val k = groups.size.toLong
+    val n = groups.map(_._1).sum
+    val tgs = groups.map { case (ng, ds) =>
+      val sg = ds.map(BigInt(_)).sum
+      halfUp(sg * sg * 10000, BigInt(ng))
+    }
+    val ss4 = groups.flatMap(_._2).map(d => BigInt(d) * d * 10000).sum
+    val st = groups.flatMap(_._2).map(BigInt(_)).sum
+    val tall = halfUp(st * st * 10000, BigInt(n))
+    val ssb4 = (tgs.sum - tall).max(BigInt(0))
+    val ssw4 = (ss4 - tgs.sum).max(BigInt(0))
+    (k, n, ssb4, ssw4)
+  }
+
+  test("audit: q_stats_levene — Brown–Forsythe F from 2×-cent median " +
+       "deviations") {
+    val groups = eventsRows.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val vs = rs.map(_._5).sorted
+      val n = vs.size
+      val m2 = if (n % 2 == 1) 2 * vs(n / 2)
+               else vs(n / 2 - 1) + vs(n / 2)
+      (n.toLong, vs.map(v => math.abs(2 * v - m2)))
+    }
+    val (k, n, ssb4, ssw4) = ssLadder(groups)
+    val bf = ssb4.toDouble * (n - k) / (ssw4.toDouble * (k - 1))
+    val row = q("q_stats_levene").head()
+    assert(row.getLong(0) == k && row.getLong(1) == n,
+      s"levene ints: got $row expected ($k, $n)")
+    assert(math.abs(row.getDouble(2) - bf) < TOL,
+      s"BF: got ${row.getDouble(2)} expected $bf")
+  }
+
+  test("audit: q_events_anova — F from min-anchored exact moments") {
+    val anchor = eventsRows.map(_._5).min
+    val groups = eventsRows.groupBy(_._1).toSeq.map { case (_, rs) =>
+      (rs.size.toLong, rs.map(_._5 - anchor))
+    }
+    val (k, n, ssb4, ssw4) = ssLadder(groups)
+    val f = ssb4.toDouble * (n - k) / (ssw4.toDouble * (k - 1))
+    val row = q("q_events_anova").head()
+    assert(row.getLong(0) == k && row.getLong(1) == n,
+      s"anova ints: got $row expected ($k, $n)")
+    assert(math.abs(row.getDouble(2) - ssb4.toDouble / 1e4) < 1e-6 &&
+           math.abs(row.getDouble(3) - ssw4.toDouble / 1e4) < 1e-6,
+      s"anova SS: got $row expected (${ssb4.toDouble / 1e4}, " +
+        s"${ssw4.toDouble / 1e4})")
+    assert(math.abs(row.getDouble(4) - f) < TOL,
+      s"F: got ${row.getDouble(4)} expected $f")
+  }
+
+  test("audit: q_stats_theil_u — directional uncertainty from " +
+       "1e-9-quantized entropy terms") {
+    val cellRows = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val cells = cellRows.groupBy(identity).view.mapValues(_.size.toLong)
+    val rS = cellRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cS = cellRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = cellRows.size.toDouble
+    def q9(p: Double): Long = math.round(p * 1e9)
+    val hy9 = cS.values.map(c => q9(-(c / n) * math.log(c / n))).sum
+    val hx9 = rS.values.map(r => q9(-(r / n) * math.log(r / n))).sum
+    val hygx9 = cells.map { case ((st, _), o) =>
+      q9(-(o / n) * math.log(o.toDouble / rS(st)))
+    }.sum
+    val hxgy9 = cells.map { case ((_, pri), o) =>
+      q9(-(o / n) * math.log(o.toDouble / cS(pri)))
+    }.sum
+    val row = q("q_stats_theil_u").head()
+    assert(math.abs(row.getDouble(0) - hy9 / 1e9) < TOL &&
+           math.abs(row.getDouble(1) - hx9 / 1e9) < TOL,
+      s"entropies: got $row expected (${hy9 / 1e9}, ${hx9 / 1e9})")
+    assert(math.abs(row.getDouble(2) -
+             (hy9 - hygx9).toDouble / hy9) < TOL &&
+           math.abs(row.getDouble(3) -
+             (hx9 - hxgy9).toDouble / hx9) < TOL,
+      s"U: got $row expected (${(hy9 - hygx9).toDouble / hy9}, " +
+        s"${(hx9 - hxgy9).toDouble / hx9})")
+  }
+
+  test("audit: q_stats_median_ci — binomial order-statistic interval") {
+    val vals = ordersRows.map(_._5).sorted
+    val n = vals.size.toLong
+    val rMed = (n + 1) / 2
+    val rLo = math.max(1L,
+      math.floor((n - 1.959964 * math.sqrt(n.toDouble)) / 2).toLong)
+    val rHi = math.min(n,
+      math.ceil((n + 1.959964 * math.sqrt(n.toDouble)) / 2).toLong + 1)
+    def pick(r: Long): Double = vals((r - 1).toInt) / 100.0
+    val row = q("q_stats_median_ci").head()
+    assert(row.getLong(0) == n && row.getLong(1) == rLo &&
+           row.getLong(2) == rMed && row.getLong(3) == rHi,
+      s"median_ci ranks: got $row expected ($n, $rLo, $rMed, $rHi)")
+    assert(math.abs(row.getDouble(4) - pick(rLo)) < 1e-9 &&
+           math.abs(row.getDouble(5) - pick(rMed)) < 1e-9 &&
+           math.abs(row.getDouble(6) - pick(rHi)) < 1e-9,
+      s"median_ci values: got $row expected " +
+        s"(${pick(rLo)}, ${pick(rMed)}, ${pick(rHi)})")
+  }
+
+  test("audit: q_agg_skew_kurtosis — central moments from anchored " +
+       "exact power sums") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        val a = rs.map(_._5).min
+        val ds = rs.map(r => BigInt(r._5 - a))
+        val n = rs.size.toDouble
+        val s1 = ds.sum.toDouble; val s2 = ds.map(d => d * d).sum.toDouble
+        val s3 = ds.map(d => d * d * d).sum.toDouble
+        val s4 = ds.map(d => d * d * d * d).sum.toDouble
+        val mu = s1 / n
+        val m2 = s2 / n - mu * mu
+        val m3 = s3 / n - mu * s2 / n * 3 + mu * mu * mu * 2
+        val m4 = s4 / n - mu * s3 / n * 4 + mu * mu * s2 / n * 6 -
+                 mu * mu * mu * mu * 3
+        (typ, rs.size.toLong, m3 / math.sqrt(m2 * m2 * m2),
+         m4 / (m2 * m2) - 3.0)
+    }
+    val got = q("q_agg_skew_kurtosis").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"skew ints: $g vs $e")
+      assert(math.abs(g._3 - e._3) < TOL && math.abs(g._4 - e._4) < TOL,
+        s"skew/kurt ${e._1}: got $g expected $e")
+    }
+  }
+
+  test("audit: q_events_markov_entropy — conditional entropy of the " +
+       "per-user transition chain") {
+    val cij = scala.collection.mutable.Map.empty[(String, String), Long]
+    eventsRows.groupBy(_._3).values.foreach { rs =>
+      val seq = rs.sortBy(r => (r._4, r._2)).map(_._1)
+      seq.sliding(2).foreach {
+        case Seq(p, c) =>
+          cij((p, c)) = cij.getOrElse((p, c), 0L) + 1
+        case _ =>
+      }
+    }
+    val ni = cij.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nn = cij.values.sum.toDouble
+    val sq = cij.map { case ((p, _), c) =>
+      math.round((c / nn) * math.log(c.toDouble / ni(p)) * 1e9)
+    }.sum
+    val row = q("q_events_markov_entropy").head()
+    assert(row.getLong(0) == cij.values.sum && row.getLong(1) == cij.size,
+      s"markov ints: got $row expected (${cij.values.sum}, ${cij.size})")
+    assert(math.abs(row.getDouble(2) - sq / -1e9) < TOL,
+      s"H(Y|X): got ${row.getDouble(2)} expected ${sq / -1e9}")
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -1522,6 +1681,37 @@ class OracleAuditSpec extends SparkSpec {
       Seq("purchase", 202L, 44L, 1704595184327101L, 488.8846, "lo"),
       Seq("signup", 199L, 45L, 1704559575525092L, 648.159, "hi"),
       Seq("view", 188L, 100L, 1705438894078324L, 591.2738, "lo")))
+  }
+
+  test("golden: q_stats_levene sf0.001 — pinned BF stat") {
+    pinned("q_stats_levene", Seq(Seq(5L, 1000L, 0.5503)))
+  }
+
+  test("golden: q_events_anova sf0.001 — pinned SS and F") {
+    pinned("q_events_anova",
+      Seq(Seq(5L, 1000L, 34741161.8422, 22553846226.7968, 0.3832)))
+  }
+
+  test("golden: q_stats_theil_u sf0.001 — pinned entropies and U") {
+    pinned("q_stats_theil_u", Seq(Seq(1.6078, 1.0984, 0.0019, 0.0029)))
+  }
+
+  test("golden: q_stats_median_ci sf0.001 — pinned ranks and interval") {
+    pinned("q_stats_median_ci", Seq(
+      Seq(1500L, 712L, 750L, 789L, 241971.01, 253481.78, 267145.94)))
+  }
+
+  test("golden: q_agg_skew_kurtosis sf0.001 — pinned per-type moments") {
+    pinned("q_agg_skew_kurtosis", Seq(
+      Seq("click", 210L, 2.2113, 7.2393),
+      Seq("error", 201L, 1.445, 2.0701),
+      Seq("purchase", 202L, 1.6263, 3.1345),
+      Seq("signup", 199L, 1.4417, 2.3499),
+      Seq("view", 188L, 1.9316, 5.8281)))
+  }
+
+  test("golden: q_events_markov_entropy sf0.001 — pinned chain entropy") {
+    pinned("q_events_markov_entropy", Seq(Seq(985L, 25L, 1.6013)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
