@@ -1408,6 +1408,197 @@ class OracleAuditSpec extends SparkSpec {
       s"H(Y|X): got ${row.getDouble(2)} expected ${sq / -1e9}")
   }
 
+  // ---- round-11 batch 4: friedman, fano, and the eval family whose
+  // label source is the langid / quality-score pipeline — replayed
+  // here from the documented spec, never via api.Text.
+
+  test("audit: q_stats_friedman — blocked rank χ² over complete months") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+              expr("unix_micros(cast(o_orderdate as timestamp))"),
+              col("o_totalprice"))
+      .collect().toSeq.map { r =>
+        val day = Math.floorDiv(r.getLong(1), 86400000000L)
+        val ld = java.time.LocalDate.ofEpochDay(day)
+        (ld.getYear * 100 + ld.getMonthValue, r.getString(0),
+         cents(r.getDouble(2)))
+      }
+    val cellsM = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(x => BigInt(x._3)).sum).toMap
+    val fullMonths = cellsM.keys.groupBy(_._1).collect {
+      case (ym, ks) if ks.size == 5 => ym
+    }.toSet
+    // r2 = 2·RANK + ties − 1 (twice the midrank) within each month
+    val r2ByPri = scala.collection.mutable.Map.empty[String, Long]
+    fullMonths.foreach { ym =>
+      val vs = cellsM.collect { case ((m, pri), v) if m == ym => (pri, v) }
+        .toSeq
+      vs.foreach { case (pri, v) =>
+        val rank = vs.count(_._2 < v) + 1L
+        val ties = vs.count(_._2 == v).toLong
+        r2ByPri(pri) = r2ByPri.getOrElse(pri, 0L) + 2 * rank + ties - 1
+      }
+    }
+    val nB = fullMonths.size.toLong
+    val s2 = r2ByPri.values.map(r => BigInt(r) * r).sum
+    val chi24 = halfUp(s2 * 3 * 10000 - BigInt(nB) * nB * 540 * 10000,
+                       BigInt(nB) * 30).toDouble / 10000.0
+    val row = q("q_stats_friedman").head()
+    assert(row.getLong(0) == nB && row.getLong(1) == 5L &&
+           row.getLong(2) == s2.toLong,
+      s"friedman ints: got $row expected ($nB, 5, $s2)")
+    assert(math.abs(row.getDouble(3) - chi24) < 1e-9,
+      s"chi2: got ${row.getDouble(3)} expected $chi24")
+  }
+
+  test("audit: q_events_fano — hourly dispersion index per type") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        val byHr = rs.groupBy(r => Math.floorDiv(r._4, 3600000000L))
+        val n = byHr.size.toLong
+        val sc = byHr.values.map(_.size.toLong).sum
+        val scc = byHr.values.map(c => BigInt(c.size) * c.size).sum
+        val fano = (BigInt(n) * scc - BigInt(sc) * sc).toDouble /
+                   (n.toDouble * sc)
+        (typ, n, sc, fano)
+    }
+    val got = q("q_events_fano").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"fano ints: $g vs $e")
+      assert(math.abs(g._4 - e._4) < TOL, s"fano ${e._1}: $g vs $e")
+    }
+  }
+
+  /** The langid pipeline replayed from its documented spec (tokens =
+    * split on single spaces keeping empties; per-lang profile = top-5
+    * terms by (count DESC, term ASC) over token INSTANCES; a doc's
+    * hits against a profile count DISTINCT doc terms; prediction =
+    * argmax (hits DESC, lang ASC), abstain when no profile term
+    * matches). Never calls api.Text.languageId. */
+  private lazy val langidPredicted: Map[Long, String] = {
+    val tokens = docRows.flatMap { case (id, lang, _, _, text) =>
+      text.split(" ", -1).map(t => (id, lang, t))
+    }
+    val profile: Seq[(String, String)] = tokens
+      .groupBy(t => (t._2, t._3)).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1).toSeq.flatMap { case (lang, terms) =>
+        terms.sortBy { case ((_, term), c) => (-c, term) }.take(5)
+          .map { case ((_, term), _) => (lang, term) }
+      }
+    val byTerm = profile.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    docRows.flatMap { case (id, _, _, _, text) =>
+      val distinctTerms = text.split(" ", -1).distinct
+      val hits = distinctTerms.flatMap(t => byTerm.getOrElse(t, Nil))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+      if (hits.isEmpty) None
+      else Some(id -> hits.minBy { case (l, h) => (-h, l) }._1)
+    }.toMap
+  }
+
+  test("audit: q_eval_kappa — Cohen's κ over the replayed langid " +
+       "confusion matrix") {
+    val j = docRows.map(d => (d._2, langidPredicted.get(d._1)))
+    val abstained = j.count(_._2.isEmpty).toLong
+    val conf = j.collect { case (t, Some(p)) => (t, p) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = conf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val sp = conf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val src = rt.keySet.intersect(sp.keySet)
+      .map(l => BigInt(rt(l)) * sp(l)).sum
+    val nn = conf.values.sum
+    val diag = conf.collect { case ((t, p), c) if t == p => c }.sum
+    val kappa4 = halfUp((BigInt(nn) * diag - src) * 10000,
+                        BigInt(nn) * nn - src).toDouble / 10000.0
+    val row = q("q_eval_kappa").head()
+    assert(row.getLong(0) == nn && row.getLong(1) == abstained &&
+           row.getLong(2) == diag,
+      s"kappa ints: got $row expected ($nn, $abstained, $diag)")
+    assert(math.abs(row.getDouble(3) - kappa4) < 1e-9,
+      s"kappa: got ${row.getDouble(3)} expected $kappa4")
+  }
+
+  test("audit: q_eval_mcc — Matthews correlation of binarized English " +
+       "detection") {
+    val j = docRows.map(d =>
+      (d._2 == "en", langidPredicted.get(d._1).contains("en")))
+    val tp = j.count(x => x._1 && x._2).toLong
+    val tn = j.count(x => !x._1 && !x._2).toLong
+    val fp = j.count(x => !x._1 && x._2).toLong
+    val fn = j.count(x => x._1 && !x._2).toLong
+    val num = (BigInt(tp) * tn - BigInt(fp) * fn).toDouble
+    val den = (BigInt(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+      .toDouble
+    val row = q("q_eval_mcc").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+            row.getLong(3)) == ((tp, tn, fp, fn)),
+      s"mcc counts: got $row expected ($tp, $tn, $fp, $fn)")
+    assert(den > 0, "degenerate margin at sf0.001 — fixture changed?")
+    assert(math.abs(row.getDouble(4) - num / math.sqrt(den)) < TOL,
+      s"mcc: got ${row.getDouble(4)} expected ${num / math.sqrt(den)}")
+  }
+
+  /** (bin, isEnglish) per doc from the documented quality-score
+    * formula — shared by the brier and calibration audits (and the
+    * same arithmetic the isotonic audit replays). */
+  private lazy val qualityBins: Seq[(Int, Long)] =
+    docRows.map { case (_, lang, _, nChars, text) =>
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toDouble
+      val nStop = toks.count(t => t == "the" || t == "a").toDouble
+      val chars = nChars.toDouble
+      val score = math.min(chars / 500.0, 1.0) * 0.4 +
+        (1.0 - nStop / nTok) * 0.3 +
+        math.min((chars - nTok + 1.0) / nTok / 8.0, 1.0) * 0.3
+      (math.min(math.floor(score * 10).toInt, 9),
+       if (lang == "en") 1L else 0L)
+    }
+
+  test("audit: q_eval_brier — proper score on the exact 1/20 grid") {
+    val n = qualityBins.size.toLong
+    val p = qualityBins.map(_._2).sum
+    val ss = qualityBins.map { case (b, y) =>
+      val d = 2L * b + 1 - 20 * y; BigInt(d) * d
+    }.sum
+    val brier4 = halfUp(ss * 10000, BigInt(n) * 400).toDouble / 10000.0
+    val ref4 = halfUp(BigInt(p) * (n - p) * 10000,
+                      BigInt(n) * n).toDouble / 10000.0
+    val row = q("q_eval_brier").head()
+    assert(row.getLong(0) == n && row.getLong(1) == p,
+      s"brier counts: got $row expected ($n, $p)")
+    assert(math.abs(row.getDouble(2) - brier4) < 1e-9 &&
+           math.abs(row.getDouble(3) - ref4) < 1e-9,
+      s"brier: got $row expected ($brier4, $ref4)")
+  }
+
+  test("audit: q_eval_calibration — reliability bins and ECE from " +
+       "exact 1/20 gaps") {
+    val bins = qualityBins.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, rs) => (b, rs.size.toLong, rs.map(_._2).sum)
+    }
+    val tg = bins.map { case (b, n, pos) =>
+      BigInt(math.abs(n * (2L * b + 1) - pos * 20))
+    }.sum
+    val tn = bins.map(_._2).sum
+    val ece4 = halfUp(tg * 500, BigInt(tn)).toDouble / 10000.0
+    val got = q("q_eval_calibration").collect().toSeq.map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+       r.getDouble(4), r.getDouble(5)))
+    assert(got.size == bins.size && got.nonEmpty)
+    got.zip(bins).foreach { case (g, (b, n, pos)) =>
+      assert(g._1 == b && g._2 == n && g._3 == pos,
+        s"calibration ints: $g vs ($b, $n, $pos)")
+      assert(math.abs(g._4 - (2 * b + 1) / 20.0) < 1e-9,
+        s"conf bin $b: ${g._4}")
+      assert(math.abs(g._5 -
+               halfUp(BigInt(pos) * 10000, BigInt(n)).toDouble / 10000.0)
+             < 1e-9, s"rate bin $b: ${g._5}")
+      assert(math.abs(g._6 - ece4) < 1e-9, s"ece bin $b: ${g._6}")
+    }
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -1712,6 +1903,39 @@ class OracleAuditSpec extends SparkSpec {
 
   test("golden: q_events_markov_entropy sf0.001 — pinned chain entropy") {
     pinned("q_events_markov_entropy", Seq(Seq(985L, 25L, 1.6013)))
+  }
+
+  test("golden: q_stats_friedman sf0.001 — pinned blocked-rank χ²") {
+    pinned("q_stats_friedman", Seq(Seq(69L, 5L, 860140L, 4.5797)))
+  }
+
+  test("golden: q_events_fano sf0.001 — pinned dispersion per type") {
+    pinned("q_events_fano", Seq(
+      Seq("click", 181L, 210L, 0.135), Seq("error", 175L, 201L, 0.1201),
+      Seq("purchase", 170L, 202L, 0.1682),
+      Seq("signup", 176L, 199L, 0.1306),
+      Seq("view", 166L, 188L, 0.1122)))
+  }
+
+  test("golden: q_eval_kappa sf0.001 — pinned κ") {
+    pinned("q_eval_kappa", Seq(Seq(500L, 0L, 117L, 0.0399)))
+  }
+
+  test("golden: q_eval_mcc sf0.001 — pinned 2×2 and MCC") {
+    pinned("q_eval_mcc", Seq(Seq(47L, 240L, 67L, 146L, 0.0293)))
+  }
+
+  test("golden: q_eval_brier sf0.001 — pinned score and reference") {
+    pinned("q_eval_brier", Seq(Seq(500L, 193L, 0.3537, 0.237)))
+  }
+
+  test("golden: q_eval_calibration sf0.001 — pinned reliability table") {
+    pinned("q_eval_calibration", Seq(
+      Seq(4, 19L, 8L, 0.45, 0.4211, 0.311),
+      Seq(5, 106L, 44L, 0.55, 0.4151, 0.311),
+      Seq(6, 122L, 50L, 0.65, 0.4098, 0.311),
+      Seq(7, 127L, 46L, 0.75, 0.3622, 0.311),
+      Seq(8, 126L, 45L, 0.85, 0.3571, 0.311)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
