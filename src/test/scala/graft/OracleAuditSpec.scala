@@ -1599,6 +1599,207 @@ class OracleAuditSpec extends SparkSpec {
     }
   }
 
+  // ---- round-11 batch 5: the mergeable-sketch family (countmin, kmv,
+  // binned quantiles), the frozen-NDCG ranker, prf, and autocorr.
+
+  /** JDK md5 hex — the independent twin of Pipeline.hash16/hash32 and
+    * the oracle's instr-digit arithmetic. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def u16(s: String): Int =
+    Integer.parseInt(md5hex(s).substring(0, 4), 16)
+
+  private def u32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  /** The house tokenizer replayed: any run of ASCII whitespace is one
+    * separator, no empty tokens. */
+  private def wsTokens(text: String): Seq[String] =
+    text.split("[ \\t\\n\\r\\f\\x0B]+").toSeq.filter(_.nonEmpty)
+
+  test("audit: q_eval_ranking — P@10/MAP@10/NDCG@10 with re-derived " +
+       "discount tables") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    // re-derive the frozen tables from their definitions:
+    // disc(i) = round(1e6 / log2(i+1)), pfac(i) = 2520 / i
+    val disc = (1 to 10).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val pfac = (1 to 10).map(i => 2520L / i)
+    val qvecs = emb.filter(_._2 != null).flatMap { case (id, v, lbl) =>
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      if (amax <= 0) None
+      else Some((id, v.map(x => math.round(x * (127.0 / amax))), lbl))
+    }
+    val labCnt = emb.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = qvecs.filter(_._1 < 10).sortBy(_._1).flatMap {
+      case (qid, qv, qlbl) =>
+        val nRel = labCnt(qlbl) - 1
+        if (nRel <= 0) None else {
+          val ranked = qvecs.filter(_._1 != qid).map { case (cid, cv, cl) =>
+            (cid, qv.zip(cv).map { case (a, b) => a * b }.sum, cl)
+          }.sortBy { case (cid, dot, _) => (-dot, cid) }.take(10)
+          var hits = 0L; var dcg = 0L; var apn = 0L
+          ranked.zipWithIndex.foreach { case ((_, _, cl), i) =>
+            if (cl == qlbl) {
+              hits += 1
+              dcg += disc(i)
+              apn += hits * pfac(i)
+            }
+          }
+          val m = math.min(nRel, 10L)
+          Some((qid, nRel, hits,
+                halfUp(BigInt(hits) * 10000, BigInt(10)).toDouble / 1e4,
+                halfUp(BigInt(apn) * 10000,
+                       BigInt(2520) * m).toDouble / 1e4,
+                halfUp(BigInt(dcg) * 10000,
+                       BigInt(cum((m - 1).toInt))).toDouble / 1e4))
+        }
+    }
+    val got = q("q_eval_ranking").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+       r.getDouble(4), r.getDouble(5)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"ranking ints: $g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-9 && math.abs(g._5 - e._5) < 1e-9
+             && math.abs(g._6 - e._6) < 1e-9,
+        s"ranking q=${e._1}: got $g expected $e")
+    }
+  }
+
+  test("audit: q_eval_prf — per-class P/R/F1 over the replayed langid") {
+    val j = docRows.map(d => (d._2, langidPredicted.get(d._1)))
+    val nTrue = j.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tp = j.collect { case (t, Some(p)) if t == p => t }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nPred = j.collect { case (_, Some(p)) => p }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = nTrue.keys.toSeq.sorted.map { lang =>
+      val t = tp.getOrElse(lang, 0L)
+      val nt = nTrue(lang)
+      val np = nPred.getOrElse(lang, 0L)
+      val prec = if (np > 0)
+        halfUp(BigInt(t) * 10000, BigInt(np)).toDouble / 1e4 else 0.0
+      (lang, nt, np, t, prec,
+       halfUp(BigInt(t) * 10000, BigInt(nt)).toDouble / 1e4,
+       halfUp(BigInt(t) * 20000, BigInt(nt + np)).toDouble / 1e4)
+    }
+    val got = q("q_eval_prf").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got == expected, s"prf:\n got $got\n exp $expected")
+  }
+
+  test("audit: q_ts_autocorr — lag-1 Pearson over consecutive hours") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        val byHr = rs.groupBy(r => Math.floorDiv(r._4, 3600000000L))
+          .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val pairs = byHr.sliding(2).collect {
+          case Seq((h1, c1), (h2, c2)) if h2 == h1 + 1 => (c1, c2)
+        }.toSeq
+        val n = pairs.size.toDouble
+        val sx = pairs.map(_._1).sum.toDouble
+        val sy = pairs.map(_._2).sum.toDouble
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+        val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+        val r1 = (n * sxy - sx * sy) /
+                 math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        (typ, pairs.size.toLong, r1)
+    }
+    val got = q("q_ts_autocorr").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"autocorr ints: $g vs $e")
+      assert(math.abs(g._3 - e._3) < TOL, s"r1 ${e._1}: $g vs $e")
+    }
+  }
+
+  test("audit: q_stats_sketch_quantile — 256-bin estimate AND exact " +
+       "percentile, both replayed") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        val vs = rs.map(_._5)
+        val n = vs.size.toLong
+        val minc = vs.min; val maxc = vs.max
+        val width = (maxc - minc) / 256 + 1
+        def tgt(p: Int): Long = (p * n + 99) / 100
+        // sketch side: bin counts, first bin edge whose cum >= target
+        val bins = vs.groupBy(v => (v - minc) / width).toSeq.sortBy(_._1)
+        def est(p: Int): Long = {
+          var cum = 0L
+          bins.collectFirst { case (b, xs)
+            if { cum += xs.size; cum >= tgt(p) } =>
+              math.min(minc + (b + 1) * width - 1, maxc)
+          }.get
+        }
+        // exact side: distinct-value CDF
+        val sorted = vs.sorted
+        def exact(p: Int): Long = sorted((tgt(p) - 1).toInt)
+        (typ, n, est(50), exact(50), est(95), exact(95),
+         est(99), exact(99))
+    }
+    val got = q("q_stats_sketch_quantile").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got == expected,
+      s"sketch_quantile:\n got $got\n exp $expected")
+  }
+
+  test("audit: q_agg_countmin — 4×16 counter matrix and min-estimate " +
+       "replayed via JDK md5") {
+    val words = docRows.flatMap(d => wsTokens(d._5))
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val top = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    val counters = Array.fill(4, 16)(0L)
+    words.foreach { w =>
+      for (r <- 0 until 4)
+        counters(r)(u16(s"$w#$r") % 16) += 1
+    }
+    val expected = top.map { case (w, c) =>
+      val estC = (0 until 4).map(r => counters(r)(u16(s"$w#$r") % 16)).min
+      (w, c, estC, estC - c)
+    }
+    val got = q("q_agg_countmin").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected, s"countmin:\n got $got\n exp $expected")
+    // the sketch's defining one-sided guarantee, value-independently
+    got.foreach(g => assert(g._4 >= 0, s"undercount! $g"))
+  }
+
+  test("audit: q_distinct_kmv — k-min-values estimator via JDK md5") {
+    val expected = eventsRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (typ, rs) =>
+        val hvs = rs.map(r => u32(r._3.toString)).distinct.sorted
+        val nd = hvs.size.toLong
+        val est =
+          if (nd < 64) nd.toDouble
+          else {
+            val kth = hvs(63).toDouble
+            BigDecimal(63.0 / (kth / 4294967296.0))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        (typ, nd, est)
+    }
+    val got = q("q_distinct_kmv").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"kmv ints: $g vs $e")
+      assert(math.abs(g._3 - e._3) < TOL, s"kmv est ${e._1}: $g vs $e")
+    }
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -1936,6 +2137,57 @@ class OracleAuditSpec extends SparkSpec {
       Seq(6, 122L, 50L, 0.65, 0.4098, 0.311),
       Seq(7, 127L, 46L, 0.75, 0.3622, 0.311),
       Seq(8, 126L, 45L, 0.85, 0.3571, 0.311)))
+  }
+
+  test("golden: q_eval_ranking sf0.001 — pinned head + nonzero rows") {
+    pinned("q_eval_ranking", Seq(
+      Seq(0L, 50L, 2L, 0.2, 0.0393, 0.1428),
+      Seq(2L, 62L, 1L, 0.1, 0.0125, 0.0694),
+      Seq(6L, 42L, 3L, 0.3, 0.1067, 0.2614),
+      Seq(8L, 49L, 2L, 0.2, 0.0472, 0.161)),
+      r => Set(0L, 2L, 6L, 8L)(r.getLong(0)))
+  }
+
+  test("golden: q_eval_prf sf0.001 — pinned per-class P/R/F1") {
+    pinned("q_eval_prf", Seq(
+      Seq("de", 71L, 254L, 40L, 0.1575, 0.5634, 0.2462),
+      Seq("en", 193L, 114L, 47L, 0.4123, 0.2435, 0.3062),
+      Seq("es", 80L, 55L, 11L, 0.2, 0.1375, 0.163),
+      Seq("fr", 82L, 51L, 13L, 0.2549, 0.1585, 0.1955),
+      Seq("zh", 74L, 26L, 6L, 0.2308, 0.0811, 0.12)))
+  }
+
+  test("golden: q_ts_autocorr sf0.001 — pinned lag-1 r per type") {
+    pinned("q_ts_autocorr", Seq(
+      Seq("click", 57L, 0.3086), Seq("error", 45L, -0.144),
+      Seq("purchase", 42L, -0.2708), Seq("signup", 47L, -0.1249),
+      Seq("view", 41L, -0.0516)))
+  }
+
+  test("golden: q_stats_sketch_quantile sf0.001 — pinned est/exact") {
+    pinned("q_stats_sketch_quantile", Seq(
+      Seq("click", 210L, 3379L, 3319L, 14899L, 14812L, 25395L, 25394L),
+      Seq("error", 201L, 3417L, 3355L, 12502L, 12460L, 18585L, 18557L),
+      Seq("purchase", 202L, 3588L, 3562L, 14116L, 14064L, 21396L,
+          21310L),
+      Seq("signup", 199L, 3887L, 3790L, 15647L, 15601L, 23102L, 23025L),
+      Seq("view", 188L, 3756L, 3711L, 12796L, 12711L, 28616L, 28520L)))
+  }
+
+  test("golden: q_agg_countmin sf0.001 — pinned top-10 estimates") {
+    pinned("q_agg_countmin", Seq(
+      Seq("scan", 984L, 1958L, 974L), Seq("column", 978L, 978L, 0L),
+      Seq("window", 976L, 1879L, 903L), Seq("order", 975L, 1885L, 910L),
+      Seq("sort", 974L, 1910L, 936L), Seq("part", 963L, 992L, 29L),
+      Seq("agg", 953L, 953L, 0L), Seq("value", 950L, 1895L, 945L),
+      Seq("line", 946L, 946L, 0L), Seq("key", 945L, 945L, 0L)))
+  }
+
+  test("golden: q_distinct_kmv sf0.001 — pinned small-side estimates") {
+    pinned("q_distinct_kmv", Seq(
+      Seq("click", 15L, 15.0), Seq("error", 15L, 15.0),
+      Seq("purchase", 15L, 15.0), Seq("signup", 15L, 15.0),
+      Seq("view", 15L, 15.0)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
