@@ -1800,6 +1800,164 @@ class OracleAuditSpec extends SparkSpec {
     }
   }
 
+  // ---- round-11 batch 6: dp_sum, kendall, hodges_lehmann, mase, jsd,
+  // readability — the Laplace/τ-b/pairwise-median/forecast/divergence/
+  // frozen-formula classes.
+
+  test("audit: q_privacy_dp_sum — clipped sums and hash-derandomized " +
+       "Laplace noise") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+    val expected = cust.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (seg, rs) =>
+        val clipc = rs.map { case (_, bal) =>
+          val c = math.floor(bal * 100 + 0.5).toLong
+          math.min(math.max(c, 0L), 500000L)
+        }.sum
+        val u = (u16(seg + ":dpsum") + 0.5) / 65536.0
+        val noise = -50000.0 * math.signum(u - 0.5) *
+          math.log(1.0 - 2.0 * math.abs(u - 0.5))
+        (seg, rs.size.toLong, clipc / 100.0, noise, clipc / 100.0 + noise)
+    }
+    val got = q("q_privacy_dp_sum").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+       r.getDouble(4), r.getDouble(5)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 &&
+             math.abs(g._3 - e._3) < 1e-9, s"dp_sum base: $g vs $e")
+      assert(math.abs(g._4 - e._4) < TOL && math.abs(g._5 - e._5) < TOL,
+        s"dp_sum noise ${e._1}: got $g expected $e")
+      assert(g._6 == 0.1)
+    }
+  }
+
+  test("audit: q_ts_kendall — τ-b from exact pairwise concordance") {
+    val daily = ordersRows.groupBy(_._4).toSeq.sortBy(_._1).map {
+      case (d, os) => (d, os.size.toLong, os.map(_._5).sum)
+    }
+    var c = 0L; var dis = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.size) {
+      val (_, na, sa) = daily(i); val (_, nb, sb) = daily(j)
+      np += 1
+      if ((na < nb && sa < sb) || (na > nb && sa > sb)) c += 1
+      else if ((na < nb && sa > sb) || (na > nb && sa < sb)) dis += 1
+      if (na == nb) tx += 1
+      if (sa == sb) ty += 1
+    }
+    val tau = (c - dis).toDouble /
+      math.sqrt((BigInt(np - tx) * (np - ty)).toDouble)
+    val row = q("q_ts_kendall").head()
+    assert(row.getLong(0) == daily.size.toLong && row.getLong(1) == np &&
+           row.getLong(2) == c && row.getLong(3) == dis,
+      s"kendall ints: got $row expected (${daily.size}, $np, $c, $dis)")
+    assert(math.abs(row.getDouble(4) - tau) < TOL,
+      s"tau: got ${row.getDouble(4)} expected $tau")
+  }
+
+  test("audit: q_ts_hodges_lehmann — median pairwise weekly-mean shift") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+              expr("unix_micros(cast(o_orderdate as timestamp))"),
+              col("o_totalprice"))
+      .collect().toSeq.map(r =>
+        (r.getString(0), Math.floorDiv(r.getLong(1), 7 * 86400000000L),
+         cents(r.getDouble(2))))
+    def arm(pri: String) = rows.filter(_._1 == pri).groupBy(_._2)
+      .toSeq.map { case (wk, os) =>
+        (wk, os.size.toLong, os.map(o => BigInt(o._3)).sum)
+      }
+    val pairs = for {
+      (wka, na, sa) <- arm("1-URGENT"); (wkb, nb, sb) <- arm("5-LOW")
+    } yield (halfUp((sa * nb - sb * na) * 10000, BigInt(na) * nb),
+             wka, wkb)
+    val np = pairs.size.toLong
+    val dmc = pairs.sortBy(p => (p._1, p._2, p._3))
+      .apply(((np + 1) / 2 - 1).toInt)._1
+    val row = q("q_ts_hodges_lehmann").head()
+    assert(row.getLong(0) == np, s"hl pairs: got $row expected $np")
+    assert(math.abs(row.getDouble(1) - dmc.toDouble / 1e6) < 1e-9,
+      s"hl shift: got ${row.getDouble(1)} expected ${dmc.toDouble / 1e6}")
+  }
+
+  test("audit: q_ts_mase — seasonal-naive error ratio over positional " +
+       "lags") {
+    val daily = dailyRev.toSeq.sortBy(_._1).map(_._2)
+    def maeSum(lag: Int): (BigInt, Long) = {
+      val es = daily.indices.drop(lag).map(i =>
+        BigInt(math.abs(daily(i) - daily(i - lag))))
+      (es.sum, es.size.toLong)
+    }
+    val (s1, n1) = maeSum(1); val (s7, n7) = maeSum(7)
+    val ratio4 = halfUp(s7 * n1 * 10000, s1 * n7).toDouble / 10000.0
+    val row = q("q_ts_mase").head()
+    assert(row.getLong(0) == n1 && row.getLong(1) == n7,
+      s"mase counts: got $row expected ($n1, $n7)")
+    assert(math.abs(row.getDouble(2) - s1.toDouble / n1.toDouble / 100.0)
+             < 1e-6 &&
+           math.abs(row.getDouble(3) - s7.toDouble / n7.toDouble / 100.0)
+             < 1e-6, s"mase maes: $row")
+    assert(math.abs(row.getDouble(4) - ratio4) < 1e-9,
+      s"mase ratio: got ${row.getDouble(4)} expected $ratio4")
+  }
+
+  test("audit: q_text_jsd — per-source divergence from 1e-9-quantized " +
+       "terms") {
+    val tok = docRows.flatMap(d => wsTokens(d._5).map(w => (d._3, w)))
+    val byS = tok.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1 = tok.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nn = tok.size.toDouble
+    val expected = byS.keys.toSeq.map(_._1).distinct.sorted.map { src =>
+      val terms = byS.keys.filter(_._1 == src).toSeq
+      val sq = terms.map { case k @ (_, w) =>
+        val p = byS(k).toDouble / n1(src)
+        val qq = ct(w).toDouble / nn
+        math.round((p * math.log(2.0 * p / (p + qq)) +
+                    qq * (math.log(2.0 * qq / (p + qq)) -
+                          math.log(2.0))) * 1e9)
+      }.sum
+      (src, terms.size.toLong, 0.5 * math.log(2.0) + sq / 2e9)
+    }
+    val got = q("q_text_jsd").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"jsd ints: $g vs $e")
+      assert(math.abs(g._3 - e._3) < TOL, s"jsd ${e._1}: $g vs $e")
+    }
+  }
+
+  test("audit: q_text_readability — Flesch from replayed syllable " +
+       "counts and the frozen 206.835/1.015/84.6") {
+    val syllRe = "[aeiouy]+".r
+    val expected = docRows.map { d => (d._3, wsTokens(d._5)) }
+      .filter(_._2.nonEmpty)
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (src, docs) =>
+        val nDocs = docs.size.toLong
+        val nWords = docs.map(_._2.size.toLong).sum
+        val nSyll = docs.map(_._2.map(t =>
+          math.max(1L, syllRe.findAllIn(t.toLowerCase).size.toLong))
+          .sum).sum
+        val wpd = nWords.toDouble / nDocs
+        val spw = nSyll.toDouble / nWords
+        (src, nDocs, nWords, nSyll, wpd, spw,
+         206.835 - 1.015 * wpd - 84.6 * spw)
+      }
+    val got = q("q_text_readability").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+             g._4 == e._4, s"readability ints: $g vs $e")
+      assert(math.abs(g._5 - e._5) < TOL && math.abs(g._6 - e._6) < TOL &&
+             math.abs(g._7 - e._7) < TOL,
+        s"readability ${e._1}: got $g expected $e")
+    }
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -2188,6 +2346,44 @@ class OracleAuditSpec extends SparkSpec {
       Seq("click", 15L, 15.0), Seq("error", 15L, 15.0),
       Seq("purchase", 15L, 15.0), Seq("signup", 15L, 15.0),
       Seq("view", 15L, 15.0)))
+  }
+
+  test("golden: q_privacy_dp_sum sf0.001 — pinned clipped sums + noise") {
+    pinned("q_privacy_dp_sum", Seq(
+      Seq("AUTOMOBILE", 23L, 76508.26, -18410.5742, 58097.6858, 0.1),
+      Seq("BUILDING", 34L, 108050.36, -36145.6609, 71904.6991, 0.1),
+      Seq("FURNITURE", 40L, 123454.54, -21038.5892, 102415.9508, 0.1),
+      Seq("HOUSEHOLD", 23L, 84983.94, -5206.5198, 79777.4202, 0.1),
+      Seq("MACHINERY", 30L, 103088.95, -8880.7317, 94208.2183, 0.1)))
+  }
+
+  test("golden: q_ts_kendall sf0.001 — pinned concordance and τ") {
+    pinned("q_ts_kendall",
+      Seq(Seq(1094L, 597871L, 232131L, 37481L, 0.4848)))
+  }
+
+  test("golden: q_ts_hodges_lehmann sf0.001 — pinned HL shift") {
+    pinned("q_ts_hodges_lehmann", Seq(Seq(37026L, -17828.25)))
+  }
+
+  test("golden: q_ts_mase sf0.001 — pinned error ratio") {
+    pinned("q_ts_mase", Seq(Seq(1093L, 1087L, 255897.7330558097,
+                                250927.36270469183, 0.9806)))
+  }
+
+  test("golden: q_text_jsd sf0.001 — pinned head sources") {
+    pinned("q_text_jsd",
+      Seq(Seq("src0", 31L, 0.0031), Seq("src1", 31L, 0.0018),
+          Seq("src18", 30L, 0.0054), Seq("src19", 31L, 0.0023)),
+      r => Set("src0", "src1", "src18", "src19")(r.getString(0)))
+  }
+
+  test("golden: q_text_readability sf0.001 — pinned head sources") {
+    pinned("q_text_readability", Seq(
+      Seq("src0", 25L, 1533L, 2188L, 61.32, 1.4273, 23.8484),
+      Seq("src1", 25L, 1441L, 2062L, 57.64, 1.431, 27.272),
+      Seq("src19", 25L, 1369L, 1993L, 54.76, 1.4558, 28.0923)),
+      r => Set("src0", "src1", "src19")(r.getString(0)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
