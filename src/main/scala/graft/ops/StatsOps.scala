@@ -441,6 +441,12 @@ object StatsOps extends OpGroup {
       "q_stats_bootstrap",
       (s, d) => {
         val reps = 10
+        // thresholds = round(65536·CDF_Poisson(1)(k)), k = 0..4 — the
+        // exact grid (e⁻¹·Σ1/j!): 24109, 48219, 60273, 64292, 65296.
+        // Round 11 fixed the first four, which had drifted +3/+6/+9/−1
+        // off the true CDF (a low-precision e⁻¹ in the original
+        // derivation — the mirrored-constant class the OracleAuditSpec
+        // replay now pins independently via math.exp).
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars"))
           .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
@@ -448,8 +454,8 @@ object StatsOps extends OpGroup {
             concat(col("doc_id").cast("string"), lit(":"),
                    col("rep").cast("string"))))
           .withColumn("w",
-            when(col("u") < 24112, 0L).when(col("u") < 48225, 1L)
-              .when(col("u") < 60282, 2L).when(col("u") < 64291, 3L)
+            when(col("u") < 24109, 0L).when(col("u") < 48219, 1L)
+              .when(col("u") < 60273, 2L).when(col("u") < 64292, 3L)
               .when(col("u") < 65296, 4L).otherwise(5L))
         val perRep = base.groupBy(col("rep"))
           .agg(sum(col("w")).as("ne"),
@@ -476,8 +482,8 @@ object StatsOps extends OpGroup {
         |  FROM documents d CROSS JOIN r),
         |w AS (
         |  SELECT rep, n_chars,
-        |    CASE WHEN u < 24112 THEN 0 WHEN u < 48225 THEN 1
-        |         WHEN u < 60282 THEN 2 WHEN u < 64291 THEN 3
+        |    CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+        |         WHEN u < 60273 THEN 2 WHEN u < 64292 THEN 3
         |         WHEN u < 65296 THEN 4 ELSE 5 END AS w
         |  FROM b),
         |p AS (

@@ -1958,6 +1958,176 @@ class OracleAuditSpec extends SparkSpec {
     }
   }
 
+  // ---- round-11 batch 7: the derandomized-resampling pair (bootstrap,
+  // permutation), chisq, and the rolling/argmax integer-algebra pair
+  // (bollinger, changepoint). The bootstrap audit DERIVES the
+  // Poisson(1) CDF grid from math.exp — this replay found the original
+  // thresholds (24112/48225/60282/64291) off the true CDF by up to
+  // 9/65536 and drove the round-11 plan+oracle fix to
+  // 24109/48219/60273/64292/65296.
+
+  test("audit: q_stats_bootstrap — Poisson(1) grid re-derived, ladder " +
+       "replayed") {
+    val thresholds = {
+      var cdf = 0.0
+      (0 to 4).map { k =>
+        cdf += math.exp(-1.0) / (1 to k).product.max(1)
+        math.round(cdf * 65536)
+      }
+    }
+    assert(thresholds == Seq(24109L, 48219L, 60273L, 64292L, 65296L),
+      s"Poisson(1) grid drifted: $thresholds")
+    val reps = 10
+    val perRep = (0 until reps).map { rep =>
+      var ne = BigInt(0); var ts = BigInt(0)
+      docRows.foreach { case (id, _, _, nChars, _) =>
+        val u = u16(s"$id:$rep")
+        val w = thresholds.indexWhere(u < _) match {
+          case -1 => 5L
+          case i  => i.toLong
+        }
+        ne += w; ts += BigInt(w) * nChars
+      }
+      halfUp(ts * 10000, ne)
+    }
+    val n = reps.toLong
+    val sa = perRep.sum
+    val ssa = perRep.map(a => a * a).sum
+    val mean = sa.toDouble / (n * 10000.0)
+    val sd = math.sqrt((BigInt(n) * ssa - sa * sa).toDouble /
+                       (n.toDouble * (n - 1))) / 10000.0
+    val row = q("q_stats_bootstrap").head()
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - mean) < TOL &&
+           math.abs(row.getDouble(2) - sd) < TOL,
+      s"bootstrap: got $row expected ($mean, $sd)")
+  }
+
+  test("audit: q_stats_permutation — md5-bit reassignment nulls and p") {
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      .filter(r => r._2 == "BUILDING" || r._2 == "MACHINERY").toMap
+    val pool = ordersRows.flatMap { o =>
+      seg.get(o._2).map(s =>
+        (o._1, if (s == "BUILDING") 1L else 0L, o._5))
+    }
+    def stats(assign: ((Long, Long, Long)) => Long)
+        : (BigInt, BigInt, Long, Long) = {
+      var s1 = BigInt(0); var s0 = BigInt(0); var n1 = 0L; var n0 = 0L
+      pool.foreach { r =>
+        if (assign(r) == 1L) { s1 += r._3; n1 += 1 }
+        else { s0 += r._3; n0 += 1 }
+      }
+      (s1, s0, n1, n0)
+    }
+    val (s1o, s0o, n1o, n0o) = stats(_._2)
+    val ao = (s1o * n0o - s0o * n1o).abs
+    val bo = BigInt(n1o) * n0o
+    val bits = pool.map { r =>
+      val hh = md5hex(s"${r._1}:0") + md5hex(s"${r._1}:1")
+      r._1 -> hh.map(c => "0123456789abcdef".indexOf(c))
+    }.toMap
+    val nExtreme = (0 until 200).count { rep =>
+      val (s1, s0, n1, n0) = stats(r =>
+        ((bits(r._1)(rep / 4) >> (rep % 4)) & 1).toLong)
+      (s1 * n0 - s0 * n1).abs * bo >= ao * (BigInt(n1) * n0)
+    }
+    val absdiff4 = halfUp(ao * 100, bo).toDouble / 10000.0
+    val p4 = halfUp(BigInt(nExtreme + 1) * 10000,
+                    BigInt(201)).toDouble / 10000.0
+    val row = q("q_stats_permutation").head()
+    assert(row.getLong(0) == n1o && row.getLong(1) == n0o &&
+           row.getLong(3) == nExtreme.toLong,
+      s"permutation ints: got $row expected ($n1o, $n0o, $nExtreme)")
+    assert(math.abs(row.getDouble(2) - absdiff4) < 1e-9 &&
+           math.abs(row.getDouble(4) - p4) < 1e-9,
+      s"permutation: got $row expected ($absdiff4, $p4)")
+  }
+
+  test("audit: q_stats_chisq — independence χ² over the full " +
+       "lang×source grid") {
+    val obs = docRows.map(d => (d._2, d._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rS = docRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cS = docRows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val n = docRows.size.toLong
+    // .toSeq: a for over two key SETS would yield a Set and silently
+    // collapse equal per-cell quantized terms
+    val sq = (for (l <- rS.keys.toSeq; s <- cS.keys.toSeq) yield {
+      val o = obs.getOrElse((l, s), 0L)
+      val e = rS(l).toDouble * cS(s) / n
+      math.round((o - e) * (o - e) / e * 1000000)
+    }).sum
+    val row = q("q_stats_chisq").head()
+    assert(row.getLong(0) == n && row.getLong(1) == rS.size.toLong &&
+           row.getLong(2) == cS.size.toLong &&
+           row.getLong(3) == (rS.size - 1).toLong * (cS.size - 1),
+      s"chisq ints: got $row")
+    assert(math.abs(row.getDouble(4) - sq / 1e6) < 1e-9,
+      s"chi2: got ${row.getDouble(4)} expected ${sq / 1e6}")
+  }
+
+  test("audit: q_win_bollinger — 2σ breaches by exact integer " +
+       "cross-multiplication") {
+    val daily = dailyRev.toSeq.sortBy(_._1)
+    val expected = daily.indices.drop(19).flatMap { i =>
+      val win = daily.slice(i - 19, i + 1).map(_._2)
+      val n = win.size.toLong
+      val s = win.map(BigInt(_)).sum
+      val qq = win.map(v => BigInt(v) * v).sum
+      val x = BigInt(daily(i)._2)
+      val dev = x * n - s
+      if (dev * dev * (n - 1) > BigInt(4) * n * (n * qq - s * s))
+        Some((daily(i)._1, daily(i)._2 / 100.0,
+              if (x * n > s) "hi" else "lo"))
+      else None
+    }
+    val got = q("q_win_bollinger").collect().toSeq.map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got == expected,
+      s"bollinger: got ${got.size} rows expected ${expected.size};" +
+        s" first got ${got.headOption} expected ${expected.headOption}")
+  }
+
+  test("audit: q_ts_changepoint — argmax between-segment gain on the " +
+       "exact scale-4 ladder") {
+    val daily = dailyRev.toSeq.sortBy(_._1)
+    val tn = ordersRows.size.toLong
+    val counts = ordersRows.groupBy(_._4).view.mapValues(_.size.toLong)
+      .toMap
+    val ts = daily.map(d => BigInt(d._2)).sum
+    val tssq = ordersRows.map(o => BigInt(o._5) * o._5).sum
+    // NOTE: daily sums are per-day revenue; ssq is per-ORDER cents²
+    var cn = 0L
+    var cs = BigInt(0)
+    var best: (BigInt, Long, Long, BigInt) = null // (gain, day, cn, cs)
+    daily.foreach { case (day, rev) =>
+      cn += counts(day); cs += rev
+      if (cn < tn) {
+        val gain = halfUp(cs * cs, BigInt(cn)) +
+          halfUp((ts - cs) * (ts - cs), BigInt(tn - cn)) -
+          halfUp(ts * ts, BigInt(tn))
+        if (best == null || gain > best._1) best = (gain, day, cn, cs)
+      }
+    }
+    val (bgain, day, bcn, bcs) = (best._1, best._2, best._3, best._4)
+    val denom = tssq - halfUp(ts * ts, BigInt(tn))
+    val row = q("q_ts_changepoint").head()
+    assert(row.getLong(0) == tn && row.getLong(1) == day &&
+           row.getLong(2) == bcn && row.getLong(3) == tn - bcn,
+      s"changepoint ints: got $row expected ($tn, $day, $bcn)")
+    assert(math.abs(row.getDouble(4) -
+             halfUp(bcs * 100, BigInt(bcn)).toDouble / 1e4) < 1e-9 &&
+           math.abs(row.getDouble(5) -
+             halfUp((ts - bcs) * 100, BigInt(tn - bcn)).toDouble / 1e4)
+             < 1e-9,
+      s"changepoint means: got $row")
+    assert(math.abs(row.getDouble(6) -
+             halfUp(bgain * 10000, denom).toDouble / 1e4) < 1e-9,
+      s"gain share: got ${row.getDouble(6)}")
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -2384,6 +2554,34 @@ class OracleAuditSpec extends SparkSpec {
       Seq("src1", 25L, 1441L, 2062L, 57.64, 1.431, 27.272),
       Seq("src19", 25L, 1369L, 1993L, 54.76, 1.4558, 28.0923)),
       r => Set("src0", "src1", "src19")(r.getString(0)))
+  }
+
+  test("golden: q_stats_bootstrap sf0.001 — pinned CI (post-grid-fix)") {
+    pinned("q_stats_bootstrap", Seq(Seq(10L, 304.7614, 3.8268)))
+  }
+
+  test("golden: q_stats_permutation sf0.001 — pinned null count and p") {
+    pinned("q_stats_permutation",
+      Seq(Seq(342L, 305L, 10117.3205, 78L, 0.393)))
+  }
+
+  test("golden: q_stats_chisq sf0.001 — pinned independence χ²") {
+    pinned("q_stats_chisq", Seq(Seq(500L, 5L, 20L, 76L, 77.688457)))
+  }
+
+  test("golden: q_win_bollinger sf0.001 — pinned breach count + edges") {
+    val got = q("q_win_bollinger").collect().toSeq.map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.size == 47, s"breach count drifted: ${got.size}")
+    assert(got.head == ((9279L, 875609.76, "hi")) &&
+           got(1) == ((9298L, 935666.78, "hi")) &&
+           got.last == ((11527L, 866249.75, "hi")),
+      s"bollinger edges drifted: ${got.head} .. ${got.last}")
+  }
+
+  test("golden: q_ts_changepoint sf0.001 — pinned split") {
+    pinned("q_ts_changepoint", Seq(
+      Seq(1500L, 9329L, 126L, 1374L, 275363.3542, 247271.4767, 0.0029)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
