@@ -2128,6 +2128,54 @@ class OracleAuditSpec extends SparkSpec {
       s"gain share: got ${row.getDouble(6)}")
   }
 
+  // ---- round-11 batch 8: text_entropy, win_drawdown.
+
+  test("audit: q_text_entropy — per-doc token entropy per lang") {
+    val perDoc = docRows.flatMap { case (_, lang, _, _, text) =>
+      val cnts = wsTokens(text).groupBy(identity).values.map(_.size)
+      if (cnts.isEmpty) None else {
+        val n = cnts.sum.toDouble
+        Some((lang,
+          math.log(n) - cnts.map(c => c * math.log(c.toDouble)).sum / n))
+      }
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, hs) =>
+        (lang, hs.size.toLong, hs.map(_._2).sum / hs.size,
+         hs.map(_._2).min, hs.map(_._2).max)
+    }
+    val got = q("q_text_entropy").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+       r.getDouble(4)))
+    assert(got.size == expected.size && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"entropy ints: $g vs $e")
+      assert(math.abs(g._3 - e._3) < TOL && math.abs(g._4 - e._4) < TOL &&
+             math.abs(g._5 - e._5) < TOL, s"entropy ${e._1}: $g vs $e")
+    }
+  }
+
+  test("audit: q_win_drawdown — deepest fall from the running peak") {
+    val daily = dailyRev.toSeq.sortBy(_._1)
+    var peak = Long.MinValue
+    var best: (Long, Long, Long, Long) = null // (dd, day, peak, rev)
+    daily.foreach { case (day, rev) =>
+      peak = math.max(peak, rev)
+      val dd = peak - rev
+      if (best == null || dd > best._1) best = (dd, day, peak, rev)
+    }
+    val (dd, day, pk, rev) = best
+    val row = q("q_win_drawdown").head()
+    assert(row.getLong(0) == day, s"trough day: got $row expected $day")
+    assert(math.abs(row.getDouble(1) - dd / 100.0) < 1e-9 &&
+           math.abs(row.getDouble(2) - pk / 100.0) < 1e-9 &&
+           math.abs(row.getDouble(3) - rev / 100.0) < 1e-9,
+      s"drawdown values: got $row expected ($dd, $pk, $rev)")
+    assert(math.abs(row.getDouble(4) -
+             halfUp(BigInt(dd) * 10000, BigInt(pk)).toDouble / 1e4)
+           < 1e-9, s"dd_frac: got ${row.getDouble(4)}")
+  }
+
   // ====================================== engine-independent golden pins
   //
   // The two r7/r8 plan+oracle edits (MACD kernel scale, eval_lift grid
@@ -2582,6 +2630,20 @@ class OracleAuditSpec extends SparkSpec {
   test("golden: q_ts_changepoint sf0.001 — pinned split") {
     pinned("q_ts_changepoint", Seq(
       Seq(1500L, 9329L, 126L, 1374L, 275363.3542, 247271.4767, 0.0029)))
+  }
+
+  test("golden: q_text_entropy sf0.001 — pinned per-lang entropy") {
+    pinned("q_text_entropy", Seq(
+      Seq("de", 71L, 3.0176, 2.246, 3.3028),
+      Seq("en", 193L, 2.9731, 1.8938, 3.3014),
+      Seq("es", 80L, 3.0068, 2.2539, 3.3048),
+      Seq("fr", 82L, 3.0537, 2.2048, 3.2863),
+      Seq("zh", 74L, 2.9965, 2.0947, 3.3083)))
+  }
+
+  test("golden: q_win_drawdown sf0.001 — pinned trough") {
+    pinned("q_win_drawdown",
+      Seq(Seq(11235L, 1428997.28, 1430317.79, 1320.51, 0.9991)))
   }
 
   test("golden: q_eval_lift sf0.001 — pinned literal decile table") {
