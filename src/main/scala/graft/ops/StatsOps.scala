@@ -431,7 +431,7 @@ object StatsOps extends OpGroup {
       // Deterministic Poisson(1) bootstrap over per-doc char counts:
       // every (doc, replicate) draws its weight from the md5 uniform
       // (inverse CDF on the integer 2¹⁶ grid, capped at 5 — thresholds
-      // 24112/48225/60282/64291/65296 = floor(F(k)·65536)), so the
+      // 24109/48219/60273/64292/65296 = round(F(k)·65536)), so the
       // resample is REPLAYABLE on any cluster at any partitioning —
       // the property that makes bootstrap CIs auditable at 100 TB.
       // Per-replicate means become half-up 1e-4-unit INTEGERS (the
