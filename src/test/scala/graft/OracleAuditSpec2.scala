@@ -358,6 +358,29 @@ class OracleAuditSpec2 extends SparkSpec {
         s"(${degC.size}, ${m2 / 2}, $qv)")
   }
 
+  test("audit: q_graph_clustering_coeff — 2·tri/(d(d−1)) from raw wedges") {
+    // independent triangle count: for each node, neighbours from the
+    // symmetric edge set; tri(v) = |{(a,b) ⊂ N(v) : a<b, (a,b)∈E}|
+    val tri = adjOf.map { case (v, nb) =>
+      v -> (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if coEdges((nb(i), nb(j)))
+      } yield 1).size.toLong
+    }
+    val expected = degOf.toSeq.filter(_._2 >= 2).map { case (v, d) =>
+      val t = tri.getOrElse(v, 0L)
+      (v, d, t,
+       halfUp(BigInt(t) * 20000, BigInt(d) * (d - 1)).toDouble / 10000.0)
+    }.sortBy(_._1)
+    val got = q("q_graph_clustering_coeff").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected,
+      s"clustering_coeff mismatch:\n got $got\n exp $expected")
+    // the frozen 20000 IS the textbook 2 in 2T/(d(d−1)), on the 1e-4
+    // grid: a node of a complete neighbourhood must score exactly 1
+    assert(expected.forall(_._4 <= 1.0))
+  }
+
   // =============================================== retrieval fusion (#5)
 
   test("audit: q_sim_rrf_fusion — BM25 + cosine lists fused on ⌊10⁶/(60+r)⌋") {
@@ -737,6 +760,15 @@ class OracleAuditSpec2 extends SparkSpec {
       Seq(4L, "4->1->4->1"), Seq(6L, "6->2->6->8"),
       Seq(7L, "7->1->7->8"), Seq(8L, "8->0->7->1"),
       Seq(9L, "9->2->3->8")))
+  }
+
+  test("golden: q_graph_clustering_coeff sf0.001 — full LCC table") {
+    pinned("q_graph_clustering_coeff", Seq(
+      Seq(0L, 3L, 3L, 1.0), Seq(1L, 2L, 1L, 1.0),
+      Seq(2L, 4L, 6L, 1.0), Seq(3L, 4L, 6L, 1.0),
+      Seq(4L, 4L, 4L, 0.6667), Seq(6L, 4L, 6L, 1.0),
+      Seq(7L, 4L, 4L, 0.6667), Seq(8L, 7L, 9L, 0.4286),
+      Seq(9L, 4L, 6L, 1.0)))
   }
 
   test("golden: q_graph_modularity sf0.001 — pinned Q") {
