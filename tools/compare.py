@@ -48,7 +48,8 @@ def split_ctes(sql):
     list into ([(name, body), ...], final_statement). Paren- and
     single-quote-aware ('' escapes honored); nested WITH inside a body
     is left untouched as part of that body. Raises ValueError if the
-    text does not parse — callers fall back to un-staged execution."""
+    text does not parse — exec_staged catches it and falls back to
+    un-staged (fused) execution."""
     m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.I)
     if not m:
         return [], sql
@@ -125,7 +126,16 @@ def exec_staged(con, name, sql):
         for st in stmts[:-1]:
             con.execute(st)
         return con.execute(stmts[-1])
-    ctes, final = split_ctes(sql)
+    # RECURSIVE CTEs cannot be staged (a self-referencing body has no
+    # CREATE TEMP TABLE form) and a CTE-list parse failure must not
+    # turn a valid oracle into an exec-error FAIL — both fall back to
+    # the fused single-statement pipeline (round-12 advisory).
+    if re.match(r"\s*WITH\s+RECURSIVE\b", sql, re.I):
+        return con.execute(sql)
+    try:
+        ctes, final = split_ctes(sql)
+    except ValueError:
+        return con.execute(sql)
     for nm, body in ctes:
         con.execute(f'CREATE OR REPLACE TEMP TABLE "{nm}" AS {body}')
     return con.execute(final)
@@ -244,10 +254,17 @@ def stream_compare(files, rb):
             b = pa.concat_tables(parts) if parts else None
             if b is None or b.num_rows < a.num_rows:
                 bn = b.num_rows if b is not None else 0
+                # the oracle stream ran dry mid-chunk: the divergence
+                # is at the oracle's total row count — capture it
+                # BEFORE draining the spark side (round-12 advisory;
+                # the partially-fetched oracle rows in this last chunk
+                # were not compared, but the row-count FAIL verdict is
+                # already decided)
+                div_idx = no + bn
                 ns += a.num_rows + sum(
                     t.num_rows for t in iter(lambda: cs.take(1 << 20), None))
                 no += bn
-                return ns, no, (ns if ns < no else no, "<spark row>", None)
+                return ns, no, (div_idx, "<spark row>", None)
             if not a.equals(b):
                 # locate the first differing row for the report
                 pda, pdb = a.to_pandas(), b.to_pandas()
@@ -360,7 +377,11 @@ def main():
     spill_raw = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_spill")
     if staged or stream:
         os.makedirs(spill_raw, exist_ok=True)
-        con = duckdb.connect(os.path.join(spill_raw, "staged.duckdb"))
+        # PID-suffixed DB file: two gate workers mis-sharing one spill
+        # dir degrade to separate databases instead of colliding on
+        # DuckDB's single-writer file lock (round-12 advisory)
+        con = duckdb.connect(
+            os.path.join(spill_raw, f"staged-{os.getpid()}.duckdb"))
     else:
         con = duckdb.connect()
     # let big oracle CTEs (the unrolled k-core peel at sf1+) spill to
