@@ -569,9 +569,15 @@ object Pipeline {
     require(prefixBucketWidth > 0, "prefixBucketWidth must be > 0")
     val v = df.select(valueInt.cast("long").as("_v"))
     // integral div truncates toward zero (≠ floor for negatives) but is
-    // monotone in _v, which is all contiguous prefix bucketing needs
+    // monotone in _v, which is all contiguous prefix bucketing needs.
+    // r12 (guide §3.3): `counts` feeds four plan branches (perB, the
+    // cum join, tot, and the final bucketing) — lazily planned, the
+    // corpus scan + value hash-agg ran 4×. Materialize the
+    // value-domain-sized frame once per invocation (localCheckpoint:
+    // never CacheManager-registered, so re-invocations recompute).
     val counts = v.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
       .withColumn("_pb", expr(s"_v div ${prefixBucketWidth}L"))
+      .localCheckpoint(true)
     val perB = counts.groupBy(col("_pb")).agg(sum(col("_c")).as("_bc"))
     val wCum = Window.orderBy(col("_pb"))
       .rowsBetween(Window.unboundedPreceding, -1)

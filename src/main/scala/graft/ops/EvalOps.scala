@@ -479,13 +479,24 @@ object EvalOps extends OpGroup {
         val pred = graft.api.Text.languageId(
           docs, col("doc_id"), col("text"), col("lang"),
           profileSize = 5)
+        // r12 (guide §3.3): `j` (the languageId pipeline joined back to
+        // the corpus) fed four plan branches — abstentions, and the
+        // confusion matrix consumed by rows/cols/tot — so the whole
+        // langid profile+argmax pipeline re-planned up to 4×
+        // (before-plan: 24 parquet scans). Materialize j projected to
+        // its two used columns once per invocation (localCheckpoint —
+        // recomputed from parquet every invocation), and the ≤|langs|²
+        // confusion matrix once; everything downstream is matrix-sized.
         val j = docs.select(col("doc_id"), col("lang"))
           .join(pred, Seq("doc_id"), "left")
+          .select(col("lang"), col("predicted"))
+          .localCheckpoint(true)
         val abst = j.agg(sum(when(col("predicted").isNull, 1L)
           .otherwise(0L)).as("n_abstained"))
         val conf = j.filter(col("predicted").isNotNull)
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
         val rows = conf.groupBy(col("lang").as("_t"))
           .agg(sum(col("n")).as("rt"))
         val cols = conf.groupBy(col("predicted").as("_p"))

@@ -830,16 +830,24 @@ object TextOps extends OpGroup {
           .select(col("doc_id"), col("pos"), col("col").as("w"),
                   col("col").isin(stops: _*).as("stop"))
         val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // r12 (guide §3.3): `m` (tokenize + posexplode + segment
+        // window) feeds three plan branches (ph, the ws degree join,
+        // inst) and `ph` two — lazily planned, the tokenize+window
+        // pipeline ran 3× per invocation (before-plan: 8 parquet
+        // scans). Materialize both once per invocation
+        // (localCheckpoint — recomputed from parquet every time).
         val m = toks
           .withColumn("seg", sum(col("stop").cast("long")).over(wSeg))
           .filter(!col("stop"))
           .select(col("doc_id"), col("seg"), col("pos"), col("w"))
+          .localCheckpoint(true)
         val ph = m.groupBy(col("doc_id"), col("seg"))
           .agg(concat_ws(" ",
                  transform(array_sort(collect_list(
                    struct(col("pos"), col("w")))), _.getField("w")))
                  .as("phrase"),
                count(lit(1)).as("len"))
+          .localCheckpoint(true)
         val ws = m.join(ph.select(col("doc_id").as("_d"),
                                   col("seg").as("_s"), col("len")),
                         col("doc_id") === col("_d") &&
