@@ -557,7 +557,11 @@ object Dedup {
       maxHamming: Int = 3, fastHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole only guarantees recall for maxHamming <= 3")
-    val sig = simhashSig32(df, id, text, fastHash)
+    // r12 (guide §3.3): both sides of the band self-join re-planned the
+    // whole tokenize+md5+majority signature pipeline; materialize the
+    // doc-sized signature frame once per invocation (localCheckpoint —
+    // never CacheManager-registered, recomputed every invocation).
+    val sig = simhashSig32(df, id, text, fastHash).localCheckpoint(true)
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("bv", expr("(sig div shiftleft(1L, 8 * b)) % 256"))
@@ -680,10 +684,15 @@ object Dedup {
           .withColumn("sz", count(lit(1)).over(
             Window.partitionBy(col("doc_id"))))
       }
-    val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-                      col("g"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-                      col("g").as("g2"))
+    // r12 (guide §3.3): both self-join sides re-planned the whole
+    // tokenize+shingle+explode pipeline; materialize the inverted
+    // index once per invocation (localCheckpoint — recomputed from
+    // parquet on every invocation, never CacheManager-cached).
+    val shC = sh.localCheckpoint(true)
+    val a = shC.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+                       col("g"))
+    val b = shC.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+                       col("g").as("g2"))
     a.join(b.hint("MERGE"),
            col("g") === col("g2") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

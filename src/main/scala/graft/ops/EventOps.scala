@@ -1618,7 +1618,13 @@ object EventOps extends OpGroup {
         // partitions by hb — parallel across buckets, never global.
         val wcap = Window.partitionBy(col("hb"))
           .orderBy(col("s0"), col("user_id"), col("sess"))
+        // r12 (guide §3.3): rked feeds the cap-count branch AND both
+        // self-join sides — the sessionize+window pipeline re-planned
+        // up to 4×. Materialize the (session × hour-bucket) frame once
+        // per invocation (localCheckpoint — recomputed every
+        // invocation, never CacheManager-cached).
         val rked = hs0.withColumn("_rkb", row_number().over(wcap))
+          .localCheckpoint(true)
         val hs = rked.filter(col("_rkb") <= 512).drop("_rkb")
         val nCapped = rked.agg(
           count(when(col("_rkb") > 512, 1)).as("n_capped_slots"))

@@ -23,14 +23,24 @@ object GraphOps extends OpGroup {
       .filter(col("o_orderdate") >= lit("1997-01-01") &&
               col("o_orderdate") < lit("1997-01-08"))
       .select(col("o_orderkey"))
+    // r12 (guide §3.3): `ls` feeds both sides of the co-occurrence
+    // self-join, and the returned edge list is referenced several
+    // times by every consumer (degree frame + pair join + node set +
+    // the fixpoint loops) — lazily planned, the whole
+    // orders-semi-join-distinct pipeline re-ran per reference.
+    // Materialize both once per invocation (localCheckpoint — never
+    // CacheManager-registered, so every bench/verify rep recomputes
+    // from parquet).
     val ls = Tables.lineitem(s, d)
       .join(wk, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .localCheckpoint(true)
     ls.alias("a")
       .join(ls.alias("b"), col("a.l_orderkey") === col("b.l_orderkey"))
       .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
       .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .distinct()
+      .localCheckpoint(true)
   }
 
   private val coSupplyEdgesSql: String =
@@ -127,6 +137,7 @@ object GraphOps extends OpGroup {
         val ls = Tables.lineitem(s, d)
           .join(wk, col("l_orderkey") === col("o_orderkey"), "left_semi")
           .select(col("l_orderkey"), col("l_suppkey")).distinct()
+          .localCheckpoint(true) // r12: shared by both self-join sides
         val ew = ls.alias("a")
           .join(ls.alias("b"), col("a.l_orderkey") === col("b.l_orderkey"))
           .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))

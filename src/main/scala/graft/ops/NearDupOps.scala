@@ -1538,8 +1538,13 @@ object NearDupOps extends OpGroup {
         val ranked = graft.api.Sim.quantizedTopK(
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 60, k = 3)
+        // r12 (guide §3.3): indeg feeds two branches (hub argmax + the
+        // histogram), which re-planned the whole quantizedTopK scoring
+        // pass; materialize the candidate-sized in-degree frame once
+        // per invocation.
         val indeg = ranked.groupBy(col("cand_id"))
           .agg(count(lit(1)).as("indeg"))
+          .localCheckpoint(true)
         // max hub = max(struct(indeg, -cand_id)): the (indeg DESC,
         // cand_id ASC) rank-1 row as a 1-row hash-agg max instead of
         // a global window sort over the in-degree frame

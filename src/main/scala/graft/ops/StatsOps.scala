@@ -1088,6 +1088,15 @@ object StatsOps extends OpGroup {
       "q_stats_permutation",
       (s, d) => {
         val B = 200
+        // r12 (guide §2.3/§3.3): pool fed three plan branches (obs,
+        // reps, and obs again through the final crossJoin) — it is now
+        // materialized once per invocation. The per-replicate hash-agg
+        // — 200·|pool| exploded rows, the hottest loop of the query —
+        // summed TWO conditional DECIMAL(38,0) columns per row; the
+        // group-0 sums are derivable exactly as s0 = (s1o+s0o) − s1
+        // and n0 = (n1o+n0o) − n1 from the one-row obs frame, so the
+        // exploded agg now carries ONE decimal sum + one long sum per
+        // row (same integers, half the decimal work where it counts).
         val pool = Tables.orders(s, d)
           .join(Tables.customer(s, d)
                   .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
@@ -1097,6 +1106,7 @@ object StatsOps extends OpGroup {
                 col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("g_obs"),
                   (money("o_totalprice") * 100).cast("long").as("vc"))
+          .localCheckpoint(true)
         def grpSums(df: org.apache.spark.sql.DataFrame, g: String) = Seq(
           sum(when(col(g) === 1, col("vc")).otherwise(0L).cast(D38)),
           sum(when(col(g) === 0, col("vc")).otherwise(0L).cast(D38)),
@@ -1108,6 +1118,7 @@ object StatsOps extends OpGroup {
           .withColumn("ao", abs(col("s1o") * col("n0o") -
                                 col("s0o") * col("n1o")).cast(D38))
           .withColumn("bo", (col("n1o") * col("n0o")).cast(D38))
+          .localCheckpoint(true) // one row, consumed by two branches
         val reps = pool
           // 64 hex digits = 256 bits per order, decoded to an int array
           // once; replicate r reads bit (r%4) of digit (r div 4)
@@ -1124,10 +1135,14 @@ object StatsOps extends OpGroup {
               |      div (CASE r % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
               |           WHEN 2 THEN 4 ELSE 8 END)) % 2 AS BIGINT)"""
               .stripMargin))
-        val Seq(s1r, s0r, n1r, n0r) = grpSums(reps, "g")
         val repStats = reps.groupBy(col("r"))
-          .agg(s1r.as("s1"), s0r.as("s0"), n1r.as("n1"), n0r.as("n0"))
+          .agg(sum(when(col("g") === 1, col("vc")).otherwise(0L)
+                     .cast(D38)).as("s1"),
+               sum(col("g")).as("n1"))
         val ext = repStats.crossJoin(broadcast(obs))
+          .withColumn("s0", (col("s1o") + col("s0o") - col("s1"))
+                              .cast(D38))
+          .withColumn("n0", col("n1o") + col("n0o") - col("n1"))
           .filter(abs(col("s1") * col("n0") - col("s0") * col("n1"))
                     .cast(D38) * col("bo") >=
                   col("ao") * (col("n1") * col("n0")).cast(D38))
