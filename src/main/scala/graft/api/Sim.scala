@@ -93,8 +93,12 @@ object Sim {
     // zero-norm vectors have no defined cosine — and under ANSI mode
     // (Spark 4 default) the division RAISES rather than yielding NaN,
     // so they are excluded up front, exactly as kmeansFit does
+    // r12 (guide §3.3): e feeds the broadcast query side AND the
+    // candidate scan — materialize the normed collection once per
+    // invocation instead of planning the norm pipeline twice
     val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
       .filter(col("embedding").isNotNull && col("nrm") > 0)
+      .localCheckpoint(true)
     val q = e.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"))
@@ -122,8 +126,12 @@ object Sim {
   def cosineRadius(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
       minCos: Double): DataFrame = {
+    // r12 (guide §3.3): e feeds the broadcast query side AND the
+    // candidate scan — materialize the normed collection once per
+    // invocation instead of planning the norm pipeline twice
     val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
       .filter(col("embedding").isNotNull && col("nrm") > 0)
+      .localCheckpoint(true)
     val q = e.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"))
@@ -190,6 +198,10 @@ object Sim {
       .withColumn("bucket", concat_ws("",
         transform(slice(col("embedding"), lit(1), col("_bits")),
           x => when(x >= 0, "1").otherwise("0"))))
+      // r12 (guide §3.3): feeds both self-join sides — materialize the
+      // bucketed collection once per invocation instead of planning
+      // the norm+bucket pipeline twice
+      .localCheckpoint(true)
     val q = b.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
                      col("nrm").as("qn"), col("bucket"))
     val c = b.select(col("vec_id").as("cand_id"),
@@ -199,7 +211,9 @@ object Sim {
                            col("q_id") =!= col("cand_id"))
       .withColumn("cos",
         round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
-    val top = heapRankCos(scored, k)
+    // r12: the mutual-kNN semi-join consumes `top` twice — materialize
+    // the n×k ranked frame once per invocation
+    val top = heapRankCos(scored, k).localCheckpoint(true)
     val rev = top.select(col("q_id").as("b_id"), col("cand_id").as("a_id"))
     top.filter(col("q_id") < col("cand_id"))
       .join(rev, col("q_id") === col("a_id") &&
@@ -233,6 +247,7 @@ object Sim {
     val e = withNorm(df, id, emb, Seq("_isq" -> isQuery))
       .filter(col("embedding").isNotNull && col("nrm") > 0)
       .withColumn("bucket", signBits(col("embedding"), bits))
+      .localCheckpoint(true) // r12: feeds both bucket-join sides
     val q0 = e.filter(col("_isq"))
     val q =
       if (nprobe == 1)
@@ -362,7 +377,10 @@ object Sim {
   def quantizedTopK(
       df: DataFrame, id: Column, emb: Column, isQuery: Column,
       k: Int): DataFrame = {
+    // r12 (guide §3.3): qz feeds the broadcast query side AND the
+    // candidate scan — materialize the quantized collection once
     val qz = quantizeInt8(df, id, emb, Seq("_isq" -> isQuery))
+      .localCheckpoint(true)
     val q = qz.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("qvec").as("q_q"))
     val c = qz.select(col("vec_id").as("cand_id"), col("qvec").as("c_q"))
@@ -666,6 +684,7 @@ object Sim {
       .withColumn("pemb", slice(col("embedding"), 1, prefixDims))
       .withColumn("pnrm", sqrt(expr("dot_f32(pemb, pemb)")))
       .filter(col("pnrm") > 0)
+      .localCheckpoint(true) // r12: coarse+rerank stages reuse it
     val q = e.filter(col("_isq"))
       .select(col("vec_id").as("q_id"), col("pemb").as("qpe"),
               col("pnrm").as("qpn"))

@@ -37,10 +37,17 @@ object MiningOps extends OpGroup {
       (s, d) => {
         val brands = Tables.part(s, d)
           .select(col("p_partkey"), col("p_brand"))
+        // r12 (guide §3.3): items feeds three branches (N, item counts,
+        // the frequent-item filter) and fitems both self-join sides —
+        // lazily planned, the scan+broadcast-join+distinct pipeline ran
+        // ~5× and the semi-joined basket table twice. Materialize both
+        // once per invocation (localCheckpoint — recomputed from
+        // parquet on every invocation, never CacheManager-cached).
         val items = Tables.lineitem(s, d)
           .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
           .distinct()
+          .localCheckpoint(true)
         val nOrders = items.agg(
           countDistinct(col("ok")).as("_n"))
         val itemCnt = items.groupBy(col("item"))
@@ -50,6 +57,7 @@ object MiningOps extends OpGroup {
           .select(col("item").as("_fi"))
         val fitems = items
           .join(broadcast(freq), col("item") === col("_fi"), "left_semi")
+          .localCheckpoint(true)
         val pairs = fitems.alias("a")
           .join(fitems.alias("b"), col("a.ok") === col("b.ok") &&
                                    col("a.item") < col("b.item"))

@@ -907,14 +907,20 @@ object NearDupOps extends OpGroup {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("_id"))
+        // r12 (guide §3.3): each ranking feeds rrfFuse AND its join-back
+        // branch — lazily planned, the full BM25 / cosine pipelines ran
+        // twice each (before-plan: 20 parquet scans). Both are ≤k-row
+        // frames; materialize once per invocation.
         val lex = graft.api.Pipeline.bm25TopDocs(
             Tables.documents(s, d), col("doc_id"), col("text"),
             terms = Seq("spark", "query"), k = 20)
           .select(col("_id"), row_number().over(w).as("rank"))
+          .localCheckpoint(true)
         val sem = graft.api.Sim.cosineTopK(
             Tables.embeddings(s, d), col("vec_id"), col("embedding"),
             isQuery = col("vec_id") === 0, k = 20)
           .select(col("cand_id").as("_id"), col("rn").as("rank"))
+          .localCheckpoint(true)
         graft.api.Sim.rrfFuse(Seq(lex, sem), k0 = 60, k = 10)
           .join(lex.withColumnRenamed("rank", "lex_rank"), Seq("_id"),
                 "left")
@@ -1193,6 +1199,10 @@ object NearDupOps extends OpGroup {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("blk"))
               .orderBy(col("text"), col("doc_id"))))
+          // r12 (guide §3.3): six plan references (3 offsets × 2 join
+          // sides) re-ran the scan+window pipeline — materialize once
+          // per invocation
+          .localCheckpoint(true)
         val right = f.select(col("blk").as("_blk"), col("rn").as("_rn"),
                              col("doc_id").as("_id"), col("pfx").as("_pfx"))
         Seq(1, 2, 3).map { off =>

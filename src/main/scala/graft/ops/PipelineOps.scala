@@ -568,9 +568,13 @@ object PipelineOps extends OpGroup {
         import org.apache.spark.sql.expressions.Window
         val K = 64
         val ev = Tables.events(s, d)
+        // r12 (guide §3.3): the sketch feeds the per-type stats AND the
+        // pair-union branch, and the exact-baseline hash set both sides
+        // of its self-join — materialize both once per invocation
         val sk = Pipeline.kmvSketch(ev, col("event_type"),
                                     col("user_id"), k = K)
           .select(col("g"), col("hv"))
+          .localCheckpoint(true)
         val per = sk.groupBy(col("g"))
           .agg(count(lit(1)).as("n_s"), max(col("hv")).as("kth"))
         def est(n: org.apache.spark.sql.Column,
@@ -594,6 +598,7 @@ object PipelineOps extends OpGroup {
         val h = ev.select(col("event_type").as("g"),
                           Pipeline.hash32(col("user_id")).as("hv"))
           .distinct()
+          .localCheckpoint(true)
         val inter = h.alias("p")
           .join(h.alias("q"),
                 col("p.hv") === col("q.hv") && col("p.g") < col("q.g"))

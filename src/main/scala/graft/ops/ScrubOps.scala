@@ -331,6 +331,11 @@ object ScrubOps extends OpGroup {
       "q_curate_lm_gate",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // r12: a localCheckpoint of j was tried (guide §3.3 diamond) and
+        // MEASURED SLOWER (1.28 → 2.26 s at sf0.1): ReuseExchange
+        // already shares the scoring pipeline's exchanges between the
+        // p90 branch and the gating join, so the materialization only
+        // added write+read cost. Left as-is deliberately.
         val j = docs.select(col("doc_id"), col("lang"))
           .join(graft.api.Text.bigramLmScore(
             docs, col("doc_id"), col("text")), "doc_id")

@@ -743,6 +743,10 @@ object TextOps extends OpGroup {
       "q_text_collocations",
       (s, d) => {
         val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        // r12: a localCheckpoint of toks was tried (five plan branches)
+        // and MEASURED SLOWER (1.27 → 1.57 s at sf0.1) — the
+        // scan+split+posexplode recompute is cheaper than storing and
+        // re-reading the full token stream. Left as-is deliberately.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"),
                   posexplode(graft.api.Dedup.tokens(col("text"))))

@@ -919,11 +919,15 @@ object TrainOps extends OpGroup {
         val base = Tables.embeddings(s, d)
           .filter(col("embedding").isNotNull &&
                   size(col("embedding")) === 64)
+        // r12 (guide §3.3): qv feeds the anchor extraction AND the dot
+        // pass, dots feeds both argpicks — materialize each once per
+        // invocation (localCheckpoint, recomputed every invocation)
         val qv = base
           .select(col("vec_id"), col("label"),
                   posexplode(transform(col("embedding"), x =>
                     round(x.cast("double") * 1000000).cast("long")))
                     .as(Seq("j", "q")))
+          .localCheckpoint(true)
         val anchors = base.select(col("vec_id").as("aid"),
                                   col("label").as("albl"))
           .orderBy(col("aid")).limit(5)
@@ -934,6 +938,7 @@ object TrainOps extends OpGroup {
           .filter(col("vec_id") =!= col("aid"))
           .groupBy(col("aid"), col("albl"), col("vec_id"), col("label"))
           .agg(sum((col("q").cast(D38) * col("aq")).cast(D38)).as("dot"))
+          .localCheckpoint(true)
         val hn = dots.filter(col("label") =!= col("albl"))
           .groupBy(col("aid"))
           .agg(max(struct(col("dot"), (-col("vec_id")).as("negid")))
