@@ -255,7 +255,7 @@ object Determinism {
     * no intra-value tie order exists to leak in. Requires every count
     * column non-null (true of agg outputs). */
   def distCumSums(df: org.apache.spark.sql.DataFrame, v: String,
-                  cnts: Seq[String], parts: Int = 64)
+                  cnts: Seq[String], parts: Int = -1)
       : org.apache.spark.sql.DataFrame =
     distCumSumsBy(df, Seq(v), cnts, parts)
 
@@ -295,10 +295,19 @@ object Determinism {
   }
 
   def distCumSumsBy(df: org.apache.spark.sql.DataFrame, vs: Seq[String],
-                    cnts: Seq[String], parts: Int = 64)
+                    cnts: Seq[String], parts: Int = -1)
       : org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val ord = vs.map(col)
+    // r12 (guide §2.2): parts defaulted to the constant 64 — tuned for
+    // neither local mode nor a cluster. Default (-1) now follows
+    // spark.sql.shuffle.partitions, so the range fan-out scales with
+    // the session like every other exchange; explicit values still
+    // win. The stitch positions move with the partition count but the
+    // cum/tot VALUES are partition-invariant by construction (above).
+    val nParts =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // persist() is CORRECTNESS here, not caching (round-9 advisory):
     // `within` feeds two plan branches — the per-pid offsets aggregate
     // and the probe side of the broadcast join — and both must see the
@@ -310,7 +319,7 @@ object Determinism {
     // frame is ONE InMemoryRelation — one exchange, one partitioner —
     // in every consumer by construction; eviction recompute re-reads
     // the same shuffle output, so pids stay stable.
-    val ranged = df.repartitionByRange(parts, ord: _*)
+    val ranged = df.repartitionByRange(nParts, ord: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pinnedCumFrames.add(ranged)
@@ -321,7 +330,12 @@ object Determinism {
       .rowsBetween(Long.MinValue, 0)
     val within = cnts.foldLeft(ranged)((acc, c) =>
       acc.withColumn(s"_ci_$c", sum(col(c)).over(wIn)))
-    val perPid = within.groupBy(col("_pid"))
+    // r12 (guide §1.2): the per-partition totals need only the plain
+    // sums, so they aggregate the persisted `ranged` frame DIRECTLY —
+    // the old form aggregated `within`, re-running the running-sum
+    // window on the offsets branch for columns it then ignored (one
+    // wasted window pass over the full domain frame per call).
+    val perPid = ranged.groupBy(col("_pid"))
       .agg(sum(col(cnts.head)).as(s"_t_${cnts.head}"),
            cnts.tail.map(c => sum(col(c)).as(s"_t_$c")): _*)
     // ≤ `parts` rows: the unpartitioned windows here are over a frame
