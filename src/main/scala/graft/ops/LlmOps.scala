@@ -483,12 +483,25 @@ object LlmOps extends OpGroup {
                                "left")
           .select(col("lang"), col("doc_id"),
                   coalesce(col("root"), col("doc_id")).as("root"))
-        val sizes = rooted.groupBy(col("root"))
-          .agg(count(lit(1)).as("csz"))
-        rooted.join(sizes, "root")
-          .withColumn("w4", expr("CAST(10000 div csz AS BIGINT)"))
+        // r12 (guide §2.3): collapse the corpus to (root, lang) counts
+        // FIRST — the old form joined the cluster sizes back onto the
+        // corpus-sized rooted frame (a second full-corpus shuffle) to
+        // sum a weight that is constant within (root, lang). Σ_docs
+        // w4 = Σ_(root,lang) cnt·w4 exactly, n_docs = Σ cnt, and the
+        // distinct-root count is unchanged, so the per-lang rollup is
+        // value-identical while only group-sized rows shuffle after
+        // the first agg. The (root,lang) frame is materialized once
+        // (it feeds the sizes agg AND the join back).
+        val g = rooted.groupBy(col("root"), col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val sizes = g.groupBy(col("root"))
+          .agg(sum(col("cnt")).as("csz"))
+        g.join(sizes, "root")
+          .withColumn("w4",
+            col("cnt") * expr("CAST(10000 div csz AS BIGINT)"))
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
+          .agg(sum(col("cnt")).as("n_docs"),
                countDistinct(col("root")).as("n_clusters"),
                (sum(col("w4")) / 10000.0).as("eff_docs"))
           .orderBy(col("lang"))

@@ -285,6 +285,12 @@ object TrainOps extends OpGroup {
           .withColumn("nrm", sum((col("c").cast(D38) * col("c"))
                                    .cast(D38)).over(wL))
           .withColumn("n_tri", count(lit(1)).over(wL))
+          // r12 (guide §3.3): both self-join sides — materialize the
+          // profile-sized frame once rather than leaning on
+          // ReuseExchange to dedupe the corpus tokenize (an
+          // optimization, not a contract) and re-running the norm
+          // window twice
+          .localCheckpoint(true)
         val a = profN.select(col("lang").as("la"), col("tri").as("ta"),
                              col("c").as("ca"), col("nrm").as("na"),
                              col("n_tri").as("n_tri_a"))
