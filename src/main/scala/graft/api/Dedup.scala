@@ -762,6 +762,9 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, size(w) - $n), p -> " +
           s"concat_ws(' ', $parts))")).as(Seq("pos", "g")))
+      // r12 (guide §3.3): feeds the shared-gram agg AND the semi-join
+      // probe — materialize the gram grid once per invocation
+      .localCheckpoint(true)
     val shared = sh.groupBy(col("g"))
       .agg(countDistinct(col("__doc")).as("df"))
       .filter(col("df") >= 2).select(col("g"))
@@ -804,6 +807,9 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, size(w) - $n), p -> " +
           s"concat_ws(' ', $parts))")).as(Seq("pos", "g")))
+      // r12 (guide §3.3): feeds the shared-gram agg AND the semi-join
+      // probe — materialize the gram grid once per invocation
+      .localCheckpoint(true)
     val shared = sh.groupBy(col("g"))
       .agg(countDistinct(col("__doc")).as("df"))
       .filter(col("df") >= 2).select(col("g"))
