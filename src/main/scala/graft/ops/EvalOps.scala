@@ -723,6 +723,9 @@ object EvalOps extends OpGroup {
                               lit(8L) * col("_ntok")))
           .select(col("doc_id"), col("pos1"),
                   expr("(2 * _num + _ntok) div (2 * _ntok)").as("score"))
+          // r12 (guide §3.3): feeds the totals, block-CDF, and decile
+          // branches — materialize the doc-sized scored frame once
+          .localCheckpoint(true)
         val tot = scored.agg(count(lit(1)).as("_N"),
                              sum(col("pos1")).as("_P"))
         val blocks = boundedDomain(

@@ -84,6 +84,10 @@ object TrainOps extends OpGroup {
             pmod(graft.api.Pipeline.hash16(col("w")), lit(256)))
           .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
           .agg(count(lit(1)).as("c"))
+          // r12 (guide §3.3): dc still fed TWO branches (bucket LMs +
+          // the weight join-back), re-tokenizing the corpus twice —
+          // materialize it once per invocation
+          .localCheckpoint(true)
         val stats = dc.groupBy(col("b"))
           .agg(sum(col("c")).as("r"),
                sum(when(col("lang") === "en", col("c")).otherwise(0L))
