@@ -188,20 +188,19 @@ object Dedup {
       maxShingleDocFreq: Option[Int] = None,
       maxShingleDocFrac: Option[Double] = None,
       fastHash: Boolean = false): DataFrame = {
-    // r12 (guide §2.4/§3.3): the self-join below consumes the signature
+    // r12 (guide §3.3): the self-join below consumes the signature
     // frame TWICE, and Spark plans each side as an independent copy of
-    // the whole shingle→md5→min pipeline (two full corpus passes plus
-    // two (k, mh) exchanges). Materialize the signatures ONCE per
-    // invocation — pre-partitioned AND pre-sorted on the bucket key, so
-    // both self-join sides read the same in-memory RDD with zero
-    // additional Exchange and zero SMJ Sort. localCheckpoint (not
-    // persist) on purpose: it never registers with the CacheManager, so
-    // a re-invocation (bench rep, verify rep) always recomputes from
-    // parquet — this is the in-query seam materialization the signature
-    // STORE performs durably in q_dedup_from_signatures, never a
-    // cross-run cache. Partition count comes from
-    // spark.sql.shuffle.partitions (scale-adaptive, not a local
-    // constant).
+    // the whole shingle→md5→min pipeline — two full corpus passes at
+    // any scale. Materialize the signatures ONCE per invocation; both
+    // self-join sides then read the same in-memory RDD. (A
+    // pre-repartition/sort on the bucket key was tried and dropped:
+    // a checkpointed RDD scans back as UnknownPartitioning, so it
+    // bought nothing — the exchanges stay, only the duplicate compute
+    // goes.) localCheckpoint (not persist) on purpose: it never
+    // registers with the CacheManager, so a re-invocation (bench rep,
+    // verify rep) always recomputes from parquet — this is the
+    // in-query seam materialization the signature STORE performs
+    // durably in q_dedup_from_signatures, never a cross-run cache.
     val sig = minhashSignatures(df, id, text, shingle,
                                 maxShingleDocFreq, maxShingleDocFrac,
                                 fastHash)
@@ -251,20 +250,17 @@ object Dedup {
         maxShingleDocFreq, maxShingleDocFrac,
         df.select(count(lit(1)).as("_n_docs")))
     if (!fastHash)
-      // r12 (guide §4): the slot minima aggregate as LONGs, not 8-hex
-      // STRINGS. min over a variable-length string cannot live in
-      // HashAggregate's fixed-size unsafe buffer, so the signature
-      // reduction — the biggest aggregation of the whole dedup family
-      // (4 rows per shingle) — planned as SortAggregate with a full
-      // Sort of the exploded corpus on BOTH self-join sides. The 8-hex
-      // md5 windows are fixed-width lowercase hex, so their
-      // lexicographic order IS their numeric order: min(conv(w, 16,
-      // 10)) selects the identical minimizing hash as min(w), the slot
-      // agreement counts are unchanged, and the oracle twin (which
-      // keeps the string form) still hash-matches every pairs/CC
-      // output. Bonus: the (k, mh) bucket join key is now a long —
-      // cheaper to shuffle and compare than a string (§2.3 narrower
-      // types).
+      // r12 note: converting the slot minima to LONGs via
+      // min(conv(w, 16, 10) cast long) was tried (to turn the
+      // SortAggregate into a HashAggregate — fixed-width lowercase hex
+      // orders identically to its numeric value, so results are
+      // unchanged) and MEASURED SLOWER at sf0.1 (near_minhash
+      // 2.6 → 3.3 s A/B): conv() emits a decimal STRING that the cast
+      // re-parses, so every row paid 4 double string-parses — more
+      // than the SortAggregate's 8-char string min ever cost. The
+      // md5-free production path is fastHash below (native long
+      // hashes, HashAggregate by construction); the portable md5 path
+      // keeps the string minima deliberately.
       capped
         .select(col("doc_id"), col("s"),
                 explode(expr("sequence(0, 3)")).as("j"))
@@ -272,14 +268,10 @@ object Dedup {
                 md5(concat(col("s"), lit("#"), col("j").cast("string")))
                   .as("h"))
         .groupBy(col("doc_id"), col("j"))
-        .agg(min(conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-               .as("m0"),
-             min(conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
-               .as("m1"),
-             min(conv(substring(col("h"), 17, 8), 16, 10).cast("long"))
-               .as("m2"),
-             min(conv(substring(col("h"), 25, 8), 16, 10).cast("long"))
-               .as("m3"))
+        .agg(min(substring(col("h"), 1, 8)).as("m0"),
+             min(substring(col("h"), 9, 8)).as("m1"),
+             min(substring(col("h"), 17, 8)).as("m2"),
+             min(substring(col("h"), 25, 8)).as("m3"))
         .select(col("doc_id"), expr(
           "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
           " j * 4 + 3, m3) AS (k, mh)"))
@@ -807,9 +799,10 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, size(w) - $n), p -> " +
           s"concat_ws(' ', $parts))")).as(Seq("pos", "g")))
-      // r12 (guide §3.3): feeds the shared-gram agg AND the semi-join
-      // probe — materialize the gram grid once per invocation
-      .localCheckpoint(true)
+      // r12: the sharedNgramSpans materialization was tried here too
+      // and MEASURED 3x SLOWER (0.28 -> 0.84 s A/B at sf0.1): this
+      // query's downstream work is too small to amortize storing the
+      // gram grid. Left recomputed deliberately.
     val shared = sh.groupBy(col("g"))
       .agg(countDistinct(col("__doc")).as("df"))
       .filter(col("df") >= 2).select(col("g"))
