@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench stdout contract (r12 verdict #1): the driver parses the LAST
+// stdout line of `sbt "runMain graft.Bench"` as the bench JSON, but
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] " and then appends its own "[success] Total time ..." line —
+// so the JSON was never the final line and PERF has parsed null for 5+
+// rounds. StdoutOutput passes the child's stdout through verbatim, and
+// showSuccess := false drops the trailing [success] banner, leaving
+// Bench's System.out JSON (printed after spark.stop()) as the absolute
+// last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

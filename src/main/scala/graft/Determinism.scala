@@ -305,9 +305,13 @@ object Determinism {
     // the session like every other exchange; explicit values still
     // win. The stitch positions move with the partition count but the
     // cum/tot VALUES are partition-invariant by construction (above).
+    // sessionState.conf.numShufflePartitions, NOT a raw conf-string
+    // parse (r12 advisory): platforms can set the conf to a non-integer
+    // (e.g. "auto"), which would NumberFormatException here — the
+    // resolved session value is always an Int.
     val nParts =
       if (parts > 0) parts
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     // persist() is CORRECTNESS here, not caching (round-9 advisory):
     // `within` feeds two plan branches — the per-pid offsets aggregate
     // and the probe side of the broadcast join — and both must see the

@@ -43,6 +43,10 @@ object Verify {
       // accumulates storage (round-10 advisory: unbounded
       // InMemoryRelation growth across a 391-query session)
       Determinism.releaseCumSums()
+      // r12 advisory: also drop the query's dead localCheckpoint
+      // blocks (seams) — ContextCleaner would otherwise hold them
+      // until a driver GC
+      Seam.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -201,10 +201,13 @@ object Dedup {
     // verify rep) always recomputes from parquet — this is the
     // in-query seam materialization the signature STORE performs
     // durably in q_dedup_from_signatures, never a cross-run cache.
+    // r13: the seam now honors spark.graft.seam.mode (graft.Seam) —
+    // "reliable" swaps in an executor-loss-proof checkpoint on real
+    // clusters (the r12 advisory's knob); default stays localCheckpoint.
     val sig = minhashSignatures(df, id, text, shingle,
                                 maxShingleDocFreq, maxShingleDocFrac,
                                 fastHash)
-    minhashPairsFromSignatures(sig.localCheckpoint(true), minMatch)
+    minhashPairsFromSignatures(sig.seam(), minMatch)
   }
 
   /** Self-match candidate pairs from an EXISTING signature frame —
@@ -261,20 +264,27 @@ object Dedup {
       // md5-free production path is fastHash below (native long
       // hashes, HashAggregate by construction); the portable md5 path
       // keeps the string minima deliberately.
-      capped
-        .select(col("doc_id"), col("s"),
-                explode(expr("sequence(0, 3)")).as("j"))
-        .select(col("doc_id"), col("j"),
-                md5(concat(col("s"), lit("#"), col("j").cast("string")))
-                  .as("h"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(substring(col("h"), 1, 8)).as("m0"),
-             min(substring(col("h"), 9, 8)).as("m1"),
-             min(substring(col("h"), 17, 8)).as("m2"),
-             min(substring(col("h"), 25, 8)).as("m3"))
-        .select(col("doc_id"), expr(
-          "stack(4, j * 4, m0, j * 4 + 1, m1, j * 4 + 2, m2," +
-          " j * 4 + 3, m3) AS (k, mh)"))
+      {
+        // r13 (guide §2.3): the four salted digests used to FAN OUT
+        // through an explode(0..3) — 4× the rows through the (doc, j)
+        // SortAggregate (min over strings cannot hash-agg). Computing
+        // them as four COLUMNS and taking all 16 window minima in ONE
+        // doc-keyed aggregate feeds the sort a quarter of the rows and
+        // drops the generator. Same md5 inputs (s + "#" + j), same
+        // substrings, same k = j·4 + w slot mapping — every minimum,
+        // and therefore every signature, is bit-identical.
+        val hs = (0 to 3).map(j =>
+          md5(concat(col("s"), lit(s"#$j"))).as(s"_h$j"))
+        val mins = for { j <- 0 to 3; w <- 0 to 3 } yield
+          min(substring(col(s"_h$j"), 1 + 8 * w, 8)).as(s"m${j * 4 + w}")
+        val stackArgs = (0 to 15).map(k => s"$k, m$k").mkString(", ")
+        capped
+          .select(col("doc_id") +: hs: _*)
+          .groupBy(col("doc_id"))
+          .agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"),
+                  expr(s"stack(16, $stackArgs) AS (k, mh)"))
+      }
     else
       // PRODUCTION slot hash: one codegen'd xxhash64 per (shingle,
       // salt) split into its two 32-bit windows — same 16 slots, same
@@ -286,16 +296,23 @@ object Dedup {
       // portable (xxhash64 differs per engine), which is the ONLY
       // reason the declared oracle queries stay on md5. Measured at
       // sf0.1 (BenchHashSwap): see SCALE.md.
-      capped
-        .select(col("doc_id"), col("s"),
-                explode(expr("sequence(0, 7)")).as("j"))
-        .select(col("doc_id"), col("j"),
-                xxhash64(col("s"), col("j")).as("h"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(expr("h >> 32")).as("m0"),
-             min(expr("h & 4294967295")).as("m1"))
-        .select(col("doc_id"), expr(
-          "stack(2, j * 2, m0, j * 2 + 1, m1) AS (k, mh)"))
+      {
+        // r13: same de-explode as the md5 path — 8 hash columns, 16
+        // long minima in one doc-keyed HashAggregate (8× fewer rows
+        // through the agg), identical (k, mh) values
+        val hs = (0 to 7).map(j =>
+          xxhash64(col("s"), lit(j)).as(s"_h$j"))
+        val mins = for { j <- 0 to 7; w <- 0 to 1 } yield
+          min(expr(if (w == 0) s"_h$j >> 32" else s"_h$j & 4294967295"))
+            .as(s"m${j * 2 + w}")
+        val stackArgs = (0 to 15).map(k => s"$k, m$k").mkString(", ")
+        capped
+          .select(col("doc_id") +: hs: _*)
+          .groupBy(col("doc_id"))
+          .agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"),
+                  expr(s"stack(16, $stackArgs) AS (k, mh)"))
+      }
   }
 
   /** Cross-corpus MinHash matching: (doc_a from `sigA`, doc_b from
@@ -553,7 +570,7 @@ object Dedup {
     // whole tokenize+md5+majority signature pipeline; materialize the
     // doc-sized signature frame once per invocation (localCheckpoint —
     // never CacheManager-registered, recomputed every invocation).
-    val sig = simhashSig32(df, id, text, fastHash).localCheckpoint(true)
+    val sig = simhashSig32(df, id, text, fastHash).seam()
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("bv", expr("(sig div shiftleft(1L, 8 * b)) % 256"))
@@ -680,7 +697,7 @@ object Dedup {
     // tokenize+shingle+explode pipeline; materialize the inverted
     // index once per invocation (localCheckpoint — recomputed from
     // parquet on every invocation, never CacheManager-cached).
-    val shC = sh.localCheckpoint(true)
+    val shC = sh.seam()
     val a = shC.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
                        col("g"))
     val b = shC.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
@@ -756,7 +773,7 @@ object Dedup {
           s"concat_ws(' ', $parts))")).as(Seq("pos", "g")))
       // r12 (guide §3.3): feeds the shared-gram agg AND the semi-join
       // probe — materialize the gram grid once per invocation
-      .localCheckpoint(true)
+      .seam()
     val shared = sh.groupBy(col("g"))
       .agg(countDistinct(col("__doc")).as("df"))
       .filter(col("df") >= 2).select(col("g"))

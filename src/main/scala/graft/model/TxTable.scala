@@ -177,15 +177,36 @@ final class TxTable private (
     * a union write. The driver carries only the two action counts. */
   def merge(batch: DataFrame, keyCol: String, base: Long = -1L)
       : (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.functions._
     val b = if (base < 0) currentVersion() else base
     val cur = readAt(b)
-    val nUpd = batch.join(cur.select(keyCol), Seq(keyCol), "left_semi")
-      .count()
-    val nIns = batch.count() - nUpd
-    val kept = cur.join(broadcast(batch.select(keyCol)), Seq(keyCol),
+    // r13 (guide §3.3 / §1.1): `batch` feeds FOUR consumers (key
+    // counts, total count, anti-join broadcast, union write) — without
+    // a seam each recomputes the caller's whole batch lineage.
+    // Materialized once per merge (localCheckpoint, never
+    // CacheManager-registered; recomputed from source on every merge).
+    // Executor-storage caveat: the checkpointed blocks are
+    // executor-local, so an executor loss during the merge fails the
+    // job — acceptable for a delta batch inside one atomic commit
+    // (the commit simply retries); see the class doc.
+    val bt = graft.Seam(batch)
+    // r13 (guide §3.1): nUpd was `batch LEFT SEMI JOIN snapshot` — the
+    // table-sized snapshot landed on the build side, forcing a full
+    // sort-merge shuffle of the snapshot's keys per merge. The batch
+    // is the delta: collapse it to per-key counts, broadcast THAT, and
+    // sum each matched distinct key's count once — the snapshot's key
+    // column now streams through a broadcast hash join with no
+    // snapshot-side exchange at any scale. (nUpd = Σ over batch keys
+    // present in the snapshot of the batch's per-key multiplicity —
+    // identical to the semi-join count, duplicates included.)
+    val bk = bt.groupBy(keyCol).agg(count(lit(1)).as("_bcnt"))
+    val nUpd = cur.select(keyCol).join(broadcast(bk), Seq(keyCol))
+      .distinct()
+      .agg(coalesce(sum(col("_bcnt")), lit(0L))).head().getLong(0)
+    val nIns = bt.count() - nUpd
+    val kept = cur.join(broadcast(bt.select(keyCol)), Seq(keyCol),
                         "left_anti")
-    val v = overwrite(kept.unionByName(batch), b)
+    val v = overwrite(kept.unionByName(bt), b)
     (v, nUpd, nIns)
   }
 
@@ -389,7 +410,21 @@ final class TxTable private (
     * names them — a crashed writer leaves only unreferenced files. */
   private def writeData(df: DataFrame, forVersion: Long): Seq[String] = {
     val sub = s"data/c$forVersion-${java.util.UUID.randomUUID()}"
-    df.write.parquet(s"$dir/$sub")
+    // Output file sizing (guide §6): the commit inherits the incoming
+    // frame's partitioning — at cluster scale that means one file per
+    // upstream task, i.e. thousands of shards whose sizes are whatever
+    // the previous exchange left (the small-files problem at table
+    // scale). The REBALANCE hint lets AQE re-split the write into
+    // advisoryPartitionSizeInBytes-sized output files. It costs one
+    // extra exchange per commit, which on a laptop-sized table is pure
+    // overhead — so it is OFF by default (keeps the local bench
+    // comparable) and a production deployment turns it on per session:
+    //   spark.conf.set("spark.graft.tx.rebalanceWrite", "true")
+    val out =
+      if (spark.conf.get("spark.graft.tx.rebalanceWrite", "false").toBoolean)
+        df.hint("rebalance")
+      else df
+    out.write.parquet(s"$dir/$sub")
     Option(Paths.get(dir, sub).toFile.listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
       .map(f => s"$sub/${f.getName}").sorted

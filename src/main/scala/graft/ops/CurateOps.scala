@@ -117,19 +117,32 @@ object CurateOps extends OpGroup {
         val seg = e.withColumn("grp", coalesce(
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .over(wPrev), lit(0L)))
-        val j = seg.groupBy(col("user_id"), col("grp"))
+        // r13 (guide §3.3/§2.4): `seg` used to feed TWO aggregation
+        // branches (journey totals + per-channel counts), and each
+        // branch re-planned the event scan AND the (user, time) window
+        // sort — the query's dominant cost, paid twice. One
+        // (user, grp, event_type)-grain pre-aggregation runs the
+        // window ONCE; both consumers derive from the journey-sized
+        // result (materialized per invocation — it feeds two
+        // branches). Sums regroup associatively over exact integers,
+        // so every downstream value is identical.
+        val ag = seg.groupBy(col("user_id"), col("grp"),
+                             col("event_type"))
           .agg(sum(when(col("event_type") === "purchase", col("vc"))
-                 .otherwise(0L)).as("pv"),
-               sum(when(col("event_type").isin("click", "view"), 1L)
-                 .otherwise(0L)).as("n_t"),
-               sum(when(col("event_type") === "purchase", 1L)
+                 .otherwise(0L)).as("_pv"),
+               count(lit(1)).as("_c"))
+          .seam()
+        val j = ag.groupBy(col("user_id"), col("grp"))
+          .agg(sum(col("_pv")).as("pv"),
+               sum(when(col("event_type").isin("click", "view"),
+                        col("_c")).otherwise(0L)).as("n_t"),
+               sum(when(col("event_type") === "purchase", col("_c"))
                  .otherwise(0L)).as("n_p"))
           .filter(col("n_p") > 0)
-        val byChan = seg
+        val byChan = ag
           .filter(col("event_type").isin("click", "view"))
-          .groupBy(col("user_id").as("_u"), col("grp").as("_g"),
-                   col("event_type").as("channel"))
-          .agg(count(lit(1)).as("c"))
+          .select(col("user_id").as("_u"), col("grp").as("_g"),
+                  col("event_type").as("channel"), col("_c").as("c"))
         val touched = j.filter(col("n_t") > 0)
           .join(byChan, col("user_id") === col("_u") &&
                         col("grp") === col("_g"))

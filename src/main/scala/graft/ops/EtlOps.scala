@@ -508,9 +508,12 @@ object EtlOps extends OpGroup {
       // them ≡ the diff over the definitions.
       "q_etl_snapshot_diff",
       (s, d) => {
+        // r13 (guide §3.3): `o` feeds both snapshot definitions, each
+        // committed by its own write — two orders scans without a seam
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus"),
                   (money("o_totalprice") * 100).cast("long").as("cents"))
+          .seam()
         val oldDef = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
           .withColumn("cents",
             when(pmod(col("o_orderkey"), lit(7)) === 0,

@@ -47,7 +47,7 @@ object MiningOps extends OpGroup {
           .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
           .distinct()
-          .localCheckpoint(true)
+          .seam()
         val nOrders = items.agg(
           countDistinct(col("ok")).as("_n"))
         val itemCnt = items.groupBy(col("item"))
@@ -57,7 +57,7 @@ object MiningOps extends OpGroup {
           .select(col("item").as("_fi"))
         val fitems = items
           .join(broadcast(freq), col("item") === col("_fi"), "left_semi")
-          .localCheckpoint(true)
+          .seam()
         val pairs = fitems.alias("a")
           .join(fitems.alias("b"), col("a.ok") === col("b.ok") &&
                                    col("a.item") < col("b.item"))

@@ -48,21 +48,45 @@ object StatsOps extends OpGroup {
       // back to the pairs, then one hash-agg of six integer moments.
       "q_stats_spearman",
       (s, d) => {
+        // r13 (guide §3.1/§2.3; r12 verdict #6): the corpus used to
+        // equi-join BOTH rank maps — and the price map is DOMAIN-sized
+        // (price cents grow with the corpus, the r8 sweep's finding),
+        // so base ⋈ ry was a corpus-scale sort-merge join. Now: (a)
+        // base is materialized once (it fed three branches — two rank
+        // maps + the join — i.e. three parquet scans); (b) the
+        // quantity map rx is explicitly broadcast (quantity cents are
+        // a bounded physical domain — ≤ ~10⁴ values at every SF, and a
+        // pathological domain fails loudly at the 8 GB broadcast cap,
+        // never silently); (c) the corpus is COLLAPSED to one row per
+        // yv by a map-side-combinable hash-agg carrying the exact
+        // integer part-sums (cnt, Σr2x, Σr2x²), and only that
+        // domain-sized frame joins ry. The moments regroup
+        // associatively over integers, so every output is
+        // bit-identical: sx=Σgx, sxx=Σgxx, sy=Σcnt·r2y, syy=Σcnt·r2y²,
+        // sxy=Σgx·r2y.
         val base = Tables.lineitem(s, d)
           .select((money("l_quantity") * 100).cast("long").as("xv"),
                   (money("l_extendedprice") * 100).cast("long").as("yv"))
+          .seam()
         val rx = rank2Map(base, "xv").withColumnRenamed("r2", "r2x")
         val ry = rank2Map(base, "yv").withColumnRenamed("r2", "r2y")
-        val j = base.join(rx, "xv").join(ry, "yv")
+        val g = base.join(broadcast(rx), "xv")
+          .groupBy(col("yv"))
+          .agg(count(lit(1)).as("cnt"),
+               sum(col("r2x").cast(D38)).as("gx"),
+               sum((col("r2x").cast(D38) * col("r2x").cast(D38))
+                     .cast(D38)).as("gxx"))
+        val j = g.join(ry, "yv")
         val m = j.agg(
-          count(lit(1)).cast("long").as("n"),
-          sum(col("r2x").cast(D38)).as("sx"),
-          sum(col("r2y").cast(D38)).as("sy"),
-          sum((col("r2x").cast(D38) * col("r2y").cast(D38)).cast(D38))
+          sum(col("cnt")).cast("long").as("n"),
+          sum(col("gx")).cast(D38).as("sx"),
+          sum((col("cnt").cast(D38) * col("r2y").cast(D38)).cast(D38))
+            .as("sy"),
+          sum((col("gx") * col("r2y").cast(D38)).cast(D38))
             .as("sxy"),
-          sum((col("r2x").cast(D38) * col("r2x").cast(D38)).cast(D38))
-            .as("sxx"),
-          sum((col("r2y").cast(D38) * col("r2y").cast(D38)).cast(D38))
+          sum(col("gxx")).cast(D38).as("sxx"),
+          sum((col("cnt").cast(D38) * col("r2y").cast(D38) *
+                 col("r2y").cast(D38)).cast(D38))
             .as("syy"))
         val nD = col("n").cast(D38)
         m.select(col("n").as("n_pairs"),
@@ -1106,7 +1130,7 @@ object StatsOps extends OpGroup {
                 col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("g_obs"),
                   (money("o_totalprice") * 100).cast("long").as("vc"))
-          .localCheckpoint(true)
+          .seam()
         def grpSums(df: org.apache.spark.sql.DataFrame, g: String) = Seq(
           sum(when(col(g) === 1, col("vc")).otherwise(0L).cast(D38)),
           sum(when(col(g) === 0, col("vc")).otherwise(0L).cast(D38)),
@@ -1118,7 +1142,7 @@ object StatsOps extends OpGroup {
           .withColumn("ao", abs(col("s1o") * col("n0o") -
                                 col("s0o") * col("n1o")).cast(D38))
           .withColumn("bo", (col("n1o") * col("n0o")).cast(D38))
-          .localCheckpoint(true) // one row, consumed by two branches
+          .seam() // one row, consumed by two branches
         val reps = pool
           // 64 hex digits = 256 bits per order, decoded to an int array
           // once; replicate r reads bit (r%4) of digit (r div 4)
@@ -1135,9 +1159,16 @@ object StatsOps extends OpGroup {
               |      div (CASE r % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
               |           WHEN 2 THEN 4 ELSE 8 END)) % 2 AS BIGINT)"""
               .stripMargin))
+        // r13 (guide §2.3 + codegen; r12 verdict #5): the 200×-exploded
+        // agg was the one remaining per-row DECIMAL sum on this path —
+        // SumLongDec38 accumulates the conditional cents as a LONG in
+        // the codegen'd hash-agg buffer and only touches decimal on
+        // flush/merge/eval. Same integers, same DECIMAL(38,0) result
+        // type (groups are never empty: every r sees the whole pool).
+        graft.functions.SumLongDec38.register(s)
         val repStats = reps.groupBy(col("r"))
-          .agg(sum(when(col("g") === 1, col("vc")).otherwise(0L)
-                     .cast(D38)).as("s1"),
+          .agg(expr("sum_long_dec38(if(g = 1, vc, cast(0 as bigint)))")
+                 .as("s1"),
                sum(col("g")).as("n1"))
         val ext = repStats.crossJoin(broadcast(obs))
           .withColumn("s0", (col("s1o") + col("s0o") - col("s1"))

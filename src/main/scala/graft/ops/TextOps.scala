@@ -753,13 +753,21 @@ object TextOps extends OpGroup {
           .select(col("doc_id"), col("pos"), col("col").as("w"))
         val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
         val nTot = toks.agg(count(lit(1)).as("_n"))
-        val right = toks.select(col("doc_id").as("_d2"),
-                                col("pos").as("_p2"), col("w").as("w_b"))
-        val pairs = Seq(1, 2).map { off =>
-          toks.join(right, col("doc_id") === col("_d2") &&
-                           col("_p2") === col("pos") + off)
-            .select(col("w").as("w_a"), col("w_b"))
-        }.reduce(_ unionAll _)
+        // r13 (guide §2.4): the +1/+2 pairs used to come from TWO
+        // shifted equi-joins of the token stream against itself — four
+        // corpus-sized exchanges plus two sort-merge sorts. posexplode
+        // positions are DENSE per doc (0..n−1, every position
+        // present), so lead(w, 1)/lead(w, 2) over one (doc, pos)
+        // window emits exactly the same (w_a, w_b) multiset — join at
+        // offset k matches iff pos+k exists, which is iff lead(w, k)
+        // is non-null — with ONE exchange and ONE sort.
+        val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val pairs = toks
+          .withColumn("_w1", lead(col("w"), 1).over(wSeq))
+          .withColumn("_w2", lead(col("w"), 2).over(wSeq))
+          .select(col("w").as("w_a"),
+                  explode(array(col("_w1"), col("_w2"))).as("w_b"))
+          .filter(col("w_b").isNotNull)
           .groupBy(col("w_a"), col("w_b"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 5)
@@ -844,14 +852,14 @@ object TextOps extends OpGroup {
           .withColumn("seg", sum(col("stop").cast("long")).over(wSeg))
           .filter(!col("stop"))
           .select(col("doc_id"), col("seg"), col("pos"), col("w"))
-          .localCheckpoint(true)
+          .seam()
         val ph = m.groupBy(col("doc_id"), col("seg"))
           .agg(concat_ws(" ",
                  transform(array_sort(collect_list(
                    struct(col("pos"), col("w")))), _.getField("w")))
                  .as("phrase"),
                count(lit(1)).as("len"))
-          .localCheckpoint(true)
+          .seam()
         val ws = m.join(ph.select(col("doc_id").as("_d"),
                                   col("seg").as("_s"), col("len")),
                         col("doc_id") === col("_d") &&
