@@ -494,24 +494,42 @@ object Dedup {
   private def simhashVotes(
       df: DataFrame, id: Column, text: Column, bits: Int,
       fastHash: Boolean = false): DataFrame = {
-    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     // fastHash: bit k of one codegen'd xxhash64(token) replaces the
     // parity of md5 hex digit k — same independent-fair-coin property
     // per bit, same votes shape, not cross-engine portable (the
     // minhash fastHash rationale; measured by BenchHashSwap)
+    //
+    // r13 (per-task work, guide §1.2 step 2): the md5 path used to
+    // test each of the `bits` hex digits with
+    // `substring(_h, k, 1) IN ('1','3',...,'f')` — 32 substring
+    // allocations and up to 256 one-char string comparisons per
+    // exploded token row, evaluated TWICE (partial + final agg). Now
+    // the row's 32 digit parities are packed ONCE into a long:
+    // translate() maps every hex char to its parity character ('0' or
+    // '1' — md5() is lowercase by contract) and conv(·, 2, 10) parses
+    // the resulting binary string (char k of the hex = char k of the
+    // binary = bit 32−k of the value, so digit k's parity is
+    // (mask >> (32−k)) & 1). Three string ops per row replace 32;
+    // the per-bit work in the agg is a shift-and-compare on a long.
+    // Parity equivalence: digit odd ⇔ digit ∈ {1,3,5,7,9,b,d,f} ⇔
+    // translate maps it to '1' — byte-equal to the oracle's
+    // `(instr('0123456789abcdef', d) - 1) % 2 = 1`.
     val votes = (1 to bits).map { k =>
       val bitSet =
         if (fastHash) expr(s"(_h >> ${k - 1}) & 1") === 1
-        else substring(col("_h"), k, 1).isin(oddHex: _*)
+        else expr(s"shiftright(_m, ${32 - k}) & 1") === 1
       sum(when(bitSet, 1).otherwise(-1)).as(s"_v$k")
     }
-    df.select(id.as("doc_id"), tokens(text).as("_w"))
+    val hashed = df.select(id.as("doc_id"), tokens(text).as("_w"))
       .select(col("doc_id"),
               explode(expr("array_distinct(_w)")).as("_t"))
-      .withColumn("_h",
-        if (fastHash) xxhash64(col("_t")) else md5(col("_t")))
-      .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+    val keyed =
+      if (fastHash) hashed.withColumn("_h", xxhash64(col("_t")))
+      else hashed.withColumn("_m",
+        conv(translate(md5(col("_t")),
+               "0123456789abcdef", "0101010101010101"), 2, 10)
+          .cast("long"))
+    keyed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
   }
 
   def simhashSignature(

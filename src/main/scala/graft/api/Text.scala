@@ -25,33 +25,31 @@ object Text {
     val tokens = df.select(
       id.as("doc_id"), lang.as("lang"),
       explode(split(text, " ")).as("term"))
-    // r13 (guide §2.3/§3.3): profile building and hit scoring both
-    // consumed the exploded corpus — two independent tokenize+explode
-    // passes and two corpus-sized shuffles. One (doc, term)-grain
-    // aggregation now tokenizes and shuffles the corpus ONCE; the
-    // profile's (lang, term) totals are the sum of the per-doc counts
-    // (associative — identical counts), and the distinct (doc, term)
-    // hit frame is exactly this aggregation's key set. Materialized
-    // once per invocation (it still feeds both consumers).
-    // Executor-loss caveat: localCheckpoint blocks are executor-local;
-    // losing an executor mid-query fails the job (retry recomputes) —
-    // see the Dedup.minhashPairs seam note.
-    val dt = tokens
-      .groupBy(col("doc_id"), col("lang"), col("term"))
-      .agg(count(lit(1)).as("_c"))
-      .seam()
-    val profile = dt
+    // r13 (guide §2.3/§3.2): the hit side used to DISTINCT the whole
+    // (doc, term) corpus — a corpus-sized exchange — before meeting the
+    // tiny profile. (An interim r13 variant instead shared one
+    // (doc, term)-grain aggregation behind a seam; the interleaved A/B
+    // measured it 0.81× — the materialized corpus-grain frame cost
+    // more than the tokenize pass it saved.) Now NOTHING corpus-sized
+    // is ever shuffled: the profile builds from its own map-side-
+    // combinable (lang, term) aggregation (vocabulary-sized exchange),
+    // and the hit side joins the raw token stream against the
+    // BROADCAST profile first — dropping every non-profile token
+    // map-side — then deduplicates the tiny surviving frame with
+    // count(DISTINCT term). Identical results: a doc's distinct
+    // profile terms are counted once per (doc, lang) either way.
+    val profile = tokens
       .groupBy(col("lang"), col("term"))
-      .agg(sum(col("_c")).as("n"))
+      .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang"))
           .orderBy(col("n").desc, col("term").asc)))
       .filter(col("rn") <= profileSize)
       .select(col("lang").as("p_lang"), col("term").as("p_term"))
-    val hits = dt.select(col("doc_id"), col("term"))
+    val hits = tokens.select(col("doc_id"), col("term"))
       .join(broadcast(profile), col("term") === col("p_term"))
       .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count(lit(1)).as("hits"))
+      .agg(countDistinct(col("term")).as("hits"))
     hits
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))

@@ -409,13 +409,26 @@ object MacroOps2 extends OpGroup {
           .select(col("o_orderkey"), col("o_orderdate"))
         val late = col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS")
+        // r13 (guide §2.3): the two countDistincts are DIFFERENT
+        // expressions over l_suppkey, so Spark's distinct-aggregate
+        // rewrite Expanded every joined fact row ×3 into the first
+        // aggregate (plans/r13/..._before.txt operator (9)) with no
+        // map-side combine. Two plain hash-aggs instead: collapse to
+        // the distinct (order, supplier) grain with any_late =
+        // max(late) — map-side combinable, no Expand — then per order
+        // ns = row count, nl = late-supplier count, lone = max late
+        // suppkey. A supplier is "late" iff ANY of its lineitems in
+        // the order is late — exactly max(late) over the pair group —
+        // so all three outputs are identical to the distinct forms.
         val po = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(late).as("_late"))
           .groupBy(col("l_orderkey"))
-          .agg(countDistinct(col("l_suppkey")).as("ns"),
-               countDistinct(when(late, col("l_suppkey"))).as("nl"),
-               max(when(late, col("l_suppkey"))).as("lone"))
+          .agg(count(lit(1)).as("ns"),
+               count(when(col("_late"), 1)).as("nl"),
+               max(when(col("_late"), col("l_suppkey"))).as("lone"))
         val natSup = Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)
                   .filter(col("n_name") === "NATION_1")

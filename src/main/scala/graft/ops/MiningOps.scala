@@ -57,11 +57,26 @@ object MiningOps extends OpGroup {
           .select(col("item").as("_fi"))
         val fitems = items
           .join(broadcast(freq), col("item") === col("_fi"), "left_semi")
-          .seam()
-        val pairs = fitems.alias("a")
-          .join(fitems.alias("b"), col("a.ok") === col("b.ok") &&
-                                   col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        // r13 (guide §2.3/§2.4; the oracle side's own r9 fix): the
+        // fitems × fitems self-join shuffled the corpus item table
+        // TWICE and hash-built it against itself — the exact shape
+        // whose DuckDB twin spilled without bound at sf10 (see the
+        // oracle comment below). One groupBy(ok) collect_list instead:
+        // baskets are ≤7 items (distinct brands of ≤7 lineitems), so
+        // the sorted per-basket array generates the identical
+        // (item_a < item_b) pair multiset with ONE corpus exchange and
+        // two bounded explodes — no join, no second shuffle. The r12
+        // seam on fitems went with the join that needed it (fitems now
+        // has exactly one consumer).
+        val pairs = fitems
+          .groupBy(col("ok"))
+          .agg(sort_array(collect_list(col("item"))).as("_li"))
+          .select(posexplode(col("_li")).as(Seq("_i", "item_a")),
+                  col("_li"))
+          .select(col("item_a"),
+                  explode(expr("slice(_li, _i + 2, size(_li))"))
+                    .as("item_b"))
+          .groupBy(col("item_a"), col("item_b"))
           .agg(count(lit(1)).as("n_ab"))
         pairs.crossJoin(broadcast(nOrders))
           .filter(col("n_ab") * 150 >= col("_n"))

@@ -48,45 +48,36 @@ object StatsOps extends OpGroup {
       // back to the pairs, then one hash-agg of six integer moments.
       "q_stats_spearman",
       (s, d) => {
-        // r13 (guide §3.1/§2.3; r12 verdict #6): the corpus used to
-        // equi-join BOTH rank maps — and the price map is DOMAIN-sized
-        // (price cents grow with the corpus, the r8 sweep's finding),
-        // so base ⋈ ry was a corpus-scale sort-merge join. Now: (a)
-        // base is materialized once (it fed three branches — two rank
-        // maps + the join — i.e. three parquet scans); (b) the
-        // quantity map rx is explicitly broadcast (quantity cents are
-        // a bounded physical domain — ≤ ~10⁴ values at every SF, and a
+        // r13 (guide §3.1/§3.3; r12 verdict #6): (a) base is
+        // materialized once (it fed three branches — two rank maps +
+        // the join — i.e. three parquet scans); (b) the quantity map
+        // rx is explicitly broadcast (quantity cents are a bounded
+        // physical domain — ≤ ~10⁴ values at every SF, and a
         // pathological domain fails loudly at the 8 GB broadcast cap,
-        // never silently); (c) the corpus is COLLAPSED to one row per
-        // yv by a map-side-combinable hash-agg carrying the exact
-        // integer part-sums (cnt, Σr2x, Σr2x²), and only that
-        // domain-sized frame joins ry. The moments regroup
-        // associatively over integers, so every output is
-        // bit-identical: sx=Σgx, sxx=Σgxx, sy=Σcnt·r2y, syy=Σcnt·r2y²,
-        // sxy=Σgx·r2y.
+        // never silently) — one corpus sort-merge join replaced by a
+        // broadcast hash join. A third variant (collapse the corpus to
+        // one row per yv before joining ry) measured 0.90× in the
+        // interleaved A/B — at this SF price cents are nearly unique
+        // per row, so the "collapse" added a corpus-sized decimal
+        // hash-agg and removed nothing — and was reverted; the ry join
+        // stays the sort-merge over the corpus (the rank-map side
+        // remains domain-sized, never the build side of a broadcast).
         val base = Tables.lineitem(s, d)
           .select((money("l_quantity") * 100).cast("long").as("xv"),
                   (money("l_extendedprice") * 100).cast("long").as("yv"))
           .seam()
         val rx = rank2Map(base, "xv").withColumnRenamed("r2", "r2x")
         val ry = rank2Map(base, "yv").withColumnRenamed("r2", "r2y")
-        val g = base.join(broadcast(rx), "xv")
-          .groupBy(col("yv"))
-          .agg(count(lit(1)).as("cnt"),
-               sum(col("r2x").cast(D38)).as("gx"),
-               sum((col("r2x").cast(D38) * col("r2x").cast(D38))
-                     .cast(D38)).as("gxx"))
-        val j = g.join(ry, "yv")
+        val j = base.join(broadcast(rx), "xv").join(ry, "yv")
         val m = j.agg(
-          sum(col("cnt")).cast("long").as("n"),
-          sum(col("gx")).cast(D38).as("sx"),
-          sum((col("cnt").cast(D38) * col("r2y").cast(D38)).cast(D38))
-            .as("sy"),
-          sum((col("gx") * col("r2y").cast(D38)).cast(D38))
+          count(lit(1)).cast("long").as("n"),
+          sum(col("r2x").cast(D38)).as("sx"),
+          sum(col("r2y").cast(D38)).as("sy"),
+          sum((col("r2x").cast(D38) * col("r2y").cast(D38)).cast(D38))
             .as("sxy"),
-          sum(col("gxx")).cast(D38).as("sxx"),
-          sum((col("cnt").cast(D38) * col("r2y").cast(D38) *
-                 col("r2y").cast(D38)).cast(D38))
+          sum((col("r2x").cast(D38) * col("r2x").cast(D38)).cast(D38))
+            .as("sxx"),
+          sum((col("r2y").cast(D38) * col("r2y").cast(D38)).cast(D38))
             .as("syy"))
         val nD = col("n").cast(D38)
         m.select(col("n").as("n_pairs"),
