@@ -484,11 +484,20 @@ object Sim {
       m: Int, k: Int): DataFrame = {
     require(m >= 1, "pqTopK: m must be >= 1")
     graft.functions.L2SqI64.register(df.sparkSession)
+    // r13 (guide §3.3): base feeds the codebook, encode, and LUT
+    // branches — each re-planned the scan + grid64 quantization (6
+    // parquet scans in plans/r13/q_sim_ann_pq_before.txt). One
+    // materialization per invocation; the q64 grid is computed once.
+    // A/B (plans/r13/ab/b3_*/b4_*): 0.79× at sf0.1 but 1.10× at sf1 —
+    // kept on the measured-at-scale number (the duplicated subtrees
+    // here are all corpus-sized, so the dedup win grows with data
+    // while the checkpoint overhead stays fixed).
     val base = df
       .select(id.as("vec_id"), emb.as("embedding"),
               isQuery.as("_isq"), isCodebook.as("_iscb"))
       .filter(col("embedding").isNotNull)
       .withColumn("q64", grid64(col("embedding")))
+      .seam()
     val sub = subvectors(base, m, Seq("vec_id", "_isq", "_iscb"))
     val cb = pqCodebook(sub)
     val enc = pqEncode(sub, cb)
@@ -526,6 +535,14 @@ object Sim {
     require(m >= 1, "ivfPqTopK: m must be >= 1")
     require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
     graft.functions.L2SqI64.register(df.sparkSession)
+    // r13 (guide §1.1, TRIED AND REVERTED): base feeds centroids,
+    // assignment, probes, codebook, encode, and LUT — 8 embeddings
+    // scans in plans/r13/q_sim_ann_ivfpq_before.txt — but the §3.3
+    // seam measured 0.81× at sf0.1 and 0.93× at sf1 (plans/r13/ab/
+    // b3_*/b4_*): unlike pqTopK (whose seam wins at sf1 and is kept),
+    // the extra IVF branches are centroid-bounded, overlap on idle
+    // capacity, and the checkpoint of the corpus-wide q64 frame
+    // serializes more than it saves at both measured SFs.
     val base = df
       .select(id.as("vec_id"), emb.as("embedding"),
               isQuery.as("_isq"), isCentroid.as("_isc"),

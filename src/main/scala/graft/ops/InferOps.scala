@@ -294,6 +294,11 @@ object InferOps extends OpGroup {
       // window orders the 25-row aggregate — domain-bounded.
       "q_stats_fdr_bh",
       (s, d) => {
+        // r13 (guide §1.1, TRIED AND REVERTED): fam is re-planned into
+        // 12 corpus scans (plans/r13/..._before.txt); the §3.3 seam
+        // measured 0.89× at sf0.1 and 0.84× at sf1 (plans/r13/ab/) —
+        // duplicate subtrees overlap on idle capacity, the seam
+        // serializes. Left unseamed per the measured A/B.
         val fam = Tables.orders(s, d)
           .join(Tables.customer(s, d),
                 col("o_custkey") === col("c_custkey"))

@@ -151,6 +151,12 @@ object MacroOps2 extends OpGroup {
           .groupBy(col("l_partkey"))
           .agg(sum(money("l_extendedprice") *
             (lit(1).cast(Money) - money("l_discount"))).as("_v"))
+          // r13 (guide §3.3): v — one lineitem pass collapsed to the
+          // partkey domain — fed the total and the threshold filter:
+          // 2 re-planned corpus scans in plans/r13/..._before.txt.
+          // A/B: 0.95× at sf0.1 / 1.05× at sf1 (plans/r13/ab/) —
+          // kept on the at-scale number
+          .seam()
         val tot = v.agg(sum(col("_v")).as("_tot"))
         v.crossJoin(broadcast(tot))
           .filter(col("_v") * 1000 > col("_tot"))
@@ -971,6 +977,11 @@ object MacroOps2 extends OpGroup {
           .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg((sum(col("rev")) * 10000).cast(D).as("c"))
+          // r13 (guide §1.1, TRIED AND REVERTED): nat is re-planned
+          // into 12 scans (plans/r13/..._before.txt); the §3.3 seam
+          // measured 0.43× at sf0.1 and 0.73× at sf1 (plans/r13/ab/)
+          // — the worst of the batch-2 sweep; duplicate subtrees
+          // overlap on idle capacity, the seam serializes
         val reg = nat.groupBy(col("r_name").as("_r"))
           .agg(sum(col("c")).as("rc"))
         val world = nat.agg(sum(col("c")).as("wc"))

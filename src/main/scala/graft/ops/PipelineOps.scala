@@ -753,6 +753,18 @@ object PipelineOps extends OpGroup {
         val all = Tables.documents(s, d)
         val corpus = all.filter(col("source") =!= "src0")
         val bench = all.filter(col("source") === "src0")
+        // r13 (r12 verdict #8, guide §1.1 — TRIED AND REVERTED, both
+        // variants): the quality/exact stage DOES carry a residual
+        // diamond — g (the tokenize+gate pass) feeds exmin + r, and r
+        // feeds nearmin + flagged: seven documents scans in
+        // plans/r13/..._before.txt. Seaming g+r measured 0.82× at
+        // sf0.1 and 0.76× at sf1 (plans/r13/ab/b3_*/b4_*: storing the
+        // text-bearing gate frame costs more than re-tokenizing);
+        // seaming ONLY the narrow r frame measured 0.40×
+        // (plans/r13/ab/b5_*: the blocking materialization serializes
+        // the g×3 recompute AND the CC join instead of letting the
+        // branches overlap). The duplicate-branch shape stays, with
+        // this note as the measured reason.
         val g = graft.api.Text.qualityGate(
             corpus.select(col("doc_id"), col("text")), col("text"))
           .select(col("doc_id"), col("text"), col("n_words"), col("pass"))

@@ -368,6 +368,13 @@ object SignalOps extends OpGroup {
       // 2.4k·64 rows at ANY data volume.
       "q_ts_macd",
       (s, d) => {
+        // r13 (guide §1.1, TRIED AND REVERTED): daily is re-planned
+        // into 12 orders scans (plans/r13/..._before.txt), so it got
+        // the §3.3 seam — which measured 0.74× at sf0.1 AND 0.60× at
+        // sf1 (plans/r13/ab/b3_*/b4_*): the duplicate day-domain
+        // subtrees run concurrently on idle cores while the seam
+        // serializes a blocking materialization per invocation. Same
+        // verdict as r12's lm_gate/collocations sites.
         val daily = Tables.orders(s, d)
           .select(oDay.as("dday"), oCents.as("vc"))
           .groupBy(col("dday")).agg(sum(col("vc")).as("sc"))

@@ -1320,6 +1320,11 @@ object StatsOps extends OpGroup {
       // the DOMAIN (720 rows here, ~9k for a decade of hours).
       "q_ts_lttb",
       (s, d) => {
+        // r13 (guide §1.1, TRIED AND REVERTED): hourly is re-planned
+        // into 6 event scans (plans/r13/..._before.txt); the §3.3 seam
+        // measured 0.80× at sf0.1 and 0.89× at sf1 (plans/r13/ab/) —
+        // duplicate subtrees overlap on idle capacity, the seam
+        // serializes
         val hourly = Tables.events(s, d)
           .select(expr("ts_us div 3600000000").as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("y"))
@@ -1585,9 +1590,19 @@ object StatsOps extends OpGroup {
       // so the hash can't flap. Two tiny cross-join passes.
       "q_ts_theil_sen",
       (s, d) => {
+        // r13 (guide §3.3): daily — the ONE corpus pass, collapsed to
+        // the ~30-row day domain — fed both pair-join sides, the
+        // intercept branch, and (through ranked/ics duplication) TEN
+        // re-planned event scans in plans/r13/..._before.txt.
+        // Materialized once per invocation; everything downstream is
+        // day-domain-sized recompute. A/B: 1.07× at sf0.1, 1.08× at
+        // sf1 (plans/r13/ab/b3_*/b4_*) — the one batch-2 sweep site
+        // that wins at BOTH SFs (10 saved corpus passes clear the
+        // seam overhead; mann_kendall's 3 do not, see its note).
         val daily = Tables.events(s, d)
           .select(expr("ts_us div 86400000000").as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("y"))
+          .seam()
         val a = daily.select(col("x").as("xi"), col("y").as("yi"))
         val b = daily.select(col("x").as("xj"), col("y").as("yj"))
         val pairs = a.join(b, col("xj") > col("xi"))
@@ -2029,6 +2044,11 @@ object StatsOps extends OpGroup {
       // tie-size agg both run on that ~30-row frame.
       "q_stats_mann_kendall",
       (s, d) => {
+        // r13 (guide §1.1, TRIED AND REVERTED): the theil_sen-style
+        // seam on daily measured 0.77× at sf0.1 / 0.79× at sf1 here
+        // (only 3 duplicate scans to save vs theil_sen's 10 — the
+        // materialization overhead exceeds the dedup win at this
+        // multiplicity; plans/r13/ab/b3_*/b4_*)
         val daily = Tables.events(s, d)
           .select(expr("ts_us div 86400000000").as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("y"))
